@@ -1,0 +1,135 @@
+"""Cell-pruned point-in-polygon join — the flagship spatial join.
+
+Reference semantics: ``MeshSpatialIndex.locate_faces`` — point × polygon with
+predicate ``within`` (``/root/reference/src/pyramids/netcdf/ugrid/
+spatial.py:195-224``: STRtree bulk query). Our distributed plan:
+
+1. **Cover** (driver/broadcast side): each polygon → covering cells at a
+   pruning zoom, split into *interior* cells (fully inside — candidate rows
+   need NO exact test) and *boundary* cells (need ray-cast refinement).
+   Polygon sets are small (zones/dims); the cover runs in numpy and ships as
+   a broadcast equi-join side. [At 10^12 docs the polygon side stays ≪ the
+   doc side, so broadcast-hash-join avoids shuffling the big table at all.]
+2. **Encode** (distributed, JVM-side): each point row gets ``cell_id`` via
+   pure column arithmetic — no UDF, stays in whole-stage codegen.
+3. **Join**: ``points ⋈ broadcast(zone_cells) ON cell_id`` — Catalyst emits a
+   BroadcastHashJoin; the 10^12-row side is never shuffled.
+4. **Refine**: boundary-cell candidates run a vectorized numpy ray-cast
+   (``cells.points_in_polygon``) inside an Arrow-batched pandas UDF, grouped
+   by zone inside each batch (no per-row Python).
+
+Skew: hot cells (dense doc clusters) inflate single tasks. Because the join
+is broadcast there is no shuffle to skew; the refinement is per-batch
+embarrassingly parallel. For the aggregate-after-join path use
+``salt_col()`` + AQE (see operators.zonal).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import cells
+
+
+def zone_cover(zones: list[dict], zoom: int, mode: str = "center") -> pd.DataFrame:
+    """Covering cells for each zone polygon (driver-side numpy; zones small).
+
+    Returns pandas DF ``(zone_id, cell_id, boundary)``; ``boundary=False``
+    cells are fully inside the polygon (all 4 corners in, no edge crossing)
+    → rows in them skip exact refinement. ``mode`` is the touch duality:
+    'center' ≙ ALL_TOUCHED=FALSE, 'intersects' ≙ allTouched=True (SURVEY §2.7).
+    """
+    zid, cid, bnd = [], [], []
+    for z in zones:
+        for poly in z["parts"]:
+            cover = cells.cells_covering_polygon(poly, zoom, mode="intersects" if mode == "intersects" else "center")
+            if cover.size == 0:
+                continue
+            cx, cy = cells.unpack(cover, zoom)
+            x0, y0, x1, y1 = cells.cell_bounds_np(cx, cy, zoom)
+            interior = np.ones(cover.shape[0], dtype=bool)
+            for qx, qy in ((x0, y0), (x0, y1), (x1, y0), (x1, y1)):
+                interior &= cells.points_in_polygon(qx, qy, poly)
+            # an edge crossing makes a cell non-interior even if corners are in
+            p = poly[:-1] if np.allclose(poly[0], poly[-1]) else poly
+            ex0, ey0 = p[:, 0], p[:, 1]
+            ex1, ey1 = np.roll(ex0, -1), np.roll(ey0, -1)
+            crossed = cells._segment_intersects_rect(
+                ex0[None, :], ey0[None, :], ex1[None, :], ey1[None, :],
+                x0[:, None], y0[:, None], x1[:, None], y1[:, None],
+            ).any(axis=1)
+            interior &= ~crossed
+            zid.append(np.full(cover.shape[0], z["zone_id"], dtype=np.int64))
+            cid.append(cover)
+            bnd.append(~interior)
+    if not zid:
+        return pd.DataFrame({"zone_id": [], "cell_id": [], "boundary": []})
+    df = pd.DataFrame(
+        {"zone_id": np.concatenate(zid), "cell_id": np.concatenate(cid),
+         "boundary": np.concatenate(bnd)}
+    )
+    # a multi-part zone may cover the same cell twice
+    return df.sort_values(["zone_id", "cell_id"]).drop_duplicates(["zone_id", "cell_id"]).reset_index(drop=True)
+
+
+def with_cell_id(points: DataFrame, zoom: int, x: str = "x", y: str = "y") -> DataFrame:
+    cx, cy = cells.geo_cell_col(F.col(x), F.col(y), zoom)
+    return points.withColumn("cell_id", cells.cell_id_col(cx, cy, zoom))
+
+
+def pip_join(
+    points: DataFrame,
+    zones: list[dict],
+    zoom: int = 8,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """points(…, x, y) ⨝ zones → points columns + ``zone_id`` (inner join;
+    misses drop, multi-zone hits duplicate — reference ``locate_faces``
+    returns −1 for misses ≙ left-join variant via ``how='left'`` upstream).
+    """
+    spark = points.sparkSession
+    cover = zone_cover(zones, zoom, mode="intersects")
+    cover_df = F.broadcast(
+        spark.createDataFrame(cover, schema="zone_id long, cell_id long, boundary boolean")
+    )
+    pts = with_cell_id(points, zoom, x, y)
+    cand = pts.join(cover_df, "cell_id")
+
+    zones_b = spark.sparkContext.broadcast(
+        {z["zone_id"]: [p for p in z["parts"]] for z in zones}
+    )
+
+    @F.pandas_udf(T.BooleanType())
+    def _pip(px: pd.Series, py: pd.Series, zone: pd.Series, boundary: pd.Series) -> pd.Series:
+        out = np.ones(len(px), dtype=bool)
+        b = boundary.to_numpy()
+        if b.any():
+            xs, ys, zs = px.to_numpy()[b], py.to_numpy()[b], zone.to_numpy()[b]
+            sub = np.zeros(xs.shape[0], dtype=bool)
+            for zk in np.unique(zs):
+                m = zs == zk
+                acc = np.zeros(int(m.sum()), dtype=bool)
+                for part in zones_b.value[int(zk)]:
+                    acc |= cells.points_in_polygon(xs[m], ys[m], np.asarray(part))
+                sub[m] = acc
+            out[b] = sub
+        return pd.Series(out)
+
+    return (
+        cand.withColumn("_in", _pip(F.col(x), F.col(y), F.col("zone_id"), F.col("boundary")))
+        .where(F.col("_in"))
+        .drop("_in", "boundary", "cell_id")
+    )
+
+
+def salt_col(key: F.Column, n_salt: int = 16) -> F.Column:
+    """Deterministic salt for hot-key repartitioning (north rule): append to
+    the shuffle key of skewed aggregations; pair with a two-stage agg
+    (partial by (key, salt), final by key). AQE skew-join splitting is ON in
+    session.py as the runtime backstop."""
+    return F.pmod(F.xxhash64(key), F.lit(n_salt))

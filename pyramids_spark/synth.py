@@ -1,0 +1,204 @@
+"""Deterministic synthetic data (no external data; seeded per-key hashing).
+
+The primary input table has the exact shape mandated by BASELINE.json
+``input_hint``::
+
+    documents(doc_id: string, spans: array<struct<kind:string, text:string,
+              media_ref:string, offset:int>>)
+
+Everything derives from the integer sequence id via the portable hash in
+:mod:`pyramids_spark.cells` — fully reproducible at any scale, on any
+executor, with no driver-side state (generation runs distributed via
+``spark.range(n)`` + vectorized pandas UDFs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import cells
+
+SPAN_KINDS = ("text", "image", "audio", "table")
+
+_SPANS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("kind", T.StringType()),
+                        T.StructField("text", T.StringType()),
+                        T.StructField("media_ref", T.StringType()),
+                        T.StructField("offset", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+_WORDS = np.array(
+    "the of and to in a is that for it as was with be by on not he his but at are this".split()
+)
+
+
+def _spans_batch(ids: np.ndarray) -> pd.DataFrame:
+    """Vectorized span synthesis for a batch of integer ids (FIXTURES.md §1):
+    1-8 spans per doc; kind cycled by per-(doc, j) hash; text deterministic
+    tokens for kind=text else ''; media_ref 'media://{doc_id}/{j}' for
+    non-text kinds; offset = cumulative char offset."""
+    n_spans = 1 + (cells.h1_np(ids) % 8).astype(np.int64)  # 1..8
+    doc_idx = np.repeat(np.arange(ids.shape[0]), n_spans)
+    j = np.concatenate([np.arange(k) for k in n_spans]) if ids.size else np.array([], dtype=np.int64)
+    key = ids[doc_idx] * 16 + j  # unique per (doc, span)
+    kind_i = (cells.h2_np(key) % 4).astype(np.int64)
+    kind = np.array(SPAN_KINDS)[kind_i]
+    wi = cells.h1_np(key * 7 + 3) % len(_WORDS)
+    wj = cells.h2_np(key * 7 + 5) % len(_WORDS)
+    wk = cells.h1_np(key * 7 + 11) % len(_WORDS)
+    text = np.where(
+        kind == "text",
+        np.char.add(np.char.add(np.char.add(_WORDS[wi], " "), _WORDS[wj]),
+                    np.char.add(" ", _WORDS[wk])),
+        "",
+    )
+    doc_id = np.char.add("doc-", np.char.zfill(ids[doc_idx].astype(str), 10))
+    media_ref = np.where(
+        kind == "text",
+        "",
+        np.char.add(np.char.add(np.char.add("media://", doc_id), "/"), j.astype(str)),
+    )
+    lengths = np.where(kind == "text", np.char.str_len(text), 64).astype(np.int64)
+    # offset = cumulative length of prior spans within the doc
+    csum = np.cumsum(lengths)
+    starts = np.concatenate([[0], csum[:-1]])
+    doc_start = np.concatenate([[0], np.cumsum(n_spans)[:-1]])
+    offset = (starts - starts[doc_start][doc_idx] ).astype(np.int32)
+    sdf = pd.DataFrame(
+        {"doc_id": doc_id, "kind": kind, "text": text, "media_ref": media_ref,
+         "offset": offset, "_d": doc_idx}
+    )
+    rec = sdf.groupby("_d", sort=True).apply(
+        lambda g: g[["kind", "text", "media_ref", "offset"]].to_dict("records"),
+        include_groups=False,
+    )
+    return pd.DataFrame(
+        {"doc_id": np.char.add("doc-", np.char.zfill(ids.astype(str), 10)),
+         "spans": rec.values}
+    )
+
+
+def documents_spans(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """The interleaved text+media documents table (input_hint shape)."""
+    partitions = partitions or max(1, min(64, n // 10_000 + 1))
+
+    def gen(batches):
+        for pdf in batches:
+            yield _spans_batch(pdf["id"].to_numpy())
+
+    return spark.range(n, numPartitions=partitions).mapInPandas(gen, schema=_SPANS_SCHEMA)
+
+
+def span_hash_col(spans_col: str = "spans") -> F.Column:
+    """Canonical hash of the span sequence (kind, text, media_ref, order).
+
+    Computed at source, carried through every operator, re-checked at sink —
+    the per-row invariant of BASELINE.json. JSON serialization of an
+    array<struct> is order- and field-stable in Spark, so this is a
+    deterministic JVM-side (codegen) expression, not a UDF.
+    """
+    return F.xxhash64(F.to_json(F.col(spans_col)))
+
+
+def doc_points(
+    spark: SparkSession,
+    n: int,
+    hot_frac: float = 0.2,
+    hot_box: tuple[float, float, float, float] = (-0.5, -0.5, 0.5, 0.5),
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic point geometry per doc with a skewed hot spot.
+
+    ``hot_frac`` of docs land inside ``hot_box`` (lon0, lat0, lon1, lat1) to
+    create realistic cell skew — the thing the salting/AQE machinery must
+    handle (north rule). Pure column arithmetic; no UDF.
+    """
+    partitions = partitions or max(1, min(64, n // 100_000 + 1))
+    df = spark.range(n, numPartitions=partitions)
+    h1, h2 = cells.h1_col(F.col("id")), cells.h2_col(F.col("id"))
+    h3 = (F.col("id") * F.lit(2971215073) + F.lit(433494437)) % F.lit(2**32)
+    lon = cells.lon_col(h1)
+    lat = cells.lat_col(h2)
+    x0, y0, x1, y1 = hot_box
+    hot = (h3 / F.lit(float(2**32))) < F.lit(hot_frac)
+    lon = F.when(hot, F.lit(x0) + F.lit(x1 - x0) * (h1 / F.lit(float(2**32)))).otherwise(lon)
+    lat = F.when(hot, F.lit(y0) + F.lit(y1 - y0) * (h2 / F.lit(float(2**32)))).otherwise(lat)
+    return df.select(
+        F.concat(F.lit("doc-"), F.lpad(F.col("id").cast("string"), 10, "0")).alias("doc_id"),
+        F.col("id").alias("key"),
+        lon.alias("x"),
+        lat.alias("y"),
+    )
+
+
+def zone_polygons(n_zones: int, kind: str = "hex", seed: int = 42) -> list[dict]:
+    """Deterministic zone polygons in geo space (numpy, driver-side, tiny).
+
+    kinds: 'box' (axis-aligned), 'hex' (regular hexagon around a hash
+    centre), 'hull' (convex hull of k hashed points), 'multi' (2-3 disjoint
+    boxes — multipolygon for explode tests). Returns dicts:
+    {zone_id, zone_class, parts: [ (V,2) ndarray, ...]}.
+    """
+    out = []
+    for z in range(n_zones):
+        k = np.int64(seed * 1_000_003 + z)
+        cx = cells.lon_np(cells.h1_np(np.array([k])))[0] * 0.8
+        cy = cells.lat_np(cells.h2_np(np.array([k])))[0] * 0.8
+        r = 2.0 + (cells.h1_np(np.array([k * 3 + 1]))[0] % 1000) / 100.0  # 2..12°
+        if kind == "box":
+            parts = [np.array([[cx - r, cy - r], [cx + r, cy - r], [cx + r, cy + r], [cx - r, cy + r]])]
+        elif kind == "hex":
+            ang = np.linspace(0, 2 * np.pi, 7)[:-1]
+            parts = [np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)]
+        elif kind == "hull":
+            kk = np.arange(8) + k * 17
+            px = cx + (cells.h1_np(kk) % 10000) / 10000.0 * r - r / 2
+            py = cy + (cells.h2_np(kk) % 10000) / 10000.0 * r - r / 2
+            pts = np.stack([px, py], axis=1)
+            parts = [_convex_hull(pts)]
+        elif kind == "multi":
+            m = 2 + int(cells.h2_np(np.array([k]))[0] % 2)
+            parts = []
+            for p in range(m):
+                ox = cx + p * 2.5 * r
+                parts.append(
+                    np.array([[ox - r / 2, cy - r / 2], [ox + r / 2, cy - r / 2],
+                              [ox + r / 2, cy + r / 2], [ox - r / 2, cy + r / 2]])
+                )
+        else:
+            raise ValueError(kind)
+        out.append({"zone_id": z, "zone_class": z % 5, "parts": parts})
+    return out
+
+
+def _convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain (tiny input, driver-side only)."""
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(points):
+        h: list[np.ndarray] = []
+        for p in points:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])

@@ -1,0 +1,118 @@
+"""End-to-end PIP join + span-invariant tests (Spark vs numpy oracle)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyramids_spark import cells, synth
+from pyramids_spark.operators import pip
+
+
+def _oracle_points(n, hot_frac=0.2, hot_box=(-0.5, -0.5, 0.5, 0.5)):
+    ids = np.arange(n)
+    h1, h2 = cells.h1_np(ids), cells.h2_np(ids)
+    h3 = (
+        (ids.astype(np.uint64) * np.uint64(2971215073) + np.uint64(433494437))
+        % np.uint64(2**32)
+    ).astype(np.int64)
+    lon, lat = cells.lon_np(h1), cells.lat_np(h2)
+    hot = h3 / 2**32 < hot_frac
+    x0, y0, x1, y1 = hot_box
+    lon[hot] = x0 + (x1 - x0) * (h1[hot] / 2**32)
+    lat[hot] = y0 + (y1 - y0) * (h2[hot] / 2**32)
+    return ids, lon, lat
+
+
+@pytest.mark.parametrize("kind", ["box", "hex", "hull", "multi"])
+def test_pip_join_matches_numpy_oracle(spark, kind):
+    n = 5000
+    pts = synth.doc_points(spark, n)
+    zones = synth.zone_polygons(8, kind)
+    got = (
+        pip.pip_join(pts, zones, zoom=7)
+        .select("key", "zone_id")
+        .toPandas()
+        .sort_values(["key", "zone_id"])
+        .reset_index(drop=True)
+    )
+    ids, lon, lat = _oracle_points(n)
+    rows = []
+    for z in zones:
+        m = np.zeros(n, bool)
+        for part in z["parts"]:
+            m |= cells.points_in_polygon(lon, lat, np.asarray(part))
+        rows += [(int(k), z["zone_id"]) for k in ids[m]]
+    exp = (
+        pd.DataFrame(rows, columns=["key", "zone_id"])
+        .sort_values(["key", "zone_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) and len(got) > 0
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_pip_join_hot_spot_skew_still_exact(spark):
+    """80%+ of points in one cell (worst-case skew) — broadcast join plan
+    means no shuffle skew; results stay exact."""
+    n = 3000
+    pts = synth.doc_points(spark, n, hot_frac=0.9)
+    zones = synth.zone_polygons(3, "hex")
+    got = pip.pip_join(pts, zones, zoom=6).select("key", "zone_id").toPandas()
+    ids, lon, lat = _oracle_points(n, hot_frac=0.9)
+    exp_rows = 0
+    for z in zones:
+        m = np.zeros(n, bool)
+        for part in z["parts"]:
+            m |= cells.points_in_polygon(lon, lat, np.asarray(part))
+        exp_rows += int(m.sum())
+    assert len(got) == exp_rows
+
+
+def test_pip_join_plan_is_broadcast_no_bigside_shuffle(spark):
+    pts = synth.doc_points(spark, 1000)
+    zones = synth.zone_polygons(3, "box")
+    plan = pip.pip_join(pts, zones, zoom=7)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # big side never shuffles
+
+
+def test_span_sequence_invariant_through_pip_join(spark):
+    docs = synth.documents_spans(spark, 500).withColumn(
+        "span_hash", synth.span_hash_col()
+    )
+    pts = synth.doc_points(spark, 500)
+    joined = docs.join(pts, "doc_id")
+    res = pip.pip_join(joined, synth.zone_polygons(5, "hex"), zoom=7)
+    violations = res.where(synth.span_hash_col() != res.span_hash).count()
+    assert violations == 0
+    # spans themselves round-trip: re-derive kind sequence and compare
+    k0 = (
+        docs.selectExpr("doc_id", "transform(spans, s -> s.kind) AS ks")
+        .toPandas()
+        .set_index("doc_id")["ks"]
+    )
+    k1 = (
+        res.selectExpr("doc_id", "transform(spans, s -> s.kind) AS ks")
+        .dropDuplicates(["doc_id"])
+        .toPandas()
+        .set_index("doc_id")["ks"]
+    )
+    for d, ks in k1.items():
+        assert list(ks) == list(k0[d])
+
+
+def test_zone_cover_interior_flag_sound(spark):
+    """boundary=False cells must be fully inside their zone."""
+    zones = synth.zone_polygons(6, "hex")
+    cov = pip.zone_cover(zones, zoom=8, mode="intersects")
+    interior = cov[~cov.boundary]
+    assert len(interior) > 0
+    for zid, grp in interior.groupby("zone_id"):
+        parts = zones[int(zid)]["parts"]
+        cx, cy = cells.unpack(grp.cell_id.to_numpy(), 8)
+        x0, y0, x1, y1 = cells.cell_bounds_np(cx, cy, 8)
+        for qx, qy in ((x0, y0), (x0, y1), (x1, y0), (x1, y1), ((x0 + x1) / 2, (y0 + y1) / 2)):
+            ok = np.zeros(len(grp), bool)
+            for p in parts:
+                ok |= cells.points_in_polygon(qx, qy, np.asarray(p))
+            assert ok.all()
