@@ -1,0 +1,260 @@
+"""Raster algebra over the exploded cell table ``(band, row, col, value)``.
+
+Every op is pure DataFrame algebra (whole-stage codegen; no UDFs), derived
+from the reference semantics cited per-function. NULL value ≙ nodata
+(SURVEY §1.2: the sentinel is normalized to NULL at ingest; the reference's
+tolerant ``np.isclose(rtol=0.001)`` match happens at that ingest boundary).
+
+At scale the same plans run over the tiled/partitioned cell table: ``row``
+ranges map to partition/file pruning (min-max stats on row/col), joins on
+(row, col) hash-partition evenly because grids are dense.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..grid import Grid
+
+
+def to_xyz(cells_df: DataFrame, grid: Grid) -> DataFrame:
+    """Raster → (x, y, value) point rows, nodata skipped.
+
+    Reference: ``Dataset.to_xyz`` (``dataset/ops/io.py:1063-1146``) — cell
+    CENTRE coords, domain cells only.
+    """
+    return cells_df.where(F.col("value").isNotNull()).select(
+        grid.x_center_col(F.col("col")).alias("x"),
+        grid.y_center_col(F.col("row")).alias("y"),
+        "band",
+        "value",
+    )
+
+
+def crop_window(cells_df: DataFrame, grid: Grid, box: tuple[float, float, float, float]) -> DataFrame:
+    """Crop by bounding box, touch=False (cell-centre inside), with the
+    reference's extent trim + re-origin: output rows/cols re-indexed from the
+    first kept cell (``_correct_wrap_cutline_error``, ``spatial.py:850-886``).
+
+    box = (xmin, ymin, xmax, ymax). Returns (band, row, col, value) in the
+    CROPPED frame plus the original (src_row, src_col).
+    """
+    xmin, ymin, xmax, ymax = box
+    xc = grid.x_center_col(F.col("col"))
+    yc = grid.y_center_col(F.col("row"))
+    kept = cells_df.where(
+        (xc >= F.lit(xmin)) & (xc <= F.lit(xmax)) & (yc >= F.lit(ymin)) & (yc <= F.lit(ymax))
+    )
+    w = Window.partitionBy(F.lit(1))
+    return (
+        kept.withColumn("_r0", F.min("row").over(w))
+        .withColumn("_c0", F.min("col").over(w))
+        .select(
+            "band",
+            (F.col("row") - F.col("_r0")).alias("row"),
+            (F.col("col") - F.col("_c0")).alias("col"),
+            F.col("row").alias("src_row"),
+            F.col("col").alias("src_col"),
+            "value",
+        )
+    )
+
+
+def crop_aligned(src: DataFrame, mask: DataFrame) -> DataFrame:
+    """Raster × aligned raster-mask semi-join: copy the mask's nodata layout
+    (reference ``_crop_aligned``, ``spatial.py:518-633``): src value kept
+    where mask has data, else NULL."""
+    m = mask.select("row", "col", F.col("value").alias("_mv"))
+    return (
+        src.join(m, ["row", "col"], "left")
+        .select(
+            "band",
+            "row",
+            "col",
+            F.when(F.col("_mv").isNotNull(), F.col("value")).alias("value"),
+        )
+    )
+
+
+def align_nearest(src: DataFrame, src_grid: Grid, dst_grid: Grid) -> DataFrame:
+    """Adopt dst grid; each output cell takes the value of the SOURCE cell
+    containing its centre — nearest-neighbour always, the reference's
+    ``Dataset.align`` contract (``spatial.py:642-761``, GRA_NearestNeighbour).
+
+    Implemented as: generate dst cells → arithmetic map centre→(src_row,
+    src_col) → equi-join src. The generate side is ``spark.range`` (cheap,
+    parallel); the join hash-partitions on dense int keys — no skew.
+    """
+    spark = src.sparkSession
+    ncells = dst_grid.rows * dst_grid.cols
+    out = (
+        spark.range(ncells)
+        .select(
+            (F.col("id") / F.lit(dst_grid.cols)).cast("long").alias("row"),
+            (F.col("id") % F.lit(dst_grid.cols)).cast("long").alias("col"),
+        )
+        .withColumn("_x", dst_grid.x_center_col(F.col("col")))
+        .withColumn("_y", dst_grid.y_center_col(F.col("row")))
+        .withColumn("src_row", src_grid.row_of_col(F.col("_y")))
+        .withColumn("src_col", src_grid.col_of_col(F.col("_x")))
+    )
+    s = src.select(
+        "band", F.col("row").alias("src_row"), F.col("col").alias("src_col"), "value"
+    )
+    return out.join(s, ["src_row", "src_col"]).select("band", "row", "col", "value")
+
+
+def resample(src: DataFrame, src_grid: Grid, cell: float) -> tuple[DataFrame, Grid]:
+    """Reference ``Dataset.resample`` nearest method (``spatial.py:238-358``):
+    same extent, new cell size, rows = round(extent/cell)."""
+    dst = src_grid.with_cell(cell)
+    return align_nearest(src, src_grid, dst), dst
+
+
+def overview_rollup(cells_df: DataFrame, level: int = 2, stat: str = "avg") -> DataFrame:
+    """One overview-pyramid level: parent cell = child >> log2(level);
+    aggregate over non-null children (reference ``create_overviews``,
+    ``io.py:1156-1352``; levels 2,4,8,… ``abstract_dataset.py:28``).
+    Partial aggregation makes this a single map-side-combined shuffle."""
+    agg = {
+        "avg": F.avg("value"),
+        "min": F.min("value"),
+        "max": F.max("value"),
+        "sum": F.sum("value"),
+    }[stat]
+    return (
+        cells_df.groupBy(
+            "band",
+            (F.col("row") / F.lit(level)).cast("long").alias("row"),
+            (F.col("col") / F.lit(level)).cast("long").alias("col"),
+        )
+        .agg(agg.alias("value"), F.count("value").alias("n_children"))
+    )
+
+
+def rasterize_points(
+    points: DataFrame, grid: Grid, value: str | None = None,
+    x: str = "x", y: str = "y",
+) -> DataFrame:
+    """Vector→raster burn of a point table (reference ``Dataset.from_features``
+    semantics for points, ``dataset/dataset.py:808-1003``): per-cell count +
+    sum/min/max of the burn attribute. Out-of-grid points drop."""
+    d = points.withColumn("row", grid.row_of_col(F.col(y))).withColumn(
+        "col", grid.col_of_col(F.col(x))
+    ).where(
+        (F.col("row") >= 0) & (F.col("row") < grid.rows)
+        & (F.col("col") >= 0) & (F.col("col") < grid.cols)
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value:
+        aggs += [
+            F.sum(value).alias("sum_v"),
+            F.min(value).alias("min_v"),
+            F.max(value).alias("max_v"),
+        ]
+    return d.groupBy("row", "col").agg(*aggs)
+
+
+def get_mask(cells_df: DataFrame) -> DataFrame:
+    """0/255 domain mask (reference ``Dataset.get_mask``, ``analysis.py:523-537``)."""
+    return cells_df.select(
+        "band", "row", "col",
+        F.when(F.col("value").isNotNull(), F.lit(255)).otherwise(F.lit(0)).alias("mask"),
+    )
+
+
+def fill(cells_df: DataFrame, v: float) -> DataFrame:
+    """Set all domain cells to a constant (``analysis.py:261-320``)."""
+    return cells_df.select(
+        "band", "row", "col",
+        F.when(F.col("value").isNotNull(), F.lit(v)).alias("value"),
+    )
+
+
+def extract(cells_df: DataFrame, exclude_value: float | None = None) -> DataFrame:
+    """All domain values minus nodata and exclude_value (``analysis.py:322-437``)."""
+    out = cells_df.where(F.col("value").isNotNull())
+    if exclude_value is not None:
+        out = out.where(F.col("value") != F.lit(exclude_value))
+    return out
+
+
+def extract_at_points(
+    cells_df: DataFrame, grid: Grid, points: DataFrame,
+    x: str = "x", y: str = "y",
+) -> DataFrame:
+    """Point × raster value lookup: nearest (containing) cell
+    (``analysis.py:430-435`` + ``cell.py:304-391`` locate_values)."""
+    p = points.withColumn("row", grid.row_of_col(F.col(y))).withColumn(
+        "col", grid.col_of_col(F.col(x))
+    )
+    return p.join(cells_df, ["row", "col"])
+
+
+def stats(cells_df: DataFrame) -> DataFrame:
+    """Per-band min/max/mean/std — POPULATION std like the reference
+    (``analysis.py:28-159``, np.nanstd ddof=0)."""
+    return cells_df.groupBy("band").agg(
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+        F.avg("value").alias("mean"),
+        F.stddev_pop("value").alias("std"),
+        F.count("value").alias("count"),
+    )
+
+
+def normalize(cells_df: DataFrame) -> DataFrame:
+    """Min-max 0..1 per band (``analysis.py:658-676``)."""
+    w = Window.partitionBy("band")
+    return cells_df.select(
+        "band", "row", "col",
+        ((F.col("value") - F.min("value").over(w))
+         / (F.max("value").over(w) - F.min("value").over(w))).alias("value"),
+    )
+
+
+def histogram(cells_df: DataFrame, lo: float, hi: float, nbins: int) -> DataFrame:
+    """Fixed-range histogram (``Dataset.get_histogram``, ``analysis.py:678-808``):
+    bin i covers [lo + i*w, lo + (i+1)*w); out-of-range clamps to edge bins
+    (include_out_of_range=True semantics)."""
+    w = (hi - lo) / nbins
+    b = F.floor((F.col("value") - F.lit(lo)) / F.lit(w)).cast("long")
+    b = F.greatest(F.lit(0), F.least(F.lit(nbins - 1), b))
+    return (
+        cells_df.where(F.col("value").isNotNull())
+        .groupBy("band", b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def mosaic(first: DataFrame, *rest: DataFrame) -> DataFrame:
+    """Merge rasters, first-non-null priority by argument order
+    (reference ``DatasetCollection.merge`` / gdal_merge, ``collection.py:1371-1420``)."""
+    dfs = [first, *rest]
+    tagged = [
+        d.select("band", "row", "col", "value", F.lit(i).alias("_pri"))
+        for i, d in enumerate(dfs)
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    w = Window.partitionBy("band", "row", "col").orderBy(
+        F.col("value").isNull().cast("int"), F.col("_pri")
+    )
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("band", "row", "col", "value")
+    )
+
+
+def count_domain_cells(cells_df: DataFrame) -> DataFrame:
+    """Non-nodata cell count per band (``analysis.py:161-176``)."""
+    return cells_df.groupBy("band").agg(F.count("value").alias("n_domain"))
+
+
+def apply_scale_offset(cells_df: DataFrame, scale: float, offset: float) -> DataFrame:
+    """``translate(unscale=True)`` decode: value*scale + offset
+    (``dataset/ops/vectorize.py:289-536``)."""
+    return cells_df.withColumn("value", F.col("value") * F.lit(scale) + F.lit(offset))

@@ -1,0 +1,162 @@
+"""Zonal statistics: per-zone aggregates over raster cells or point values.
+
+Reference: ``zonal_stats`` (``/root/reference/src/pyramids/dataset/ops/
+_zonal.py:210-271``): rasterize the zones to a label grid with
+ALL_TOUCHED=FALSE (cell-centre inside, ``:52-107``), then aggregate values
+per label — mean/sum/min/max/std/var/count, std/var POPULATION (ddof=0),
+empty zone → NULL row (``:191-207``), CRS mismatch → error.
+
+Spark plan: zone-cover cells (broadcast) ⋈ cell table on (row, col) →
+groupBy(zone). The shuffle carries only (zone_id, partial-agg) thanks to
+hash-aggregate partial/final split — the reference's single-pass bincount
+(``_zonal.py:152-188``) IS Spark's map-side combine. Hot zones (a zone
+covering a dense region) are handled by two-stage salted aggregation:
+partial by (zone, salt), final by zone — see ``salted_agg``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import cells
+from ..grid import Grid
+from .pip import pip_join, salt_col
+
+STAT_EXPRS = {
+    "mean": lambda c: F.avg(c),
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "std": lambda c: F.stddev_pop(c),
+    "var": lambda c: F.var_pop(c),
+    "count": lambda c: F.count(c),
+}
+
+
+def zone_label_cells(zones: list[dict], grid: Grid) -> pd.DataFrame:
+    """Rasterize zone polygons to grid-cell labels, centre-inside, first zone
+    wins on overlap (gdal burn order ≙ ascending zone_id; unassigned cells
+    absent ≙ label −1)."""
+    rows, cols, zids = [], [], []
+    for z in zones:
+        for poly in z["parts"]:
+            p = np.asarray(poly, dtype=np.float64)
+            # candidate rows/cols from bbox
+            c0 = max(0, int(np.floor((p[:, 0].min() - grid.x0) / grid.cell)))
+            c1 = min(grid.cols - 1, int(np.floor((p[:, 0].max() - grid.x0) / grid.cell)))
+            r0 = max(0, int(np.floor((grid.y0 - p[:, 1].max()) / grid.cell)))
+            r1 = min(grid.rows - 1, int(np.floor((grid.y0 - p[:, 1].min()) / grid.cell)))
+            if c1 < c0 or r1 < r0:
+                continue
+            gc, gr = np.meshgrid(np.arange(c0, c1 + 1), np.arange(r0, r1 + 1))
+            gc, gr = gc.ravel(), gr.ravel()
+            cx = grid.x0 + gc * grid.cell + grid.cell / 2
+            cy = grid.y0 - gr * grid.cell - grid.cell / 2
+            m = cells.points_in_polygon(cx, cy, p)
+            rows.append(gr[m])
+            cols.append(gc[m])
+            zids.append(np.full(int(m.sum()), z["zone_id"], dtype=np.int64))
+    if not rows:
+        return pd.DataFrame({"row": [], "col": [], "zone_id": []})
+    df = pd.DataFrame(
+        {"row": np.concatenate(rows), "col": np.concatenate(cols),
+         "zone_id": np.concatenate(zids)}
+    )
+    # first zone wins where polygons overlap (stable: lowest zone_id)
+    return (
+        df.sort_values(["row", "col", "zone_id"])
+        .drop_duplicates(["row", "col"])
+        .reset_index(drop=True)
+    )
+
+
+def zonal_stats_raster(
+    cells_df: DataFrame, grid: Grid, zones: list[dict],
+    stat_names: tuple[str, ...] = ("mean", "sum", "min", "max", "std", "var", "count"),
+) -> DataFrame:
+    """Per-zone stats over raster cells; empty zones present with NULL stats."""
+    spark = cells_df.sparkSession
+    labels = zone_label_cells(zones, grid)
+    ldf = F.broadcast(spark.createDataFrame(labels, schema="row long, col long, zone_id long"))
+    zdf = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame({"zone_id": [z["zone_id"] for z in zones]}), schema="zone_id long"
+        )
+    )
+    per_zone = (
+        cells_df.join(ldf, ["row", "col"])
+        .groupBy("zone_id")
+        .agg(*[STAT_EXPRS[s]("value").alias(s) for s in stat_names])
+    )
+    return zdf.join(per_zone, "zone_id", "left")
+
+
+def zonal_stats_points(
+    points: DataFrame, zones: list[dict], value: str, zoom: int = 8,
+    stat_names: tuple[str, ...] = ("mean", "sum", "min", "max", "std", "var", "count"),
+    x: str = "x", y: str = "y",
+) -> DataFrame:
+    """Per-zone stats over point values — PIP join then aggregate; the
+    10^12-row path (cells prune, broadcast join, partial agg)."""
+    spark = points.sparkSession
+    zdf = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame({"zone_id": [z["zone_id"] for z in zones]}), schema="zone_id long"
+        )
+    )
+    hits = pip_join(points, zones, zoom=zoom, x=x, y=y)
+    per_zone = hits.groupBy("zone_id").agg(
+        *[STAT_EXPRS[s](value).alias(s) for s in stat_names]
+    )
+    return zdf.join(per_zone, "zone_id", "left")
+
+
+def salted_agg(
+    df: DataFrame, group: str, value: str, n_salt: int = 16
+) -> DataFrame:
+    """Two-stage skew-proof aggregation: partial by (group, salt) → final by
+    group. Decomposable stats only (sum/count/min/max → mean/std_pop/var_pop
+    recomposed exactly from Σx, Σx², n). This is the explicit hot-key
+    handling of the north rule; AQE skew-split remains on as backstop."""
+    part = (
+        df.withColumn("_salt", salt_col(F.col(group), n_salt))
+        .groupBy(group, "_salt")
+        .agg(
+            F.sum(value).alias("_s"),
+            F.sum(F.col(value) * F.col(value)).alias("_s2"),
+            F.count(value).alias("_n"),
+            F.min(value).alias("_mn"),
+            F.max(value).alias("_mx"),
+        )
+    )
+    return part.groupBy(group).agg(
+        (F.sum("_s") / F.sum("_n")).alias("mean"),
+        F.sum("_s").alias("sum"),
+        F.min("_mn").alias("min"),
+        F.max("_mx").alias("max"),
+        F.sqrt(F.sum("_s2") / F.sum("_n") - (F.sum("_s") / F.sum("_n")) ** 2).alias("std"),
+        (F.sum("_s2") / F.sum("_n") - (F.sum("_s") / F.sum("_n")) ** 2).alias("var"),
+        F.sum("_n").alias("count"),
+    )
+
+
+def overlay(src: DataFrame, classes: DataFrame) -> DataFrame:
+    """Group-join: class raster × value raster (aligned grids) → per-class
+    value stats (reference ``Dataset.overlay``, ``analysis.py:439-521``,
+    which returns {class: [values]}; we return the grouped table)."""
+    c = classes.select("row", "col", F.col("value").alias("class"))
+    return (
+        src.where(F.col("value").isNotNull())
+        .join(c.where(F.col("class").isNotNull()), ["row", "col"])
+        .groupBy("class")
+        .agg(
+            F.count("value").alias("count"),
+            F.sum("value").alias("sum"),
+            F.avg("value").alias("mean"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+    )
