@@ -807,6 +807,368 @@ def q_span_pipeline(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Second wave: raster→vector, reprojection, geometry ops, multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_morton(spark, sf_dir):
+    """Space-filling-curve shuffle key (spatial_shuffle by='morton')."""
+    docs = _read(spark, sf_dir, "documents")
+    h1, h2 = cells.h1_col(F.col("doc_id")), cells.h2_col(F.col("doc_id"))
+    cx, cy = cells.cell_xy_col(h1, h2, 8)
+    d = docs.select("doc_id", cx.alias("cx"), cy.alias("cy"))
+    return d.select("doc_id", cells.morton_col(F.col("cx"), F.col("cy"), 8).alias("morton"))
+
+
+def sql_morton():
+    cx, cy = cells.cell_xy_sql(_H1, _H2, 8)
+    return f"SELECT doc_id, {cells.morton_sql(cx, cy, 8)} AS morton FROM documents"
+
+
+def q_to_xyz(spark, sf_dir):
+    g = grid_df(spark, COELLO, _MOSAIC_A)
+    return raster.to_xyz(g, COELLO)
+
+
+def sql_to_xyz():
+    return (
+        f"WITH g AS ({grid_sql(COELLO, _MOSAIC_A)}) "
+        f"SELECT {COELLO.x_center_sql('col')} AS x, {COELLO.y_center_sql('row')} AS y, "
+        "band, value FROM g WHERE value IS NOT NULL"
+    )
+
+
+def q_extract_domain(spark, sf_dir):
+    g = grid_df(spark, COELLO, _STATS_VALUE)
+    return raster.extract(g, exclude_value=42.0)
+
+
+def sql_extract_domain():
+    return (
+        f"WITH g AS ({grid_sql(COELLO, _STATS_VALUE)}) "
+        "SELECT band, row, col, value FROM g WHERE value IS NOT NULL AND value <> 42.0"
+    )
+
+
+def q_count_domain(spark, sf_dir):
+    g = grid_df(spark, COELLO, _STATS_VALUE, bands=2)
+    return raster.count_domain_cells(g)
+
+
+def sql_count_domain():
+    return (
+        f"WITH g AS ({grid_sql(COELLO, _STATS_VALUE, bands=2)}) "
+        "SELECT band, count(value) AS n_domain FROM g GROUP BY band"
+    )
+
+
+def q_get_mask(spark, sf_dir):
+    g = grid_df(spark, COELLO, _MOSAIC_A)
+    return raster.get_mask(g)
+
+
+def sql_get_mask():
+    return (
+        f"WITH g AS ({grid_sql(COELLO, _MOSAIC_A)}) "
+        "SELECT band, row, col, CASE WHEN value IS NOT NULL THEN 255 ELSE 0 END AS mask FROM g"
+    )
+
+
+def q_fill_constant(spark, sf_dir):
+    g = grid_df(spark, COELLO, _MOSAIC_A)
+    return raster.fill(g, 7.5)
+
+
+def sql_fill_constant():
+    return (
+        f"WITH g AS ({grid_sql(COELLO, _MOSAIC_A)}) "
+        "SELECT band, row, col, CASE WHEN value IS NOT NULL THEN 7.5 END AS value FROM g"
+    )
+
+
+def q_scale_offset(spark, sf_dir):
+    g = grid_df(spark, COELLO)
+    return raster.apply_scale_offset(g, scale=0.125, offset=-3.5)
+
+
+def sql_scale_offset():
+    return (
+        f"WITH g AS ({grid_sql(COELLO)}) "
+        "SELECT band, row, col, value * 0.125 + -3.5 AS value FROM g"
+    )
+
+
+_UP_GRID = COELLO.with_cell(2000.0)
+
+
+def q_resample_up(spark, sf_dir):
+    g = grid_df(spark, COELLO)
+    out, _ = raster.resample(g, COELLO, 2000.0)
+    return out
+
+
+def sql_resample_up():
+    d = _UP_GRID
+    xq, yq = d.x_center_sql("col"), d.y_center_sql("row")
+    return (
+        f"WITH g AS ({grid_sql(COELLO)}), "
+        f"o AS (SELECT i // {d.cols} AS row, i % {d.cols} AS col "
+        f"FROM generate_series(0, {d.rows * d.cols - 1}) t(i)), "
+        f"m AS (SELECT row, col, {COELLO.row_of_sql(yq)} AS src_row, "
+        f"{COELLO.col_of_sql(xq)} AS src_col FROM o) "
+        "SELECT g.band, m.row, m.col, g.value FROM m "
+        "JOIN g ON g.row = m.src_row AND g.col = m.src_col"
+    )
+
+
+def q_fill_gaps(spark, sf_dir):
+    src = grid_df(spark, COELLO, _MOSAIC_A)  # nodata where %7=0
+    mask = grid_df(spark, COELLO)  # full domain
+    return raster.fill_gaps(src, mask)
+
+
+def sql_fill_gaps():
+    joins, coal = [], []
+    for i, (dr, dc) in enumerate(raster.FILL_PRIORITY):
+        joins.append(
+            f"LEFT JOIN s n{i} ON n{i}.band = s.band AND n{i}.row = s.row + {dr} "
+            f"AND n{i}.col = s.col + {dc} AND n{i}.value IS NOT NULL"
+        )
+        coal.append(f"n{i}.value")
+    return (
+        f"WITH s AS ({grid_sql(COELLO, _MOSAIC_A)}), m AS ({grid_sql(COELLO)}) "
+        "SELECT s.band, s.row, s.col, "
+        f"CASE WHEN m.value IS NOT NULL AND s.value IS NULL THEN coalesce({', '.join(coal)}) "
+        "ELSE s.value END AS value "
+        "FROM s JOIN m ON m.row = s.row AND m.col = s.col " + " ".join(joins)
+    )
+
+
+def q_convert_longitude(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    d = ev.select("event_id", ((F.col("event_id") * 77) % 360).cast("double").alias("x"))
+    from pyramids_spark.operators import reproject
+
+    return reproject.convert_longitude(d)
+
+
+def sql_convert_longitude():
+    return (
+        "SELECT event_id, CASE WHEN x > 180.0 THEN x - 360.0 ELSE x END AS x FROM "
+        "(SELECT event_id, CAST((event_id * 77) % 360 AS DOUBLE) AS x FROM events)"
+    )
+
+
+def q_slope_hillshade(spark, sf_dir):
+    g = grid_df(spark, COELLO, "CAST((row * 7 + col * 3) % 29 AS DOUBLE)")
+    out = focal.slope_aspect_hillshade(g, COELLO)
+    return out.select(
+        "band", "row", "col",
+        F.round("slope_deg", 6).alias("slope_deg"),
+        F.round("aspect_deg", 6).alias("aspect_deg"),
+        F.round("hillshade", 6).alias("hillshade"),
+    )
+
+
+def sql_slope_hillshade():
+    rows, cols, cell = COELLO.rows, COELLO.cols, COELLO.cell
+    az, alt = np.radians(315.0), np.radians(45.0)
+    nb = lambda dr, dc: (  # noqa: E731
+        f"greatest(0, least({rows - 1}, g.row + {dr})), "
+        f"greatest(0, least({cols - 1}, g.col + {dc}))"
+    )
+    return (
+        f"WITH g AS ({grid_sql(COELLO, 'CAST((row * 7 + col * 3) % 29 AS DOUBLE)')}), "
+        "j AS (SELECT g.band, g.row, g.col, "
+        f"up.value AS up, dn.value AS dn, lf.value AS lf, rt.value AS rt, "
+        f"CASE WHEN g.row > 0 AND g.row < {rows - 1} THEN 2.0 ELSE 1.0 END AS deny, "
+        f"CASE WHEN g.col > 0 AND g.col < {cols - 1} THEN 2.0 ELSE 1.0 END AS denx "
+        "FROM g "
+        f"JOIN g up ON up.band = g.band AND (up.row, up.col) = ({nb(-1, 0)}) "
+        f"JOIN g dn ON dn.band = g.band AND (dn.row, dn.col) = ({nb(1, 0)}) "
+        f"JOIN g lf ON lf.band = g.band AND (lf.row, lf.col) = ({nb(0, -1)}) "
+        f"JOIN g rt ON rt.band = g.band AND (rt.row, rt.col) = ({nb(0, 1)})), "
+        "k AS (SELECT band, row, col, "
+        f"(dn - up) / (deny * {cell!r}) AS dzdy, (rt - lf) / (denx * {cell!r}) AS dzdx FROM j), "
+        "s AS (SELECT band, row, col, atan(sqrt(dzdx * dzdx + dzdy * dzdy)) AS slope, "
+        "(450.0 - degrees(atan2(dzdy, -dzdx))) % 360.0 AS aspect FROM k) "
+        "SELECT band, row, col, round(degrees(slope), 6) AS slope_deg, "
+        "round(aspect, 6) AS aspect_deg, "
+        f"round(greatest(0.0, least(1.0, {np.sin(alt)!r} * cos(slope) + "
+        f"{np.cos(alt)!r} * sin(slope) * cos({az!r} - radians(aspect)))) * 255.0, 6) AS hillshade "
+        "FROM s"
+    )
+
+
+from pyramids_spark.grid import CROP_GRID  # noqa: E402
+from pyramids_spark.operators import reproject as reproj_op  # noqa: E402
+from pyramids_spark.operators import vectorize as vec_op  # noqa: E402
+
+_MERC_GRID = reproj_op.reproject_plan(CROP_GRID, 3857)
+
+
+def q_reproject_3857(spark, sf_dir):
+    """to_crs 4326→3857 (maintain_alignment=False corner-transform grid)."""
+    g = grid_df(spark, CROP_GRID)
+    return reproj_op.to_crs_nearest(g, CROP_GRID, _MERC_GRID)
+
+
+def sql_reproject_3857():
+    d = _MERC_GRID
+    xq, yq = d.x_center_sql("col"), d.y_center_sql("row")
+    lon, lat = reproj_op.inv_merc_sql(xq, yq)
+    return (
+        f"WITH g AS ({grid_sql(CROP_GRID)}), "
+        f"o AS (SELECT i // {d.cols} AS row, i % {d.cols} AS col "
+        f"FROM generate_series(0, {d.rows * d.cols - 1}) t(i)), "
+        f"m AS (SELECT row, col, {CROP_GRID.row_of_sql(lat)} AS src_row, "
+        f"{CROP_GRID.col_of_sql(lon)} AS src_col FROM o) "
+        "SELECT g.band, m.row, m.col, g.value FROM m "
+        "JOIN g ON g.row = m.src_row AND g.col = m.src_col"
+    )
+
+
+_CC_VALUE = _STATS_VALUE  # nodata where %11=0
+
+
+def q_cluster_cc(spark, sf_dir):
+    g = grid_df(spark, COELLO, _CC_VALUE)
+    return vec_op.cluster(g, COELLO, lo=50.0, hi=150.0, tile=5)
+
+
+def sql_cluster_cc():
+    cols = COELLO.cols
+    return (
+        f"WITH RECURSIVE g AS ({grid_sql(COELLO, _CC_VALUE)}), "
+        f"d AS (SELECT row, col, value, row * {cols} + col AS id FROM g "
+        "WHERE value IS NOT NULL AND value >= 50.0 AND value <= 150.0), "
+        "e AS (SELECT a.id AS src, b.id AS dst FROM d a JOIN d b "
+        "ON abs(a.row - b.row) <= 1 AND abs(a.col - b.col) <= 1), "
+        "r AS (SELECT id AS cell, id AS lab FROM d "
+        "UNION SELECT e.dst AS cell, r.lab FROM r JOIN e ON e.src = r.cell) "
+        "SELECT d.row, d.col, d.value, m.lab AS label FROM d "
+        "JOIN (SELECT cell, min(lab) AS lab FROM r GROUP BY cell) m ON m.cell = d.id"
+    )
+
+
+# floor() form parses in BOTH Spark SQL and DuckDB (// is DuckDB-only)
+_POLY_VALUE = "CAST((floor(row / 2) + floor(col / 3)) % 3 AS DOUBLE)"
+
+
+def q_polygonize_stats(spark, sf_dir):
+    g = grid_df(spark, COELLO, _POLY_VALUE)
+    comp = vec_op.polygonize(g, COELLO, tile=5)
+    return comp.groupBy("label", "value").agg(F.count(F.lit(1)).alias("n_cells"))
+
+
+def sql_polygonize_stats():
+    cols = COELLO.cols
+    return (
+        f"WITH RECURSIVE g AS ({grid_sql(COELLO, _POLY_VALUE)}), "
+        f"d AS (SELECT row, col, value, row * {cols} + col AS id FROM g "
+        "WHERE value IS NOT NULL), "
+        "e AS (SELECT a.id AS src, b.id AS dst FROM d a JOIN d b "
+        "ON a.value = b.value AND abs(a.row - b.row) + abs(a.col - b.col) <= 1), "
+        "r AS (SELECT id AS cell, id AS lab FROM d "
+        "UNION SELECT e.dst AS cell, r.lab FROM r JOIN e ON e.src = r.cell), "
+        "m AS (SELECT cell, min(lab) AS label FROM r GROUP BY cell) "
+        "SELECT m.label, d.value, count(*) AS n_cells FROM d "
+        "JOIN m ON m.cell = d.id GROUP BY 1, 2"
+    )
+
+
+def q_polygonize_rings(spark, sf_dir):
+    """Full cluster2: exterior+hole rings as WKT (rows-only: WKT assembly is
+    engine-side; ring correctness is pytest-verified vs area/edge oracles)."""
+    g = grid_df(spark, COELLO, _POLY_VALUE)
+    return vec_op.polygonize_rings(g, COELLO, tile=5)
+
+
+def q_footprint(spark, sf_dir):
+    g = grid_df(spark, COELLO, _MOSAIC_A)
+    out = vec_op.footprint(g, COELLO, tile=5)
+    return out.select("label", "value", "n_cells")
+
+
+def sql_footprint():
+    cols = COELLO.cols
+    return (
+        f"WITH RECURSIVE g AS ({grid_sql(COELLO, _MOSAIC_A)}), "
+        f"d AS (SELECT row, col, row * {cols} + col AS id FROM g WHERE value IS NOT NULL), "
+        "e AS (SELECT a.id AS src, b.id AS dst FROM d a JOIN d b "
+        "ON abs(a.row - b.row) + abs(a.col - b.col) <= 1), "
+        "r AS (SELECT id AS cell, id AS lab FROM d "
+        "UNION SELECT e.dst AS cell, r.lab FROM r JOIN e ON e.src = r.cell), "
+        "m AS (SELECT cell, min(lab) AS label FROM r GROUP BY cell) "
+        "SELECT m.label, 2.0 AS value, count(*) AS n_cells FROM d "
+        "JOIN m ON m.cell = d.id GROUP BY 1, 2"
+    )
+
+
+def _multi_zone_rows():
+    rows = []
+    for z in synth.zone_polygons(6, "multi"):
+        for pi, part in enumerate(z["parts"]):
+            rows.append(
+                (z["zone_id"], pi, [float(v) for v in part[:, 0]], [float(v) for v in part[:, 1]])
+            )
+    return rows
+
+
+def q_explode_centroid(spark, sf_dir):
+    """explode_gdf (Multi*→parts) + with_centroid (VERTEX AVERAGE, the
+    reference's with_centroid semantics — not the true centroid)."""
+    rows = _multi_zone_rows()
+    # regroup into one row per zone with an array of parts, then explode
+    by_zone: dict[int, list] = {}
+    for zid, pi, xs, ys in rows:
+        by_zone.setdefault(zid, []).append((pi, xs, ys))
+    data = [
+        (zid, [(pi, xs, ys) for pi, xs, ys in parts]) for zid, parts in by_zone.items()
+    ]
+    df = spark.createDataFrame(
+        data,
+        "zone_id long, parts array<struct<part_idx:long, xs:array<double>, ys:array<double>>>",
+    )
+    ex = df.select("zone_id", F.explode("parts").alias("p"))
+    avg = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, v: a + v) / F.size(arr)  # noqa: E731
+    return ex.select(
+        "zone_id",
+        F.col("p.part_idx").alias("part_idx"),
+        F.round(avg(F.col("p.xs")), 6).alias("cx"),
+        F.round(avg(F.col("p.ys")), 6).alias("cy"),
+        F.size(F.col("p.xs")).cast("long").alias("n_vertices"),
+    )
+
+
+def sql_explode_centroid():
+    vals = ", ".join(
+        f"({zid}, {pi}, {xs!r}, {ys!r})" for zid, pi, xs, ys in _multi_zone_rows()
+    )
+    return (
+        f"WITH p(zone_id, part_idx, xs, ys) AS (VALUES {vals}) "
+        "SELECT zone_id, part_idx, "
+        "round(list_sum(xs) / len(xs), 6) AS cx, round(list_sum(ys) / len(ys), 6) AS cy, "
+        "CAST(len(xs) AS BIGINT) AS n_vertices FROM p"
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: spans → media table → stub-decode →
+    histogram features (rows-only: decode is the documented stub)."""
+    from pyramids_spark import media
+
+    docs = synth.documents_spans(spark, 200)
+    m = media.synth_media(spark, docs)
+    f = media.decode_features(m)
+    return f.select(
+        "media_ref", "kind",
+        F.round(F.col("feature")[0].cast("double"), 6).alias("f0"),
+        F.size("feature").alias("dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -862,6 +1224,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
         "span_pipeline": q_span_pipeline,
+        "morton": q_morton,
+        "to_xyz": q_to_xyz,
+        "extract_domain": q_extract_domain,
+        "count_domain": q_count_domain,
+        "get_mask": q_get_mask,
+        "fill_constant": q_fill_constant,
+        "scale_offset": q_scale_offset,
+        "resample_up": q_resample_up,
+        "fill_gaps": q_fill_gaps,
+        "convert_longitude": q_convert_longitude,
+        "slope_hillshade": q_slope_hillshade,
+        "reproject_3857": q_reproject_3857,
+        "cluster_cc": q_cluster_cc,
+        "polygonize_stats": q_polygonize_stats,
+        "polygonize_rings": q_polygonize_rings,
+        "footprint": q_footprint,
+        "explode_centroid": q_explode_centroid,
+        "media_features": q_media_features,
     }
 
 
@@ -898,6 +1278,23 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": sql_ngram_jaccard(),
         "simhash": sql_simhash(),
         "ann_cosine": sql_ann_cosine(),
-        # ann_lsh, span_pipeline: intentionally no oracle (approximate /
-        # engine-side span synthesis) → driver rows-only check
+        "morton": sql_morton(),
+        "to_xyz": sql_to_xyz(),
+        "extract_domain": sql_extract_domain(),
+        "count_domain": sql_count_domain(),
+        "get_mask": sql_get_mask(),
+        "fill_constant": sql_fill_constant(),
+        "scale_offset": sql_scale_offset(),
+        "resample_up": sql_resample_up(),
+        "fill_gaps": sql_fill_gaps(),
+        "convert_longitude": sql_convert_longitude(),
+        "slope_hillshade": sql_slope_hillshade(),
+        "reproject_3857": sql_reproject_3857(),
+        "cluster_cc": sql_cluster_cc(),
+        "polygonize_stats": sql_polygonize_stats(),
+        "footprint": sql_footprint(),
+        "explode_centroid": sql_explode_centroid(),
+        # ann_lsh, span_pipeline, polygonize_rings, media_features:
+        # intentionally no oracle (approximate / engine-side synthesis /
+        # WKT+binary payloads) → driver rows-only check
     }

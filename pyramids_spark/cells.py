@@ -42,12 +42,25 @@ LON_MIN, LON_SPAN = -180.0, 360.0
 LAT_MIN, LAT_SPAN = -85.0, 170.0
 
 
+def mulmod32_col(key: Column, mul: int, add: int) -> Column:
+    """(key*mul + add) mod 2^32 without int64 overflow (Spark 4 ANSI mode
+    throws on overflow): reduce key mod 2^32, split into 16-bit halves —
+    (a·2^16·C) mod 2^32 = ((a·C) mod 2^16)·2^16 — so every intermediate
+    stays < 2^48. Bit-identical to the wrapping uint64 arithmetic of the
+    numpy twins for ALL key magnitudes (10^12-doc ids included)."""
+    kl = key % F.lit(_HASH_MOD)
+    a = F.shiftright(kl, 16)
+    b = kl.bitwiseAND(F.lit(0xFFFF))
+    r = (a * F.lit(mul)) % F.lit(1 << 16)
+    return (F.shiftleft(r, 16) + b * F.lit(mul) + F.lit(add)) % F.lit(_HASH_MOD)
+
+
 def h1_col(key: Column) -> Column:
-    return (key * F.lit(_H1_MUL) + F.lit(_H1_ADD)) % F.lit(_HASH_MOD)
+    return mulmod32_col(key, _H1_MUL, _H1_ADD)
 
 
 def h2_col(key: Column) -> Column:
-    return (key * F.lit(_H2_MUL) + F.lit(_H2_ADD)) % F.lit(_HASH_MOD)
+    return mulmod32_col(key, _H2_MUL, _H2_ADD)
 
 
 def h1_sql(key: str) -> str:
@@ -157,6 +170,35 @@ def pack(cx, cy, zoom: int):
 
 def unpack(cell_id, zoom: int):
     return cell_id & ((1 << zoom) - 1), cell_id >> zoom
+
+
+def morton_np(cx: np.ndarray, cy: np.ndarray, zoom: int) -> np.ndarray:
+    """Z-order (Morton) interleave — the space-filling-curve shuffle key
+    (reference ``spatial_shuffle(by='morton')``, ``_lazy_collection.py:447``).
+    """
+    x = cx.astype(np.uint64)
+    y = cy.astype(np.uint64)
+    out = np.zeros_like(x)
+    for i in range(zoom):
+        out |= ((x >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i)
+        out |= ((y >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i + 1)
+    return out.astype(np.int64)
+
+
+def morton_col(cx: Column, cy: Column, zoom: int) -> Column:
+    out = F.lit(0).cast("long")
+    for i in range(zoom):
+        out = out + F.shiftleft(F.shiftright(cx, i).bitwiseAND(F.lit(1)), 2 * i)
+        out = out + F.shiftleft(F.shiftright(cy, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return out
+
+
+def morton_sql(cx: str, cy: str, zoom: int) -> str:
+    terms = []
+    for i in range(zoom):
+        terms.append(f"(((({cx}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({cy}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
 
 
 # ---------------------------------------------------------------------------

@@ -88,26 +88,36 @@ def focal_join(cells_df: DataFrame, grid: Grid, r: int = 1, stat: str = "mean") 
 
 
 def _tile_halo_frame(cells_df: DataFrame, grid: Grid, tile: int, r: int) -> DataFrame:
-    """Replicate each cell into every tile whose halo contains it."""
-    reps = []
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            ty = ((F.col("row") + dy * r) / tile).cast("long")
-            tx = ((F.col("col") + dx * r) / tile).cast("long")
-            reps.append(
-                cells_df.select(
-                    "band", "row", "col", "value",
-                    ty.alias("tile_y"), tx.alias("tile_x"),
-                )
-            )
-    u = reps[0]
-    for t in reps[1:]:
-        u = u.unionByName(t)
-    return u.dropDuplicates(["band", "row", "col", "tile_y", "tile_x"]).where(
-        (F.col("tile_y") >= 0) & (F.col("tile_x") >= 0)
-        & (F.col("tile_y") <= (grid.rows - 1) // tile)
-        & (F.col("tile_x") <= (grid.cols - 1) // tile)
-    )
+    """Replicate each cell into every tile whose halo contains it.
+
+    A cell belongs to its own tile plus (only near tile edges) up to 3
+    neighbors: replication factor 1 + O(r/tile), not 9. Built as a
+    conditionally-filtered literal array + explode — single pass, no
+    dedup shuffle."""
+    assert r <= tile, "halo radius must not exceed tile size"
+    ty0 = (F.col("row") / tile).cast("long")
+    tx0 = (F.col("col") / tile).cast("long")
+    near_lo_y = (F.col("row") % tile) < r
+    near_hi_y = (F.col("row") % tile) >= tile - r
+    near_lo_x = (F.col("col") % tile) < r
+    near_hi_x = (F.col("col") % tile) >= tile - r
+    conds = {
+        (-1, 0): near_lo_y, (1, 0): near_hi_y, (0, -1): near_lo_x, (0, 1): near_hi_x,
+        (-1, -1): near_lo_y & near_lo_x, (-1, 1): near_lo_y & near_hi_x,
+        (1, -1): near_hi_y & near_lo_x, (1, 1): near_hi_y & near_hi_x,
+    }
+    max_ty, max_tx = (grid.rows - 1) // tile, (grid.cols - 1) // tile
+    entries = [F.struct(ty0.alias("tile_y"), tx0.alias("tile_x"))]
+    for (dy, dx), c in conds.items():
+        ty, tx = ty0 + dy, tx0 + dx
+        ok = c & (ty >= 0) & (ty <= max_ty) & (tx >= 0) & (tx <= max_tx)
+        entries.append(
+            F.when(ok, F.struct(ty.alias("tile_y"), tx.alias("tile_x"))).otherwise(F.lit(None))
+        )
+    tiles = F.filter(F.array(*entries), lambda s: s.isNotNull())
+    return cells_df.select(
+        "band", "row", "col", "value", F.explode(tiles).alias("t")
+    ).select("band", "row", "col", "value", F.col("t.tile_y"), F.col("t.tile_x"))
 
 
 def focal_tiles(
@@ -214,7 +224,9 @@ def slope_aspect_hillshade(
     denx = F.when((F.col("col") > 0) & (F.col("col") < grid.cols - 1), 2.0).otherwise(1.0)
     dz_dy = (F.col("dn") - F.col("up")) / (deny * F.lit(grid.cell))  # row axis
     dz_dx = (F.col("rt") - F.col("lf")) / (denx * F.lit(grid.cell))
-    slope = F.atan(F.hypot(dz_dx, dz_dy))
+    # sqrt(dx²+dy²) instead of hypot: identical formula shape in the SQL
+    # oracle (hypot's internal algorithm differs between libm and the JVM)
+    slope = F.atan(F.sqrt(dz_dx * dz_dx + dz_dy * dz_dy))
     aspect = ((F.lit(450.0) - F.degrees(F.atan2(dz_dy, -dz_dx))) % 360.0)
     az, alt = np.radians(azimuth), np.radians(altitude)
     hs = (

@@ -81,16 +81,58 @@ def with_cell_id(points: DataFrame, zoom: int, x: str = "x", y: str = "y") -> Da
     return points.withColumn("cell_id", cells.cell_id_col(cx, cy, zoom))
 
 
+def _all_convex_ccw(zones: list[dict]) -> bool:
+    for z in zones:
+        for part in z["parts"]:
+            p = np.asarray(part, dtype=np.float64)
+            if np.allclose(p[0], p[-1]):
+                p = p[:-1]
+            e = np.roll(p, -1, axis=0) - p
+            cross = e[:, 0] * np.roll(e, -1, axis=0)[:, 1] - e[:, 1] * np.roll(e, -1, axis=0)[:, 0]
+            if not (cross > 0).all():
+                return False
+    return True
+
+
+def _convex_refine_expr(zones: list[dict], x: str, y: str) -> F.Column:
+    """Strict-interior test for ccw-convex zones as pure column algebra —
+    the 'prepared geometry' JVM fast path: whole-stage codegen, no Python
+    workers in the hot loop. Equals the ray-cast off-boundary."""
+    acc = F.lit(False)
+    for z in zones:
+        inside = F.lit(False)
+        for part in z["parts"]:
+            p = np.asarray(part, dtype=np.float64)
+            if np.allclose(p[0], p[-1]):
+                p = p[:-1]
+            cond = F.lit(True)
+            for i in range(len(p)):
+                xa, ya = float(p[i][0]), float(p[i][1])
+                xb, yb = float(p[(i + 1) % len(p)][0]), float(p[(i + 1) % len(p)][1])
+                cond = cond & (
+                    (F.lit(xb - xa) * (F.col(y) - F.lit(ya))
+                     - F.lit(yb - ya) * (F.col(x) - F.lit(xa))) > 0
+                )
+            inside = inside | cond
+        acc = F.when(F.col("zone_id") == z["zone_id"], inside).otherwise(acc)
+    return acc
+
+
 def pip_join(
     points: DataFrame,
     zones: list[dict],
     zoom: int = 8,
     x: str = "x",
     y: str = "y",
+    refine: str = "auto",
 ) -> DataFrame:
     """points(…, x, y) ⨝ zones → points columns + ``zone_id`` (inner join;
     misses drop, multi-zone hits duplicate — reference ``locate_faces``
     returns −1 for misses ≙ left-join variant via ``how='left'`` upstream).
+
+    ``refine``: 'expr' — JVM half-plane expression (convex ccw zones only,
+    codegen, no Python); 'udf' — vectorized numpy ray-cast (any polygon);
+    'auto' — expr when all zones are convex ccw, else udf.
     """
     spark = points.sparkSession
     cover = zone_cover(zones, zoom, mode="intersects")
@@ -99,6 +141,12 @@ def pip_join(
     )
     pts = with_cell_id(points, zoom, x, y)
     cand = pts.join(cover_df, "cell_id")
+
+    if refine == "auto":
+        refine = "expr" if _all_convex_ccw(zones) else "udf"
+    if refine == "expr":
+        keep = ~F.col("boundary") | _convex_refine_expr(zones, x, y)
+        return cand.where(keep).drop("boundary", "cell_id")
 
     zones_b = spark.sparkContext.broadcast(
         {z["zone_id"]: [p for p in z["parts"]] for z in zones}

@@ -249,6 +249,39 @@ def mosaic(first: DataFrame, *rest: DataFrame) -> DataFrame:
     )
 
 
+#: the reference's fixed gap-fill neighbor priority: R, L, down, up, RB, LB,
+#: LT, RT (``dataset/ops/vectorize.py:594-644`` — order matters for equality)
+FILL_PRIORITY = ((0, 1), (0, -1), (1, 0), (-1, 0), (1, 1), (1, -1), (-1, -1), (-1, 1))
+
+
+def fill_gaps(src: DataFrame, mask: DataFrame) -> DataFrame:
+    """Fill cells that are valid in ``mask`` but nodata in ``src`` from the
+    first valid ring-1 neighbor in the reference's priority order
+    (``Dataset.fill_gaps``, ``spatial.py:459-516`` + ``_nearest_neighbour``,
+    ``vectorize.py:538-645``). Expressed as 8 shifted self-joins + coalesce
+    — pure DataFrame algebra; at scale the 8 joins on dense int keys are
+    partition-local after one hash partitioning of (row, col)."""
+    m = mask.select("row", "col", F.col("value").alias("_mv"))
+    base = src.join(m, ["row", "col"], "left")
+    out = base
+    names = []
+    for i, (dr, dc) in enumerate(FILL_PRIORITY):
+        nb = src.where(F.col("value").isNotNull()).select(
+            "band",
+            (F.col("row") - dr).alias("row"),
+            (F.col("col") - dc).alias("col"),
+            F.col("value").alias(f"_n{i}"),
+        )
+        out = out.join(nb, ["band", "row", "col"], "left")
+        names.append(f"_n{i}")
+    fill_value = F.coalesce(*[F.col(n) for n in names])
+    needs = F.col("_mv").isNotNull() & F.col("value").isNull()
+    return out.select(
+        "band", "row", "col",
+        F.when(needs, fill_value).otherwise(F.col("value")).alias("value"),
+    )
+
+
 def count_domain_cells(cells_df: DataFrame) -> DataFrame:
     """Non-nodata cell count per band (``analysis.py:161-176``)."""
     return cells_df.groupBy("band").agg(F.count("value").alias("n_domain"))

@@ -1,0 +1,287 @@
+"""Raster → vector: connected components (cluster) and polygonize (cluster2).
+
+Reference semantics:
+- ``Dataset.cluster(lo, hi)`` — 8-connected components of cells with value
+  in [lo, hi] (BFS, ``/root/reference/src/pyramids/dataset/ops/
+  vectorize.py:647-800``). Labels there are discovery-ordered; ours are the
+  canonical minimum cell index (row*cols+col) of the component — a
+  deterministic relabeling of the same partition (tests assert partition
+  equality, not label equality).
+- ``Dataset.cluster2`` / ``_band_to_polygon`` — gdal.Polygonize: 4-connected
+  regions of EQUAL value → polygons with the value attribute
+  (``vectorize.py:802-879``).
+
+Distributed plan (SURVEY §7.2 — "the one place we deviate from pure
+DataFrame ops"): per-tile components in numpy (applyInPandas), then a
+driver-side union-find over tile-border adjacencies (O(grid perimeter /
+tile) state, ≪ the cell count), then a broadcast relabel join. A fully
+iterative label-propagation variant (no driver state) is the fallback for
+grids whose border set itself is too big; at 2^13 tiles of 256² that border
+state is ~100 MB — fine on a driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..grid import Grid
+
+
+def _local_cc(mask: np.ndarray, base_ids: np.ndarray, conn8: bool) -> np.ndarray:
+    """Min-label propagation CC on a boolean mask; labels start as base_ids
+    (global cell index). Returns label grid (-1 outside mask)."""
+    lab = np.where(mask, base_ids, np.int64(-1))
+    if not mask.any():
+        return lab
+    big = np.int64(np.iinfo(np.int64).max)
+    cur = np.where(mask, base_ids, big)
+    shifts = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+    if conn8:
+        shifts += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+    while True:
+        nxt = cur.copy()
+        for dy, dx in shifts:
+            sh = np.full_like(cur, big)
+            ys = slice(max(dy, 0), cur.shape[0] + min(dy, 0))
+            yd = slice(max(-dy, 0), cur.shape[0] + min(-dy, 0))
+            xs = slice(max(dx, 0), cur.shape[1] + min(dx, 0))
+            xd = slice(max(-dx, 0), cur.shape[1] + min(-dx, 0))
+            sh[yd, xd] = cur[ys, xs]
+            nxt = np.minimum(nxt, sh)
+        nxt = np.where(mask, nxt, big)
+        if (nxt == cur).all():
+            break
+        cur = nxt
+    return np.where(mask, cur, np.int64(-1))
+
+
+class _UF:
+    def __init__(self):
+        self.p: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.p
+        r = x
+        while p.get(r, r) != r:
+            r = p[r]
+        while p.get(x, x) != x:
+            p[x], x = r, p[x]
+        return r
+
+    def union(self, a: int, b: int):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # canonical representative = smaller id (deterministic labels)
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self.p[hi] = lo
+
+
+def _per_tile_cc(cells_df: DataFrame, grid: Grid, predicate, tile: int, conn8: bool):
+    """→ (labeled cell df, border pandas df). predicate: Column -> Column."""
+    rows, cols = grid.rows, grid.cols
+    d = cells_df.where(predicate(F.col("value"))).select(
+        "row", "col", "value",
+        (F.col("row") / tile).cast("long").alias("tile_y"),
+        (F.col("col") / tile).cast("long").alias("tile_x"),
+    )
+
+    def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ty, tx = key
+        r0, c0 = ty * tile, tx * tile
+        h = min(tile, rows - r0)
+        w = min(tile, cols - c0)
+        mask = np.zeros((h, w), dtype=bool)
+        lr = pdf["row"].to_numpy() - r0
+        lc = pdf["col"].to_numpy() - c0
+        mask[lr, lc] = True
+        base = (np.arange(h)[:, None] + r0) * cols + (np.arange(w)[None, :] + c0)
+        lab = _local_cc(mask, base, conn8)
+        out = pdf.copy()
+        out["label"] = lab[lr, lc]
+        out["border"] = (lr == 0) | (lr == h - 1) | (lc == 0) | (lc == w - 1)
+        return out[["row", "col", "value", "label", "border"]]
+
+    labeled = d.groupBy("tile_y", "tile_x").applyInPandas(
+        per_tile, schema="row long, col long, value double, label long, border boolean"
+    )
+    return labeled
+
+
+def _merge_labels(border: pd.DataFrame, cols: int, conn8: bool, by_value: bool) -> dict[int, int]:
+    """Union-find across tile borders; returns label → canonical label."""
+    uf = _UF()
+    if border.empty:
+        return {}
+    idx = {}
+    for r, c, v, l in zip(border.row, border.col, border.value, border.label):
+        idx[(int(r), int(c))] = (v, int(l))
+    shifts = [(0, 1), (1, 0)] + ([(1, 1), (1, -1)] if conn8 else [])
+    for (r, c), (v, l) in idx.items():
+        for dy, dx in shifts:
+            o = idx.get((r + dy, c + dx))
+            if o is not None and (not by_value or o[0] == v):
+                uf.union(l, o[1])
+    return {l: uf.find(l) for l in {v[1] for v in idx.values()}}
+
+
+def cluster(
+    cells_df: DataFrame, grid: Grid, lo: float, hi: float, tile: int = 256
+) -> DataFrame:
+    """8-connected components of cells with lo ≤ value ≤ hi
+    → (row, col, value, label); label = min cell index of the component."""
+    labeled = _per_tile_cc(
+        cells_df, grid, lambda v: v.isNotNull() & (v >= lo) & (v <= hi), tile, conn8=True
+    ).persist()
+    border = labeled.where("border").toPandas()
+    mapping = _merge_labels(border, grid.cols, conn8=True, by_value=False)
+    out = _apply_mapping(labeled, mapping)
+    return out
+
+
+def _apply_mapping(labeled: DataFrame, mapping: dict[int, int]) -> DataFrame:
+    spark = labeled.sparkSession
+    if mapping:
+        mdf = F.broadcast(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {"label": list(mapping), "root": [mapping[k] for k in mapping]}
+                ),
+                schema="label long, root long",
+            )
+        )
+        out = (
+            labeled.join(mdf, "label", "left")
+            .select(
+                "row", "col", "value",
+                F.coalesce("root", "label").alias("label"),
+            )
+        )
+    else:
+        out = labeled.select("row", "col", "value", "label")
+    return out
+
+
+def polygonize(cells_df: DataFrame, grid: Grid, tile: int = 256) -> DataFrame:
+    """gdal.Polygonize region step: 4-connected equal-value components.
+    → (row, col, value, label)."""
+    rows, cols = grid.rows, grid.cols
+    d = cells_df.where(F.col("value").isNotNull()).select(
+        "row", "col", "value",
+        (F.col("row") / tile).cast("long").alias("tile_y"),
+        (F.col("col") / tile).cast("long").alias("tile_x"),
+    )
+
+    def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ty, tx = key
+        r0, c0 = ty * tile, tx * tile
+        h = min(tile, rows - r0)
+        w = min(tile, cols - c0)
+        lr = pdf["row"].to_numpy() - r0
+        lc = pdf["col"].to_numpy() - c0
+        vals = pdf["value"].to_numpy()
+        base = (np.arange(h)[:, None] + r0) * cols + (np.arange(w)[None, :] + c0)
+        label = np.empty(len(pdf), dtype=np.int64)
+        for v in np.unique(vals):
+            m = vals == v
+            mask = np.zeros((h, w), dtype=bool)
+            mask[lr[m], lc[m]] = True
+            lab = _local_cc(mask, base, conn8=False)
+            label[m] = lab[lr[m], lc[m]]
+        out = pdf.copy()
+        out["label"] = label
+        out["border"] = (lr == 0) | (lr == h - 1) | (lc == 0) | (lc == w - 1)
+        return out[["row", "col", "value", "label", "border"]]
+
+    labeled = d.groupBy("tile_y", "tile_x").applyInPandas(
+        per_tile, schema="row long, col long, value double, label long, border boolean"
+    ).persist()
+    border = labeled.where("border").toPandas()
+    mapping = _merge_labels(border, cols, conn8=False, by_value=True)
+    return _apply_mapping(labeled, mapping)
+
+
+def polygonize_rings(cells_df: DataFrame, grid: Grid, tile: int = 256) -> DataFrame:
+    """Full cluster2 semantics: per-region exterior ring as WKT + value
+    (``_band_to_polygon``). Ring assembly per component via edge
+    cancellation (interior edges appear twice and cancel; boundary edges
+    chain into rings) inside applyInPandas grouped by component."""
+    comp = polygonize(cells_df, grid, tile)
+
+    x0, y0, cs = grid.x0, grid.y0, grid.cell
+
+    def per_comp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (label,) = key
+        edges: set[tuple[tuple[float, float], tuple[float, float]]] = set()
+        for r, c in zip(pdf["row"].to_numpy(), pdf["col"].to_numpy()):
+            tl = (x0 + c * cs, y0 - r * cs)
+            tr = (x0 + (c + 1) * cs, y0 - r * cs)
+            br = (x0 + (c + 1) * cs, y0 - (r + 1) * cs)
+            bl = (x0 + c * cs, y0 - (r + 1) * cs)
+            # ccw in map space; opposite edge from the neighbor cancels
+            for a, b in ((bl, br), (br, tr), (tr, tl), (tl, bl)):
+                if (b, a) in edges:
+                    edges.discard((b, a))
+                else:
+                    edges.add((a, b))
+        # multimap (pinch vertices where the boundary self-touches have 2
+        # outgoing edges); walk choosing the leftmost turn so the region
+        # stays on the left → simple rings
+        out_edges: dict[tuple, list] = {}
+        for a, b in edges:
+            out_edges.setdefault(a, []).append(b)
+        rings = []
+        remaining = set(edges)
+        while remaining:
+            a, b = next(iter(remaining))
+            ring = [a]
+            cur, prev = b, a
+            remaining.discard((a, b))
+            while cur != ring[0]:
+                ring.append(cur)
+                cand = [c for c in out_edges[cur] if (cur, c) in remaining]
+                if len(cand) == 1:
+                    nxt_v = cand[0]
+                else:
+                    # leftmost turn relative to incoming direction
+                    din = (cur[0] - prev[0], cur[1] - prev[1])
+                    def turn(c):
+                        dout = (c[0] - cur[0], c[1] - cur[1])
+                        return -(din[0] * dout[1] - din[1] * dout[0])
+                    nxt_v = min(cand, key=turn)
+                remaining.discard((cur, nxt_v))
+                prev, cur = cur, nxt_v
+            ring.append(ring[0])
+            rings.append(ring)
+
+        def signed_area(rg):
+            return 0.5 * sum(
+                rg[i][0] * rg[i + 1][1] - rg[i + 1][0] * rg[i][1]
+                for i in range(len(rg) - 1)
+            )
+
+        rings.sort(key=lambda rg: -abs(signed_area(rg)))  # exterior first
+        body = ", ".join(
+            "(" + ", ".join(f"{a} {b}" for a, b in rg) + ")" for rg in rings
+        )
+        wkt = f"POLYGON ({body})"
+        return pd.DataFrame(
+            {"label": [label], "value": [pdf["value"].iloc[0]],
+             "n_cells": [len(pdf)], "wkt": [wkt]}
+        )
+
+    return comp.groupBy("label").applyInPandas(
+        per_comp, schema="label long, value double, n_cells long, wkt string"
+    )
+
+
+def footprint(cells_df: DataFrame, grid: Grid, tile: int = 256) -> DataFrame:
+    """Real-data coverage polygons: mask to a constant then polygonize
+    (reference ``Dataset.footprint``, ``analysis.py:539-656``: domain cells
+    → value 2 → polygonize)."""
+    masked = cells_df.where(F.col("value").isNotNull()).withColumn(
+        "value", F.lit(2.0)
+    )
+    return polygonize_rings(masked, grid, tile)

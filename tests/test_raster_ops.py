@@ -1,0 +1,119 @@
+"""Raster ops with reference-contract semantics: fill_gaps priority,
+reprojection round-trip, crop/align fixtures, media plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyramids_spark import synth
+from pyramids_spark.grid import COELLO, CROP_GRID, Grid, grid_df
+from pyramids_spark.operators import raster, reproject, vectorize
+
+
+def test_fill_gaps_respects_priority_order(spark):
+    """Target cell must take the RIGHT neighbor even when others differ
+    (reference priority R, L, down, up, RB, LB, LT, RT)."""
+    g = Grid(x0=0.0, y0=3.0, cell=1.0, rows=3, cols=3)
+    vals = np.array([[1.0, 2.0, 3.0], [4.0, np.nan, 6.0], [7.0, 8.0, 9.0]])
+    pdf = pd.DataFrame(
+        {"band": 0, "row": np.repeat(np.arange(3), 3), "col": np.tile(np.arange(3), 3),
+         "value": vals.ravel()}
+    )
+    src = spark.createDataFrame(pdf.astype({"row": "int64", "col": "int64"}))
+    mask = grid_df(spark, g)
+    out = raster.fill_gaps(src, mask).toPandas()
+    centre = out[(out.row == 1) & (out.col == 1)].value.iloc[0]
+    assert centre == 6.0  # R neighbor, not L(4)/down(8)/up(2)
+
+
+def test_fill_gaps_right_missing_falls_through(spark):
+    g = Grid(x0=0.0, y0=3.0, cell=1.0, rows=3, cols=3)
+    vals = np.array([[1.0, 2.0, 3.0], [4.0, np.nan, np.nan], [7.0, 8.0, 9.0]])
+    pdf = pd.DataFrame(
+        {"band": 0, "row": np.repeat(np.arange(3), 3), "col": np.tile(np.arange(3), 3),
+         "value": vals.ravel()}
+    )
+    src = spark.createDataFrame(pdf.astype({"row": "int64", "col": "int64"}))
+    mask = grid_df(spark, g)
+    out = raster.fill_gaps(src, mask).toPandas()
+    centre = out[(out.row == 1) & (out.col == 1)].value.iloc[0]
+    assert centre == 4.0  # R missing → L
+
+
+def test_reproject_3857_roundtrip_values(spark):
+    """Every 3857 output cell's value must equal the source cell its centre
+    back-projects into (numpy oracle)."""
+    g = grid_df(spark, CROP_GRID)
+    dst = reproject.reproject_plan(CROP_GRID, 3857)
+    out = reproject.to_crs_nearest(g, CROP_GRID, dst).toPandas()
+    assert len(out) > 0
+    R = reproject.R
+    for _, r in out.iterrows():
+        xc = dst.x0 + r.col * dst.cell + dst.cell / 2
+        yc = dst.y0 - r.row * dst.cell - dst.cell / 2
+        lon = np.degrees(xc / R)
+        lat = np.degrees(2 * np.arctan(np.exp(yc / R)) - np.pi / 2)
+        src_col = int(np.floor((lon - CROP_GRID.x0) / CROP_GRID.cell))
+        src_row = int(np.floor((CROP_GRID.y0 - lat) / CROP_GRID.cell))
+        assert r.value == src_row * 10 + src_col + 1
+
+
+def test_crop_window_reference_doctest_contract(spark):
+    """FIXTURES.md §4: box [0.1,-0.2,0.2,-0.1] on the 0.05° grid crops to
+    cols 2:4 × rows 2:4 with re-origined geotransform."""
+    g = grid_df(spark, CROP_GRID)
+    out = raster.crop_window(g, CROP_GRID, (0.1, -0.2, 0.2, -0.1)).toPandas()
+    assert sorted(zip(out.src_row, out.src_col)) == [(2, 2), (2, 3), (3, 2), (3, 3)]
+    assert set(zip(out.row, out.col)) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    # values = row-major 1-based ids of the source window
+    vals = {(r.src_row, r.src_col): r.value for _, r in out.iterrows()}
+    assert vals[(2, 2)] == 2 * 10 + 2 + 1
+
+
+def test_align_preserves_reference_grid_contract(spark):
+    src = grid_df(spark, COELLO)
+    dst = COELLO.with_cell(6000.0)
+    assert (dst.rows, dst.cols) == (9, 9)  # round(52000/6000), round(56000/6000)
+    out = raster.align_nearest(src, COELLO, dst).toPandas()
+    assert len(out) == 81
+    # spot-check: dst cell (0,0) centre = (x0+3000, y0-3000) → src cell (0,0) → value 1
+    assert out[(out.row == 0) & (out.col == 0)].value.iloc[0] == 1.0
+
+
+def test_media_plumbing_deterministic(spark):
+    from pyramids_spark import media
+
+    docs = synth.documents_spans(spark, 50)
+    m = media.synth_media(spark, docs)
+    f1 = media.decode_features(m).toPandas().sort_values("media_ref").reset_index(drop=True)
+    f2 = media.decode_features(m).toPandas().sort_values("media_ref").reset_index(drop=True)
+    assert len(f1) > 0
+    assert (f1.media_ref == f2.media_ref).all()
+    for a, b in zip(f1.feature, f2.feature):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # histograms are probability vectors over FEATURE_DIM bins
+    for a in f1.feature:
+        assert len(a) == media.FEATURE_DIM
+        assert abs(float(np.sum(a)) - 1.0) < 1e-3
+
+
+def test_media_decode_stub_error_mode(spark):
+    from pyramids_spark import media
+
+    docs = synth.documents_spans(spark, 5)
+    m = media.synth_media(spark, docs)
+    with pytest.raises(NotImplementedError):
+        media.decode_features(m, decode_stub="error")
+
+
+def test_frame_sample_counts(spark):
+    from pyramids_spark import media
+
+    docs = synth.documents_spans(spark, 100)
+    m = media.synth_media(spark, docs)
+    fs = media.frame_sample(m, every_n=10).toPandas()
+    meta = m.where("kind = 'video'").select("media_ref", "n_frames").toPandas()
+    exp = {r.media_ref: (int(r.n_frames) + 9) // 10 for _, r in meta.iterrows()}
+    got = fs.groupby("media_ref").size().to_dict()
+    assert got == exp

@@ -1,0 +1,111 @@
+"""Connected components / polygonize vs full-grid numpy oracle.
+
+The distributed result (per-tile CC + border union-find) must induce the
+same PARTITION of cells as a single-shot oracle, with canonical min-cell-id
+labels matching exactly (labels are deterministic, not just isomorphic)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyramids_spark.grid import Grid, grid_df
+from pyramids_spark.operators import vectorize
+
+
+def _oracle_cc(mask: np.ndarray, conn8: bool) -> np.ndarray:
+    """Single-shot min-label propagation on the full grid."""
+    rows, cols = mask.shape
+    base = np.arange(rows * cols, dtype=np.int64).reshape(rows, cols)
+    return vectorize._local_cc(mask, base, conn8)
+
+
+def _rand_grid(spark, rows, cols, seed, frac=0.55):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(1, 4, size=(rows, cols)).astype(float)
+    vals[rng.random((rows, cols)) > frac] = np.nan
+    pdf = pd.DataFrame(
+        {
+            "band": 0,
+            "row": np.repeat(np.arange(rows), cols),
+            "col": np.tile(np.arange(cols), rows),
+            "value": vals.ravel(),
+        }
+    )
+    g = Grid(x0=0.0, y0=0.0, cell=1.0, rows=rows, cols=cols)
+    return spark.createDataFrame(pdf.astype({"row": "int64", "col": "int64"})), g, vals
+
+
+@pytest.mark.parametrize("seed,tile", [(0, 4), (1, 5), (2, 7), (3, 16)])
+def test_cluster_matches_fullgrid_oracle(spark, seed, tile):
+    df, g, vals = _rand_grid(spark, 20, 23, seed)
+    got = vectorize.cluster(df, g, lo=2.0, hi=3.0, tile=tile).toPandas()
+    mask = (vals >= 2.0) & (vals <= 3.0) & ~np.isnan(vals)
+    exp = _oracle_cc(mask, conn8=True)
+    assert len(got) == int(mask.sum())
+    for _, r in got.iterrows():
+        assert exp[int(r.row), int(r.col)] == r.label, (r.row, r.col)
+
+
+@pytest.mark.parametrize("seed,tile", [(0, 4), (5, 6)])
+def test_polygonize_components_match_per_value_oracle(spark, seed, tile):
+    df, g, vals = _rand_grid(spark, 18, 15, seed, frac=0.8)
+    got = vectorize.polygonize(df, g, tile=tile).toPandas()
+    ok = ~np.isnan(vals)
+    assert len(got) == int(ok.sum())
+    # oracle: per-value 4-conn CC on the full grid
+    exp = np.full(vals.shape, -1, dtype=np.int64)
+    for v in np.unique(vals[ok]):
+        m = ok & (vals == v)
+        lab = _oracle_cc(m, conn8=False)
+        exp[m] = lab[m]
+    for _, r in got.iterrows():
+        assert exp[int(r.row), int(r.col)] == r.label
+        assert vals[int(r.row), int(r.col)] == r.value
+
+
+def test_polygonize_rings_area_and_value(spark):
+    # a 3x3 block of value 7 with a hole in the middle, plus a separate cell
+    rows, cols = 8, 8
+    vals = np.full((rows, cols), np.nan)
+    vals[1:4, 1:4] = 7.0
+    vals[2, 2] = np.nan  # hole
+    vals[6, 6] = 7.0
+    pdf = pd.DataFrame(
+        {"band": 0, "row": np.repeat(np.arange(rows), cols),
+         "col": np.tile(np.arange(cols), rows), "value": vals.ravel()}
+    ).dropna()
+    g = Grid(x0=0.0, y0=10.0, cell=1.0, rows=rows, cols=cols)
+    df = spark.createDataFrame(pdf.astype({"row": "int64", "col": "int64"}))
+    out = vectorize.polygonize_rings(df, g, tile=4).toPandas().sort_values("n_cells", ascending=False)
+    assert len(out) == 2
+    big, small = out.iloc[0], out.iloc[1]
+    assert big.n_cells == 8 and small.n_cells == 1
+    assert big.value == 7.0
+    assert big.wkt.count("(") == 3  # exterior + one hole
+    assert small.wkt.count("(") == 2
+
+
+def test_footprint_covers_domain(spark):
+    g = Grid(x0=0.0, y0=5.0, cell=1.0, rows=5, cols=5)
+    df = grid_df(spark, g, "CASE WHEN row < 2 THEN CAST(1 AS DOUBLE) END")
+    out = vectorize.footprint(df, g, tile=3).toPandas()
+    assert out.n_cells.sum() == 10
+    assert (out.value == 2.0).all()
+
+
+def test_cluster_single_component_spanning_many_tiles(spark):
+    """A snake that crosses every tile border must come back as ONE label."""
+    rows, cols = 12, 12
+    vals = np.full((rows, cols), np.nan)
+    vals[0, :] = 5.0
+    vals[:, -1] = 5.0
+    vals[-1, :] = 5.0
+    pdf = pd.DataFrame(
+        {"band": 0, "row": np.repeat(np.arange(rows), cols),
+         "col": np.tile(np.arange(cols), rows), "value": vals.ravel()}
+    ).dropna()
+    g = Grid(x0=0.0, y0=12.0, cell=1.0, rows=rows, cols=cols)
+    df = spark.createDataFrame(pdf.astype({"row": "int64", "col": "int64"}))
+    got = vectorize.cluster(df, g, 0.0, 9.0, tile=3).toPandas()
+    assert got.label.nunique() == 1
+    assert got.label.min() == 0  # canonical min cell index
