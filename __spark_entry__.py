@@ -1169,6 +1169,167 @@ def q_media_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Third wave: raster-zonal, salted aggregation, mesh operators
+# ---------------------------------------------------------------------------
+
+# disjoint 8×8 km box zones on the coello grid keyed by n_nationkey
+def _coello_zone_box(i: int) -> tuple[float, float, float, float]:
+    gx, gy = i % 5, i // 5
+    x0 = COELLO.x0 + gx * 11200.0
+    y1 = COELLO.y0 - gy * 10400.0
+    return (x0, y1 - 8000.0, x0 + 8000.0, y1)
+
+
+def _coello_zones() -> list[dict]:
+    zs = []
+    for i in range(25):
+        x0, y0, x1, y1 = _coello_zone_box(i)
+        zs.append(
+            {"zone_id": i, "zone_class": i % 5,
+             "parts": [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])]}
+        )
+    return zs
+
+
+def q_zonal_raster(spark, sf_dir):
+    """zonal_stats over raster cells: centre-inside rasterized labels →
+    per-zone aggregates (the reference's single-pass bincount plan)."""
+    g = grid_df(spark, COELLO)
+    out = zonal.zonal_stats_raster(g, COELLO, _coello_zones())
+    return out.select(
+        "zone_id", F.round("mean", 6).alias("mean"), F.col("sum"),
+        "min", "max", F.round("std", 6).alias("std"),
+        F.round("var", 6).alias("var"), F.col("count"),
+    )
+
+
+def sql_zonal_raster():
+    xc, yc = COELLO.x_center_sql("col"), COELLO.y_center_sql("row")
+    hits = " UNION ALL ".join(
+        f"SELECT g.value, {i} AS zone_id FROM g WHERE {xc} > {_coello_zone_box(i)[0]!r} "
+        f"AND {xc} < {_coello_zone_box(i)[2]!r} AND {yc} > {_coello_zone_box(i)[1]!r} "
+        f"AND {yc} < {_coello_zone_box(i)[3]!r}"
+        for i in range(25)
+    )
+    return (
+        f"WITH g AS ({grid_sql(COELLO)}), h AS ({hits}), "
+        "a AS (SELECT zone_id, round(avg(value), 6) AS mean, sum(value) AS sum, "
+        "min(value) AS min, max(value) AS max, round(stddev_pop(value), 6) AS std, "
+        "round(var_pop(value), 6) AS var, count(value) AS count FROM h GROUP BY 1) "
+        "SELECT z.i AS zone_id, a.mean, a.sum, a.min, a.max, a.std, a.var, a.count "
+        "FROM generate_series(0, 24) z(i) LEFT JOIN a ON a.zone_id = z.i"
+    )
+
+
+def q_salted_agg(spark, sf_dir):
+    """Hot-key-proof two-stage aggregation (north-rule explicit skew
+    handling): partial by (cell, salt) → exact recomposition by cell."""
+    pts = _doc_points(spark, sf_dir)
+    h1, h2 = cells.h1_col(F.col("doc_id")), cells.h2_col(F.col("doc_id"))
+    cx, cy = cells.cell_xy_col(h1, h2, 3)
+    d = pts.select(cells.cell_id_col(cx, cy, 3).alias("cell_id"),
+                   F.col("n_chars").cast("double").alias("v"))
+    out = zonal.salted_agg(d, "cell_id", "v", n_salt=8)
+    return out.select(
+        "cell_id", F.round("mean", 6).alias("mean"), F.round("sum", 6).alias("sum"),
+        "min", "max", F.round("std", 6).alias("std"), F.round("var", 6).alias("var"),
+        F.col("count"),
+    )
+
+
+def sql_salted_agg():
+    cx, cy = cells.cell_xy_sql(_H1, _H2, 3)
+    cid = cells.cell_id_sql(cx, cy, 3)
+    return (
+        f"WITH d AS (SELECT {cid} AS cell_id, CAST(n_chars AS DOUBLE) AS v FROM documents) "
+        "SELECT cell_id, round(avg(v), 6) AS mean, round(sum(v), 6) AS sum, "
+        "min(v) AS min, max(v) AS max, round(stddev_pop(v), 6) AS std, "
+        "round(var_pop(v), 6) AS var, count(v) AS count FROM d GROUP BY 1"
+    )
+
+
+def _mesh_nodes(spark, sf_dir):
+    """Mesh nodes from nation keys, scaled into the coello extent."""
+    nat = _read(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    h1, h2 = cells.h1_col(k), cells.h2_col(k)
+    return nat.select(
+        k.alias("node_id"),
+        (F.lit(COELLO.x0) + F.lit(56000.0) * (h1 / F.lit(4294967296.0))).alias("x"),
+        (F.lit(COELLO.y0) - F.lit(52000.0) * (h2 / F.lit(4294967296.0))).alias("y"),
+        (k * 10 + 5).cast("double").alias("data"),
+    )
+
+
+_MESH_NODES_SQL = (
+    "SELECT CAST(n_nationkey AS BIGINT) AS node_id, "
+    f"({COELLO.x0!r} + 56000.0 * (({cells.h1_sql('CAST(n_nationkey AS BIGINT)')}) / 4294967296.0)) AS x, "
+    f"({COELLO.y0!r} - 52000.0 * (({cells.h2_sql('CAST(n_nationkey AS BIGINT)')}) / 4294967296.0)) AS y, "
+    "CAST(n_nationkey * 10 + 5 AS DOUBLE) AS data FROM nation"
+)
+
+
+def q_mesh_centroids(spark, sf_dir):
+    """UGRID face centroids from ragged connectivity (fill −1 dropped)."""
+    from pyramids_spark.operators import mesh as mesh_op
+
+    nodes = _mesh_nodes(spark, sf_dir)
+    faces = spark.range(10).select(
+        F.col("id").alias("face_id"),
+        F.array(
+            F.col("id").cast("int"), (F.col("id") + 1).cast("int"),
+            (F.col("id") + 2).cast("int"),
+            F.when(F.col("id") % 3 == 0, F.lit(-1)).otherwise(F.col("id") + 3).cast("int"),
+        ).alias("node_ids"),
+    )
+    out = mesh_op.face_centroids(nodes, faces)
+    return out.select(
+        "face_id", F.round("centroid_x", 6).alias("cx"),
+        F.round("centroid_y", 6).alias("cy"), F.col("n_nodes"),
+    )
+
+
+def sql_mesh_centroids():
+    return (
+        f"WITH n AS ({_MESH_NODES_SQL}), "
+        "f AS (SELECT i AS face_id, [CAST(i AS INT), CAST(i+1 AS INT), CAST(i+2 AS INT), "
+        "CASE WHEN i % 3 = 0 THEN -1 ELSE CAST(i+3 AS INT) END] AS node_ids "
+        "FROM generate_series(0, 9) t(i)), "
+        "e AS (SELECT face_id, unnest(node_ids) AS node_id FROM f), "
+        "j AS (SELECT e.face_id, n.x, n.y, e.node_id FROM e JOIN n ON n.node_id = e.node_id "
+        "WHERE e.node_id >= 0) "
+        "SELECT face_id, round(avg(x), 6) AS cx, round(avg(y), 6) AS cy, "
+        "count(node_id) AS n_nodes FROM j GROUP BY 1"
+    )
+
+
+def q_mesh_to_grid(spark, sf_dir):
+    """mesh→grid nearest interpolation with the reference's 2·cell cutoff."""
+    from pyramids_spark.operators import mesh as mesh_op
+
+    nodes = _mesh_nodes(spark, sf_dir)
+    return mesh_op.mesh_to_grid_nearest(nodes, COELLO, value="data")
+
+
+def sql_mesh_to_grid():
+    cutoff2 = (2 * COELLO.cell) ** 2
+    xq, yq = COELLO.x_center_sql("col"), COELLO.y_center_sql("row")
+    return (
+        f"WITH n AS ({_MESH_NODES_SQL}), "
+        f"o AS (SELECT i // {COELLO.cols} AS row, i % {COELLO.cols} AS col, "
+        f"{xq} AS qx, {yq} AS qy "
+        f"FROM generate_series(0, {COELLO.rows * COELLO.cols - 1}) t(i)), "
+        "d AS (SELECT o.row, o.col, n.data, "
+        "(o.qx - n.x) * (o.qx - n.x) + (o.qy - n.y) * (o.qy - n.y) AS d2, "
+        "row_number() OVER (PARTITION BY o.row, o.col ORDER BY "
+        "(o.qx - n.x) * (o.qx - n.x) + (o.qy - n.y) * (o.qy - n.y), n.node_id) AS rn "
+        "FROM o CROSS JOIN n) "
+        f"SELECT row, col, CASE WHEN d2 <= {cutoff2!r} THEN data END AS value "
+        "FROM d WHERE rn = 1"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -1242,6 +1403,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "footprint": q_footprint,
         "explode_centroid": q_explode_centroid,
         "media_features": q_media_features,
+        "zonal_raster": q_zonal_raster,
+        "salted_agg": q_salted_agg,
+        "mesh_centroids": q_mesh_centroids,
+        "mesh_to_grid": q_mesh_to_grid,
     }
 
 
@@ -1294,6 +1459,10 @@ def oracle_sql() -> dict[str, str]:
         "polygonize_stats": sql_polygonize_stats(),
         "footprint": sql_footprint(),
         "explode_centroid": sql_explode_centroid(),
+        "zonal_raster": sql_zonal_raster(),
+        "salted_agg": sql_salted_agg(),
+        "mesh_centroids": sql_mesh_centroids(),
+        "mesh_to_grid": sql_mesh_to_grid(),
         # ann_lsh, span_pipeline, polygonize_rings, media_features:
         # intentionally no oracle (approximate / engine-side synthesis /
         # WKT+binary payloads) → driver rows-only check

@@ -1,0 +1,275 @@
+"""Reference-shaped facade: ``Dataset`` / ``FeatureCollection`` /
+``DatasetCollection`` classes with the pyramids method surface, backed by
+the distributed operators.
+
+A user of the reference (``from pyramids.dataset import Dataset``) maps
+directly: ``Dataset.read_file(path)`` → ``SparkDataset.read_parquet(spark,
+path, grid)``; every method below cites the reference API it mirrors
+(file:line in /root/reference). The object is a thin immutable wrapper
+around (cell DataFrame, Grid) — all laziness, pushdown, and distribution
+come from the wrapped DataFrame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .grid import Grid, grid_df
+from .operators import focal as _focal
+from .operators import raster as _raster
+from .operators import reproject as _reproject
+from .operators import vectorize as _vectorize
+from .operators import zonal as _zonal
+
+
+@dataclass(frozen=True)
+class SparkDataset:
+    """Raster: ``src/pyramids/dataset/dataset.py:58`` (Dataset)."""
+
+    df: DataFrame  # cells(band, row, col, value); value NULL ≙ nodata
+    grid: Grid
+
+    # --- scans / sinks (dataset.py:596 read_file; io.py:673 to_file) -------
+    @classmethod
+    def read_parquet(cls, spark: SparkSession, path: str, grid: Grid) -> "SparkDataset":
+        return cls(spark.read.parquet(path), grid)
+
+    @classmethod
+    def create(cls, spark: SparkSession, grid: Grid, value_expr: str, bands: int = 1) -> "SparkDataset":
+        return cls(grid_df(spark, grid, value_expr, bands), grid)
+
+    def to_parquet(self, path: str) -> None:
+        self.df.write.mode("overwrite").parquet(path)
+
+    # --- §2.2 filters (analysis.py:322 extract; :523 get_mask; :261 fill) --
+    def extract(self, exclude_value: float | None = None) -> DataFrame:
+        return _raster.extract(self.df, exclude_value)
+
+    def get_mask(self) -> DataFrame:
+        return _raster.get_mask(self.df)
+
+    def fill(self, v: float) -> "SparkDataset":
+        return SparkDataset(_raster.fill(self.df, v), self.grid)
+
+    def count_domain_cells(self) -> DataFrame:
+        return _raster.count_domain_cells(self.df)
+
+    # --- §2.3/2.7 joins & crops (spatial.py:888 crop; :518 _crop_aligned) --
+    def crop(self, box: tuple[float, float, float, float]) -> DataFrame:
+        return _raster.crop_window(self.df, self.grid, box)
+
+    def crop_aligned(self, mask: "SparkDataset") -> "SparkDataset":
+        return SparkDataset(_raster.crop_aligned(self.df, mask.df), self.grid)
+
+    # --- §2.4 aggregations (analysis.py:28 stats; :678 histogram) ----------
+    def stats(self) -> DataFrame:
+        return _raster.stats(self.df)
+
+    def get_histogram(self, lo: float, hi: float, nbins: int) -> DataFrame:
+        return _raster.histogram(self.df, lo, hi, nbins)
+
+    def zonal_stats(self, zones: list[dict], **kw) -> DataFrame:
+        return _zonal.zonal_stats_raster(self.df, self.grid, zones, **kw)
+
+    def overlay(self, classes: "SparkDataset") -> DataFrame:
+        return _zonal.overlay(self.df, classes.df)
+
+    # --- §2.5 focal (ops/_focal.py) -----------------------------------------
+    def focal_mean(self, radius: int = 1, tiled: bool = False, tile: int = 256) -> DataFrame:
+        if tiled:
+            return _focal.focal_tiles(self.df, self.grid, r=radius, stat="mean", tile=tile)
+        return _focal.focal_join(self.df, self.grid, r=radius, stat="mean")
+
+    def focal_std(self, radius: int = 1, tiled: bool = False, tile: int = 256) -> DataFrame:
+        if tiled:
+            return _focal.focal_tiles(self.df, self.grid, r=radius, stat="std", tile=tile)
+        return _focal.focal_join(self.df, self.grid, r=radius, stat="std")
+
+    def slope_aspect_hillshade(self, azimuth: float = 315.0, altitude: float = 45.0) -> DataFrame:
+        return _focal.slope_aspect_hillshade(self.df, self.grid, azimuth, altitude)
+
+    def fill_gaps(self, mask: "SparkDataset") -> "SparkDataset":
+        return SparkDataset(_raster.fill_gaps(self.df, mask.df), self.grid)
+
+    # --- §2.7 raster→vector (vectorize.py:683 cluster; :802 cluster2) ------
+    def cluster(self, lo: float, hi: float, tile: int = 256) -> DataFrame:
+        return _vectorize.cluster(self.df, self.grid, lo, hi, tile)
+
+    def cluster2(self, tile: int = 256) -> DataFrame:
+        return _vectorize.polygonize_rings(self.df, self.grid, tile)
+
+    def footprint(self, tile: int = 256) -> DataFrame:
+        return _vectorize.footprint(self.df, self.grid, tile)
+
+    def to_feature_collection(self) -> DataFrame:
+        """vectorize.py:49 to_feature_collection — one row per domain cell
+        with centre coords (≙ to_xyz with band columns)."""
+        return _raster.to_xyz(self.df, self.grid)
+
+    # --- §2.8 reproject / resample / align / overviews ----------------------
+    def align(self, ref: "SparkDataset") -> "SparkDataset":
+        return SparkDataset(
+            _raster.align_nearest(self.df, self.grid, ref.grid), ref.grid
+        )
+
+    def resample(self, cell_size: float) -> "SparkDataset":
+        out, g = _raster.resample(self.df, self.grid, cell_size)
+        return SparkDataset(out, g)
+
+    def to_crs(self, epsg: int) -> "SparkDataset":
+        dst = _reproject.reproject_plan(self.grid, epsg)
+        return SparkDataset(
+            _reproject.to_crs_nearest(self.df, self.grid, dst), dst
+        )
+
+    def create_overviews(self, levels: tuple[int, ...] = (2, 4, 8, 16, 32)) -> dict[int, DataFrame]:
+        """io.py:1156 create_overviews — zoom pyramid as per-level tables."""
+        return {
+            lv: _raster.overview_rollup(self.df, level=lv, stat="avg") for lv in levels
+        }
+
+    def to_xyz(self) -> DataFrame:
+        return _raster.to_xyz(self.df, self.grid)
+
+    # --- §2.11 UDF surface (analysis.py:178 apply) ---------------------------
+    def apply(self, value_expr) -> "SparkDataset":
+        """Per-cell scalar map over domain cells; nodata preserved. Accepts a
+        Column expression over ``value`` (JVM) — the vectorized fast path the
+        reference approximates with np.vectorize."""
+        return SparkDataset(
+            self.df.withColumn(
+                "value", F.when(F.col("value").isNotNull(), value_expr)
+            ),
+            self.grid,
+        )
+
+
+@dataclass(frozen=True)
+class SparkFeatureCollection:
+    """Vector table: ``src/pyramids/feature/collection.py:157``
+    (FeatureCollection). Rows = features with x/y (points) or vertex-array
+    geometry columns + attributes; ``epsg`` carried as metadata."""
+
+    df: DataFrame
+    epsg: int = 4326
+
+    # --- scans (collection.py:789 read_file w/ pushdown; :1419 parquet) ----
+    @classmethod
+    def read_parquet(
+        cls, spark: SparkSession, path: str, *,
+        bbox: tuple[float, float, float, float] | None = None,
+        columns: list[str] | None = None,
+        where: str | None = None,
+        epsg: int = 4326,
+    ) -> "SparkFeatureCollection":
+        """bbox/columns/where pushdown ≙ collection.py:795-803 — expressed
+        declaratively; Catalyst pushes to the parquet scan."""
+        df = spark.read.parquet(path)
+        if where:
+            df = df.where(where)
+        if bbox:
+            x0, y0, x1, y1 = bbox
+            df = df.where(
+                (F.col("x") >= x0) & (F.col("x") <= x1)
+                & (F.col("y") >= y0) & (F.col("y") <= y1)
+            )
+        if columns:
+            df = df.select(*columns)
+        return cls(df, epsg)
+
+    def to_parquet(self, path: str) -> None:
+        self.df.write.mode("overwrite").parquet(path)
+
+    # --- set ops (collection.py:2259 concat) --------------------------------
+    def concat(self, other: "SparkFeatureCollection") -> "SparkFeatureCollection":
+        if other.epsg != self.epsg:
+            raise ValueError(f"CRS mismatch: {self.epsg} vs {other.epsg}")
+        return SparkFeatureCollection(self.df.unionByName(other.df), self.epsg)
+
+    # --- geometry (geometry.py:219 explode_gdf; collection.py:2364 centroid)
+    def explode(self, parts_col: str = "parts") -> "SparkFeatureCollection":
+        return SparkFeatureCollection(
+            self.df.withColumn("part", F.explode(parts_col)).drop(parts_col),
+            self.epsg,
+        )
+
+    def with_centroid(self, xs: str = "xs", ys: str = "ys") -> "SparkFeatureCollection":
+        avg = lambda a: F.aggregate(F.col(a), F.lit(0.0), lambda s, v: s + v) / F.size(a)  # noqa: E731
+        return SparkFeatureCollection(
+            self.df.withColumn("avg_x", avg(xs)).withColumn("avg_y", avg(ys)),
+            self.epsg,
+        )
+
+    # --- spatial shuffle + joins (SURVEY §3.3) -------------------------------
+    def spatial_shuffle(self, zoom: int = 16, partitions: int | None = None) -> "SparkFeatureCollection":
+        """_lazy_collection.py:447-500 spatial_shuffle(by='morton'): range-
+        repartition along the Z-order curve so nearby features co-locate —
+        the explicit shuffle strategy for partition-pruned spatial joins."""
+        from . import cells as _c
+
+        cx, cy = _c.geo_cell_col(F.col("x"), F.col("y"), zoom)
+        d = self.df.withColumn("_morton", _c.morton_col(cx, cy, zoom))
+        n = partitions or d.sparkSession.sparkContext.defaultParallelism * 2
+        return SparkFeatureCollection(
+            d.repartitionByRange(n, "_morton").drop("_morton"), self.epsg
+        )
+
+    def sjoin(self, zones: list[dict], zoom: int = 8, **kw) -> DataFrame:
+        from .operators.pip import pip_join
+
+        return pip_join(self.df, zones, zoom=zoom, **kw)
+
+    def iter_features(self, chunksize: int = 1000):
+        """collection.py:576-788 streaming scan ≙ toLocalIterator batches."""
+        batch: list = []
+        for row in self.df.toLocalIterator():
+            batch.append(row)
+            if len(batch) >= chunksize:
+                yield batch
+                batch = []
+        if batch:
+            yield batch
+
+
+@dataclass(frozen=True)
+class SparkDatasetCollection:
+    """Temporal stack: ``dataset/collection.py:258`` (DatasetCollection).
+    cells(t, band, row, col, value)."""
+
+    df: DataFrame
+
+    def reduce(self, stat: str = "mean") -> DataFrame:
+        """collection.py:390-436 mean/sum/min/max/std/var over time."""
+        agg = {
+            "mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+            "std": F.stddev_pop, "var": F.var_pop,
+        }[stat]("value")
+        return self.df.groupBy("band", "row", "col").agg(agg.alias("value"))
+
+    def groupby(self, label_col) -> DataFrame:
+        """collection.py:362-388 grouped temporal reduction (climatology)."""
+        return (
+            self.df.withColumn("_label", label_col)
+            .groupBy("_label", "band", "row", "col")
+            .agg(F.avg("value").alias("value"))
+        )
+
+    def head(self, n: int) -> DataFrame:
+        """collection.py:953 positional time-slice."""
+        return self.df.where(F.col("t") < n)
+
+    def tail(self, n: int) -> DataFrame:
+        tmax = self.df.agg(F.max("t")).first()[0]
+        return self.df.where(F.col("t") > tmax - n)
+
+    def merge(self, *others: "SparkDatasetCollection") -> DataFrame:
+        """collection.py:1371 mosaic (first-non-null priority)."""
+        return _raster.mosaic(self.df, *[o.df for o in others])
+
+    def apply(self, value_expr) -> "SparkDatasetCollection":
+        return SparkDatasetCollection(
+            self.df.withColumn("value", F.when(F.col("value").isNotNull(), value_expr))
+        )

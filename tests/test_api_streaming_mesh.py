@@ -1,0 +1,165 @@
+"""Facade API, streaming ingest, and mesh operator tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyramids_spark.api import SparkDataset, SparkDatasetCollection, SparkFeatureCollection
+from pyramids_spark.grid import COELLO, Grid
+from pyramids_spark.operators import mesh
+
+
+def test_dataset_facade_pipeline(spark, tmp_path):
+    """create → apply → crop → stats → save/reload round trip (the reference
+    e2e workflow shape, tests/test_e2e_workflows.py)."""
+    ds = SparkDataset.create(spark, COELLO, "CAST(row * {cols} + col + 1 AS DOUBLE)")
+    ds2 = ds.apply(F.col("value") * 2.0)
+    box = (COELLO.x0, COELLO.y0 - 8000.0, COELLO.x0 + 8000.0, COELLO.y0)
+    cropped = ds2.crop(box).toPandas()
+    assert len(cropped) == 4
+    assert sorted(cropped.value) == [2.0, 4.0, 30.0, 32.0]
+    st = ds2.stats().toPandas()
+    assert st["min"].iloc[0] == 2.0 and st["max"].iloc[0] == 364.0
+    p = str(tmp_path / "ds")
+    ds2.to_parquet(p)
+    back = SparkDataset.read_parquet(spark, p, COELLO)
+    assert back.count_domain_cells().toPandas().n_domain.iloc[0] == 182
+
+
+def test_dataset_facade_align_resample_overviews(spark):
+    ds = SparkDataset.create(spark, COELLO, "CAST(row * {cols} + col + 1 AS DOUBLE)")
+    up = ds.resample(2000.0)
+    assert (up.grid.rows, up.grid.cols) == (26, 28)
+    back = up.align(ds)
+    assert back.df.count() == 182
+    ovs = ds.create_overviews(levels=(2, 4))
+    assert ovs[2].count() == 7 * 7 and ovs[4].count() == 4 * 4
+
+
+def test_feature_collection_facade(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {"fid": range(100), "x": np.linspace(-10, 10, 100), "y": np.linspace(-5, 5, 100),
+         "attr": np.arange(100) % 7}
+    )
+    fc = SparkFeatureCollection(spark.createDataFrame(pdf))
+    p = str(tmp_path / "fc")
+    fc.to_parquet(p)
+    # pushdown read: bbox + columns + where
+    sub = SparkFeatureCollection.read_parquet(
+        spark, p, bbox=(-5, -5, 5, 5), columns=["fid", "x", "y"], where="fid % 2 = 0"
+    )
+    got = sub.df.toPandas()
+    assert (got.x.abs() <= 5).all() and set(got.columns) == {"fid", "x", "y"}
+    assert (got.fid % 2 == 0).all()
+    # concat + CRS guard
+    both = fc.concat(fc)
+    assert both.df.count() == 200
+    with pytest.raises(ValueError):
+        fc.concat(SparkFeatureCollection(fc.df, epsg=3857))
+    # spatial shuffle keeps all rows, sorts by morton ranges
+    sh = fc.spatial_shuffle(zoom=10, partitions=4)
+    assert sh.df.count() == 100
+    # iter_features batches
+    batches = list(fc.iter_features(chunksize=30))
+    assert [len(b) for b in batches] == [30, 30, 30, 10]
+
+
+def test_collection_facade_temporal(spark):
+    rows = []
+    for t in range(4):
+        for r in range(3):
+            for c in range(3):
+                rows.append((t, 0, r, c, float(t + r * 3 + c)))
+    df = spark.createDataFrame(rows, "t int, band int, row long, col long, value double")
+    col = SparkDatasetCollection(df)
+    m = col.reduce("mean").toPandas()
+    assert m[(m.row == 0) & (m.col == 0)].value.iloc[0] == pytest.approx(1.5)
+    h = col.head(2)
+    assert h.count() == 18
+    t = col.tail(1)
+    assert t.count() == 9
+    g = col.groupby(F.col("t") % 2).toPandas()
+    assert len(g) == 2 * 9
+
+
+def test_streaming_tile_counts(spark, tmp_path):
+    """rate source → tile windowed counts → memory sink, availableNow."""
+    from pyramids_spark.streaming import stream_tile_counts
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+        .withColumn("x", (F.col("value") % 360) - 180.0)
+        .withColumn("y", (F.col("value") % 170) - 85.0)
+        .withColumnRenamed("timestamp", "ts")
+    )
+    out = stream_tile_counts(stream, zoom=4, window="5 seconds")
+    q = (
+        out.writeStream.format("memory").queryName("tiles")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    # append mode only emits closed windows; the important assertions are
+    # that the stream ran and the schema is right
+    res = spark.sql("SELECT * FROM tiles")
+    assert res.columns == ["window_start", "window_end", "tile_id", "n"]
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from pyramids_spark.streaming import streaming_dedup
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1000").load()
+        .withColumn("doc_id", F.col("value") % 50)  # heavy duplication
+        .withColumnRenamed("timestamp", "ts")
+    )
+    out = streaming_dedup(stream, key="doc_id")
+    q = (
+        out.writeStream.format("memory").queryName("dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    res = spark.sql("SELECT count(*) AS n, count(DISTINCT doc_id) AS d FROM dedup").first()
+    assert res.n == res.d  # no duplicates emitted
+
+
+def test_mesh_centroids_and_nearest(spark):
+    nodes = spark.createDataFrame(
+        [(0, 0.0, 0.0, 10.0), (1, 2.0, 0.0, 20.0), (2, 2.0, 2.0, 30.0),
+         (3, 0.0, 2.0, 40.0), (4, 4.0, 1.0, 50.0)],
+        "node_id long, x double, y double, data double",
+    )
+    faces = spark.createDataFrame(
+        [(0, [0, 1, 2, 3]), (1, [1, 4, 2, -1])],
+        "face_id long, node_ids array<int>",
+    )
+    c = mesh.face_centroids(nodes, faces).toPandas().set_index("face_id")
+    assert c.loc[0].centroid_x == 1.0 and c.loc[0].centroid_y == 1.0
+    assert c.loc[1].n_nodes == 3  # fill −1 dropped
+    nn = mesh.locate_nearest_node(nodes, [(0, 1.9, 0.1)], k=2).toPandas()
+    # nodes 0 and 2 tie at dist²=3.62 → deterministic tie-break on key
+    assert list(nn.sort_values("rank")["key"]) == [1, 0]
+    sub = mesh.subset_by_bounds(nodes, (0.0, 0.0, 2.0, 2.0)).count()
+    assert sub == 4
+
+
+def test_mesh_to_grid_nearest_with_cutoff(spark):
+    nodes = spark.createDataFrame(
+        [(0, 0.5, 9.5, 1.0), (1, 3.5, 6.5, 2.0)],
+        "node_id long, x double, y double, data double",
+    )
+    g = Grid(x0=0.0, y0=10.0, cell=1.0, rows=4, cols=4)
+    out = mesh.mesh_to_grid_nearest(nodes, g, value="data").toPandas()
+    assert len(out) == 16
+    m = out.set_index(["row", "col"]).value
+    assert m.loc[(0, 0)] == 1.0  # on-node cell
+    assert m.loc[(3, 3)] == 2.0  # within 2-cell cutoff of node 1
+    assert np.isnan(m.loc[(3, 0)])  # beyond max_distance → NULL
+    with pytest.raises(NotImplementedError):
+        mesh.mesh_to_grid_linear()
