@@ -32,7 +32,7 @@ from pyramids_spark.session import get_spark  # noqa: E402
 from pyramids_spark.grid import Grid, grid_df  # noqa: E402
 from pyramids_spark.text import dedup  # noqa: E402
 
-N_DOCS = int(os.environ.get("BENCH_DOCS", "2000000"))
+N_DOCS = int(os.environ.get("BENCH_DOCS", "8000000"))
 N_TEXT = int(os.environ.get("BENCH_TEXT_DOCS", "200000"))
 N_VECS = int(os.environ.get("BENCH_VECS", "100000"))
 

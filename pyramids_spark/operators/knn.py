@@ -68,9 +68,13 @@ def knn_join(
                 else:
                     kk2 = kk
                 if row.shape[0] > k:
-                    sel = np.lexsort((kk2, row))[:k]
-                else:
-                    sel = np.lexsort((kk2, row))
+                    # O(B) threshold-partition, then sort only the ≤k-th
+                    # subset (exact under ties: everything at the kth value
+                    # is kept for the lexsort)
+                    kth = np.partition(row, k - 1)[k - 1]
+                    m = row <= kth
+                    row, kk2 = row[m], kk2[m]
+                sel = np.lexsort((kk2, row))[:k]
                 best[i] = (row[sel], kk2[sel])
         rows = {
             "query_id": np.concatenate([np.full(len(v[0]), qi[i]) for i, v in best.items()])
