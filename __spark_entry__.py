@@ -1168,6 +1168,40 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_near_dup_embeddings(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (training-pipeline dedup op):
+    all pairs with cosine ≥ 0.42, exact (threshold sits in the top tail of this synthetic corpus). At web scale the LSH-bucketed
+    variant (ann.cosine_topk_lsh) prunes the pair space; at oracle scale the
+    exact quadratic form is the ground truth."""
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "v", F.transform("embedding", lambda x: x.cast("double"))
+    ).select("vec_id", "v")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda p, q: p * q), F.lit(0.0), lambda s, t: s + t)
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda s, t: s + t * t))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda s, t: s + t * t))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot / (na * nb), 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.42)
+    )
+
+
+def sql_near_dup_embeddings():
+    dot = "list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))"
+    na = "sqrt(list_sum(list_transform(a.v, x -> x * x)))"
+    nb = "sqrt(list_sum(list_transform(b.v, x -> x * x)))"
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        f"round(CAST({dot} AS DOUBLE) / ({na} * {nb}), 6) AS cos_sim "
+        "FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id) "
+        "SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.42"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Third wave: raster-zonal, salted aggregation, mesh operators
 # ---------------------------------------------------------------------------
@@ -1403,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "footprint": q_footprint,
         "explode_centroid": q_explode_centroid,
         "media_features": q_media_features,
+        "near_dup_embeddings": q_near_dup_embeddings,
         "zonal_raster": q_zonal_raster,
         "salted_agg": q_salted_agg,
         "mesh_centroids": q_mesh_centroids,
@@ -1459,6 +1494,7 @@ def oracle_sql() -> dict[str, str]:
         "polygonize_stats": sql_polygonize_stats(),
         "footprint": sql_footprint(),
         "explode_centroid": sql_explode_centroid(),
+        "near_dup_embeddings": sql_near_dup_embeddings(),
         "zonal_raster": sql_zonal_raster(),
         "salted_agg": sql_salted_agg(),
         "mesh_centroids": sql_mesh_centroids(),

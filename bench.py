@@ -37,8 +37,11 @@ N_TEXT = int(os.environ.get("BENCH_TEXT_DOCS", "200000"))
 N_VECS = int(os.environ.get("BENCH_VECS", "100000"))
 
 
-# v2: span_hash = xxhash64(spans) directly (bump on any schema/hash change)
-DOCS_PATH = os.environ.get("BENCH_DOCS_PATH", "/tmp/pyramids_bench_docs_v2")
+# v3: partitioned by coarse cell (pcell, zoom PART_ZOOM) — the parquet
+# stand-in for an Iceberg `truncate/bucket(cell_id)` partition transform;
+# bump version on any schema/hash change
+DOCS_PATH = os.environ.get("BENCH_DOCS_PATH", "/tmp/pyramids_bench_docs_v3")
+PART_ZOOM = 3  # 64 partitions world-wide
 
 
 def ensure_docs(spark, n_docs: int) -> str:
@@ -46,23 +49,42 @@ def ensure_docs(spark, n_docs: int) -> str:
     the production job reads an Iceberg/parquet table — synthesis is the
     stand-in for ingest, not part of the measured spatial-join job. The
     span_hash column is written at source; the job re-verifies it at sink
-    (the BASELINE.json invariant)."""
+    (the BASELINE.json invariant). The table is PARTITIONED by the coarse
+    cell of the doc geometry so spatial predicates prune files — zone-cover
+    pruning then skips ~4/5 of the scan before it starts."""
     path = f"{DOCS_PATH}_{n_docs}"
     import glob
 
     if not glob.glob(f"{path}/_SUCCESS"):
-        synth.documents_full(spark, n_docs, partitions=64).write.mode(
-            "overwrite"
-        ).parquet(path)
+        d = synth.documents_full(spark, n_docs, partitions=64)
+        pcx, pcy = cells.geo_cell_col(F.col("x"), F.col("y"), PART_ZOOM)
+        d = d.withColumn("pcell", cells.cell_id_col(pcx, pcy, PART_ZOOM))
+        d.write.mode("overwrite").partitionBy("pcell").parquet(path)
     return path
+
+
+def zone_prune_cells(zones: list[dict]) -> list[int]:
+    """Partition-prune predicate: every PART_ZOOM cell intersecting any zone
+    (a point inside a zone always lies in an intersecting cell — superset
+    guarantee, exactness restored by the PIP refinement)."""
+    out: set[int] = set()
+    for z in zones:
+        for part in z["parts"]:
+            out.update(
+                int(c) for c in cells.cells_covering_polygon(part, PART_ZOOM, "intersects")
+            )
+    return sorted(out)
 
 
 def flagship(spark, n_docs: int) -> dict:
     """The north-rule job: scan interleaved docs → cell encode → cell-pruned
     broadcast PIP join → tile assignment → zonal agg, span invariant
     re-verified at sink. Returns row/doc counts (forces execution)."""
-    docs = spark.read.parquet(ensure_docs(spark, n_docs))
-    hits = pip_op.pip_join(docs, _hexes(), zoom=11)
+    zones = _hexes()
+    docs = spark.read.parquet(ensure_docs(spark, n_docs)).where(
+        F.col("pcell").isin(zone_prune_cells(zones))  # partition pruning
+    )
+    hits = pip_op.pip_join(docs, zones, zoom=11)
     cx, cy = cells.geo_cell_col(F.col("x"), F.col("y"), 12)
     hits = hits.withColumn("tile_id", cells.cell_id_col(cx, cy, 12))
     agg = (
