@@ -1168,6 +1168,50 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_cluster_summary(spark, sf_dir):
+    """Reference cluster() also returns count/positions/values per component
+    (vectorize.py:683-800): per-label n_cells + bbox + value sum."""
+    g = grid_df(spark, COELLO, _CC_VALUE)
+    comp = vec_op.cluster(g, COELLO, lo=50.0, hi=150.0, tile=5)
+    return comp.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("row").alias("min_row"), F.max("row").alias("max_row"),
+        F.min("col").alias("min_col"), F.max("col").alias("max_col"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def sql_cluster_summary():
+    inner = sql_cluster_cc()
+    return (
+        f"WITH c AS ({inner}) "
+        "SELECT label, count(*) AS n_cells, min(row) AS min_row, max(row) AS max_row, "
+        "min(col) AS min_col, max(col) AS max_col, sum(value) AS sum_value "
+        "FROM c GROUP BY 1"
+    )
+
+
+def q_histogram_approx(spark, sf_dir):
+    """approx_ok histogram via the overview pyramid (reference
+    analysis.py:684-701: approximation from overviews/subsampling): histogram
+    computed on the level-2 rollup instead of full resolution."""
+    g = grid_df(spark, COELLO)
+    ov = raster.overview_rollup(g, level=2, stat="avg").select(
+        "band", "row", "col", F.round("value", 6).alias("value")
+    )
+    return raster.histogram(ov, lo=0.0, hi=200.0, nbins=10)
+
+
+def sql_histogram_approx():
+    return (
+        f"WITH g AS ({grid_sql(COELLO)}), "
+        "ov AS (SELECT band, row // 2 AS row, col // 2 AS col, "
+        "round(avg(value), 6) AS value FROM g GROUP BY 1, 2, 3) "
+        "SELECT band, greatest(0, least(9, CAST(floor((value - 0.0) / 20.0) AS BIGINT))) AS bin, "
+        "count(*) AS n FROM ov WHERE value IS NOT NULL GROUP BY 1, 2"
+    )
+
+
 def q_near_dup_embeddings(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (training-pipeline dedup op):
     all pairs with cosine ≥ 0.42, exact (threshold sits in the top tail of this synthetic corpus). At web scale the LSH-bucketed
@@ -1438,6 +1482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_centroid": q_explode_centroid,
         "media_features": q_media_features,
         "near_dup_embeddings": q_near_dup_embeddings,
+        "cluster_summary": q_cluster_summary,
+        "histogram_approx": q_histogram_approx,
         "zonal_raster": q_zonal_raster,
         "salted_agg": q_salted_agg,
         "mesh_centroids": q_mesh_centroids,
@@ -1495,6 +1541,8 @@ def oracle_sql() -> dict[str, str]:
         "footprint": sql_footprint(),
         "explode_centroid": sql_explode_centroid(),
         "near_dup_embeddings": sql_near_dup_embeddings(),
+        "cluster_summary": sql_cluster_summary(),
+        "histogram_approx": sql_histogram_approx(),
         "zonal_raster": sql_zonal_raster(),
         "salted_agg": sql_salted_agg(),
         "mesh_centroids": sql_mesh_centroids(),

@@ -175,9 +175,14 @@ def pip_join(
     )
 
 
-def salt_col(key: F.Column, n_salt: int = 16) -> F.Column:
-    """Deterministic salt for hot-key repartitioning (north rule): append to
-    the shuffle key of skewed aggregations; pair with a two-stage agg
-    (partial by (key, salt), final by key). AQE skew-join splitting is ON in
-    session.py as the runtime backstop."""
-    return F.pmod(F.xxhash64(key), F.lit(n_salt))
+def salt_col(n_salt: int = 16, row_source: F.Column | None = None) -> F.Column:
+    """Per-ROW salt for hot-key repartitioning (north rule): append to the
+    shuffle key of skewed aggregations; pair with a two-stage agg (partial
+    by (key, salt), final by key). The salt must vary WITHIN a key — salting
+    by a hash of the key itself would map every row of the hot key to one
+    salt and spread nothing. Default source is the per-row monotonic id
+    (salt values never affect results, only placement); pass a stable row
+    column (e.g. doc_id) when deterministic placement matters. AQE skew-join
+    splitting is ON in session.py as the runtime backstop."""
+    src = row_source if row_source is not None else F.monotonically_increasing_id()
+    return F.pmod(F.xxhash64(src), F.lit(n_salt))

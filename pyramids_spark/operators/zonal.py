@@ -122,7 +122,7 @@ def salted_agg(
     recomposed exactly from Σx, Σx², n). This is the explicit hot-key
     handling of the north rule; AQE skew-split remains on as backstop."""
     part = (
-        df.withColumn("_salt", salt_col(F.col(group), n_salt))
+        df.withColumn("_salt", salt_col(n_salt))
         .groupBy(group, "_salt")
         .agg(
             F.sum(value).alias("_s"),
