@@ -189,9 +189,25 @@ def main():
     qs = vecs.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    bench("ann_bruteforce", lambda: ann.cosine_topk(vecs, qs, k=10).count())
+    exact_pairs: set = set()
+    bench(
+        "ann_bruteforce",
+        lambda: exact_pairs.update(
+            (r["qid"], r["vec_id"]) for r in ann.cosine_topk(vecs, qs, k=10).collect()
+        ),
+    )
     planes = ann.hyperplanes(dim, 8)
-    bench("ann_lsh", lambda: ann.cosine_topk_lsh(vecs, qs, planes, k=10).count())
+    lsh_pairs_res: set = set()
+    bench(
+        "ann_lsh",
+        lambda: lsh_pairs_res.update(
+            (r["qid"], r["vec_id"])
+            for r in ann.cosine_topk_lsh(vecs, qs, planes, k=10).collect()
+        ),
+    )
+    extra["ann_lsh_recall"] = round(
+        len(lsh_pairs_res & exact_pairs) / max(1, len(exact_pairs)), 4
+    )
     vecs.unpersist()
 
     # --- driver sf tables (scan pushdown paths) ------------------------------

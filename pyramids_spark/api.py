@@ -120,10 +120,17 @@ class SparkDataset:
         return SparkDataset(out, g)
 
     def to_crs(self, epsg: int) -> "SparkDataset":
-        dst = _reproject.reproject_plan(self.grid, epsg)
-        return SparkDataset(
-            _reproject.to_crs_nearest(self.df, self.grid, dst), dst
-        )
+        if epsg == 3857:
+            dst = _reproject.reproject_plan(self.grid, epsg)
+            return SparkDataset(
+                _reproject.to_crs_nearest(self.df, self.grid, dst), dst
+            )
+        if 32601 <= epsg <= 32760:  # UTM zones via the Krüger-series UDF
+            dst = _reproject.reproject_plan_utm(self.grid, epsg)
+            return SparkDataset(
+                _reproject.to_crs_nearest_utm(self.df, self.grid, dst), dst
+            )
+        raise NotImplementedError(f"supported targets: 3857, UTM 326xx/327xx (got {epsg})")
 
     def create_overviews(self, levels: tuple[int, ...] = (2, 4, 8, 16, 32)) -> dict[int, DataFrame]:
         """io.py:1156 create_overviews — zoom pyramid as per-level tables."""

@@ -103,6 +103,51 @@ def reproject_plan(src_grid: Grid, target_epsg: int) -> Grid:
     )
 
 
+def reproject_plan_utm(src_grid: Grid, target_epsg: int) -> Grid:
+    """Corner-transform grid derivation for 4326 → UTM (same rule as
+    reproject_plan: project corners, cell = |x1'−x0'|/cols)."""
+    import numpy as np
+
+    from . import utm
+
+    xmin, ymin, xmax, ymax = src_grid.bounds
+    xs, ys = utm.wgs84_to_utm(
+        np.array([xmin, xmax]), np.array([ymax, ymax]), target_epsg
+    )
+    cell = (xs[1] - xs[0]) / src_grid.cols
+    return Grid(
+        x0=float(xs[0]), y0=float(ys[0]), cell=float(cell),
+        rows=src_grid.rows, cols=src_grid.cols, epsg=target_epsg,
+        nodata=src_grid.nodata,
+    )
+
+
+def to_crs_nearest_utm(src: DataFrame, src_grid: Grid, dst_grid: Grid) -> DataFrame:
+    """4326 cell table → UTM dst grid, nearest gather; the inverse transform
+    runs as an Arrow-batched pandas UDF (pure-numpy Krüger series)."""
+    from . import utm
+
+    spark = src.sparkSession
+    conv = utm.reproject_udf(dst_grid.epsg, 4326)
+    ncells = dst_grid.rows * dst_grid.cols
+    out = (
+        spark.range(ncells)
+        .select(
+            (F.col("id") / F.lit(dst_grid.cols)).cast("long").alias("row"),
+            (F.col("id") % F.lit(dst_grid.cols)).cast("long").alias("col"),
+        )
+        .withColumn("_dx", dst_grid.x_center_col(F.col("col")))
+        .withColumn("_dy", dst_grid.y_center_col(F.col("row")))
+        .withColumn("_p", conv(F.col("_dx"), F.col("_dy")))
+        .withColumn("src_row", src_grid.row_of_col(F.col("_p.y")))
+        .withColumn("src_col", src_grid.col_of_col(F.col("_p.x")))
+    )
+    s = src.select(
+        "band", F.col("row").alias("src_row"), F.col("col").alias("src_col"), "value"
+    )
+    return out.join(s, ["src_row", "src_col"]).select("band", "row", "col", "value")
+
+
 def convert_longitude(df: DataFrame, lon: str = "x") -> DataFrame:
     """0..360 → −180..180 (``spatial.py:192-236``)."""
     c = F.col(lon)
