@@ -786,6 +786,22 @@ def q_ann_lsh(spark, sf_dir):
     return out.select("qid", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-partitioned ANN (scale path): deterministic k-means lists, probe
+    nprobe nearest centroids. With nprobe = n_centroids the result is exact
+    — which is how we oracle it (same SQL as the brute-force top-k, modulo
+    the unit normalization not changing cosine)."""
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    idx, cents = ann.ivf_index(emb, n_centroids=8, iters=1)
+    out = ann.cosine_topk_ivf(idx, cents, qs, k=10, nprobe=8)  # full probe = exact
+    return out.select("qid", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
 def q_span_pipeline(spark, sf_dir):
     """Interleaved-documents flagship: synthesize spans for each doc key,
     carry through the PIP join, verify span-sequence invariant (no SQL
@@ -1168,6 +1184,46 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (large-scale events-pipeline op): per user,
+    a new session starts after a >30 min silence; output per-session stats.
+    Window lag + running sum — identical semantics in Spark and DuckDB."""
+    # parquet ts is TIMESTAMP_NTZ; cast through TIMESTAMP (session tz = UTC)
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    gap = F.col("ms") - F.lag("ms").over(w)
+    d = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0))
+    d = d.withColumn(
+        "session_id", F.sum("new_sess").over(
+            Window.partitionBy("user_id").orderBy("ms", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    return d.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        (F.max("ms") - F.min("ms")).alias("duration_ms"),
+    )
+
+
+def sql_sessionize():
+    return (
+        "WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms FROM events), "
+        "d AS (SELECT *, CASE WHEN ms - lag(ms) OVER "
+        "(PARTITION BY user_id ORDER BY ms, event_id) IS NULL THEN 1 "
+        "WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000 "
+        "THEN 1 ELSE 0 END AS new_sess FROM e), "
+        "s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM d) "
+        "SELECT user_id, session_id, count(*) AS n_events, "
+        "round(sum(value), 6) AS sum_value, "
+        "max(ms) - min(ms) AS duration_ms "
+        "FROM s GROUP BY 1, 2"
+    )
+
+
 def q_cluster_summary(spark, sf_dir):
     """Reference cluster() also returns count/positions/values per component
     (vectorize.py:683-800): per-label n_cells + bbox + value sum."""
@@ -1462,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "span_pipeline": q_span_pipeline,
         "morton": q_morton,
         "to_xyz": q_to_xyz,
@@ -1482,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_centroid": q_explode_centroid,
         "media_features": q_media_features,
         "near_dup_embeddings": q_near_dup_embeddings,
+        "sessionize": q_sessionize,
         "cluster_summary": q_cluster_summary,
         "histogram_approx": q_histogram_approx,
         "zonal_raster": q_zonal_raster,
@@ -1524,6 +1582,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": sql_ngram_jaccard(),
         "simhash": sql_simhash(),
         "ann_cosine": sql_ann_cosine(),
+        "ann_ivf": sql_ann_cosine(),  # full-probe IVF ≡ exact top-k
         "morton": sql_morton(),
         "to_xyz": sql_to_xyz(),
         "extract_domain": sql_extract_domain(),
@@ -1541,6 +1600,7 @@ def oracle_sql() -> dict[str, str]:
         "footprint": sql_footprint(),
         "explode_centroid": sql_explode_centroid(),
         "near_dup_embeddings": sql_near_dup_embeddings(),
+        "sessionize": sql_sessionize(),
         "cluster_summary": sql_cluster_summary(),
         "histogram_approx": sql_histogram_approx(),
         "zonal_raster": sql_zonal_raster(),

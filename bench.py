@@ -208,6 +208,19 @@ def main():
     extra["ann_lsh_recall"] = round(
         len(lsh_pairs_res & exact_pairs) / max(1, len(exact_pairs)), 4
     )
+    ivf_pairs: set = set()
+
+    def run_ivf():
+        idx, cents = ann.ivf_index(vecs, n_centroids=32, iters=1)
+        ivf_pairs.update(
+            (r["qid"], r["vec_id"])
+            for r in ann.cosine_topk_ivf(idx, cents, qs, k=10, nprobe=6).collect()
+        )
+
+    bench("ann_ivf", run_ivf)
+    extra["ann_ivf_recall"] = round(
+        len(ivf_pairs & exact_pairs) / max(1, len(exact_pairs)), 4
+    )
     vecs.unpersist()
 
     # --- driver sf tables (scan pushdown paths) ------------------------------

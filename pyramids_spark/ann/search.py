@@ -71,6 +71,103 @@ def lsh_buckets(
     return emb.withColumn("bucket", bucket)
 
 
+def ivf_index(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF (inverted-file) index: deterministic k-means over normalized
+    vectors → (vectors + ``centroid_id``, centroid matrix).
+
+    - init: the k vectors with the smallest ``xxhash64(id)`` (deterministic,
+      no RNG — resumable on any cluster).
+    - Lloyd iterations run as: broadcast centroid matrix → vectorized numpy
+      argmin per Arrow batch (mapInPandas) → centroid recompute as a plain
+      ``posexplode → groupBy(cluster, pos).avg`` (map-side combined).
+    The big table is scanned once per iteration and never shuffled beyond
+    (k × dim) partial aggregates — the IVF build is linear and
+    embarrassingly parallel, the scale path the task brief asks for.
+    """
+    spark = emb.sparkSession
+    norm = _norm(F.col(vec))
+    e = emb.select(
+        id_col, F.transform(vec, lambda x: x / norm).alias("v")
+    ).persist()
+    k = n_centroids
+    seeds = (
+        e.withColumn("_h", F.xxhash64(id_col))
+        .orderBy("_h")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    cents = np.asarray([r["v"] for r in seeds], dtype=np.float64)
+
+    def assign(cents_b):
+        def run(batches):
+            c = cents_b.value  # (k, d), normalized enough for argmax dot
+            for pdf in batches:
+                m = np.stack(pdf["v"].to_numpy())
+                sims = m @ c.T
+                pdf = pdf[[id_col, "v"]].copy()
+                pdf["centroid_id"] = sims.argmax(axis=1).astype(np.int64)
+                yield pdf
+        return run
+
+    assigned = None
+    for _ in range(iters):
+        cb = spark.sparkContext.broadcast(cents / np.linalg.norm(cents, axis=1, keepdims=True))
+        assigned = e.mapInPandas(
+            assign(cb), schema=f"{id_col} long, v array<double>, centroid_id long"
+        )
+        new_c = (
+            assigned.select("centroid_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        for r in new_c:
+            cents[r["centroid_id"], r["pos"]] = r["m"]
+    e.unpersist()
+    return assigned, cents
+
+
+def cosine_topk_ivf(
+    emb_assigned: DataFrame,
+    cents: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    qid: str = "qid",
+    qvec: str = "qvec",
+) -> DataFrame:
+    """IVF probe: each query scores only the vectors of its ``nprobe``
+    nearest centroid lists (equi-join on centroid_id — partition-prunable
+    when the index table is written partitioned by centroid)."""
+    spark = emb_assigned.sparkSession
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    qn = queries.select(qid, F.transform(qvec, lambda x: x / _norm(F.col(qvec))).alias("qv"))
+    qrows = qn.collect()
+    probes = []
+    for r in qrows:
+        sims = cn @ np.asarray(r["qv"])
+        for c in np.argsort(-sims)[:nprobe]:
+            probes.append((r[qid], int(c)))
+    pdf_probe = F.broadcast(
+        spark.createDataFrame(pd.DataFrame(probes, columns=[qid, "centroid_id"]),
+                              schema=f"{qid} long, centroid_id long")
+    )
+    qb = F.broadcast(qn)
+    cand = emb_assigned.join(pdf_probe, "centroid_id").join(qb, qid)
+    sim = _dot(F.col("v"), F.col("qv"))  # both sides unit-normalized
+    scored = cand.select(qid, id_col, F.round(sim, 6).alias("cos_sim"))
+    w = Window.partitionBy(qid).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,66 @@
+"""ANN engines: exact vs LSH vs IVF — determinism and recall bounds."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyramids_spark import cells
+from pyramids_spark.ann import search as ann
+
+
+def _vectors(spark, n, dim=16):
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[((cells.h1_col(F.col("id") * 131 + i) / F.lit(2.0**32)) * 2 - 1) for i in range(dim)]
+        ).alias("embedding"),
+    )
+
+
+def _pairs(df):
+    return {(r["qid"], r["vec_id"]) for r in df.collect()}
+
+
+def test_exact_topk_self_query_rank1(spark):
+    vecs = _vectors(spark, 2000)
+    qs = vecs.where("vec_id < 3").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    top = ann.cosine_topk(vecs, qs, k=5).toPandas()
+    r1 = top[top["rank"] == 1]
+    assert (r1.qid.to_numpy() == r1.vec_id.to_numpy()).all()
+    assert (r1.cos_sim == 1.0).all()
+
+
+def test_ivf_recall_and_determinism(spark):
+    vecs = _vectors(spark, 3000)
+    qs = vecs.where("vec_id < 5").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = _pairs(ann.cosine_topk(vecs, qs, k=10))
+    idx, cents = ann.ivf_index(vecs, n_centroids=8, iters=2)
+    idx = idx.persist()
+    got = _pairs(ann.cosine_topk_ivf(idx, cents, qs, k=10, nprobe=4))
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, recall
+    # full probe (nprobe = all centroids) must equal exact
+    full = _pairs(ann.cosine_topk_ivf(idx, cents, qs, k=10, nprobe=8))
+    assert full == exact
+    # determinism: rebuilt index gives identical assignment
+    idx2, cents2 = ann.ivf_index(vecs, n_centroids=8, iters=2)
+    np.testing.assert_allclose(cents, cents2)
+    a = idx.select("vec_id", "centroid_id").toPandas().sort_values("vec_id")
+    b = idx2.select("vec_id", "centroid_id").toPandas().sort_values("vec_id")
+    assert (a.centroid_id.to_numpy() == b.centroid_id.to_numpy()).all()
+    idx.unpersist()
+
+
+def test_lsh_multiprobe_recall(spark):
+    vecs = _vectors(spark, 3000)
+    qs = vecs.where("vec_id < 5").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = _pairs(ann.cosine_topk(vecs, qs, k=10))
+    planes = ann.hyperplanes(16, 8)
+    got = _pairs(ann.cosine_topk_lsh(vecs, qs, planes, k=10, probe_hamming=1))
+    assert len(got & exact) / len(exact) >= 0.5
