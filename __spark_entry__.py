@@ -1169,6 +1169,98 @@ def sql_explode_centroid():
     )
 
 
+def q_with_coordinates(spark, sf_dir):
+    """with_coordinates (collection.py:2157-2226): explode Multi* parts then
+    attach per-vertex x/y rows (posexplode ≙ unnest WITH ORDINALITY)."""
+    rows = _multi_zone_rows()
+    df = spark.createDataFrame(
+        rows, "zone_id long, part_idx long, xs array<double>, ys array<double>"
+    )
+    return df.select(
+        "zone_id", "part_idx",
+        F.posexplode(F.arrays_zip("xs", "ys")).alias("vertex_idx", "p"),
+    ).select(
+        "zone_id", "part_idx", F.col("vertex_idx").cast("long").alias("vertex_idx"),
+        F.round(F.col("p.xs"), 6).alias("vx"), F.round(F.col("p.ys"), 6).alias("vy"),
+    )
+
+
+def sql_with_coordinates():
+    vals = ", ".join(f"({z}, {p}, {xs!r}, {ys!r})" for z, p, xs, ys in _multi_zone_rows())
+    return (
+        f"WITH t(zone_id, part_idx, xs, ys) AS (VALUES {vals}), "
+        "u AS (SELECT zone_id, part_idx, unnest(xs) AS vx, "
+        "generate_subscripts(xs, 1) - 1 AS vertex_idx FROM t), "
+        "v AS (SELECT zone_id, part_idx, unnest(ys) AS vy, "
+        "generate_subscripts(ys, 1) - 1 AS vertex_idx FROM t) "
+        "SELECT u.zone_id, u.part_idx, CAST(u.vertex_idx AS BIGINT) AS vertex_idx, "
+        "round(u.vx, 6) AS vx, round(v.vy, 6) AS vy "
+        "FROM u JOIN v ON v.zone_id = u.zone_id AND v.part_idx = u.part_idx "
+        "AND v.vertex_idx = u.vertex_idx"
+    )
+
+
+def q_auto_zoom(spark, sf_dir):
+    """auto_zoom (basemap/tiles.py:35-77): zoom = clamp(ceil(log2(360/max_extent)), 0, 19)
+    per zone bbox."""
+    rows = _multi_zone_rows()
+    df = spark.createDataFrame(
+        rows, "zone_id long, part_idx long, xs array<double>, ys array<double>"
+    )
+    ext = df.groupBy("zone_id").agg(
+        (F.max(F.array_max("xs")) - F.min(F.array_min("xs"))).alias("ex"),
+        (F.max(F.array_max("ys")) - F.min(F.array_min("ys"))).alias("ey"),
+    )
+    z = F.ceil(F.log2(360.0 / F.greatest("ex", "ey"))).cast("long")
+    return ext.select(
+        "zone_id",
+        F.greatest(F.lit(0), F.least(F.lit(19), z)).alias("zoom"),
+    )
+
+
+def sql_auto_zoom():
+    vals = ", ".join(f"({z}, {p}, {xs!r}, {ys!r})" for z, p, xs, ys in _multi_zone_rows())
+    return (
+        f"WITH t(zone_id, part_idx, xs, ys) AS (VALUES {vals}), "
+        "e AS (SELECT zone_id, max(list_max(xs)) - min(list_min(xs)) AS ex, "
+        "max(list_max(ys)) - min(list_min(ys)) AS ey FROM t GROUP BY 1) "
+        "SELECT zone_id, greatest(0, least(19, "
+        "CAST(ceil(log2(360.0 / greatest(ex, ey))) AS BIGINT))) AS zoom FROM e"
+    )
+
+
+def q_block_arrangement(spark, sf_dir):
+    """get_block_arrangement (io.py:610-671): tile offsets (xoff, yoff,
+    xsize, ysize) for tiling the coello grid at size 5, ragged edges
+    (row-major per io.py:854-860)."""
+    t = 5
+    ny = (COELLO.rows + t - 1) // t
+    nx = (COELLO.cols + t - 1) // t
+    return spark.range(ny * nx).select(
+        (F.col("id") / nx).cast("long").alias("tile_row"),
+        (F.col("id") % nx).cast("long").alias("tile_col"),
+    ).select(
+        "tile_row", "tile_col",
+        (F.col("tile_col") * t).alias("xoff"),
+        (F.col("tile_row") * t).alias("yoff"),
+        F.least(F.lit(t), F.lit(COELLO.cols) - F.col("tile_col") * t).alias("xsize"),
+        F.least(F.lit(t), F.lit(COELLO.rows) - F.col("tile_row") * t).alias("ysize"),
+    )
+
+
+def sql_block_arrangement():
+    t = 5
+    ny = (COELLO.rows + t - 1) // t
+    nx = (COELLO.cols + t - 1) // t
+    return (
+        f"SELECT i // {nx} AS tile_row, i % {nx} AS tile_col, "
+        f"(i % {nx}) * {t} AS xoff, (i // {nx}) * {t} AS yoff, "
+        f"least({t}, {COELLO.cols} - (i % {nx}) * {t}) AS xsize, "
+        f"least({t}, {COELLO.rows} - (i // {nx}) * {t}) AS ysize "
+        f"FROM generate_series(0, {ny * nx - 1}) s(i)"
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: spans → media table → stub-decode →
     histogram features (rows-only: decode is the documented stub)."""
@@ -1537,6 +1629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygonize_rings": q_polygonize_rings,
         "footprint": q_footprint,
         "explode_centroid": q_explode_centroid,
+        "with_coordinates": q_with_coordinates,
+        "auto_zoom": q_auto_zoom,
+        "block_arrangement": q_block_arrangement,
         "media_features": q_media_features,
         "near_dup_embeddings": q_near_dup_embeddings,
         "sessionize": q_sessionize,
@@ -1599,6 +1694,9 @@ def oracle_sql() -> dict[str, str]:
         "polygonize_stats": sql_polygonize_stats(),
         "footprint": sql_footprint(),
         "explode_centroid": sql_explode_centroid(),
+        "with_coordinates": sql_with_coordinates(),
+        "auto_zoom": sql_auto_zoom(),
+        "block_arrangement": sql_block_arrangement(),
         "near_dup_embeddings": sql_near_dup_embeddings(),
         "sessionize": sql_sessionize(),
         "cluster_summary": sql_cluster_summary(),
