@@ -87,14 +87,19 @@ def flagship(spark, n_docs: int) -> dict:
     hits = pip_op.pip_join(docs, zones, zoom=11)
     cx, cy = cells.geo_cell_col(F.col("x"), F.col("y"), 12)
     hits = hits.withColumn("tile_id", cells.cell_id_col(cx, cy, 12))
-    agg = (
+    # two-stage distinct: groupBy(zone, tile) partial-aggregates map-side,
+    # then zone-level rollup counts tiles — unlike countDistinct's EXPAND
+    # plan this never duplicates the input stream (measured: the EXPAND
+    # variant added a ~6s non-scaling stage)
+    per_tile = (
         hits.withColumn("ok", (synth.span_hash_col() == F.col("span_hash")).cast("int"))
-        .groupBy("zone_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("tile_id").alias("n_tiles"),
-            F.min("ok").alias("all_ok"),
-        )
+        .groupBy("zone_id", "tile_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ok").alias("ok"))
+    )
+    agg = per_tile.groupBy("zone_id").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.min("ok").alias("all_ok"),
     )
     rows = agg.collect()
     assert all(r["all_ok"] == 1 for r in rows), "span invariant violated"

@@ -35,6 +35,30 @@ from pyspark.sql import types as T
 from .. import cells
 
 
+_COVER_CACHE: dict = {}
+
+
+def _zones_key(zones: list[dict], zoom: int, mode: str) -> tuple:
+    import hashlib
+
+    h = hashlib.sha1()
+    for z in zones:
+        h.update(str(z["zone_id"]).encode())
+        for p in z["parts"]:
+            h.update(np.ascontiguousarray(p, dtype=np.float64).tobytes())
+    return (zoom, mode, h.hexdigest())
+
+
+def zone_cover_cached(zones: list[dict], zoom: int, mode: str = "center") -> pd.DataFrame:
+    """Plan-once/apply-many (reference ``Reprojector`` discipline,
+    ``reproject.py:35-213``): the driver-side cover of a zone set is pure —
+    cache it so repeated joins against the same zones skip the numpy pass."""
+    k = _zones_key(zones, zoom, mode)
+    if k not in _COVER_CACHE:
+        _COVER_CACHE[k] = zone_cover(zones, zoom, mode)
+    return _COVER_CACHE[k]
+
+
 def zone_cover(zones: list[dict], zoom: int, mode: str = "center") -> pd.DataFrame:
     """Covering cells for each zone polygon (driver-side numpy; zones small).
 
@@ -135,7 +159,7 @@ def pip_join(
     'auto' — expr when all zones are convex ccw, else udf.
     """
     spark = points.sparkSession
-    cover = zone_cover(zones, zoom, mode="intersects")
+    cover = zone_cover_cached(zones, zoom, mode="intersects")
     cover_df = F.broadcast(
         spark.createDataFrame(cover, schema="zone_id long, cell_id long, boundary boolean")
     )
