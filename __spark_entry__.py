@@ -937,6 +937,37 @@ def sql_resample_up():
     )
 
 
+def q_resample_bilinear(spark, sf_dir):
+    g = grid_df(spark, COELLO)
+    out = raster.resample_bilinear(g, COELLO, _UP_GRID)
+    return out.select("band", "row", "col", F.round("value", 6).alias("value"))
+
+
+def sql_resample_bilinear():
+    d, s = _UP_GRID, COELLO
+    xq, yq = d.x_center_sql("col"), d.y_center_sql("row")
+    fx = f"((({xq}) - {s.x0!r}) / {s.cell!r} - 0.5)"
+    fy = f"(({s.y0!r} - ({yq})) / {s.cell!r} - 0.5)"
+    return (
+        f"WITH g AS ({grid_sql(s)}), "
+        f"o AS (SELECT i // {d.cols} AS row, i % {d.cols} AS col, "
+        f"{fx} AS fx, {fy} AS fy "
+        f"FROM generate_series(0, {d.rows * d.cols - 1}) t(i)), "
+        "m AS (SELECT row, col, fx - floor(fx) AS wx, fy - floor(fy) AS wy, "
+        f"greatest(0, least({s.cols - 1}, CAST(floor(fx) AS BIGINT))) AS c0, "
+        f"greatest(0, least({s.rows - 1}, CAST(floor(fy) AS BIGINT))) AS r0 FROM o), "
+        f"n AS (SELECT *, least({s.cols - 1}, c0 + 1) AS c1, least({s.rows - 1}, r0 + 1) AS r1 FROM m) "
+        "SELECT a.band, n.row, n.col, round("
+        "(1 - n.wy) * ((1 - n.wx) * a.value + n.wx * b.value) "
+        "+ n.wy * ((1 - n.wx) * c.value + n.wx * d.value), 6) AS value "
+        "FROM n "
+        "JOIN g a ON a.row = n.r0 AND a.col = n.c0 "
+        "JOIN g b ON b.row = n.r0 AND b.col = n.c1 AND b.band = a.band "
+        "JOIN g c ON c.row = n.r1 AND c.col = n.c0 AND c.band = a.band "
+        "JOIN g d ON d.row = n.r1 AND d.col = n.c1 AND d.band = a.band"
+    )
+
+
 def q_fill_gaps(spark, sf_dir):
     src = grid_df(spark, COELLO, _MOSAIC_A)  # nodata where %7=0
     mask = grid_df(spark, COELLO)  # full domain
@@ -1620,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_constant": q_fill_constant,
         "scale_offset": q_scale_offset,
         "resample_up": q_resample_up,
+        "resample_bilinear": q_resample_bilinear,
         "fill_gaps": q_fill_gaps,
         "convert_longitude": q_convert_longitude,
         "slope_hillshade": q_slope_hillshade,
@@ -1686,6 +1718,7 @@ def oracle_sql() -> dict[str, str]:
         "fill_constant": sql_fill_constant(),
         "scale_offset": sql_scale_offset(),
         "resample_up": sql_resample_up(),
+        "resample_bilinear": sql_resample_bilinear(),
         "fill_gaps": sql_fill_gaps(),
         "convert_longitude": sql_convert_longitude(),
         "slope_hillshade": sql_slope_hillshade(),

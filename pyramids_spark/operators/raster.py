@@ -105,6 +105,52 @@ def align_nearest(src: DataFrame, src_grid: Grid, dst_grid: Grid) -> DataFrame:
     return out.join(s, ["src_row", "src_col"]).select("band", "row", "col", "value")
 
 
+def resample_bilinear(src: DataFrame, src_grid: Grid, dst_grid: Grid) -> DataFrame:
+    """Bilinear resample (reference INTERPOLATION_METHODS, ``base/_utils.py:
+    143-147``; ``Dataset.resample(method='bilinear')``): each output centre
+    interpolates the 4 surrounding source CELL CENTRES (edge-clamped);
+    NULL if any contributing corner is nodata. Four shifted equi-joins —
+    pure DataFrame algebra, SQL-twinnable."""
+    spark = src.sparkSession
+    ncells = dst_grid.rows * dst_grid.cols
+    fx = (dst_grid.x_center_col(F.col("col")) - F.lit(src_grid.x0)) / F.lit(src_grid.cell) - 0.5
+    fy = (F.lit(src_grid.y0) - dst_grid.y_center_col(F.col("row"))) / F.lit(src_grid.cell) - 0.5
+    clampc = lambda c: F.greatest(F.lit(0), F.least(F.lit(src_grid.cols - 1), c))  # noqa: E731
+    clampr = lambda c: F.greatest(F.lit(0), F.least(F.lit(src_grid.rows - 1), c))  # noqa: E731
+    out = (
+        spark.range(ncells)
+        .select(
+            (F.col("id") / F.lit(dst_grid.cols)).cast("long").alias("row"),
+            (F.col("id") % F.lit(dst_grid.cols)).cast("long").alias("col"),
+        )
+        .withColumn("_fx", fx)
+        .withColumn("_fy", fy)
+        .withColumn("_c0", clampc(F.floor("_fx").cast("long")))
+        .withColumn("_r0", clampr(F.floor("_fy").cast("long")))
+        .withColumn("_c1", clampc(F.col("_c0") + 1))
+        .withColumn("_r1", clampr(F.col("_r0") + 1))
+        .withColumn("_wx", F.col("_fx") - F.floor("_fx"))
+        .withColumn("_wy", F.col("_fy") - F.floor("_fy"))
+    )
+    for tag, rr, cc in (("00", "_r0", "_c0"), ("01", "_r0", "_c1"),
+                        ("10", "_r1", "_c0"), ("11", "_r1", "_c1")):
+        s = src.select(
+            F.col("band").alias(f"_b{tag}"),
+            F.col("row").alias(f"_sr{tag}"), F.col("col").alias(f"_sc{tag}"),
+            F.col("value").alias(f"_v{tag}"),
+        )
+        cond = (F.col(rr) == F.col(f"_sr{tag}")) & (F.col(cc) == F.col(f"_sc{tag}"))
+        if tag != "00":
+            cond = cond & (F.col("_b00") == F.col(f"_b{tag}"))
+        out = out.join(s, cond)
+    out = out.withColumn("band", F.col("_b00"))
+    val = (
+        (1 - F.col("_wy")) * ((1 - F.col("_wx")) * F.col("_v00") + F.col("_wx") * F.col("_v01"))
+        + F.col("_wy") * ((1 - F.col("_wx")) * F.col("_v10") + F.col("_wx") * F.col("_v11"))
+    )
+    return out.select("band", "row", "col", val.alias("value"))
+
+
 def resample(src: DataFrame, src_grid: Grid, cell: float) -> tuple[DataFrame, Grid]:
     """Reference ``Dataset.resample`` nearest method (``spatial.py:238-358``):
     same extent, new cell size, rows = round(extent/cell)."""
