@@ -808,7 +808,7 @@ def q_span_pipeline(spark, sf_dir):
     oracle: spans construction is engine-side; invariant asserted in-row)."""
     docs = _read(spark, sf_dir, "documents").select("doc_id")
     spans = synth.documents_spans(spark, 500).withColumn("span_hash", synth.span_hash_col())
-    spans = spans.withColumn("key", F.substring("doc_id", 5, 10).cast("long"))
+    spans = spans.withColumn("key", F.expr("cast(substring(doc_id, 5) as long)"))
     pts = _doc_points(spark, sf_dir).join(
         spans.select(F.col("key").alias("doc_id"), F.col("doc_id").alias("span_doc"),
                      "spans", "span_hash"),

@@ -37,10 +37,10 @@ N_TEXT = int(os.environ.get("BENCH_TEXT_DOCS", "200000"))
 N_VECS = int(os.environ.get("BENCH_VECS", "100000"))
 
 
-# v3: partitioned by coarse cell (pcell, zoom PART_ZOOM) — the parquet
+# v4: partitioned by coarse cell (pcell, zoom PART_ZOOM) — the parquet
 # stand-in for an Iceberg `truncate/bucket(cell_id)` partition transform;
-# bump version on any schema/hash change
-DOCS_PATH = os.environ.get("BENCH_DOCS_PATH", "/tmp/pyramids_bench_docs_v3")
+# bump version on any schema/hash change (v4: doc_id widened to 13 digits)
+DOCS_PATH = os.environ.get("BENCH_DOCS_PATH", "/tmp/pyramids_bench_docs_v4")
 PART_ZOOM = 3  # 64 partitions world-wide
 
 
@@ -167,7 +167,7 @@ def main():
                 " ", F.flatten(F.array(F.filter(F.col("spans"), lambda s: s["kind"] == "text")["text"]))
             ).alias("text"),
         )
-        .withColumn("doc_id", F.substring("id_str", 5, 10).cast("long"))
+        .withColumn("doc_id", F.expr("cast(substring(id_str, 5) as long)"))
         .persist()
     )
     texts.count()

@@ -91,10 +91,12 @@ def ivf_index(
     embarrassingly parallel, the scale path the task brief asks for.
     """
     spark = emb.sparkSession
-    norm = _norm(F.col(vec))
-    e = emb.select(
-        id_col, F.transform(vec, lambda x: x / norm).alias("v")
-    ).persist()
+    # keep RAW vectors in the index: the probe scorer must use the exact
+    # dot/(na*nq) expression shape of cosine_topk (oracle bit-parity).
+    # Cluster assignment is row-norm-invariant when centroids are unit-
+    # normalized (argmax of m@c.T with unit c == cosine argmax), so raw
+    # vectors cluster identically to spherical k-means on this data.
+    e = emb.select(id_col, F.col(vec).alias("v")).persist()
     k = n_centroids
     seeds = (
         e.withColumn("_h", F.xxhash64(id_col))
@@ -107,7 +109,7 @@ def ivf_index(
 
     def assign(cents_b):
         def run(batches):
-            c = cents_b.value  # (k, d), normalized enough for argmax dot
+            c = cents_b.value  # (k, d), unit-normalized → cosine argmax
             for pdf in batches:
                 m = np.stack(pdf["v"].to_numpy())
                 sims = m @ c.T
@@ -116,9 +118,12 @@ def ivf_index(
                 yield pdf
         return run
 
-    assigned = None
+    def _unit(c: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(c, axis=1, keepdims=True)
+        return c / np.where(n == 0, 1.0, n)
+
     for _ in range(iters):
-        cb = spark.sparkContext.broadcast(cents / np.linalg.norm(cents, axis=1, keepdims=True))
+        cb = spark.sparkContext.broadcast(_unit(cents))
         assigned = e.mapInPandas(
             assign(cb), schema=f"{id_col} long, v array<double>, centroid_id long"
         )
@@ -130,6 +135,15 @@ def ivf_index(
         )
         for r in new_c:
             cents[r["centroid_id"], r["pos"]] = r["m"]
+    # final assignment pass with the FINAL centroids, so the returned
+    # (assigned, cents) pair is internally consistent — probing the nearest
+    # nprobe lists under `cents` finds the vectors assigned under `cents`
+    # (ADVICE r1: the previous-centroid assignment silently cut recall
+    # whenever nprobe < n_centroids).
+    cb = spark.sparkContext.broadcast(_unit(cents))
+    assigned = e.mapInPandas(
+        assign(cb), schema=f"{id_col} long, v array<double>, centroid_id long"
+    )
     e.unpersist()
     return assigned, cents
 
@@ -149,20 +163,24 @@ def cosine_topk_ivf(
     when the index table is written partitioned by centroid)."""
     spark = emb_assigned.sparkSession
     cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    qn = queries.select(qid, F.transform(qvec, lambda x: x / _norm(F.col(qvec))).alias("qv"))
-    qrows = qn.collect()
+    qraw = queries.select(qid, F.col(qvec).alias("qv"))
+    qrows = qraw.collect()
     probes = []
     for r in qrows:
-        sims = cn @ np.asarray(r["qv"])
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        sims = cn @ (qv / np.linalg.norm(qv))  # normalization ONLY for probing
         for c in np.argsort(-sims)[:nprobe]:
             probes.append((r[qid], int(c)))
     pdf_probe = F.broadcast(
         spark.createDataFrame(pd.DataFrame(probes, columns=[qid, "centroid_id"]),
                               schema=f"{qid} long, centroid_id long")
     )
-    qb = F.broadcast(qn)
+    qb = F.broadcast(qraw)
     cand = emb_assigned.join(pdf_probe, "centroid_id").join(qb, qid)
-    sim = _dot(F.col("v"), F.col("qv"))  # both sides unit-normalized
+    # same expression SHAPE as cosine_topk → bit-identical doubles vs the
+    # shared sql_ann_cosine oracle (ADVICE r1: dot(v/n, q/n) vs dot/(n·n)
+    # differ in the last ulp and can flip a 6-dp rounding boundary)
+    sim = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
     scored = cand.select(qid, id_col, F.round(sim, 6).alias("cos_sim"))
     w = Window.partitionBy(qid).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

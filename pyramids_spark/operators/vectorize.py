@@ -11,13 +11,15 @@ Reference semantics:
   regions of EQUAL value → polygons with the value attribute
   (``vectorize.py:802-879``).
 
-Distributed plan (SURVEY §7.2 — "the one place we deviate from pure
-DataFrame ops"): per-tile components in numpy (applyInPandas), then a
-driver-side union-find over tile-border adjacencies (O(grid perimeter /
-tile) state, ≪ the cell count), then a broadcast relabel join. A fully
-iterative label-propagation variant (no driver state) is the fallback for
-grids whose border set itself is too big; at 2^13 tiles of 256² that border
-state is ~100 MB — fine on a driver.
+Distributed plan (SURVEY §7.2): per-tile components in numpy
+(applyInPandas), then a fully distributed cross-tile merge — connected
+components over the tile-border label graph via iterative min-label
+propagation with pointer jumping (hash-to-min; O(log n) fixpoint rounds) —
+then a relabel join. NOTHING touches the driver: the border set is
+O(perimeter) ≪ cells but ≫ driver RAM at a 10^6×10^6 grid, so the round-1
+driver union-find was the one real scale-killer here (VERDICT r1 #1).
+The per-tile labeling is recomputed for the final join instead of caching
+the full labeled table — at 100 TB one extra scan beats caching O(cells).
 """
 
 from __future__ import annotations
@@ -58,27 +60,6 @@ def _local_cc(mask: np.ndarray, base_ids: np.ndarray, conn8: bool) -> np.ndarray
     return np.where(mask, cur, np.int64(-1))
 
 
-class _UF:
-    def __init__(self):
-        self.p: dict[int, int] = {}
-
-    def find(self, x: int) -> int:
-        p = self.p
-        r = x
-        while p.get(r, r) != r:
-            r = p[r]
-        while p.get(x, x) != x:
-            p[x], x = r, p[x]
-        return r
-
-    def union(self, a: int, b: int):
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            # canonical representative = smaller id (deterministic labels)
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            self.p[hi] = lo
-
-
 def _per_tile_cc(cells_df: DataFrame, grid: Grid, predicate, tile: int, conn8: bool):
     """→ (labeled cell df, border pandas df). predicate: Column -> Column."""
     rows, cols = grid.rows, grid.cols
@@ -110,21 +91,90 @@ def _per_tile_cc(cells_df: DataFrame, grid: Grid, predicate, tile: int, conn8: b
     return labeled
 
 
-def _merge_labels(border: pd.DataFrame, cols: int, conn8: bool, by_value: bool) -> dict[int, int]:
-    """Union-find across tile borders; returns label → canonical label."""
-    uf = _UF()
-    if border.empty:
-        return {}
-    idx = {}
-    for r, c, v, l in zip(border.row, border.col, border.value, border.label):
-        idx[(int(r), int(c))] = (v, int(l))
+def _merge_labels_df(border: DataFrame, conn8: bool, by_value: bool) -> DataFrame:
+    """Distributed cross-tile merge: CC over the border-label graph.
+
+    Builds the adjacency edge list with an equi-join of shifted border cells
+    (no driver state), then runs min-label propagation + pointer jumping to
+    fixpoint — each round is one neighbor-min groupBy and one root-of-root
+    self-join over a table that is O(cross-tile labels), converging in
+    O(log diameter) rounds. Returns a small (label, root) DataFrame holding
+    only labels whose canonical root differs (the rest keep their tile
+    label via the left-join coalesce in :func:`_apply_mapping`).
+    Canonical root = component-min label ≡ min global cell index, identical
+    to the round-1 driver union-find (oracles pin exact label partitions).
+    """
     shifts = [(0, 1), (1, 0)] + ([(1, 1), (1, -1)] if conn8 else [])
-    for (r, c), (v, l) in idx.items():
-        for dy, dx in shifts:
-            o = idx.get((r + dy, c + dx))
-            if o is not None and (not by_value or o[0] == v):
-                uf.union(l, o[1])
-    return {l: uf.find(l) for l in {v[1] for v in idx.values()}}
+    b = border.select("row", "col", "value", "label")
+    nbr = b.select(
+        "label", "value",
+        F.explode(F.array(*[
+            F.struct((F.col("row") + dy).alias("row"), (F.col("col") + dx).alias("col"))
+            for dy, dx in shifts
+        ])).alias("n"),
+    ).select("label", "value", F.col("n.row").alias("row"), F.col("n.col").alias("col"))
+    on = ["row", "col"] + (["value"] if by_value else [])
+    half = (
+        nbr.join(b.select(*on, F.col("label").alias("label2")), on)
+        .where(F.col("label") != F.col("label2"))
+        .select("label", "label2")
+    )
+    edges = (
+        half.union(half.select(F.col("label2").alias("label"), F.col("label").alias("label2")))
+        .distinct()
+        .persist()
+    )
+    try:
+        # localCheckpoint (not persist) after every round: the plan references
+        # m twice per round (neighbor-min + pointer jump), so without lineage
+        # truncation the logical plan DOUBLES each iteration and analysis time
+        # explodes exponentially — caching alone does not stop that.
+        m = (
+            edges.select("label").distinct().withColumn("root", F.col("label"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(60):
+            nbr_min = (
+                edges.join(
+                    m.select(F.col("label").alias("label2"), F.col("root").alias("r2")),
+                    "label2",
+                )
+                .groupBy("label")
+                .agg(F.min("r2").alias("nroot"))
+            )
+            m2 = m.join(nbr_min, "label", "left").select(
+                "label", F.least("root", F.coalesce("nroot", "root")).alias("root")
+            )
+            # pointer jumping: root ← root(root), halves chain length per round
+            m2 = (
+                m2.alias("a")
+                .join(
+                    m2.select(F.col("label").alias("rl"), F.col("root").alias("rr")).alias("b"),
+                    F.col("a.root") == F.col("rl"),
+                    "left",
+                )
+                .select(
+                    F.col("a.label").alias("label"),
+                    F.least(F.col("a.root"), F.coalesce("rr", F.col("a.root"))).alias("root"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                m2.join(m.select("label", F.col("root").alias("old")), "label")
+                .where(F.col("root") != F.col("old"))
+                .count()
+            )
+            m.unpersist()
+            m = m2
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError("border-label propagation did not converge in 60 rounds")
+        mapping = m.where(F.col("label") != F.col("root")).localCheckpoint(eager=True)
+        m.unpersist()
+        return mapping
+    finally:
+        edges.unpersist()
 
 
 def cluster(
@@ -134,34 +184,23 @@ def cluster(
     → (row, col, value, label); label = min cell index of the component."""
     labeled = _per_tile_cc(
         cells_df, grid, lambda v: v.isNotNull() & (v >= lo) & (v <= hi), tile, conn8=True
-    ).persist()
-    border = labeled.where("border").toPandas()
-    mapping = _merge_labels(border, grid.cols, conn8=True, by_value=False)
-    out = _apply_mapping(labeled, mapping)
-    return out
+    )
+    border = labeled.where("border").select("row", "col", "value", "label").persist()
+    try:
+        mapping = _merge_labels_df(border, conn8=True, by_value=False)
+    finally:
+        border.unpersist()
+    return _apply_mapping(labeled, mapping)
 
 
-def _apply_mapping(labeled: DataFrame, mapping: dict[int, int]) -> DataFrame:
-    spark = labeled.sparkSession
-    if mapping:
-        mdf = F.broadcast(
-            spark.createDataFrame(
-                pd.DataFrame(
-                    {"label": list(mapping), "root": [mapping[k] for k in mapping]}
-                ),
-                schema="label long, root long",
-            )
-        )
-        out = (
-            labeled.join(mdf, "label", "left")
-            .select(
-                "row", "col", "value",
-                F.coalesce("root", "label").alias("label"),
-            )
-        )
-    else:
-        out = labeled.select("row", "col", "value", "label")
-    return out
+def _apply_mapping(labeled: DataFrame, mapping: DataFrame) -> DataFrame:
+    # mapping holds only cross-tile merged labels — broadcastable in
+    # practice (O(components spanning a tile edge)); AQE falls back to a
+    # shuffle join if a pathological grid ever outgrows the hint.
+    return (
+        labeled.join(F.broadcast(mapping), "label", "left")
+        .select("row", "col", "value", F.coalesce("root", "label").alias("label"))
+    )
 
 
 def polygonize(cells_df: DataFrame, grid: Grid, tile: int = 256) -> DataFrame:
@@ -197,9 +236,12 @@ def polygonize(cells_df: DataFrame, grid: Grid, tile: int = 256) -> DataFrame:
 
     labeled = d.groupBy("tile_y", "tile_x").applyInPandas(
         per_tile, schema="row long, col long, value double, label long, border boolean"
-    ).persist()
-    border = labeled.where("border").toPandas()
-    mapping = _merge_labels(border, cols, conn8=False, by_value=True)
+    )
+    border = labeled.where("border").select("row", "col", "value", "label").persist()
+    try:
+        mapping = _merge_labels_df(border, conn8=False, by_value=True)
+    finally:
+        border.unpersist()
     return _apply_mapping(labeled, mapping)
 
 

@@ -68,7 +68,7 @@ def _spans_batch(ids: np.ndarray) -> pd.DataFrame:
                     np.char.add(" ", _WORDS[wk])),
         "",
     )
-    doc_id = np.char.add("doc-", np.char.zfill(ids[doc_idx].astype(str), 10))
+    doc_id = np.char.add("doc-", np.char.zfill(ids[doc_idx].astype(str), 13))
     media_ref = np.where(
         kind == "text",
         "",
@@ -89,12 +89,14 @@ def _spans_batch(ids: np.ndarray) -> pd.DataFrame:
         include_groups=False,
     )
     return pd.DataFrame(
-        {"doc_id": np.char.add("doc-", np.char.zfill(ids.astype(str), 10)),
+        {"doc_id": np.char.add("doc-", np.char.zfill(ids.astype(str), 13)),
          "spans": rec.values}
     )
 
 
-def documents_spans(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+def documents_spans(
+    spark: SparkSession, n: int, partitions: int | None = None, start: int = 0
+) -> DataFrame:
     """The interleaved text+media documents table (input_hint shape).
 
     Generated entirely with JVM column expressions (whole-stage codegen, no
@@ -107,7 +109,7 @@ def documents_spans(spark: SparkSession, n: int, partitions: int | None = None) 
     partitions = partitions or max(
         2 * spark.sparkContext.defaultParallelism, min(256, n // 250_000 + 1)
     )
-    df = spark.range(n, numPartitions=partitions)
+    df = spark.range(start, start + n, 1, partitions)
 
     h1e = cells.h1_col  # overflow-safe for any key magnitude
     h2e = cells.h2_col
@@ -115,7 +117,10 @@ def documents_spans(spark: SparkSession, n: int, partitions: int | None = None) 
     words = F.array(*[F.lit(w) for w in _WORDS.tolist()])
     kinds = F.array(*[F.lit(k) for k in SPAN_KINDS])
     nw = len(_WORDS)
-    doc_id = F.concat(F.lit("doc-"), F.lpad(F.col("id").cast("string"), 10, "0"))
+    # format_string never truncates (unlike lpad): ids >= 10^13 simply widen,
+    # keeping doc_id unique and the numpy zfill twin byte-identical for the
+    # whole advertised 10^12-doc range (13 digits cover ids < 10^13).
+    doc_id = F.format_string("doc-%013d", F.col("id"))
     n_spans = (F.lit(1) + h1e(F.col("id")) % 8).cast("int")
 
     def span_at(j):
@@ -180,7 +185,8 @@ def documents_full(
     avoids a full-table shuffle join — at 10^12 rows the fused scan is the
     only sane plan (and mirrors reading one wide Iceberg table)."""
     docs = documents_spans(spark, n, partitions)
-    key = F.substring("doc_id", 5, 10).cast("long")
+    # substring(doc_id, 5) with no length: key recovery works at any id width
+    key = F.expr("cast(substring(doc_id, 5) as long)")
     from . import cells as _c
 
     h1 = _c.h1_col(key)
@@ -238,7 +244,7 @@ def doc_points(
     lon = F.when(hot, F.lit(x0) + F.lit(x1 - x0) * (h1 / F.lit(float(2**32)))).otherwise(lon)
     lat = F.when(hot, F.lit(y0) + F.lit(y1 - y0) * (h2 / F.lit(float(2**32)))).otherwise(lat)
     return df.select(
-        F.concat(F.lit("doc-"), F.lpad(F.col("id").cast("string"), 10, "0")).alias("doc_id"),
+        F.format_string("doc-%013d", F.col("id")).alias("doc_id"),
         F.col("id").alias("key"),
         lon.alias("x"),
         lat.alias("y"),

@@ -16,6 +16,26 @@ def test_jvm_spans_match_numpy_reference(spark):
         assert g == e
 
 
+def test_jvm_spans_match_numpy_at_huge_ids(spark):
+    """ids >= 10^10 (beyond the old lpad-10 truncation point): doc_id must
+    stay unique + byte-identical between the JVM and numpy generators, and
+    key recovery via substring(doc_id, 5) must round-trip (ADVICE r1)."""
+    start = 10**10 + 7
+    got = synth.documents_spans(spark, 50, start=start).toPandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    exp = synth._spans_batch(np.arange(start, start + 50)).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    assert list(got.doc_id) == list(exp.doc_id)
+    assert len(set(got.doc_id)) == 50
+    assert [int(d[4:]) for d in got.doc_id] == list(range(start, start + 50))
+    for i in range(50):
+        g = [(s["kind"], s["text"], s["media_ref"], int(s["offset"])) for s in got.spans[i]]
+        e = [(s["kind"], s["text"], s["media_ref"], int(s["offset"])) for s in exp.spans[i]]
+        assert g == e
+
+
 def test_documents_full_matches_doc_points(spark):
     full = synth.documents_full(spark, 500).select("key", "x", "y").toPandas().sort_values("key")
     pts = synth.doc_points(spark, 500).select("key", "x", "y").toPandas().sort_values("key")

@@ -93,6 +93,28 @@ def test_footprint_covers_domain(spark):
     assert (out.value == 2.0).all()
 
 
+def test_cluster_merge_never_touches_driver(spark, monkeypatch):
+    """VERDICT r1 #1: the cross-tile merge must be fully distributed — no
+    toPandas/collect of cell or border data anywhere in cluster/polygonize.
+    (The fixpoint loop's change-counts are allowed: they collect a single
+    long, not data.)"""
+    import pyspark.sql.dataframe as _dfmod
+
+    def _boom(self, *a, **k):  # pragma: no cover - should never run
+        raise AssertionError("toPandas() called inside the distributed CC path")
+
+    monkeypatch.setattr(_dfmod.DataFrame, "toPandas", _boom)
+    df, g, vals = _rand_grid(spark, 20, 23, 0)
+    got = vectorize.cluster(df, g, lo=2.0, hi=3.0, tile=4).collect()
+    mask = (vals >= 2.0) & (vals <= 3.0) & ~np.isnan(vals)
+    exp = _oracle_cc(mask, conn8=True)
+    assert len(got) == int(mask.sum())
+    for r in got:
+        assert exp[int(r.row), int(r.col)] == r.label
+    got2 = vectorize.polygonize(df, g, tile=4).collect()
+    assert len(got2) == int((~np.isnan(vals)).sum())
+
+
 def test_cluster_single_component_spanning_many_tiles(spark):
     """A snake that crosses every tile border must come back as ONE label."""
     rows, cols = 12, 12
