@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyramids_spark import cells, synth  # noqa: E402
 from pyramids_spark.ann import search as ann  # noqa: E402
-from pyramids_spark.operators import focal, knn, pip as pip_op, raster, zonal  # noqa: E402
+from pyramids_spark.operators import focal, knn, pip as pip_op, raster, vectorize, zonal  # noqa: E402
 from pyramids_spark.session import get_spark  # noqa: E402
 from pyramids_spark.grid import Grid, grid_df  # noqa: E402
 from pyramids_spark.text import dedup  # noqa: E402
@@ -139,6 +139,10 @@ def main():
     pts.count()
     bench("knn_25q", lambda: knn.knn_join(pts, _q25(), k=10).count())
     bench(
+        "knn_25q_cellpruned",
+        lambda: knn.knn_join_cellpruned(pts, _q25(), k=10, zoom=6).count(),
+    )
+    bench(
         "rasterize_rollup",
         lambda: raster.overview_rollup(
             _rasterized(spark, pts), level=4, stat="avg"
@@ -157,6 +161,16 @@ def main():
     gdf.count()
     bench("focal_tiles_r2", lambda: focal.focal_tiles(gdf, g, r=2, tile=256).count())
     gdf.unpersist()
+
+    # distributed connected components at a border set of ~10^5 cells
+    # (per-tile CC + one-task label-graph solve; no driver round-trips)
+    ccdf = grid_df(spark, g, "CAST(pmod(hash(row*2048+col), 100) AS DOUBLE)").persist()
+    ccdf.count()
+    bench(
+        "cluster_cc_4m",
+        lambda: vectorize.cluster(ccdf, g, lo=0.0, hi=54.0, tile=128).count(),
+    )
+    ccdf.unpersist()
 
     # --- text pipeline at bench scale ---------------------------------------
     texts = (

@@ -115,6 +115,20 @@ def test_cluster_merge_never_touches_driver(spark, monkeypatch):
     assert len(got2) == int((~np.isnan(vals)).sum())
 
 
+@pytest.mark.parametrize("seed,tile", [(1, 5)])
+def test_cluster_sparkloop_path_matches_oracle(spark, monkeypatch, seed, tile):
+    """Force the big-graph Spark fixpoint branch (EDGE_LOCAL_MAX=0) and
+    check it produces the same canonical labels as the one-task numpy path."""
+    monkeypatch.setattr(vectorize, "EDGE_LOCAL_MAX", 0)
+    df, g, vals = _rand_grid(spark, 20, 23, seed)
+    got = vectorize.cluster(df, g, lo=2.0, hi=3.0, tile=tile).toPandas()
+    mask = (vals >= 2.0) & (vals <= 3.0) & ~np.isnan(vals)
+    exp = _oracle_cc(mask, conn8=True)
+    assert len(got) == int(mask.sum())
+    for _, r in got.iterrows():
+        assert exp[int(r.row), int(r.col)] == r.label
+
+
 def test_cluster_single_component_spanning_many_tiles(spark):
     """A snake that crosses every tile border must come back as ONE label."""
     rows, cols = 12, 12
