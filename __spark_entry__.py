@@ -395,6 +395,35 @@ def sql_focal_mean():
     )
 
 
+def q_focal_minmax(spark, sf_dir):
+    """Focal min+max through the halo-TILES path (completes focal_apply,
+    reference ``_focal.py:176-222``); oracled against the offset-join SQL
+    twin with reflect boundary."""
+    g = grid_df(spark, COELLO, _MOSAIC_A)
+    mn = focal.focal_tiles(g, COELLO, r=2, stat="min", tile=5).withColumnRenamed(
+        "value", "vmin"
+    )
+    mx = focal.focal_tiles(g, COELLO, r=2, stat="max", tile=5).withColumnRenamed(
+        "value", "vmax"
+    )
+    return mn.join(mx, ["band", "row", "col"])
+
+
+def sql_focal_minmax():
+    sr = focal.reflect_sql("g.row + o.dr", COELLO.rows)
+    sc = focal.reflect_sql("g.col + o.dc", COELLO.cols)
+    return (
+        f"WITH g AS ({grid_sql(COELLO, _MOSAIC_A)}), "
+        "o AS (SELECT (i // 5) - 2 AS dr, (i % 5) - 2 AS dc FROM generate_series(0, 24) t(i)), "
+        f"tgt AS (SELECT g.band, g.row AS trow, g.col AS tcol, {sr} AS srow, {sc} AS scol "
+        "FROM g CROSS JOIN o) "
+        "SELECT t.band, t.trow AS row, t.tcol AS col, "
+        "min(s.value) AS vmin, max(s.value) AS vmax "
+        "FROM tgt t JOIN g s ON s.band = t.band AND s.row = t.srow AND s.col = t.scol "
+        "GROUP BY 1, 2, 3"
+    )
+
+
 def q_histogram(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem").select(
         F.lit(0).alias("band"), F.col("l_extendedprice").alias("value")
@@ -480,6 +509,69 @@ def sql_crop_aligned():
         "SELECT s.band, s.row, s.col, "
         "CASE WHEN m.value IS NOT NULL THEN s.value END AS value "
         "FROM s LEFT JOIN m ON m.row = s.row AND m.col = s.col"
+    )
+
+
+# polygon-cutline crop fixture: ccw hexagon in COELLO map coords, radius and
+# centre at non-integer cell fractions so no cell centre falls on an edge
+def _crop_hex() -> np.ndarray:
+    cx = COELLO.x0 + 7.13 * COELLO.cell
+    cy = COELLO.y0 - 6.37 * COELLO.cell
+    r = 3.37 * COELLO.cell
+    ang = np.linspace(0, 2 * np.pi, 7)[:-1]
+    return np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+
+
+def q_crop_polygon(spark, sf_dir):
+    """Polygon-cutline crop, touch=True: warp cutline (centre-inside mask) +
+    wrap-correction trim of all-nodata rows/cols (``spatial.py:795-886``)."""
+    g = grid_df(spark, COELLO)
+    return raster.crop_polygon(g, COELLO, _crop_hex(), touch=True)
+
+
+def q_crop_polygon_clip(spark, sf_dir):
+    """Polygon-cutline crop, touch=False: cropToCutline — window = polygon
+    envelope snapped outward to the grid, values masked to centre-inside."""
+    g = grid_df(spark, COELLO)
+    return raster.crop_polygon(g, COELLO, _crop_hex(), touch=False)
+
+
+def _crop_hex_pip_sql() -> str:
+    return _convex_pip_sql(
+        _crop_hex(),
+        px=COELLO.x_center_sql("col"),
+        py=COELLO.y_center_sql("row"),
+    )
+
+
+def sql_crop_polygon():
+    return (
+        f"WITH g AS ({grid_sql(COELLO)}), "
+        f"k AS (SELECT band, row, col, "
+        f"CASE WHEN {_crop_hex_pip_sql()} THEN value END AS value FROM g), "
+        "e AS (SELECT min(row) AS r0, min(col) AS c0, max(row) AS r1, "
+        "max(col) AS c1 FROM k WHERE value IS NOT NULL) "
+        "SELECT k.band, k.row - e.r0 AS row, k.col - e.c0 AS col, "
+        "k.row AS src_row, k.col AS src_col, k.value AS value "
+        "FROM k CROSS JOIN e "
+        "WHERE k.row BETWEEN e.r0 AND e.r1 AND k.col BETWEEN e.c0 AND e.c1"
+    )
+
+
+def sql_crop_polygon_clip():
+    p = _crop_hex()
+    xmin, ymin = p.min(axis=0)
+    xmax, ymax = p.max(axis=0)
+    c0 = max(0, int(np.floor((xmin - COELLO.x0) / COELLO.cell)))
+    c1 = min(COELLO.cols - 1, int(np.ceil((xmax - COELLO.x0) / COELLO.cell)) - 1)
+    r0 = max(0, int(np.floor((COELLO.y0 - ymax) / COELLO.cell)))
+    r1 = min(COELLO.rows - 1, int(np.ceil((COELLO.y0 - ymin) / COELLO.cell)) - 1)
+    return (
+        f"WITH g AS ({grid_sql(COELLO)}) "
+        f"SELECT band, row - {r0} AS row, col - {c0} AS col, "
+        f"row AS src_row, col AS src_col, "
+        f"CASE WHEN {_crop_hex_pip_sql()} THEN value END AS value "
+        f"FROM g WHERE row BETWEEN {r0} AND {r1} AND col BETWEEN {c0} AND {c1}"
     )
 
 
@@ -965,6 +1057,52 @@ def sql_resample_bilinear():
         "JOIN g b ON b.row = n.r0 AND b.col = n.c1 AND b.band = a.band "
         "JOIN g c ON c.row = n.r1 AND c.col = n.c0 AND c.band = a.band "
         "JOIN g d ON d.row = n.r1 AND d.col = n.c1 AND d.band = a.band"
+    )
+
+
+def q_resample_cubic(spark, sf_dir):
+    """Cubic-convolution resample, Keys a=-0.5 (reference interpolation trio
+    ``base/_utils.py:143-147``; ``spatial.py:238-358``)."""
+    g = grid_df(spark, COELLO)
+    out = raster.resample_cubic(g, COELLO, _UP_GRID)
+    return out.select("band", "row", "col", F.round("value", 6).alias("value"))
+
+
+def sql_resample_cubic():
+    d, s = _UP_GRID, COELLO
+    xq, yq = d.x_center_sql("col"), d.y_center_sql("row")
+    fx = f"((({xq}) - {s.x0!r}) / {s.cell!r} - 0.5)"
+    fy = f"(({s.y0!r} - ({yq})) / {s.cell!r} - 0.5)"
+
+    def w(dexpr):
+        return (
+            f"(CASE WHEN {dexpr} <= 1.0 "
+            f"THEN (1.5 * {dexpr} - 2.5) * {dexpr} * {dexpr} + 1.0 "
+            f"ELSE ((-0.5 * {dexpr} + 2.5) * {dexpr} - 4.0) * {dexpr} + 2.0 END)"
+        )
+
+    offsets = [(i, j) for i in (-1, 0, 1, 2) for j in (-1, 0, 1, 2)]
+    vals = ", ".join(f"({t}, {float(i)!r}, {float(j)!r})" for t, (i, j) in enumerate(offsets))
+    pivots = ", ".join(
+        f"max(CASE WHEN tap = {t} THEN wv END) AS t{t}" for t in range(16)
+    )
+    total = " + ".join(f"t{t}" for t in range(16))
+    return (
+        f"WITH g AS ({grid_sql(s)}), "
+        f"o AS (SELECT i // {d.cols} AS row, i % {d.cols} AS col, "
+        f"{fx} AS fx, {fy} AS fy "
+        f"FROM generate_series(0, {d.rows * d.cols - 1}) t(i)), "
+        "m AS (SELECT row, col, fx - floor(fx) AS tx, fy - floor(fy) AS ty, "
+        "CAST(floor(fx) AS BIGINT) AS c0, CAST(floor(fy) AS BIGINT) AS r0 FROM o), "
+        f"k AS (SELECT m.row, m.col, v.tap, "
+        f"greatest(0, least({s.rows - 1}, m.r0 + CAST(v.dy AS BIGINT))) AS sr, "
+        f"greatest(0, least({s.cols - 1}, m.c0 + CAST(v.dx AS BIGINT))) AS sc, "
+        f"{w('abs(v.dy - m.ty)')} * {w('abs(v.dx - m.tx)')} AS w "
+        f"FROM m CROSS JOIN (VALUES {vals}) v(tap, dy, dx)), "
+        "j AS (SELECT g.band, k.row, k.col, k.tap, k.w * g.value AS wv "
+        "FROM k JOIN g ON g.row = k.sr AND g.col = k.sc), "
+        f"p AS (SELECT band, row, col, {pivots} FROM j GROUP BY band, row, col) "
+        f"SELECT band, row, col, round({total}, 6) AS value FROM p"
     )
 
 
@@ -1619,9 +1757,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "crop_window": q_crop_window,
         "crop_aligned": q_crop_aligned,
+        "crop_polygon": q_crop_polygon,
+        "crop_polygon_clip": q_crop_polygon_clip,
         "align_nearest": q_align_nearest,
         "overview_rollup": q_overview_rollup,
         "focal_mean": q_focal_mean,
+        "focal_minmax": q_focal_minmax,
         "histogram": q_histogram,
         "mosaic": q_mosaic,
         "stats": q_stats,
@@ -1652,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_offset": q_scale_offset,
         "resample_up": q_resample_up,
         "resample_bilinear": q_resample_bilinear,
+        "resample_cubic": q_resample_cubic,
         "fill_gaps": q_fill_gaps,
         "convert_longitude": q_convert_longitude,
         "slope_hillshade": q_slope_hillshade,
@@ -1688,9 +1830,12 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": sql_zonal_stats(),
         "crop_window": sql_crop_window(),
         "crop_aligned": sql_crop_aligned(),
+        "crop_polygon": sql_crop_polygon(),
+        "crop_polygon_clip": sql_crop_polygon_clip(),
         "align_nearest": sql_align_nearest(),
         "overview_rollup": sql_overview_rollup(),
         "focal_mean": sql_focal_mean(),
+        "focal_minmax": sql_focal_minmax(),
         "histogram": sql_histogram(),
         "mosaic": sql_mosaic(),
         "stats": sql_stats(),
@@ -1719,6 +1864,7 @@ def oracle_sql() -> dict[str, str]:
         "scale_offset": sql_scale_offset(),
         "resample_up": sql_resample_up(),
         "resample_bilinear": sql_resample_bilinear(),
+        "resample_cubic": sql_resample_cubic(),
         "fill_gaps": sql_fill_gaps(),
         "convert_longitude": sql_convert_longitude(),
         "slope_hillshade": sql_slope_hillshade(),

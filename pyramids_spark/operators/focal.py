@@ -173,6 +173,27 @@ def focal_tiles(
                 res = s / n
             elif stat == "std":
                 res = np.sqrt(np.maximum(s2 / n - (s / n) ** 2, 0.0))
+            elif stat in ("min", "max") or callable(stat):
+                # order statistics / arbitrary reducers aren't cumsum-able:
+                # zero-copy sliding windows + one vectorized nan-reduce
+                # (completes the reference focal_apply surface,
+                # ``_focal.py:176-222``)
+                from numpy.lib.stride_tricks import sliding_window_view
+
+                win = sliding_window_view(val, (k, k))
+                flat = win.reshape(win.shape[0], win.shape[1], k * k)
+                import warnings
+
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", RuntimeWarning)
+                    if stat == "min":
+                        res = np.nanmin(flat, axis=2)
+                    elif stat == "max":
+                        res = np.nanmax(flat, axis=2)
+                    else:
+                        # focal_apply contract: stat(windows) with windows
+                        # shaped (h, w, k²), NaN = nodata, returns (h, w)
+                        res = stat(flat)
             else:
                 raise ValueError(stat)
         res[n == 0] = np.nan

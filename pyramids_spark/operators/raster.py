@@ -12,6 +12,8 @@ ranges map to partition/file pruning (min-max stats on row/col), joins on
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -61,6 +63,96 @@ def crop_window(cells_df: DataFrame, grid: Grid, box: tuple[float, float, float,
             F.col("col").alias("src_col"),
             "value",
         )
+    )
+
+
+def crop_polygon(
+    cells_df: DataFrame,
+    grid: Grid,
+    polygon: "np.ndarray",
+    touch: bool = True,
+) -> DataFrame:
+    """Polygon-cutline crop (reference ``Dataset.crop(mask=GeoDataFrame,
+    touch)`` → ``_crop_with_polygon_warp`` + ``_correct_wrap_cutline_error``,
+    ``dataset/ops/spatial.py:795-886``; golden contract
+    ``tests/dataset/test_dataset.py:918-1127``).
+
+    Keep rule: cell CENTRE strictly inside the polygon (GDAL warp's cutline
+    pixel-centre rule). Window rule:
+
+    - ``touch=True`` (warp + wrap-correction): trim every all-nodata
+      row/col, i.e. the window is the bbox of kept cells — computed as a
+      fully parallel partial agg + broadcast (no single-partition stage).
+    - ``touch=False`` (``cropToCutline``): the window is the polygon
+      envelope snapped outward to the source grid; values outside the
+      polygon are still NULL.
+
+    Returns (band, row, col, src_row, src_col, value) re-origined to the
+    window, value NULL where the centre is outside the polygon.
+    Convex ccw polygons use the codegen half-plane test; arbitrary rings
+    fall back to an Arrow-batched ray-cast UDF.
+    """
+    from .. import cells as _cells
+    from .pip import _all_convex_ccw
+
+    p = np.asarray(polygon, dtype=np.float64)
+    if np.allclose(p[0], p[-1]):
+        p = p[:-1]
+    xc = grid.x_center_col(F.col("col"))
+    yc = grid.y_center_col(F.col("row"))
+    d = cells_df.withColumn("_xc", xc).withColumn("_yc", yc)
+    if _all_convex_ccw([{"zone_id": 0, "parts": [p]}]):
+        cond = F.lit(True)
+        for i in range(len(p)):
+            xa, ya = float(p[i][0]), float(p[i][1])
+            xb, yb = float(p[(i + 1) % len(p)][0]), float(p[(i + 1) % len(p)][1])
+            cond = cond & (
+                (F.lit(xb - xa) * (F.col("_yc") - F.lit(ya))
+                 - F.lit(yb - ya) * (F.col("_xc") - F.lit(xa))) > 0
+            )
+        d = d.withColumn("_ins", cond)
+    else:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("boolean")
+        def _ins(xs: pd.Series, ys: pd.Series) -> pd.Series:
+            return pd.Series(
+                _cells.points_in_polygon(xs.to_numpy(), ys.to_numpy(), p)
+            )
+
+        d = d.withColumn("_ins", _ins("_xc", "_yc"))
+
+    masked = d.select(
+        "band", "row", "col",
+        F.when(F.col("_ins"), F.col("value")).alias("value"),
+    )
+    if touch:
+        ext = masked.where(F.col("value").isNotNull()).agg(
+            F.min("row").alias("_r0"), F.min("col").alias("_c0"),
+            F.max("row").alias("_r1"), F.max("col").alias("_c1"),
+        )
+        win = masked.crossJoin(F.broadcast(ext)).where(
+            (F.col("row") >= F.col("_r0")) & (F.col("row") <= F.col("_r1"))
+            & (F.col("col") >= F.col("_c0")) & (F.col("col") <= F.col("_c1"))
+        )
+    else:
+        xmin, ymin = p.min(axis=0)
+        xmax, ymax = p.max(axis=0)
+        c0 = max(0, int(np.floor((xmin - grid.x0) / grid.cell)))
+        c1 = min(grid.cols - 1, int(np.ceil((xmax - grid.x0) / grid.cell)) - 1)
+        r0 = max(0, int(np.floor((grid.y0 - ymax) / grid.cell)))
+        r1 = min(grid.rows - 1, int(np.ceil((grid.y0 - ymin) / grid.cell)) - 1)
+        win = masked.where(
+            (F.col("row") >= r0) & (F.col("row") <= r1)
+            & (F.col("col") >= c0) & (F.col("col") <= c1)
+        ).withColumns({"_r0": F.lit(r0), "_c0": F.lit(c0)})
+    return win.select(
+        "band",
+        (F.col("row") - F.col("_r0")).alias("row"),
+        (F.col("col") - F.col("_c0")).alias("col"),
+        F.col("row").alias("src_row"),
+        F.col("col").alias("src_col"),
+        "value",
     )
 
 
@@ -152,6 +244,87 @@ def resample_bilinear(src: DataFrame, src_grid: Grid, dst_grid: Grid) -> DataFra
         + F.col("_wy") * ((1 - F.col("_wx")) * F.col("_v10") + F.col("_wx") * F.col("_v11"))
     )
     return out.select("band", "row", "col", val.alias("value"))
+
+
+CUBIC_A = -0.5  # Keys cubic-convolution free parameter (GDAL's cubic)
+
+
+def _cubic_w(d: F.Column) -> F.Column:
+    """Keys (1981) cubic kernel, a=-0.5, written with the exact expression
+    shape mirrored in the DuckDB oracle so doubles match bit-for-bit:
+    |d|<=1: (1.5d - 2.5)d² + 1;  1<|d|<2: ((-0.5d + 2.5)d - 4)d + 2."""
+    return F.when(
+        d <= F.lit(1.0), (F.lit(1.5) * d - F.lit(2.5)) * d * d + F.lit(1.0)
+    ).otherwise(((F.lit(-0.5) * d + F.lit(2.5)) * d - F.lit(4.0)) * d + F.lit(2.0))
+
+
+def resample_cubic(src: DataFrame, src_grid: Grid, dst_grid: Grid) -> DataFrame:
+    """Cubic-convolution resample — completes the reference interpolation
+    trio nearest/bilinear/cubic (``INTERPOLATION_METHODS``,
+    ``base/_utils.py:143-147``; ``Dataset.resample``, ``dataset/ops/
+    spatial.py:238-358``). Each output centre convolves the 4×4 surrounding
+    source cell centres with the separable Keys kernel; taps edge-clamp
+    (∑w = 1, so edges replicate); NULL if any contributing tap is nodata.
+
+    Plan: dst cells × 16 exploded taps → ONE equi-join on (row, col) → one
+    partial-agg pivot back to 16 columns → fixed-order sum. One shuffle
+    join + one map-side-combined aggregation regardless of kernel size —
+    at 10^12 cells this beats the 16-way join chain the bilinear path uses
+    for its 4 taps, and the fixed-order sum keeps the doubles bit-stable
+    for the oracle."""
+    spark = src.sparkSession
+    ncells = dst_grid.rows * dst_grid.cols
+    fx = (dst_grid.x_center_col(F.col("col")) - F.lit(src_grid.x0)) / F.lit(src_grid.cell) - 0.5
+    fy = (F.lit(src_grid.y0) - dst_grid.y_center_col(F.col("row"))) / F.lit(src_grid.cell) - 0.5
+    offsets = [(i, j) for i in (-1, 0, 1, 2) for j in (-1, 0, 1, 2)]
+    taps = F.array(*[
+        F.struct(
+            F.lit(t).alias("tap"),
+            F.lit(float(i)).alias("dy"),
+            F.lit(float(j)).alias("dx"),
+        )
+        for t, (i, j) in enumerate(offsets)
+    ])
+    base = (
+        spark.range(ncells)
+        .select(
+            (F.col("id") / F.lit(dst_grid.cols)).cast("long").alias("row"),
+            (F.col("id") % F.lit(dst_grid.cols)).cast("long").alias("col"),
+        )
+        .withColumn("_fx", fx)
+        .withColumn("_fy", fy)
+        .withColumn("_tx", F.col("_fx") - F.floor("_fx"))
+        .withColumn("_ty", F.col("_fy") - F.floor("_fy"))
+        .withColumn("_c0", F.floor("_fx").cast("long"))
+        .withColumn("_r0", F.floor("_fy").cast("long"))
+        .select("row", "col", "_tx", "_ty", "_r0", "_c0", F.explode(taps).alias("t"))
+        .select(
+            "row", "col", F.col("t.tap").alias("tap"),
+            F.greatest(
+                F.lit(0),
+                F.least(F.lit(src_grid.rows - 1), F.col("_r0") + F.col("t.dy").cast("long")),
+            ).alias("src_row"),
+            F.greatest(
+                F.lit(0),
+                F.least(F.lit(src_grid.cols - 1), F.col("_c0") + F.col("t.dx").cast("long")),
+            ).alias("src_col"),
+            (
+                _cubic_w(F.abs(F.col("t.dy") - F.col("_ty")))
+                * _cubic_w(F.abs(F.col("t.dx") - F.col("_tx")))
+            ).alias("w"),
+        )
+    )
+    s = src.select("band", F.col("row").alias("src_row"), F.col("col").alias("src_col"), "value")
+    joined = base.join(s, ["src_row", "src_col"]).select(
+        "band", "row", "col", "tap", (F.col("w") * F.col("value")).alias("wv")
+    )
+    piv = joined.groupBy("band", "row", "col").agg(
+        *[F.max(F.when(F.col("tap") == t, F.col("wv"))).alias(f"_t{t}") for t in range(16)]
+    )
+    total = F.col("_t0")
+    for t in range(1, 16):
+        total = total + F.col(f"_t{t}")
+    return piv.select("band", "row", "col", total.alias("value"))
 
 
 def resample(src: DataFrame, src_grid: Grid, cell: float) -> tuple[DataFrame, Grid]:

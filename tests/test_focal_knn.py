@@ -52,6 +52,42 @@ def test_focal_tiles_std_matches_join_std(spark):
     np.testing.assert_allclose(a.value.to_numpy(), b.value.to_numpy(), rtol=1e-9)
 
 
+@pytest.mark.parametrize("stat", ["min", "max"])
+def test_focal_tiles_minmax_matches_join(spark, stat):
+    """Order statistics through the tiled path (focal_apply completion)."""
+    expr = "CASE WHEN (row * {cols} + col) % 9 = 0 THEN NULL ELSE CAST(row * {cols} + col + 1 AS DOUBLE) END"
+    g = grid_df(spark, COELLO, expr)
+    a = focal.focal_join(g, COELLO, r=2, stat=stat).toPandas()
+    b = focal.focal_tiles(g, COELLO, r=2, stat=stat, tile=5).toPandas()
+    a = a.dropna().sort_values(["row", "col"]).reset_index(drop=True)
+    b = b.sort_values(["row", "col"]).reset_index(drop=True)
+    assert len(a) == len(b) == 182
+    np.testing.assert_array_equal(a.value.to_numpy(), b.value.to_numpy())
+
+
+def test_focal_tiles_arbitrary_callable(spark):
+    """focal_apply semantics: a custom reducer over (h, w, k²) windows —
+    here nan-median, cross-checked against nanmedian on the full grid."""
+    g = grid_df(spark, COELLO)
+
+    def med(flat):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            return np.nanmedian(flat, axis=2)
+
+    got = focal.focal_tiles(g, COELLO, r=1, stat=med, tile=6).toPandas()
+    a = (np.arange(182, dtype=np.float64) + 1).reshape(13, 14)
+    pad = np.pad(a, 1, mode="symmetric")  # scipy 'reflect' == numpy 'symmetric'
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    exp = np.nanmedian(sliding_window_view(pad, (3, 3)).reshape(13, 14, 9), axis=2)
+    for _, row in got.iterrows():
+        assert row.value == pytest.approx(exp[int(row.row), int(row.col)], rel=1e-12)
+    assert len(got) == 182
+
+
 def _np_knn(ids, xs, ys, queries, k):
     exp = []
     for qid, qx, qy in queries:

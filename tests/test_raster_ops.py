@@ -71,6 +71,69 @@ def test_crop_window_reference_doctest_contract(spark):
     assert vals[(2, 2)] == 2 * 10 + 2 + 1
 
 
+def test_crop_polygon_concave_raycast_fallback(spark):
+    """Non-convex polygon routes through the ray-cast UDF; result must match
+    a numpy centre-inside test + all-nodata trim (touch=True)."""
+    from pyramids_spark import cells as pscells
+
+    g = grid_df(spark, CROP_GRID)
+    # L-shape (concave, ccw)
+    poly = np.array([
+        [0.02, -0.48], [0.33, -0.48], [0.33, -0.27], [0.18, -0.27],
+        [0.18, -0.07], [0.02, -0.07],
+    ])
+    out = raster.crop_polygon(g, CROP_GRID, poly, touch=True).toPandas()
+    rows, cols = CROP_GRID.rows, CROP_GRID.cols
+    xs = CROP_GRID.x0 + (np.tile(np.arange(cols), rows) + 0.5) * CROP_GRID.cell
+    ys = CROP_GRID.y0 - (np.repeat(np.arange(rows), cols) + 0.5) * CROP_GRID.cell
+    ins = pscells.points_in_polygon(xs, ys, poly).reshape(rows, cols)
+    assert ins.sum() > 0 and not ins.all()
+    kr, kc = np.nonzero(ins)
+    r0, r1, c0, c1 = kr.min(), kr.max(), kc.min(), kc.max()
+    assert len(out) == (r1 - r0 + 1) * (c1 - c0 + 1)
+    for _, r in out.iterrows():
+        sr, sc = int(r.src_row), int(r.src_col)
+        assert (r.row, r.col) == (sr - r0, sc - c0)
+        if ins[sr, sc]:
+            assert r.value == sr * cols + sc + 1
+        else:
+            assert pd.isna(r.value)
+
+
+def test_resample_cubic_identity_and_numpy_kernel(spark):
+    """Keys kernel is interpolating (W(0)=1, W(±1)=W(±2)=0): resampling to
+    the SAME grid must reproduce the input exactly; an offset grid must
+    match a numpy implementation of the separable a=-0.5 convolution."""
+    src = grid_df(spark, COELLO)
+    same = raster.resample_cubic(src, COELLO, COELLO).toPandas()
+    orig = src.toPandas()
+    m = same.merge(orig, on=["band", "row", "col"], suffixes=("_c", "_o"))
+    np.testing.assert_allclose(m.value_c, m.value_o, rtol=0, atol=1e-9)
+
+    dst = COELLO.with_cell(COELLO.cell / 2.0)
+    got = raster.resample_cubic(src, COELLO, dst).toPandas()
+    vals = (
+        orig.sort_values(["row", "col"]).value.to_numpy().reshape(COELLO.rows, COELLO.cols)
+    )
+
+    def kw(d):
+        d = abs(d)
+        return (1.5 * d - 2.5) * d * d + 1.0 if d <= 1 else ((-0.5 * d + 2.5) * d - 4.0) * d + 2.0
+
+    for _, r in got.sample(40, random_state=0).iterrows():
+        fxx = (dst.x0 + (r.col + 0.5) * dst.cell - COELLO.x0) / COELLO.cell - 0.5
+        fyy = (COELLO.y0 - (dst.y0 - (r.row + 0.5) * dst.cell)) / COELLO.cell - 0.5
+        c0, r0 = int(np.floor(fxx)), int(np.floor(fyy))
+        tx, ty = fxx - c0, fyy - r0
+        acc = 0.0
+        for i in (-1, 0, 1, 2):
+            for j in (-1, 0, 1, 2):
+                sr = min(max(r0 + i, 0), COELLO.rows - 1)
+                sc = min(max(c0 + j, 0), COELLO.cols - 1)
+                acc += kw(i - ty) * kw(j - tx) * vals[sr, sc]
+        assert abs(acc - r.value) < 1e-9, (r.row, r.col)
+
+
 def test_crop_and_normalize_plans_have_no_single_partition_stage(spark):
     """VERDICT r1 #2: re-origin/extrema must be partial aggs + broadcast,
     never a Window over one partition (SinglePartition exchange) or over a
