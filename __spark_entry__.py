@@ -815,6 +815,29 @@ def sql_ngram_jaccard():
     )
 
 
+def q_ngram_jaccard_capped(spark, sf_dir):
+    """df-capped n-gram Jaccard: hot shingles (df > cap) leave the universe
+    BEFORE the self-join — the web-scale skew guard, oracled exactly."""
+    docs = _read(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, n=3)
+    out = dedup.ngram_jaccard(sh, min_sim=0.2, max_df=8)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def sql_ngram_jaccard_capped():
+    return (
+        f"{_SHINGLE_SQL}, keep AS (SELECT shingle FROM sh GROUP BY shingle "
+        "HAVING count(*) <= 8), "
+        "shc AS (SELECT sh.id, sh.shingle FROM sh JOIN keep ON keep.shingle = sh.shingle), "
+        "sz AS (SELECT id, count(*) AS sz FROM shc GROUP BY id), "
+        "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i "
+        "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2) "
+        "SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (x.sz + y.sz - i), 6) AS jaccard "
+        "FROM inter JOIN sz x ON x.id = id_a JOIN sz y ON y.id = id_b "
+        "WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.2"
+    )
+
+
 def q_simhash(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return dedup.simhash(docs, bits=16)
@@ -1213,6 +1236,62 @@ def sql_reproject_3857():
     )
 
 
+_EQC_GRID = reproj_op.reproject_plan(CROP_GRID, 4087)
+_SINU_GRID = reproj_op.reproject_plan(CROP_GRID, 54008)
+
+
+def q_reproject_4087(spark, sf_dir):
+    """to_crs 4326→4087 world equidistant cylindrical (closed-form x=Rλ,
+    y=Rφ; extends the to_crs dispatch beyond 3857/UTM, VERDICT r1 #10)."""
+    g = grid_df(spark, CROP_GRID)
+    return reproj_op.to_crs_nearest(
+        g, CROP_GRID, _EQC_GRID,
+        inverse=(reproj_op.inv_eqc_lon, reproj_op.inv_eqc_lat),
+    )
+
+
+def sql_reproject_4087():
+    d = _EQC_GRID
+    xq, yq = d.x_center_sql("col"), d.y_center_sql("row")
+    lon, lat = reproj_op.inv_eqc_sql(xq, yq)
+    return (
+        f"WITH g AS ({grid_sql(CROP_GRID)}), "
+        f"o AS (SELECT i // {d.cols} AS row, i % {d.cols} AS col "
+        f"FROM generate_series(0, {d.rows * d.cols - 1}) t(i)), "
+        f"m AS (SELECT row, col, {CROP_GRID.row_of_sql(lat)} AS src_row, "
+        f"{CROP_GRID.col_of_sql(lon)} AS src_col FROM o) "
+        "SELECT g.band, m.row, m.col, g.value FROM m "
+        "JOIN g ON g.row = m.src_row AND g.col = m.src_col"
+    )
+
+
+def q_reproject_sinusoidal(spark, sf_dir):
+    """to_crs 4326→54008 sinusoidal (equal-area; the inverse couples the
+    axes: λ = x/(R·cos(y/R)))."""
+    g = grid_df(spark, CROP_GRID)
+    return reproj_op.to_crs_nearest(
+        g, CROP_GRID, _SINU_GRID,
+        inverse=lambda dx, dy: (
+            reproj_op.inv_sinu_lon(dx, dy), reproj_op.inv_sinu_lat(dy)
+        ),
+    )
+
+
+def sql_reproject_sinusoidal():
+    d = _SINU_GRID
+    xq, yq = d.x_center_sql("col"), d.y_center_sql("row")
+    lon, lat = reproj_op.inv_sinu_sql(xq, yq)
+    return (
+        f"WITH g AS ({grid_sql(CROP_GRID)}), "
+        f"o AS (SELECT i // {d.cols} AS row, i % {d.cols} AS col "
+        f"FROM generate_series(0, {d.rows * d.cols - 1}) t(i)), "
+        f"m AS (SELECT row, col, {CROP_GRID.row_of_sql(lat)} AS src_row, "
+        f"{CROP_GRID.col_of_sql(lon)} AS src_col FROM o) "
+        "SELECT g.band, m.row, m.col, g.value FROM m "
+        "JOIN g ON g.row = m.src_row AND g.col = m.src_col"
+    )
+
+
 _CC_VALUE = _STATS_VALUE  # nodata where %11=0
 
 
@@ -1537,17 +1616,9 @@ def q_near_dup_embeddings(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings").withColumn(
         "v", F.transform("embedding", lambda x: x.cast("double"))
     ).select("vec_id", "v")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda p, q: p * q), F.lit(0.0), lambda s, t: s + t)
-    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda s, t: s + t * t))
-    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda s, t: s + t * t))
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(dot / (na * nb), 6).alias("cos_sim"))
-        .where(F.col("cos_sim") >= 0.42)
-    )
+    # near_dup_pairs carries the hard row guard: exact crossJoin only below
+    # max_exact_rows, LSH-bucketed pairs above (VERDICT r1 #6)
+    return ann.near_dup_pairs(emb, threshold=0.42, vec="v")
 
 
 def sql_near_dup_embeddings():
@@ -1724,6 +1795,59 @@ def sql_mesh_to_grid():
     )
 
 
+def q_mesh_to_grid_linear(spark, sf_dir):
+    """Linear mesh→grid: barycentric on triangular faces (reference
+    LinearNDInterpolator path, ``ugrid/interpolation.py:97-182``; NULL
+    outside every face)."""
+    from pyramids_spark.operators import mesh as mesh_op
+
+    nodes = _mesh_nodes(spark, sf_dir)
+    faces = spark.range(23).select(
+        F.col("id").alias("face_id"),
+        F.array(
+            F.col("id").cast("int"), (F.col("id") + 1).cast("int"),
+            (F.col("id") + 2).cast("int"),
+        ).alias("node_ids"),
+    )
+    out = mesh_op.mesh_to_grid_linear(nodes, faces, COELLO, value="data")
+    return out.select("row", "col", F.round("value", 6).alias("value"))
+
+
+def sql_mesh_to_grid_linear():
+    xq, yq = COELLO.x_center_sql("col"), COELLO.y_center_sql("row")
+    det = "((t.y1 - t.y2) * (t.x0 - t.x2) + (t.x2 - t.x1) * (t.y0 - t.y2))"
+    w0 = f"(((t.y1 - t.y2) * (o.qx - t.x2) + (t.x2 - t.x1) * (o.qy - t.y2)) / {det})"
+    w1 = f"(((t.y2 - t.y0) * (o.qx - t.x2) + (t.x0 - t.x2) * (o.qy - t.y2)) / {det})"
+    # bbox bounds live in their own CTE columns: inline least/greatest over
+    # join-produced columns trips a DuckDB vectorization assert ("requires a
+    # flat vector"), precomputed columns do not
+    return (
+        f"WITH n AS ({_MESH_NODES_SQL}), "
+        "f AS (SELECT i AS face_id, i AS n0, i + 1 AS n1, i + 2 AS n2 "
+        "FROM generate_series(0, 22) t(i)), "
+        "t0 AS (SELECT f.face_id, a.x AS x0, a.y AS y0, a.data AS v0, "
+        "b.x AS x1, b.y AS y1, b.data AS v1, c.x AS x2, c.y AS y2, c.data AS v2 "
+        "FROM f JOIN n a ON a.node_id = f.n0 JOIN n b ON b.node_id = f.n1 "
+        "JOIN n c ON c.node_id = f.n2), "
+        "t AS (SELECT *, least(x0, x1, x2) AS bx0, greatest(x0, x1, x2) AS bx1, "
+        "least(y0, y1, y2) AS by0, greatest(y0, y1, y2) AS by1 FROM t0), "
+        f"o AS (SELECT i // {COELLO.cols} AS row, i % {COELLO.cols} AS col, "
+        f"{xq} AS qx, {yq} AS qy "
+        f"FROM generate_series(0, {COELLO.rows * COELLO.cols - 1}) t(i)), "
+        f"cand AS (SELECT o.row, o.col, t.face_id, {w0} AS w0, {w1} AS w1, "
+        f"(1.0 - {w0} - {w1}) AS w2, t.v0, t.v1, t.v2 "
+        "FROM o CROSS JOIN t "
+        "WHERE o.qx >= t.bx0 AND o.qx <= t.bx1 "
+        "AND o.qy >= t.by0 AND o.qy <= t.by1 "
+        f"AND {det} <> 0), "
+        "ins AS (SELECT row, col, w0 * v0 + w1 * v1 + w2 * v2 AS val, "
+        "row_number() OVER (PARTITION BY row, col ORDER BY face_id) AS rn "
+        "FROM cand WHERE w0 >= 0.0 AND w1 >= 0.0 AND w2 >= 0.0) "
+        "SELECT o.row, o.col, round(i.val, 6) AS value "
+        "FROM o LEFT JOIN ins i ON i.row = o.row AND i.col = o.col AND i.rn = 1"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1779,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": q_minhash,
         "lsh_pairs": q_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "simhash": q_simhash,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
@@ -1798,6 +1923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_longitude": q_convert_longitude,
         "slope_hillshade": q_slope_hillshade,
         "reproject_3857": q_reproject_3857,
+        "reproject_4087": q_reproject_4087,
+        "reproject_sinusoidal": q_reproject_sinusoidal,
         "cluster_cc": q_cluster_cc,
         "polygonize_stats": q_polygonize_stats,
         "polygonize_rings": q_polygonize_rings,
@@ -1815,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "mesh_centroids": q_mesh_centroids,
         "mesh_to_grid": q_mesh_to_grid,
+        "mesh_to_grid_linear": q_mesh_to_grid_linear,
     }
 
 
@@ -1852,6 +1980,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash": sql_minhash(),
         "lsh_pairs": sql_lsh_pairs(),
         "ngram_jaccard": sql_ngram_jaccard(),
+        "ngram_jaccard_capped": sql_ngram_jaccard_capped(),
         "simhash": sql_simhash(),
         "ann_cosine": sql_ann_cosine(),
         "ann_ivf": sql_ann_cosine(),  # full-probe IVF ≡ exact top-k
@@ -1869,6 +1998,8 @@ def oracle_sql() -> dict[str, str]:
         "convert_longitude": sql_convert_longitude(),
         "slope_hillshade": sql_slope_hillshade(),
         "reproject_3857": sql_reproject_3857(),
+        "reproject_4087": sql_reproject_4087(),
+        "reproject_sinusoidal": sql_reproject_sinusoidal(),
         "cluster_cc": sql_cluster_cc(),
         "polygonize_stats": sql_polygonize_stats(),
         "footprint": sql_footprint(),
@@ -1884,6 +2015,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_agg": sql_salted_agg(),
         "mesh_centroids": sql_mesh_centroids(),
         "mesh_to_grid": sql_mesh_to_grid(),
+        "mesh_to_grid_linear": sql_mesh_to_grid_linear(),
         # ann_lsh, span_pipeline, polygonize_rings, media_features:
         # intentionally no oracle (approximate / engine-side synthesis /
         # WKT+binary payloads) → driver rows-only check

@@ -186,6 +186,44 @@ def cosine_topk_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    max_exact_rows: int = 100_000,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold), with a hard
+    size guard on the quadratic path (VERDICT r1 #6): below
+    ``max_exact_rows`` the exact all-pairs crossJoin runs (ground truth);
+    above it the pair space is pruned to same-LSH-bucket candidates
+    (hyperplane sign buckets, equi-join — no cartesian stage), scored with
+    the SAME exact cosine. The LSH path trades recall for a linear plan —
+    callers at web scale should also raise n_planes."""
+    n = emb.count()
+    score = lambda va, vb: F.round(  # noqa: E731 — identical shape both paths
+        _dot(va, vb) / (_norm(va) * _norm(vb)), 6
+    )
+    if n <= max_exact_rows:
+        a = emb.select(F.col(id_col).alias("id_a"), F.col(vec).alias("va"))
+        b = emb.select(F.col(id_col).alias("id_b"), F.col(vec).alias("vb"))
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        eb = lsh_buckets(emb, hyperplanes(_dim_of(emb, vec), n_planes), vec)
+        a = eb.select(F.col(id_col).alias("id_a"), F.col(vec).alias("va"), "bucket")
+        b = eb.select(F.col(id_col).alias("id_b"), F.col(vec).alias("vb"), "bucket")
+        pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", score(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def _dim_of(emb: DataFrame, vec: str) -> int:
+    return len(emb.select(vec).head()[0])
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     queries: DataFrame,

@@ -120,17 +120,30 @@ class SparkDataset:
         return SparkDataset(out, g)
 
     def to_crs(self, epsg: int) -> "SparkDataset":
-        if epsg == 3857:
+        closed_form = {
+            3857: (_reproject.inv_merc_lon, _reproject.inv_merc_lat),
+            4087: (_reproject.inv_eqc_lon, _reproject.inv_eqc_lat),
+            54008: lambda dx, dy: (
+                _reproject.inv_sinu_lon(dx, dy), _reproject.inv_sinu_lat(dy)
+            ),
+        }
+        if epsg in closed_form:
             dst = _reproject.reproject_plan(self.grid, epsg)
             return SparkDataset(
-                _reproject.to_crs_nearest(self.df, self.grid, dst), dst
+                _reproject.to_crs_nearest(
+                    self.df, self.grid, dst, inverse=closed_form[epsg]
+                ),
+                dst,
             )
         if 32601 <= epsg <= 32760:  # UTM zones via the Krüger-series UDF
             dst = _reproject.reproject_plan_utm(self.grid, epsg)
             return SparkDataset(
                 _reproject.to_crs_nearest_utm(self.df, self.grid, dst), dst
             )
-        raise NotImplementedError(f"supported targets: 3857, UTM 326xx/327xx (got {epsg})")
+        raise NotImplementedError(
+            f"supported targets: 3857, 4087, 54008 (sinusoidal), "
+            f"UTM 326xx/327xx (got {epsg})"
+        )
 
     def create_overviews(self, levels: tuple[int, ...] = (2, 4, 8, 16, 32)) -> dict[int, DataFrame]:
         """io.py:1156 create_overviews — zoom pyramid as per-level tables."""

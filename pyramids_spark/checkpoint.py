@@ -35,13 +35,68 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except OSError:
+        return True  # e.g. PermissionError: exists but owned by another user
+    return True
+
+
 class CheckpointedJob:
+    """Single-writer per job dir: the manifest is read-modify-write, so two
+    drivers resuming the same job_id concurrently could silently drop each
+    other's committed chunks (ADVICE r1). A pid lock file enforces one live
+    writer; a lock whose pid is dead (crashed driver) is taken over — the
+    documented resume-after-failure flow."""
+
     def __init__(self, spark: SparkSession, root: str, job_id: str):
         self.spark = spark
         self.dir = os.path.join(root, job_id)
         os.makedirs(os.path.join(self.dir, "data"), exist_ok=True)
         os.makedirs(os.path.join(self.dir, "lineage"), exist_ok=True)
         os.makedirs(os.path.join(self.dir, "snapshots"), exist_ok=True)
+        self._acquire_writer_lock()
+
+    def _acquire_writer_lock(self) -> None:
+        lock = os.path.join(self.dir, "_writer.lock")
+        for _ in range(3):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return
+            except FileExistsError:
+                try:
+                    with open(lock) as f:
+                        pid = int(f.read().strip() or "0")
+                except (ValueError, OSError):
+                    pid = 0
+                if pid == os.getpid():
+                    return  # reentrant: resume within the same driver
+                if pid and _pid_alive(pid):
+                    raise RuntimeError(
+                        f"checkpoint job dir {self.dir} is locked by live "
+                        f"writer pid {pid}; refusing concurrent writes"
+                    )
+                # stale lock from a dead driver: take over
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass
+        raise RuntimeError(f"could not acquire writer lock in {self.dir}")
+
+    def close(self) -> None:
+        """Release the writer lock (only if this process holds it)."""
+        lock = os.path.join(self.dir, "_writer.lock")
+        try:
+            with open(lock) as f:
+                if int(f.read().strip() or "0") == os.getpid():
+                    os.unlink(lock)
+        except (FileNotFoundError, ValueError, OSError):
+            pass
 
     # --- manifest ----------------------------------------------------------
     @property
@@ -66,8 +121,13 @@ class CheckpointedJob:
         """Pin the current committed set as a new snapshot version."""
         snaps = os.listdir(os.path.join(self.dir, "snapshots"))
         v = 1 + max((int(s[1:-5]) for s in snaps), default=0)
+        # numeric-aware chunk order: lexicographic puts '10' before '2'
+        chunk_ids = sorted(
+            self.committed(),
+            key=lambda c: (0, int(c), "") if c.isdigit() else (1, 0, c),
+        )
         with open(os.path.join(self.dir, "snapshots", f"v{v}.json"), "w") as f:
-            json.dump({"version": v, "chunks": sorted(self.committed()),
+            json.dump({"version": v, "chunks": chunk_ids,
                        "ts": time.time()}, f, indent=1)
         return v
 

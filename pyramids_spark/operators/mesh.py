@@ -90,9 +90,71 @@ def mesh_to_grid_nearest(
     )
 
 
-def mesh_to_grid_linear(*_a, **_k):
-    raise NotImplementedError(
-        "linear mesh→grid interpolation needs a Delaunay triangulation "
-        "(scipy.spatial); scipy is not in this container — reference "
-        "semantics documented at ugrid/interpolation.py:97-182"
+def mesh_to_grid_linear(
+    nodes: DataFrame, faces: DataFrame, grid: Grid, value: str = "data"
+) -> DataFrame:
+    """Linear mesh→grid interpolation without scipy: barycentric weights on
+    the mesh's OWN triangular faces (UGRID ``face_node_connectivity``)
+    replace the reference's node-Delaunay (``LinearNDInterpolator``,
+    ``ugrid/interpolation.py:97-182``); NULL outside every face = the
+    NaN-outside-hull contract.
+
+    Plan: 3 equi-joins assemble face vertices; generated grid centres pair
+    with faces under a bbox prefilter inside the join condition (broadcast
+    here — at scale, swap for a cell-indexed equi-join on face bbox cover);
+    barycentric test + weights are pure column algebra (codegen,
+    SQL-twinnable); a centre on a shared edge matches 2 faces → dedup to
+    the smallest face_id (deterministic).
+    """
+    spark = nodes.sparkSession
+    tri = faces.select(
+        "face_id",
+        F.element_at("node_ids", 1).alias("_n0"),
+        F.element_at("node_ids", 2).alias("_n1"),
+        F.element_at("node_ids", 3).alias("_n2"),
     )
+    for i in (0, 1, 2):
+        nd = nodes.select(
+            F.col("node_id").alias(f"_n{i}"),
+            F.col("x").alias(f"_x{i}"), F.col("y").alias(f"_y{i}"),
+            F.col(value).alias(f"_v{i}"),
+        )
+        tri = tri.join(nd, f"_n{i}")
+    ncells = grid.rows * grid.cols
+    centres = (
+        spark.range(ncells)
+        .select(
+            (F.col("id") / grid.cols).cast("long").alias("row"),
+            (F.col("id") % grid.cols).cast("long").alias("col"),
+        )
+        .withColumn("qx", grid.x_center_col(F.col("col")))
+        .withColumn("qy", grid.y_center_col(F.col("row")))
+    )
+    c = lambda s: F.col(s)  # noqa: E731
+    bbox = (
+        (c("qx") >= F.least(c("_x0"), c("_x1"), c("_x2")))
+        & (c("qx") <= F.greatest(c("_x0"), c("_x1"), c("_x2")))
+        & (c("qy") >= F.least(c("_y0"), c("_y1"), c("_y2")))
+        & (c("qy") <= F.greatest(c("_y0"), c("_y1"), c("_y2")))
+    )
+    j = centres.join(F.broadcast(tri), bbox)
+    det = (c("_y1") - c("_y2")) * (c("_x0") - c("_x2")) + (c("_x2") - c("_x1")) * (c("_y0") - c("_y2"))
+    w0 = ((c("_y1") - c("_y2")) * (c("qx") - c("_x2")) + (c("_x2") - c("_x1")) * (c("qy") - c("_y2"))) / det
+    w1 = ((c("_y2") - c("_y0")) * (c("qx") - c("_x2")) + (c("_x0") - c("_x2")) * (c("qy") - c("_y2"))) / det
+    w2 = F.lit(1.0) - w0 - w1
+    cand = (
+        j.where(det != 0.0)
+        .withColumn("_w0", w0).withColumn("_w1", w1).withColumn("_w2", w2)
+        .where((c("_w0") >= 0.0) & (c("_w1") >= 0.0) & (c("_w2") >= 0.0))
+        .withColumn(
+            "_val",
+            c("_w0") * c("_v0") + c("_w1") * c("_v1") + c("_w2") * c("_v2"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("row", "col").orderBy(F.col("face_id").asc())
+    best = cand.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return centres.join(
+        best.select("row", "col", "_val"), ["row", "col"], "left"
+    ).select("row", "col", F.col("_val").alias("value"))

@@ -35,7 +35,10 @@ from pyspark.sql import types as T
 from .. import cells
 
 
-_COVER_CACHE: dict = {}
+from collections import OrderedDict
+
+_COVER_CACHE: OrderedDict = OrderedDict()
+_COVER_CACHE_MAX = 32  # LRU bound: long-lived sessions must not accumulate
 
 
 def _zones_key(zones: list[dict], zoom: int, mode: str) -> tuple:
@@ -54,8 +57,12 @@ def zone_cover_cached(zones: list[dict], zoom: int, mode: str = "center") -> pd.
     ``reproject.py:35-213``): the driver-side cover of a zone set is pure —
     cache it so repeated joins against the same zones skip the numpy pass."""
     k = _zones_key(zones, zoom, mode)
-    if k not in _COVER_CACHE:
+    if k in _COVER_CACHE:
+        _COVER_CACHE.move_to_end(k)
+    else:
         _COVER_CACHE[k] = zone_cover(zones, zoom, mode)
+        while len(_COVER_CACHE) > _COVER_CACHE_MAX:
+            _COVER_CACHE.popitem(last=False)
     return _COVER_CACHE[k]
 
 

@@ -57,15 +57,65 @@ def inv_merc_sql(x: str, y: str) -> tuple[str, str]:
     )
 
 
+# --- world equidistant cylindrical, EPSG:4087 (plate carrée on the sphere) —
+# x = R·λ, y = R·φ; exactly invertible, the closed-form workhorse for
+# distance-preserving meridians (reference reprojects via pyproj,
+# feature/crs.py:162; this is the same formula pyproj uses for +proj=eqc)
+def eqc_x(lon: Column) -> Column:
+    return F.lit(R) * F.radians(lon)
+
+
+def eqc_y(lat: Column) -> Column:
+    return F.lit(R) * F.radians(lat)
+
+
+def inv_eqc_lon(x: Column) -> Column:
+    return F.degrees(x / F.lit(R))
+
+
+def inv_eqc_lat(y: Column) -> Column:
+    return F.degrees(y / F.lit(R))
+
+
+def inv_eqc_sql(x: str, y: str) -> tuple[str, str]:
+    return (f"degrees(({x}) / {R!r})", f"degrees(({y}) / {R!r})")
+
+
+# --- sinusoidal (ESRI:54008), equal-area: x = R·λ·cos(φ), y = R·φ
+def sinu_x(lon: Column, lat: Column) -> Column:
+    return F.lit(R) * F.radians(lon) * F.cos(F.radians(lat))
+
+
+def sinu_y(lat: Column) -> Column:
+    return F.lit(R) * F.radians(lat)
+
+
+def inv_sinu_lon(x: Column, y: Column) -> Column:
+    return F.degrees(x / (F.lit(R) * F.cos(y / F.lit(R))))
+
+
+def inv_sinu_lat(y: Column) -> Column:
+    return F.degrees(y / F.lit(R))
+
+
+def inv_sinu_sql(x: str, y: str) -> tuple[str, str]:
+    return (
+        f"degrees(({x}) / ({R!r} * cos(({y}) / {R!r})))",
+        f"degrees(({y}) / {R!r})",
+    )
+
+
 def to_crs_nearest(
     src: DataFrame, src_grid: Grid, dst_grid: Grid,
     inverse: tuple = (inv_merc_lon, inv_merc_lat),
 ) -> DataFrame:
     """Reproject src (4326 cell table) onto dst_grid (3857 by default):
-    nearest-neighbour gather join. ``inverse`` maps dst coords → src coords.
+    nearest-neighbour gather join. ``inverse`` maps dst coords → src coords:
+    either a (inv_x_fn, inv_y_fn) pair of single-column transforms, or one
+    callable (dx, dy) → (sx, sy) for projections whose inverse couples the
+    axes (e.g. sinusoidal).
     """
     spark = src.sparkSession
-    inv_x, inv_y = inverse
     ncells = dst_grid.rows * dst_grid.cols
     out = (
         spark.range(ncells)
@@ -75,8 +125,15 @@ def to_crs_nearest(
         )
         .withColumn("_dx", dst_grid.x_center_col(F.col("col")))
         .withColumn("_dy", dst_grid.y_center_col(F.col("row")))
-        .withColumn("_sx", inv_x(F.col("_dx")))
-        .withColumn("_sy", inv_y(F.col("_dy")))
+    )
+    if callable(inverse):
+        sx, sy = inverse(F.col("_dx"), F.col("_dy"))
+    else:
+        inv_x, inv_y = inverse
+        sx, sy = inv_x(F.col("_dx")), inv_y(F.col("_dy"))
+    out = (
+        out.withColumn("_sx", sx)
+        .withColumn("_sy", sy)
         .withColumn("src_row", src_grid.row_of_col(F.col("_sy")))
         .withColumn("src_col", src_grid.col_of_col(F.col("_sx")))
     )
@@ -90,16 +147,30 @@ def reproject_plan(src_grid: Grid, target_epsg: int) -> Grid:
     """The ``maintain_alignment=False`` corner-transform grid derivation
     (``spatial.py:360-457``): project the 4 corners, new cell =
     |x1' - x0'| / cols; rows/cols preserved."""
-    if target_epsg != 3857 or src_grid.epsg != 4326:
-        raise NotImplementedError("closed-form path implements 4326 → 3857")
+    if src_grid.epsg != 4326:
+        raise NotImplementedError("closed-form path reprojects FROM 4326")
     xmin, ymin, xmax, ymax = src_grid.bounds
-    x0p = R * np.radians(xmin)
-    x1p = R * np.radians(xmax)
-    y0p = R * np.log(np.tan(np.radians(ymax) / 2 + np.pi / 4))
+    if target_epsg == 3857:
+        x0p = R * np.radians(xmin)
+        x1p = R * np.radians(xmax)
+        y0p = R * np.log(np.tan(np.radians(ymax) / 2 + np.pi / 4))
+    elif target_epsg == 4087:  # world equidistant cylindrical
+        x0p = R * np.radians(xmin)
+        x1p = R * np.radians(xmax)
+        y0p = R * np.radians(ymax)
+    elif target_epsg == 54008:  # sinusoidal (equal-area); corner at ymax
+        x0p = R * np.radians(xmin) * np.cos(np.radians(ymax))
+        x1p = R * np.radians(xmax) * np.cos(np.radians(ymax))
+        y0p = R * np.radians(ymax)
+    else:
+        raise NotImplementedError(
+            f"closed-form targets: 3857, 4087, 54008 (got {target_epsg})"
+        )
     cell = (x1p - x0p) / src_grid.cols
     return Grid(
         x0=float(x0p), y0=float(y0p), cell=float(cell),
-        rows=src_grid.rows, cols=src_grid.cols, epsg=3857, nodata=src_grid.nodata,
+        rows=src_grid.rows, cols=src_grid.cols, epsg=target_epsg,
+        nodata=src_grid.nodata,
     )
 
 

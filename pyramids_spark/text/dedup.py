@@ -98,12 +98,25 @@ def lsh_pairs(sig: DataFrame, bands: int = 4, rows_per_band: int = 2) -> DataFra
     )
 
 
-def ngram_jaccard(sh: DataFrame, min_sim: float = 0.5) -> DataFrame:
+def ngram_jaccard(sh: DataFrame, min_sim: float = 0.5, max_df: int | None = None) -> DataFrame:
     """Exact pairwise n-gram Jaccard over the shingle table:
     |A∩B| via shingle self-join, |A∪B| = |A|+|B|−|A∩B|.
-    → (id_a, id_b, jaccard) for pairs ≥ min_sim. The shingle join shuffles
-    on shingle — hot shingles (stopword n-grams) are the skew risk; cap
-    document frequency upstream for web scale (df filter)."""
+    → (id_a, id_b, jaccard) for pairs ≥ min_sim.
+
+    ``max_df`` caps shingle document frequency BEFORE the self-join: one
+    stopword shingle shared by d documents creates a d² bucket in the
+    shuffle — the quadratic skew-bomb at web scale. Shingles with df >
+    max_df are dropped from intersection AND sizes (Jaccard over the
+    filtered shingle universe, the standard df-capped similarity). None =
+    exact over all shingles."""
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")

@@ -161,5 +161,34 @@ def test_mesh_to_grid_nearest_with_cutoff(spark):
     assert m.loc[(0, 0)] == 1.0  # on-node cell
     assert m.loc[(3, 3)] == 2.0  # within 2-cell cutoff of node 1
     assert np.isnan(m.loc[(3, 0)])  # beyond max_distance → NULL
-    with pytest.raises(NotImplementedError):
-        mesh.mesh_to_grid_linear()
+
+
+def test_mesh_to_grid_linear_reproduces_linear_field(spark):
+    """Barycentric interpolation of a linear field v = 2x + 3y + 1 is EXACT
+    inside faces and NULL outside every face (NaN-outside-hull contract)."""
+    pts = [(0, 0.2, 9.8), (1, 3.7, 9.6), (2, 0.4, 6.3), (3, 3.9, 6.1)]
+    nodes = spark.createDataFrame(
+        [(i, x, y, 2.0 * x + 3.0 * y + 1.0) for i, x, y in pts],
+        "node_id long, x double, y double, data double",
+    )
+    faces = spark.createDataFrame(
+        [(0, [0, 1, 2]), (1, [1, 3, 2])], "face_id long, node_ids array<int>"
+    )
+    g = Grid(x0=0.0, y0=10.0, cell=1.0, rows=4, cols=4)
+    out = mesh.mesh_to_grid_linear(nodes, faces, g, value="data").toPandas()
+    assert len(out) == 16
+    xs = np.array(pts)[:, 1], np.array(pts)[:, 2]
+    from pyramids_spark import cells as pscells
+
+    n_in = 0
+    for _, r in out.iterrows():
+        qx = g.x0 + (r.col + 0.5) * g.cell
+        qy = g.y0 - (r.row + 0.5) * g.cell
+        hull = np.array([[0.2, 9.8], [3.7, 9.6], [3.9, 6.1], [0.4, 6.3]])
+        inside = bool(pscells.points_in_polygon(np.array([qx]), np.array([qy]), hull)[0])
+        if inside:
+            assert r.value == pytest.approx(2.0 * qx + 3.0 * qy + 1.0, rel=1e-12)
+            n_in += 1
+        else:
+            assert pd.isna(r.value)
+    assert n_in >= 6  # the quad covers the grid middle

@@ -80,3 +80,38 @@ def test_rerun_is_idempotent(spark, tmp_path):
     r2 = cp.run(chunks, job)  # all skipped
     assert all(v.get("skipped") for v in r2.values())
     assert cp.result().count() == n1
+
+
+def test_writer_lock_blocks_second_live_writer(spark, tmp_path):
+    import os
+    import pytest
+
+    cp = CheckpointedJob(spark, str(tmp_path), "locked")
+    # same process re-opening is allowed (resume flow)
+    CheckpointedJob(spark, str(tmp_path), "locked")
+    # a DIFFERENT live pid holding the lock must be refused
+    lock = os.path.join(str(tmp_path), "locked", "_writer.lock")
+    with open(lock, "w") as f:
+        f.write("1")  # pid 1 is always alive
+    with pytest.raises(RuntimeError, match="locked by live writer"):
+        CheckpointedJob(spark, str(tmp_path), "locked")
+    # stale lock (dead pid) is taken over silently
+    with open(lock, "w") as f:
+        f.write("999999999")
+    CheckpointedJob(spark, str(tmp_path), "locked")
+    cp.close()
+
+
+def test_snapshot_sorts_chunk_ids_numerically(spark, tmp_path):
+    import json
+    import os
+
+    cp = CheckpointedJob(spark, str(tmp_path), "snapsort")
+    for cid in ["2", "10", "1"]:
+        cp._commit(cid, {"chunk": cid, "rows_out": 0, "wall_s": 0.0,
+                         "attempt": 1, "committed_at": 0.0})
+    v = cp.snapshot()
+    with open(os.path.join(str(tmp_path), "snapsort", "snapshots", f"v{v}.json")) as f:
+        snap = json.load(f)
+    assert snap["chunks"] == ["1", "2", "10"]
+    cp.close()

@@ -61,3 +61,54 @@ def test_pip_join_udf_path_under_extreme_skew(spark):
     a = pip.pip_join(pts, zones, zoom=6, refine="udf").count()
     b = pip.pip_join(pts, zones, zoom=6, refine="expr").count()
     assert a == b and a > 0
+
+
+def test_ngram_jaccard_df_cap_defuses_hot_shingle(spark):
+    """Adversarial corpus: every doc shares one stopword shingle ('a b c').
+    Uncapped, that shingle alone creates an n² intersection bucket; with
+    max_df the hot shingle leaves the universe and only true near-dups pair."""
+    from pyramids_spark.text import dedup
+
+    n = 40
+    rows = []
+    for i in range(n):
+        # all docs share 'a b c'; docs 2k/2k+1 additionally share a unique tail
+        uniq = f"tok{i // 2}x tok{i // 2}y tok{i // 2}z tok{i // 2}w"
+        rows.append((i, f"a b c {uniq}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.shingles(docs, n=3)
+    capped = dedup.ngram_jaccard(sh, min_sim=0.5, max_df=5).toPandas()
+    # expected: exactly the 20 twin pairs, each with jaccard over the
+    # filtered universe (shared tail shingles only)
+    assert len(capped) == n // 2
+    assert sorted(zip(capped.id_a, capped.id_b)) == [(2 * k, 2 * k + 1) for k in range(n // 2)]
+    # uncapped on the same corpus: the hot shingle pairs EVERY doc (n²/2
+    # candidate intersections survive the groupBy) — the skew the cap kills
+    uncapped = dedup.ngram_jaccard(sh, min_sim=0.0)
+    assert uncapped.count() == n * (n - 1) // 2
+
+
+def test_near_dup_pairs_lsh_branch_has_no_cartesian(spark):
+    """Above max_exact_rows the guarded near-dup path must plan a bucket
+    equi-join, never a cartesian/broadcast-nested-loop product, and every
+    returned pair must still meet the exact threshold."""
+    from pyramids_spark.ann import search as ann
+
+    n, dim = 400, 8
+    from pyramids_spark import cells
+
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[((cells.h1_col(F.col("id") * 131 + i) / F.lit(2.0**32)) * 2 - 1) for i in range(dim)]
+        ).alias("embedding"),
+    )
+    out = ann.near_dup_pairs(emb, threshold=0.8, max_exact_rows=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    got = out.toPandas()
+    exact = ann.near_dup_pairs(emb, threshold=0.8, max_exact_rows=10**9).toPandas()
+    # LSH path returns a SUBSET of the exact pairs (recall < 1 by design)
+    ex = set(zip(exact.id_a, exact.id_b))
+    assert set(zip(got.id_a, got.id_b)) <= ex
+    assert len(ex) > 0
