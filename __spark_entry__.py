@@ -375,6 +375,44 @@ def sql_overview_rollup():
     )
 
 
+_CAT_VALUE = "CAST((row * 7 + col * 3) % 4 AS DOUBLE)"  # categorical classes 0..3
+
+
+def q_overview_mode(spark, sf_dir):
+    """Categorical overview: majority vote per 2×2 parent, ties → smaller
+    class (reference method list ``abstract_dataset.py:28-40``: MODE)."""
+    g = grid_df(spark, COELLO, _CAT_VALUE)
+    return raster.overview_rollup(g, level=2, stat="mode")
+
+
+def sql_overview_mode():
+    return (
+        f"WITH g AS ({grid_sql(COELLO, _CAT_VALUE)}), "
+        "c AS (SELECT band, row // 2 AS row, col // 2 AS col, value, count(*) AS n "
+        "FROM g WHERE value IS NOT NULL GROUP BY 1, 2, 3, 4), "
+        "r AS (SELECT band, row, col, value, "
+        "row_number() OVER (PARTITION BY band, row, col ORDER BY n DESC, value) AS rn, "
+        "sum(n) OVER (PARTITION BY band, row, col) AS n_children FROM c) "
+        "SELECT band, row, col, value, n_children FROM r WHERE rn = 1"
+    )
+
+
+def q_overview_nearest(spark, sf_dir):
+    """GDAL NEAREST overview: top-left child of each parent block — a pure
+    filter, the zero-shuffle pyramid method for categorical rasters."""
+    g = grid_df(spark, COELLO, _CAT_VALUE)
+    return raster.overview_rollup(g, level=2, stat="nearest")
+
+
+def sql_overview_nearest():
+    return (
+        f"WITH g AS ({grid_sql(COELLO, _CAT_VALUE)}) "
+        "SELECT band, row // 2 AS row, col // 2 AS col, value, "
+        "CAST(1 AS BIGINT) AS n_children "
+        "FROM g WHERE row % 2 = 0 AND col % 2 = 0"
+    )
+
+
 def q_focal_mean(spark, sf_dir):
     g = grid_df(spark, COELLO)
     out = focal.focal_join(g, COELLO, r=1, stat="mean")
@@ -658,6 +696,50 @@ def sql_sel_slice():
         "SELECT event_id, user_id, event_type, round(value, 6) AS value FROM events "
         "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-12 23:59:59' "
         "AND event_type IN ('click', 'purchase') AND user_id % 10 = 3"
+    )
+
+
+def q_netcdf_variables(spark, sf_dir):
+    """Multi-variable NetCDF workflow (netcdf.py:331-360 variables dict +
+    get_variable): two variables from the long cell table, per-cell
+    difference of their temporal means — the cross-variable algebra the
+    dict surface exists for."""
+    from pyramids_spark.api import SparkNetCDF
+
+    ev = _read(spark, sf_dir, "events")
+    cells_long = ev.select(
+        F.col("event_type").alias("variable"),
+        F.dayofmonth("ts").cast("long").alias("t"),
+        F.lit(0).alias("band"),
+        (F.col("user_id") % 13).alias("row"),
+        (F.col("event_id") % 14).alias("col"),
+        "value",
+    )
+    nc = SparkNetCDF(cells_long)
+    click = nc.get_variable("click").reduce("mean").withColumnRenamed("value", "v_click")
+    view = nc.get_variable("view").reduce("mean").withColumnRenamed("value", "v_view")
+    return click.join(view, ["band", "row", "col"]).select(
+        "band", "row", "col",
+        F.round("v_click", 6).alias("v_click"),
+        F.round("v_view", 6).alias("v_view"),
+        F.round(F.col("v_click") - F.col("v_view"), 6).alias("diff"),
+    )
+
+
+def sql_netcdf_variables():
+    base = (
+        "SELECT event_type AS variable, CAST(0 AS INT) AS band, "
+        "user_id % 13 AS row, event_id % 14 AS col, value FROM events"
+    )
+    return (
+        f"WITH c AS ({base}), "
+        "a AS (SELECT band, row, col, avg(value) AS v_click FROM c "
+        "WHERE variable = 'click' GROUP BY 1, 2, 3), "
+        "b AS (SELECT band, row, col, avg(value) AS v_view FROM c "
+        "WHERE variable = 'view' GROUP BY 1, 2, 3) "
+        "SELECT a.band, a.row, a.col, round(a.v_click, 6) AS v_click, "
+        "round(b.v_view, 6) AS v_view, round(a.v_click - b.v_view, 6) AS diff "
+        "FROM a JOIN b ON a.band = b.band AND a.row = b.row AND a.col = b.col"
     )
 
 
@@ -1885,6 +1967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crop_polygon_clip": q_crop_polygon_clip,
         "align_nearest": q_align_nearest,
         "overview_rollup": q_overview_rollup,
+        "overview_mode": q_overview_mode,
+        "overview_nearest": q_overview_nearest,
         "focal_mean": q_focal_mean,
         "focal_minmax": q_focal_minmax,
         "histogram": q_histogram,
@@ -1895,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reduce": q_temporal_reduce,
         "temporal_groupby": q_temporal_groupby,
         "sel_slice": q_sel_slice,
+        "netcdf_variables": q_netcdf_variables,
         "token_count": q_token_count,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -1962,6 +2047,8 @@ def oracle_sql() -> dict[str, str]:
         "crop_polygon_clip": sql_crop_polygon_clip(),
         "align_nearest": sql_align_nearest(),
         "overview_rollup": sql_overview_rollup(),
+        "overview_mode": sql_overview_mode(),
+        "overview_nearest": sql_overview_nearest(),
         "focal_mean": sql_focal_mean(),
         "focal_minmax": sql_focal_minmax(),
         "histogram": sql_histogram(),
@@ -1972,6 +2059,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_reduce": sql_temporal_reduce(),
         "temporal_groupby": sql_temporal_groupby(),
         "sel_slice": sql_sel_slice(),
+        "netcdf_variables": sql_netcdf_variables(),
         "token_count": sql_token_count(),
         "quality": sql_quality(),
         "lang_id": sql_lang_id(),

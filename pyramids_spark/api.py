@@ -293,3 +293,60 @@ class SparkDatasetCollection:
         return SparkDatasetCollection(
             self.df.withColumn("value", F.when(F.col("value").isNotNull(), value_expr))
         )
+
+
+@dataclass(frozen=True)
+class SparkNetCDF:
+    """Multi-variable NetCDF surface over the LONG cell table
+    ``(variable, t, band, row, col, value)`` — the Spark analogue of the
+    reference's variable dict (``netcdf/netcdf.py:331-360`` ``variables``,
+    ``:736-846`` ``sel``; ``get_variable``/``add_variable``/
+    ``remove_variable`` round out the dict surface). One tall table instead
+    of per-variable arrays: variable is just another partition column, so
+    per-variable reads prune on it and cross-variable algebra is a join."""
+
+    df: DataFrame
+
+    @property
+    def variable_names(self) -> list[str]:
+        return sorted(r[0] for r in self.df.select("variable").distinct().collect())
+
+    def get_variable(self, name: str) -> SparkDatasetCollection:
+        """netcdf.py get_variable: one variable as a temporal stack (the
+        filter prunes variable-partitioned files before the scan)."""
+        return SparkDatasetCollection(
+            self.df.where(F.col("variable") == name).drop("variable")
+        )
+
+    @property
+    def variables(self) -> dict[str, SparkDatasetCollection]:
+        """Lazy dict {name: stack}; each value is a pruned view, nothing
+        materializes until an action runs on it."""
+        return {n: self.get_variable(n) for n in self.variable_names}
+
+    def add_variable(self, name: str, stack: SparkDatasetCollection) -> "SparkNetCDF":
+        return SparkNetCDF(
+            self.df.unionByName(stack.df.withColumn("variable", F.lit(name)))
+        )
+
+    def remove_variable(self, name: str) -> "SparkNetCDF":
+        return SparkNetCDF(self.df.where(F.col("variable") != name))
+
+    def sel(self, **ranges) -> "SparkNetCDF":
+        """Label slice per dimension column: scalar ==, list IN, 2-tuple
+        BETWEEN (netcdf.py:736-846)."""
+        d = self.df
+        for k, v in ranges.items():
+            if isinstance(v, tuple) and len(v) == 2:
+                d = d.where((F.col(k) >= v[0]) & (F.col(k) <= v[1]))
+            elif isinstance(v, (list, set)):
+                d = d.where(F.col(k).isin(*v))
+            else:
+                d = d.where(F.col(k) == v)
+        return SparkNetCDF(d)
+
+    @classmethod
+    def open_mfdataset(cls, spark: SparkSession, paths: list[str]) -> "SparkNetCDF":
+        """open_mfdataset ≙ one multi-path parquet scan (netcdf.py:934-982);
+        Spark unions the file lists at the source level, no driver loop."""
+        return cls(spark.read.parquet(*paths))

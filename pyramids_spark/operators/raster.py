@@ -337,8 +337,40 @@ def resample(src: DataFrame, src_grid: Grid, cell: float) -> tuple[DataFrame, Gr
 def overview_rollup(cells_df: DataFrame, level: int = 2, stat: str = "avg") -> DataFrame:
     """One overview-pyramid level: parent cell = child >> log2(level);
     aggregate over non-null children (reference ``create_overviews``,
-    ``io.py:1156-1352``; levels 2,4,8,… ``abstract_dataset.py:28``).
-    Partial aggregation makes this a single map-side-combined shuffle."""
+    ``io.py:1156-1352``; method list ``abstract_dataset.py:28-40``).
+    stats: avg/min/max/sum (map-side-combined shuffle), plus the
+    categorical-raster methods: ``nearest`` (top-left child — a filter, no
+    aggregation) and ``mode`` (majority vote, ties → smaller value; two
+    partial-aggregable stages)."""
+    prow = (F.col("row") / F.lit(level)).cast("long")
+    pcol = (F.col("col") / F.lit(level)).cast("long")
+    if stat == "nearest":
+        # GDAL NEAREST overview: the top-left child of each parent block —
+        # a filter, not an aggregation (no shuffle beyond the final groupBy-
+        # free projection); categorical-safe
+        return cells_df.where(
+            (F.col("row") % level == 0) & (F.col("col") % level == 0)
+        ).select(
+            "band", prow.alias("row"), pcol.alias("col"), "value",
+            F.lit(1).cast("long").alias("n_children"),
+        )
+    if stat == "mode":
+        # categorical majority: two-stage — count per (parent, value), then
+        # max-count per parent with deterministic tie-break on the smaller
+        # value; both stages partial-aggregate map-side
+        cnt = (
+            cells_df.where(F.col("value").isNotNull())
+            .groupBy("band", prow.alias("row"), pcol.alias("col"), "value")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        best = cnt.groupBy("band", "row", "col").agg(
+            F.max(F.struct(F.col("_n"), (-F.col("value")).alias("_mv"))).alias("_b"),
+            F.sum("_n").alias("n_children"),
+        )
+        return best.select(
+            "band", "row", "col",
+            (-F.col("_b._mv")).alias("value"), "n_children",
+        )
     agg = {
         "avg": F.avg("value"),
         "min": F.min("value"),
@@ -346,11 +378,7 @@ def overview_rollup(cells_df: DataFrame, level: int = 2, stat: str = "avg") -> D
         "sum": F.sum("value"),
     }[stat]
     return (
-        cells_df.groupBy(
-            "band",
-            (F.col("row") / F.lit(level)).cast("long").alias("row"),
-            (F.col("col") / F.lit(level)).cast("long").alias("col"),
-        )
+        cells_df.groupBy("band", prow.alias("row"), pcol.alias("col"))
         .agg(agg.alias("value"), F.count("value").alias("n_children"))
     )
 

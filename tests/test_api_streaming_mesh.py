@@ -192,3 +192,34 @@ def test_mesh_to_grid_linear_reproduces_linear_field(spark):
         else:
             assert pd.isna(r.value)
     assert n_in >= 6  # the quad covers the grid middle
+
+
+def test_netcdf_variable_dict_surface(spark):
+    """variables dict / get_variable / add_variable / remove_variable / sel
+    (reference netcdf.py:331-360, :736-846)."""
+    from pyramids_spark.api import SparkDatasetCollection, SparkNetCDF
+
+    rows = [
+        (v, t, 0, r, c, float(t * 10 + r + c))
+        for v in ("temp", "precip")
+        for t in range(3)
+        for r in range(2)
+        for c in range(2)
+    ]
+    nc = SparkNetCDF(spark.createDataFrame(
+        rows, "variable string, t long, band int, row long, col long, value double"
+    ))
+    assert nc.variable_names == ["precip", "temp"]
+    assert set(nc.variables) == {"precip", "temp"}
+    temp = nc.get_variable("temp")
+    assert temp.df.count() == 12
+    red = temp.reduce("mean").toPandas()
+    assert len(red) == 4 and red.value.min() == 10.0  # mean over t of t*10+0
+    nc2 = nc.remove_variable("precip")
+    assert nc2.variable_names == ["temp"]
+    nc3 = nc2.add_variable("wind", SparkDatasetCollection(
+        nc2.df.drop("variable").withColumn("value", F.col("value") * 2)
+    ))
+    assert nc3.variable_names == ["temp", "wind"]
+    sl = nc3.sel(t=(1, 2), variable="wind")
+    assert sl.df.count() == 8

@@ -115,3 +115,39 @@ def test_snapshot_sorts_chunk_ids_numerically(spark, tmp_path):
         snap = json.load(f)
     assert snap["chunks"] == ["1", "2", "10"]
     cp.close()
+
+
+def test_from_stac_bbox_filter_and_temporal_stack(spark, tmp_path):
+    """STAC ingest: raw-JSON duck typing, bbox catalog pruning, KeyError on
+    a missing asset, ValueError on empty filter result (reference
+    _stac.py:106-186)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pyramids_spark.grid import Grid, grid_df
+    from pyramids_spark.stac import from_stac
+
+    g = Grid(x0=0.0, y0=4.0, cell=1.0, rows=4, cols=4)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"scene{i}.parquet")
+        grid_df(spark, g, f"CAST(row * 4 + col + {i * 100} AS DOUBLE)").write.parquet(p)
+        paths.append(p)
+    items = [
+        {"assets": {"B04": {"href": paths[0]}}, "bbox": [0.0, 0.0, 4.0, 4.0]},
+        {"assets": {"B04": {"href": paths[1]}}, "bbox": [2.0, 2.0, 6.0, 6.0]},
+        {"assets": {"B04": {"href": paths[2]}}, "bbox": [50.0, 50.0, 60.0, 60.0]},
+    ]
+    out = from_stac(spark, items, "B04", bbox=(0.0, 0.0, 3.0, 3.0))
+    ts = sorted(r[0] for r in out.select("t").distinct().collect())
+    assert ts == [0, 1]  # scene2's bbox misses → pruned at the catalog
+    assert out.count() == 32
+    # temporal reduce over the stack works end-to-end
+    from pyramids_spark.api import SparkDatasetCollection
+
+    red = SparkDatasetCollection(out.withColumn("band", F.lit(0))).reduce("max")
+    assert red.count() == 16
+    with pytest.raises(KeyError):
+        from_stac(spark, items, "B99")
+    with pytest.raises(ValueError):
+        from_stac(spark, items, "B04", bbox=(100.0, 100.0, 101.0, 101.0))
