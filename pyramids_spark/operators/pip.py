@@ -128,25 +128,32 @@ def _all_convex_ccw(zones: list[dict]) -> bool:
 def _convex_refine_expr(zones: list[dict], x: str, y: str) -> F.Column:
     """Strict-interior test for ccw-convex zones as pure column algebra —
     the 'prepared geometry' JVM fast path: whole-stage codegen, no Python
-    workers in the hot loop. Equals the ray-cast off-boundary."""
-    acc = F.lit(False)
+    workers in the hot loop. Equals the ray-cast off-boundary.
+
+    Built as ONE SQL string handed to F.expr: constructing the equivalent
+    Column tree operator-by-operator costs >1s of driver time per call
+    (hundreds of py4j gateway round-trips — measured as the dominant serial
+    cost of the flagship query build), while the JVM parses the string in
+    milliseconds. The 'D' suffix forces DOUBLE literals (bare decimals
+    parse as DECIMAL in Spark SQL, which would change the arithmetic)."""
+    branches = []
     for z in zones:
-        inside = F.lit(False)
+        parts_sql = []
         for part in z["parts"]:
             p = np.asarray(part, dtype=np.float64)
             if np.allclose(p[0], p[-1]):
                 p = p[:-1]
-            cond = F.lit(True)
+            conds = []
             for i in range(len(p)):
                 xa, ya = float(p[i][0]), float(p[i][1])
                 xb, yb = float(p[(i + 1) % len(p)][0]), float(p[(i + 1) % len(p)][1])
-                cond = cond & (
-                    (F.lit(xb - xa) * (F.col(y) - F.lit(ya))
-                     - F.lit(yb - ya) * (F.col(x) - F.lit(xa))) > 0
+                conds.append(
+                    f"(({(xb - xa)!r}D * (`{y}` - {ya!r}D)"
+                    f" - {(yb - ya)!r}D * (`{x}` - {xa!r}D)) > 0D)"
                 )
-            inside = inside | cond
-        acc = F.when(F.col("zone_id") == z["zone_id"], inside).otherwise(acc)
-    return acc
+            parts_sql.append("(" + " AND ".join(conds) + ")")
+        branches.append(f"WHEN {int(z['zone_id'])} THEN ({' OR '.join(parts_sql)})")
+    return F.expr(f"CASE zone_id {' '.join(branches)} ELSE false END")
 
 
 def pip_join(
