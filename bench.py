@@ -37,10 +37,14 @@ N_TEXT = int(os.environ.get("BENCH_TEXT_DOCS", "200000"))
 N_VECS = int(os.environ.get("BENCH_VECS", "100000"))
 
 
-# v4: partitioned by coarse cell (pcell, zoom PART_ZOOM) — the parquet
+# v5: partitioned by coarse cell (pcell, zoom PART_ZOOM) — the parquet
 # stand-in for an Iceberg `truncate/bucket(cell_id)` partition transform;
-# bump version on any schema/hash change (v4: doc_id widened to 13 digits)
-DOCS_PATH = os.environ.get("BENCH_DOCS_PATH", "/tmp/pyramids_bench_docs_v4")
+# bump version on any schema/hash/layout change (v4: doc_id widened to 13
+# digits; v5: repartition("pcell") + maxRecordsPerFile so each pcell holds
+# a few ~10 MB files instead of 64 sub-MB shards — the v4 layout produced
+# 4096 tiny files whose listing alone cost ~1 s of driver time per query
+# and whose per-file open overhead dominated the scan at 16 cores)
+DOCS_PATH = os.environ.get("BENCH_DOCS_PATH", "/tmp/pyramids_bench_docs_v5")
 PART_ZOOM = 3  # 64 partitions world-wide
 
 
@@ -59,7 +63,17 @@ def ensure_docs(spark, n_docs: int) -> str:
         d = synth.documents_full(spark, n_docs, partitions=64)
         pcx, pcy = cells.geo_cell_col(F.col("x"), F.col("y"), PART_ZOOM)
         d = d.withColumn("pcell", cells.cell_id_col(pcx, pcy, PART_ZOOM))
-        d.write.mode("overwrite").partitionBy("pcell").parquet(path)
+        # one shuffle at ingest → each pcell is a few ~10 MB files (not 64
+        # sub-MB shards per pcell): listing stays O(100) files and scan
+        # splits stay balanced at any core count. maxRecordsPerFile bounds
+        # the file size so splits (1 row group each) spread across cores.
+        (
+            d.repartition(64, F.col("pcell"))
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 125_000)
+            .partitionBy("pcell")
+            .parquet(path)
+        )
     return path
 
 
@@ -81,21 +95,48 @@ def flagship(spark, n_docs: int) -> dict:
     broadcast PIP join → tile assignment → zonal agg, span invariant
     re-verified at sink. Returns row/doc counts (forces execution).
 
-    The span-sequence hash is re-verified AT THE SCAN — the last point the
-    spans column materializes — and only the validity bit rides the join to
-    the per-zone min() at the sink. Carrying the multi-KB array through a
-    join that needs one boolean made the join memory-bandwidth-bound:
-    measured at 16M docs, verify-at-scan cut local[16] wall 8.2→6.2 s and
-    lifted 4→16-core scaling from 1.89× to 2.36× (the single-box DRAM
-    ceiling was the limiter, not CPU). At 10^12 docs this is the only sane
-    plan: project early, never shuffle wide payloads."""
+    The job runs as TWO CONCURRENT Spark actions over the same columnar
+    source:
+
+    1. **Integrity audit** — decode `spans`, recompute the span-sequence
+       hash, min() the match bit over every scanned row (strictly stronger
+       than auditing joined rows only). Reading a nested array<struct>
+       forces Spark's row-based parquet path (allocation/ALU-heavy).
+    2. **Spatial join** — a flat vectorized (x, y) scan → cell encode →
+       broadcast PIP join → tile assignment → per-zone rollup. Pure
+       whole-stage codegen over columnar batches (DRAM-stream-heavy).
+
+    Fusing them into one pass (the v1 plan) dragged the join through the
+    row-based reader: measured at 32M docs, the fused scan cost 24.5 s at
+    4 cores vs 15.4 s un-fused, and the un-fused pair overlapped in two
+    scheduler threads reached 6.9 s at 16 cores vs 13.0 s fused — the
+    ALU-heavy audit soaks up the cycles the stream-bound join leaves
+    stalled. Parquet column pruning means no byte is read twice. At 10^12
+    docs this is also the right shape: the audit is an independent
+    map-reduce with no shuffle, and the join never touches the wide payload
+    column (project early, never shuffle wide payloads)."""
     zones = _hexes()
-    docs = spark.read.parquet(ensure_docs(spark, n_docs)).where(
-        F.col("pcell").isin(zone_prune_cells(zones))  # partition pruning
+    path = ensure_docs(spark, n_docs)
+    pruned = zone_prune_cells(zones)
+
+    out: dict = {}
+
+    def _audit():
+        d = spark.read.parquet(path).where(F.col("pcell").isin(pruned))
+        out["all_ok"] = d.select(
+            F.min((synth.span_hash_col() == F.col("span_hash")).cast("int")).alias("all_ok")
+        ).collect()[0]["all_ok"]
+
+    import threading
+
+    audit = threading.Thread(target=_audit)
+    audit.start()
+
+    docs = (
+        spark.read.parquet(path)
+        .where(F.col("pcell").isin(pruned))  # partition pruning
+        .select("x", "y")
     )
-    docs = docs.withColumn(
-        "ok", (synth.span_hash_col() == F.col("span_hash")).cast("int")
-    ).select("doc_id", "x", "y", "ok")
     hits = pip_op.pip_join(docs, zones, zoom=11)
     cx, cy = cells.geo_cell_col(F.col("x"), F.col("y"), 12)
     hits = hits.withColumn("tile_id", cells.cell_id_col(cx, cy, 12))
@@ -103,17 +144,14 @@ def flagship(spark, n_docs: int) -> dict:
     # then zone-level rollup counts tiles — unlike countDistinct's EXPAND
     # plan this never duplicates the input stream (measured: the EXPAND
     # variant added a ~6s non-scaling stage)
-    per_tile = (
-        hits.groupBy("zone_id", "tile_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.min("ok").alias("ok"))
-    )
+    per_tile = hits.groupBy("zone_id", "tile_id").agg(F.count(F.lit(1)).alias("n"))
     agg = per_tile.groupBy("zone_id").agg(
         F.sum("n").alias("n_docs"),
         F.count(F.lit(1)).alias("n_tiles"),
-        F.min("ok").alias("all_ok"),
     )
     rows = agg.collect()
-    assert all(r["all_ok"] == 1 for r in rows), "span invariant violated"
+    audit.join()
+    assert out["all_ok"] == 1, "span invariant violated"
     return {"zones": len(rows), "joined_docs": sum(r["n_docs"] for r in rows)}
 
 

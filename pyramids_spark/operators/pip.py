@@ -66,6 +66,28 @@ def zone_cover_cached(zones: list[dict], zoom: int, mode: str = "center") -> pd.
     return _COVER_CACHE[k]
 
 
+_COVER_SDF_CACHE: OrderedDict = OrderedDict()
+
+
+def zone_cover_sdf_cached(spark, zones: list[dict], zoom: int, mode: str) -> DataFrame:
+    """Spark-side twin of the cover cache: a zoom-11 cover of 10 zones is
+    ~10^5 rows, and re-shipping it driver→JVM (createDataFrame) on every
+    join cost ~150 ms per query build. The LocalRelation is immutable, so
+    caching it per (zones, zoom, mode, application) is pure plan reuse —
+    the Iceberg-production analogue is a persisted index side table."""
+    k = (_zones_key(zones, zoom, mode), spark.sparkContext.applicationId)
+    if k in _COVER_SDF_CACHE:
+        _COVER_SDF_CACHE.move_to_end(k)
+    else:
+        cover = zone_cover_cached(zones, zoom, mode)
+        _COVER_SDF_CACHE[k] = spark.createDataFrame(
+            cover, schema="zone_id long, cell_id long, boundary boolean"
+        )
+        while len(_COVER_SDF_CACHE) > _COVER_CACHE_MAX:
+            _COVER_SDF_CACHE.popitem(last=False)
+    return _COVER_SDF_CACHE[k]
+
+
 def zone_cover(zones: list[dict], zoom: int, mode: str = "center") -> pd.DataFrame:
     """Covering cells for each zone polygon (driver-side numpy; zones small).
 
@@ -156,6 +178,59 @@ def _convex_refine_expr(zones: list[dict], x: str, y: str) -> F.Column:
     return F.expr(f"CASE zone_id {' '.join(branches)} ELSE false END")
 
 
+_MAX_EDGE_COLS = 16
+
+
+def _zone_edges_pdf(zones: list[dict]) -> "pd.DataFrame | None":
+    """Per-zone half-plane coefficients as DATA columns, padded to a fixed
+    edge count by cyclically repeating real edges (AND over duplicates is a
+    no-op). Returns None when any zone is multi-part or has more than
+    ``_MAX_EDGE_COLS`` edges (those fall back to the CASE expr / udf paths).
+
+    Why data, not plan text: baking each zone's edges into a CASE branch
+    (the v1 plan) makes the predicate GROW with the zone count — at 10
+    zones the generated code already fell out of efficient codegen
+    (measured: the CASE refine cost 2.6 s of a 3.8 s / 25M-row join at 16
+    cores), and at 10^3+ zones it would not compile at all. With the
+    coefficients as broadcast-side columns the predicate is a constant-size
+    expression (K fused multiply-compares), independent of zone count."""
+    per_zone = {}
+    max_e = 0
+    for z in zones:
+        if len(z["parts"]) != 1:
+            return None
+        p = np.asarray(z["parts"][0], dtype=np.float64)
+        if np.allclose(p[0], p[-1]):
+            p = p[:-1]
+        if len(p) > _MAX_EDGE_COLS:
+            return None
+        q = np.roll(p, -1, axis=0)
+        # edge k: dx*(y - ya) - dy*(x - xa) > 0  (same arithmetic shape as
+        # the CASE expr so kept rows are bit-identical)
+        edges = np.stack([q[:, 0] - p[:, 0], q[:, 1] - p[:, 1], p[:, 0], p[:, 1]], axis=1)
+        per_zone[int(z["zone_id"])] = edges
+        max_e = max(max_e, len(edges))
+    rows = []
+    for zid, edges in per_zone.items():
+        reps = edges[np.arange(_pad := max_e) % len(edges)]
+        rows.append([zid] + list(reps.reshape(-1)))
+    cols = ["zone_id"]
+    for k in range(max_e):
+        cols += [f"e{k}_dx", f"e{k}_dy", f"e{k}_xa", f"e{k}_ya"]
+    return pd.DataFrame(rows, columns=cols)
+
+
+def _edge_refine_cond(n_edges: int, x: str, y: str) -> F.Column:
+    cond = None
+    for k in range(n_edges):
+        c = (
+            F.col(f"e{k}_dx") * (F.col(y) - F.col(f"e{k}_ya"))
+            - F.col(f"e{k}_dy") * (F.col(x) - F.col(f"e{k}_xa"))
+        ) > 0
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
 def pip_join(
     points: DataFrame,
     zones: list[dict],
@@ -168,23 +243,42 @@ def pip_join(
     misses drop, multi-zone hits duplicate — reference ``locate_faces``
     returns −1 for misses ≙ left-join variant via ``how='left'`` upstream).
 
-    ``refine``: 'expr' — JVM half-plane expression (convex ccw zones only,
-    codegen, no Python); 'udf' — vectorized numpy ray-cast (any polygon);
-    'auto' — expr when all zones are convex ccw, else udf.
+    ``refine``: 'expr' — JVM half-plane test (convex ccw zones only,
+    codegen, no Python; single-part zones carry their edge coefficients as
+    broadcast-side DATA columns, multi-part zones fall back to a CASE
+    expression); 'udf' — vectorized numpy ray-cast (any polygon); 'auto' —
+    expr when all zones are convex ccw, else udf.
     """
     spark = points.sparkSession
-    cover = zone_cover_cached(zones, zoom, mode="intersects")
-    cover_df = F.broadcast(
-        spark.createDataFrame(cover, schema="zone_id long, cell_id long, boundary boolean")
-    )
     pts = with_cell_id(points, zoom, x, y)
-    cand = pts.join(cover_df, "cell_id")
 
     if refine == "auto":
         refine = "expr" if _all_convex_ccw(zones) else "udf"
     if refine == "expr":
+        edges = _zone_edges_pdf(zones)
+        if edges is not None:
+            k = _zones_key(zones, zoom, "intersects+edges")
+            key = (k, spark.sparkContext.applicationId)
+            if key in _COVER_SDF_CACHE:
+                _COVER_SDF_CACHE.move_to_end(key)
+            else:
+                cov = zone_cover_cached(zones, zoom, "intersects").merge(edges, on="zone_id")
+                _COVER_SDF_CACHE[key] = spark.createDataFrame(cov)
+                while len(_COVER_SDF_CACHE) > _COVER_CACHE_MAX:
+                    _COVER_SDF_CACHE.popitem(last=False)
+            cover_edges = F.broadcast(_COVER_SDF_CACHE[key])
+            n_edges = sum(1 for c in cover_edges.columns if c.endswith("_dx"))
+            cand = pts.join(cover_edges, "cell_id")
+            keep = ~F.col("boundary") | _edge_refine_cond(n_edges, x, y)
+            drop = ["boundary", "cell_id"] + [c for c in cover_edges.columns if c.startswith("e")]
+            return cand.where(keep).drop(*drop)
+        cover_df = F.broadcast(zone_cover_sdf_cached(spark, zones, zoom, "intersects"))
+        cand = pts.join(cover_df, "cell_id")
         keep = ~F.col("boundary") | _convex_refine_expr(zones, x, y)
         return cand.where(keep).drop("boundary", "cell_id")
+
+    cover_df = F.broadcast(zone_cover_sdf_cached(spark, zones, zoom, "intersects"))
+    cand = pts.join(cover_df, "cell_id")
 
     zones_b = spark.sparkContext.broadcast(
         {z["zone_id"]: [p for p in z["parts"]] for z in zones}

@@ -53,6 +53,13 @@ def get_spark(
             "-Dio.netty.tryReflectionSetAccessible=true",
         )
         .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "false")
+        # 32 MB splits (default 128 MB): the bench tables are written as
+        # ~8 MB files (one row group each — unsplittable below file
+        # granularity), so 128 MB packing collapses them into too few tasks
+        # to feed 16+ cores; 32 MB keeps every core in work at both cluster
+        # sizes. On a real 1000-executor cluster the same conf yields the
+        # standard fine-grained splits AQE coalesces upward as needed.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
