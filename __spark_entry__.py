@@ -16,7 +16,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyramids_spark import cells, synth
+from pyramids_spark import api, cells, synth
 from pyramids_spark.grid import COELLO, Grid, grid_df, grid_sql
 from pyramids_spark.operators import focal, knn, raster, zonal
 from pyramids_spark.operators import pip as pip_op
@@ -410,6 +410,99 @@ def sql_overview_nearest():
         "SELECT band, row // 2 AS row, col // 2 AS col, value, "
         "CAST(1 AS BIGINT) AS n_children "
         "FROM g WHERE row % 2 = 0 AND col % 2 = 0"
+    )
+
+
+def q_overview_rms(spark, sf_dir):
+    """RMS overview (reference method list ``abstract_dataset.py:840-843``):
+    sqrt(mean(value²)) per 2×2 parent — decomposable partial agg."""
+    g = grid_df(spark, COELLO)
+    out = raster.overview_rollup(g, level=2, stat="rms")
+    return out.select("band", "row", "col", F.round("value", 6).alias("value"), "n_children")
+
+
+def sql_overview_rms():
+    return (
+        f"WITH g AS ({grid_sql(COELLO)}) "
+        "SELECT band, row // 2 AS row, col // 2 AS col, "
+        "round(sqrt(avg(value * value)), 6) AS value, "
+        "count(value) AS n_children FROM g GROUP BY 1, 2, 3"
+    )
+
+
+_NODATA_VALUE = (
+    "CASE WHEN (row * {cols} + col) % 7 = 0 THEN -9.0 "
+    "WHEN (row * {cols} + col) % 11 = 0 THEN NULL "
+    "ELSE CAST(row * {cols} + col AS DOUBLE) END"
+)
+
+
+def q_change_nodata(spark, sf_dir):
+    """``Dataset.change_no_data_value`` (``dataset/ops/band_metadata.py:998``):
+    rewrite the −9 sentinel (isclose, rtol 0.001) and NULL-represented
+    nodata to −999 in the data — a pure projection, no shuffle."""
+    g = grid_df(spark, COELLO, _NODATA_VALUE)
+    return raster.change_no_data_value(g, new_value=-999.0, old_value=-9.0)
+
+
+def sql_change_nodata():
+    return (
+        f"WITH g AS ({grid_sql(COELLO, _NODATA_VALUE)}) "
+        "SELECT band, row, col, "
+        "CASE WHEN value IS NULL OR abs(value - (-9.0)) <= 0.001 * abs(-9.0) "
+        "THEN -999.0 ELSE value END AS value FROM g"
+    )
+
+
+def q_list_layers(spark, sf_dir):
+    """``FeatureCollection.list_layers`` (``feature/collection.py:1240``,
+    pyogrio multi-layer listing ≙ parquet datasets in a container dir) +
+    per-layer feature counts (metadata-only counts, no full scan)."""
+    return api.SparkFeatureCollection.list_layers(spark, sf_dir)
+
+
+def sql_list_layers():
+    tables = [
+        "customer", "documents", "embeddings", "events", "lineitem",
+        "nation", "orders", "part", "region", "supplier",
+    ]
+    return " UNION ALL ".join(
+        f"SELECT '{t}' AS layer, count(*) AS n_features FROM {t}" for t in tables
+    )
+
+
+def q_wkt_roundtrip(spark, sf_dir):
+    """WKT constructors/extractors (``feature/geometry.py:546,637``):
+    build ``POINT (x y)`` from the doc geometry with codegen string
+    functions, parse it back, and type-tag it — no UDF, no shapely."""
+    from pyramids_spark.functions import wkt as W
+
+    docs = _read(spark, sf_dir, "documents")
+    h1, h2 = cells.h1_col(F.col("doc_id")), cells.h2_col(F.col("doc_id"))
+    d = docs.select(
+        "doc_id", cells.lon_col(h1).alias("lon"), cells.lat_col(h2).alias("lat")
+    )
+    d = d.withColumn("wkt", W.point_wkt(F.col("lon"), F.col("lat")))
+    return d.select(
+        "doc_id", "wkt",
+        W.wkt_point_x(F.col("wkt")).alias("px"),
+        W.wkt_point_y(F.col("wkt")).alias("py"),
+        W.wkt_geometry_type(F.col("wkt")).alias("gtype"),
+    )
+
+
+def sql_wkt_roundtrip():
+    num = "(-?[0-9]+\\.?[0-9]*)"
+    pat = f"POINT \\({num} {num}\\)"
+    return (
+        "WITH d AS (SELECT doc_id, "
+        f"{cells.lon_sql(_H1)} AS lon, {cells.lat_sql(_H2)} AS lat FROM documents), "
+        "w AS (SELECT doc_id, printf('POINT (%.6f %.6f)', round(lon, 6) + 0.0, "
+        "round(lat, 6) + 0.0) AS wkt FROM d) "
+        "SELECT doc_id, wkt, "
+        f"TRY_CAST(regexp_extract(wkt, '{pat}', 1) AS DOUBLE) AS px, "
+        f"TRY_CAST(regexp_extract(wkt, '{pat}', 2) AS DOUBLE) AS py, "
+        "upper(regexp_extract(wkt, '^\\s*([A-Za-z]+)', 1)) AS gtype FROM w"
     )
 
 
@@ -1969,6 +2062,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_rollup": q_overview_rollup,
         "overview_mode": q_overview_mode,
         "overview_nearest": q_overview_nearest,
+        "overview_rms": q_overview_rms,
+        "change_nodata": q_change_nodata,
+        "list_layers": q_list_layers,
+        "wkt_roundtrip": q_wkt_roundtrip,
         "focal_mean": q_focal_mean,
         "focal_minmax": q_focal_minmax,
         "histogram": q_histogram,
@@ -2049,6 +2146,10 @@ def oracle_sql() -> dict[str, str]:
         "overview_rollup": sql_overview_rollup(),
         "overview_mode": sql_overview_mode(),
         "overview_nearest": sql_overview_nearest(),
+        "overview_rms": sql_overview_rms(),
+        "change_nodata": sql_change_nodata(),
+        "list_layers": sql_list_layers(),
+        "wkt_roundtrip": sql_wkt_roundtrip(),
         "focal_mean": sql_focal_mean(),
         "focal_minmax": sql_focal_minmax(),
         "histogram": sql_histogram(),

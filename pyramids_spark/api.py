@@ -17,7 +17,20 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from functools import lru_cache
+
 from .grid import Grid, grid_df
+
+
+@lru_cache(maxsize=128)
+def _list_layer_names_cached(path: str) -> list[str]:
+    import glob as _glob
+    import os as _os
+
+    return sorted(
+        _os.path.splitext(_os.path.basename(p))[0]
+        for p in _glob.glob(f"{path}/*.parquet")
+    )
 from .operators import focal as _focal
 from .operators import raster as _raster
 from .operators import reproject as _reproject
@@ -202,6 +215,31 @@ class SparkFeatureCollection:
 
     def to_parquet(self, path: str) -> None:
         self.df.write.mode("overwrite").parquet(path)
+
+    # --- catalog (collection.py:1240 list_layers, pyogrio engine) -----------
+    @staticmethod
+    def list_layer_names(path: str) -> list[str]:
+        """Layer names in a container directory — each ``*.parquet``
+        dataset is one vector layer (≙ ``pyogrio.list_layers`` over a
+        multi-layer GPKG). Memoised like the reference's C15 LRU
+        (collection.py:1248-1253); pure catalog metadata, no data read."""
+        return _list_layer_names_cached(path)
+
+    @classmethod
+    def list_layers(cls, spark: SparkSession, path: str) -> DataFrame:
+        """(layer, n_features) for every layer in the container — the
+        reference returns names; the count column is the Spark-side bonus
+        (one metadata-only parquet count per layer, no full scan)."""
+        out = None
+        for name in cls.list_layer_names(path):
+            d = (
+                spark.read.parquet(f"{path}/{name}.parquet")
+                .groupBy()
+                .agg(F.count(F.lit(1)).alias("n_features"))
+                .select(F.lit(name).alias("layer"), "n_features")
+            )
+            out = d if out is None else out.unionByName(d)
+        return out
 
     # --- set ops (collection.py:2259 concat) --------------------------------
     def concat(self, other: "SparkFeatureCollection") -> "SparkFeatureCollection":

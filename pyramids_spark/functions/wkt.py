@@ -1,0 +1,60 @@
+"""WKT geometry constructors / extractors as pure column algebra.
+
+Reference surface: ``feature/geometry.py:546`` ``create_polygon`` /
+``:637`` ``create_points`` (shapely constructors) and the WKT string forms
+used throughout the reference's FeatureCollection round trips. With no
+shapely in a Spark executor the distributed representation of a geometry
+column IS its WKT string (plus typed coordinate columns); these helpers
+build and parse that representation with codegen'd string functions — no
+UDF, no Python in the hot path, safe at any row count.
+
+Precision discipline: both Spark's ``format_string`` and DuckDB's
+``printf`` use C-style ``%.6f``; values are ``round(x, 6)``-ed first (both
+engines round half away from zero) and ``+ 0.0`` normalizes IEEE ``-0.0``
+to ``+0.0`` so the two engines emit byte-identical strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_NUM = r"(-?[0-9]+\.?[0-9]*)"
+
+
+def _norm(c: Column) -> Column:
+    # 6-dp, then -0.0 → +0.0 (adding +0.0 maps -0.0 to +0.0, exact no-op
+    # for every other double)
+    return F.round(c, 6) + F.lit(0.0)
+
+
+def point_wkt(x: Column, y: Column) -> Column:
+    """(x, y) → ``POINT (x y)`` at 6-dp (reference ``create_points``)."""
+    return F.format_string("POINT (%.6f %.6f)", _norm(x), _norm(y))
+
+
+def box_wkt(x0: Column, y0: Column, x1: Column, y1: Column) -> Column:
+    """Bounding box → closed ccw ``POLYGON`` ring at 6-dp (reference
+    ``create_polygon`` over the 5-vertex bounds ring)."""
+    a, b, c, d = _norm(x0), _norm(y0), _norm(x1), _norm(y1)
+    return F.format_string(
+        "POLYGON ((%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f))",
+        a, b, c, b, c, d, a, d, a, b,
+    )
+
+
+def wkt_point_x(wkt: Column) -> Column:
+    """``POINT (x y)`` → x as double (NULL on non-point input; try_cast
+    because ANSI mode hard-fails on the empty no-match extract)."""
+    return F.regexp_extract(wkt, rf"POINT \({_NUM} {_NUM}\)", 1).try_cast("double")
+
+
+def wkt_point_y(wkt: Column) -> Column:
+    """``POINT (x y)`` → y as double (NULL on non-point input)."""
+    return F.regexp_extract(wkt, rf"POINT \({_NUM} {_NUM}\)", 2).try_cast("double")
+
+
+def wkt_geometry_type(wkt: Column) -> Column:
+    """Leading WKT tag (``POINT`` / ``POLYGON`` / …) — reference
+    ``geom_type`` accessor."""
+    return F.upper(F.regexp_extract(wkt, r"^\s*([A-Za-z]+)", 1))

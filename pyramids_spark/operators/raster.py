@@ -376,10 +376,38 @@ def overview_rollup(cells_df: DataFrame, level: int = 2, stat: str = "avg") -> D
         "min": F.min("value"),
         "max": F.max("value"),
         "sum": F.sum("value"),
+        # RMS overview (reference method list, abstract_dataset.py:840-843):
+        # sqrt of the mean square — decomposable (partial sum of squares),
+        # the radar/magnitude-preserving pyramid method
+        "rms": F.sqrt(F.avg(F.col("value") * F.col("value"))),
     }[stat]
     return (
         cells_df.groupBy("band", prow.alias("row"), pcol.alias("col"))
         .agg(agg.alias("value"), F.count("value").alias("n_children"))
+    )
+
+
+def change_no_data_value(
+    cells_df: DataFrame,
+    new_value: float,
+    old_value: float | None = None,
+    rtol: float = 0.001,
+) -> DataFrame:
+    """Reference ``Dataset.change_no_data_value`` (``dataset/ops/
+    band_metadata.py:998-1075``): rewrite the sentinel in the data itself —
+    cells matching the OLD sentinel (``isclose`` with relative tolerance
+    0.001, the reference's hardcoded rtol) or stored as NULL (our
+    NULL-at-ingest representation of nodata) become ``new_value``. Pure
+    column algebra: a projection, no shuffle, scales to any table size."""
+    v = F.col("value")
+    if old_value is None:
+        matched = v.isNull()
+    else:
+        matched = v.isNull() | (
+            F.abs(v - F.lit(float(old_value))) <= F.lit(rtol) * F.abs(F.lit(float(old_value)))
+        )
+    return cells_df.withColumn(
+        "value", F.when(matched, F.lit(float(new_value))).otherwise(v)
     )
 
 

@@ -1,0 +1,89 @@
+"""WKT constructors/extractors, change_no_data_value, list_layers."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pyramids_spark.functions import wkt as W
+from pyramids_spark.grid import COELLO, grid_df
+from pyramids_spark.operators import raster
+from pyramids_spark import api
+
+
+def test_wkt_point_roundtrip_exact(spark):
+    df = spark.range(200).select(
+        (F.col("id") * 0.731 - 73.0).alias("x"),
+        (F.col("id") * -0.173 + 17.0).alias("y"),
+    )
+    out = (
+        df.withColumn("wkt", W.point_wkt(F.col("x"), F.col("y")))
+        .select(
+            "x", "y", "wkt",
+            W.wkt_point_x(F.col("wkt")).alias("px"),
+            W.wkt_point_y(F.col("wkt")).alias("py"),
+            W.wkt_geometry_type(F.col("wkt")).alias("t"),
+        )
+        .collect()
+    )
+    for r in out:
+        assert r["t"] == "POINT"
+        assert r["wkt"].startswith("POINT (")
+        assert abs(r["px"] - round(r["x"], 6)) < 1e-9
+        assert abs(r["py"] - round(r["y"], 6)) < 1e-9
+
+
+def test_wkt_negative_zero_normalized(spark):
+    df = spark.createDataFrame([(-1e-9, -0.0)], "x double, y double")
+    wkt = df.select(W.point_wkt(F.col("x"), F.col("y")).alias("w")).collect()[0]["w"]
+    assert wkt == "POINT (0.000000 0.000000)"  # no "-0.000000"
+
+
+def test_box_wkt_ring_closed_ccw(spark):
+    df = spark.createDataFrame([(0.0, 1.0, 2.0, 3.5)], "x0 double, y0 double, x1 double, y1 double")
+    w = df.select(
+        W.box_wkt(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1")).alias("w")
+    ).collect()[0]["w"]
+    assert w == (
+        "POLYGON ((0.000000 1.000000, 2.000000 1.000000, "
+        "2.000000 3.500000, 0.000000 3.500000, 0.000000 1.000000))"
+    )
+
+
+def test_wkt_parse_non_point_is_null(spark):
+    df = spark.createDataFrame([("POLYGON ((0 0, 1 0, 1 1, 0 0))",)], "wkt string")
+    r = df.select(
+        W.wkt_point_x(F.col("wkt")).alias("px"),
+        W.wkt_geometry_type(F.col("wkt")).alias("t"),
+    ).collect()[0]
+    assert r["px"] is None
+    assert r["t"] == "POLYGON"
+
+
+def test_change_no_data_value_sentinel_and_null(spark):
+    g = grid_df(
+        spark, COELLO,
+        "CASE WHEN (row * {cols} + col) % 5 = 0 THEN -9.0 "
+        "WHEN (row * {cols} + col) % 3 = 0 THEN NULL "
+        "ELSE CAST(row * {cols} + col AS DOUBLE) END",
+    )
+    out = raster.change_no_data_value(g, new_value=-999.0, old_value=-9.0)
+    pdf = out.toPandas()
+    assert (pdf["value"].notna()).all()  # NULLs rewritten to the sentinel
+    assert not np.isclose(pdf["value"], -9.0, rtol=0.001).any()
+    # isclose semantics: -9.004 is within rtol of -9 and must be rewritten
+    g2 = spark.createDataFrame([(0, 0, 0, -9.004), (0, 0, 1, -9.2)],
+                               "band int, row long, col long, value double")
+    v = {(r["col"]): r["value"] for r in raster.change_no_data_value(
+        g2, -999.0, -9.0).collect()}
+    assert v[0] == -999.0 and v[1] == -9.2
+
+
+def test_list_layers_names_and_counts(spark, tmp_path):
+    base = str(tmp_path)
+    spark.range(7).write.parquet(f"{base}/alpha.parquet")
+    spark.range(3).write.parquet(f"{base}/beta.parquet")
+    api._list_layer_names_cached.cache_clear()  # C15-style cache invalidation
+    names = api.SparkFeatureCollection.list_layer_names(base)
+    assert names == ["alpha", "beta"]
+    rows = {r["layer"]: r["n_features"]
+            for r in api.SparkFeatureCollection.list_layers(spark, base).collect()}
+    assert rows == {"alpha": 7, "beta": 3}

@@ -76,6 +76,36 @@ def test_pip_join_plan_is_broadcast_no_bigside_shuffle(spark):
     assert "Exchange hashpartitioning" not in plan  # big side never shuffles
 
 
+def test_pip_refine_is_edge_data_not_case_plan_text(spark):
+    """Convex single-part zones must refine via broadcast-side edge
+    COLUMNS (constant-size predicate), never a per-zone CASE expression —
+    the CASE form grows with zone count and fell out of efficient codegen
+    at just 10 zones (PLANS.md §6b)."""
+    pts = synth.doc_points(spark, 1000)
+    zones = synth.zone_polygons(10, "hex")
+    df = pip.pip_join(pts, zones, zoom=7)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CASE WHEN (zone_id" not in plan
+    assert "e0_dx" in plan  # edge coefficients ride the broadcast side
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    # result columns stay clean: no edge/bookkeeping columns leak
+    assert not [c for c in df.columns if c.startswith("e") and "_d" in c]
+    assert "boundary" not in df.columns and "cell_id" not in df.columns
+
+
+def test_pip_edge_refine_matches_udf_raycast(spark):
+    """Edge-coefficient half-plane keep-set ≡ the general ray-cast UDF
+    path on the same convex zones (off-boundary points)."""
+    pts = synth.doc_points(spark, 4000)
+    zones = synth.zone_polygons(7, "hex")
+    a = pip.pip_join(pts, zones, zoom=7, refine="expr")
+    b = pip.pip_join(pts, zones, zoom=7, refine="udf")
+    ka = {(r["doc_id"], r["zone_id"]) for r in a.select("doc_id", "zone_id").collect()}
+    kb = {(r["doc_id"], r["zone_id"]) for r in b.select("doc_id", "zone_id").collect()}
+    assert ka == kb
+
+
 def test_span_sequence_invariant_through_pip_join(spark):
     docs = synth.documents_spans(spark, 500).withColumn(
         "span_hash", synth.span_hash_col()
