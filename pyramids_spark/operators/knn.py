@@ -22,11 +22,14 @@ tie-break. Distributed designs (both exact):
    evaluated as a groupBy, finished queries leave via anti-join — nothing
    round-trips through the driver (VERDICT r1 #3).
 
-Ties broken by (distance², key) everywhere. The numpy kernel encodes that
-order as complex numbers z = dist² + key·i — numpy sorts complex
-lexicographically (real, then imag), so one ``argpartition`` per batch is an
-EXACT (dist, key) top-k in O(Q·B), no per-query Python loop (keys < 2^53
-are exact in the imaginary float64).
+Ties broken by (distance², key) everywhere. The numpy kernel keeps, per
+query and batch, EVERY row whose distance ≤ the k-th smallest distance in
+that batch (one float64 ``argpartition`` + a mask): a superset of any
+(dist², key)-ordered top-k, so the final window resolves ties exactly.
+[v1 encoded the tie-break as complex numbers and argpartitioned complex128
+— numpy's complex compare is not vectorized and measured 840 ms vs 48 ms
+per (25×131072) batch, 17×; the float-partition + boundary-tie superset
+gives the same exact result at float speed.]
 """
 
 from __future__ import annotations
@@ -58,38 +61,38 @@ def knn_join(
 
     def partial_topk(batches):
         qi, qxy = qb.value
-        nq = qi.shape[0]
         qx = qxy[:, 0:1]
         qy = qxy[:, 1:2]
-        best: np.ndarray | None = None  # (Q, ≤k) complex: dist² + key·i
+        out_q, out_k, out_d = [], [], []
         for pdf in batches:
             px = pdf[x].to_numpy(dtype=np.float64)
             py = pdf[y].to_numpy(dtype=np.float64)
             kk = pdf[key].to_numpy(dtype=np.int64)
-            # (Q, B) distance matrix + lexicographic (dist², key) encoding —
-            # ONE argpartition replaces the round-1 per-query Python loop
-            z = ((qx - px[None, :]) ** 2 + (qy - py[None, :]) ** 2).astype(
-                np.complex128
-            )
-            z.imag[:] = kk[None, :]
-            if best is not None:
-                z = np.concatenate([best, z], axis=1)
-            if z.shape[1] > k:
-                sel = np.argpartition(z, k - 1, axis=1)[:, :k]
-                z = np.take_along_axis(z, sel, axis=1)
-            best = z
-        if best is None or best.size == 0:
+            # (Q, B) distances; keep every row with d ≤ the per-query k-th
+            # smallest in this batch — an exact superset of the (dist², key)
+            # top-k, at float argpartition speed (no complex compare, no
+            # cross-batch concat; each batch emits ≤ Q·(k+ties) rows)
+            d = (qx - px[None, :]) ** 2 + (qy - py[None, :]) ** 2
+            if d.shape[1] > k:
+                sel = np.argpartition(d, k - 1, axis=1)[:, :k]
+                dk = np.take_along_axis(d, sel, axis=1).max(axis=1, keepdims=True)
+                qidx, bidx = np.nonzero(d <= dk)
+            else:
+                qidx, bidx = np.nonzero(np.ones_like(d, dtype=bool))
+            out_q.append(qi[qidx])
+            out_k.append(kk[bidx])
+            out_d.append(d[qidx, bidx])
+        if not out_q:
             yield pd.DataFrame(
                 {"query_id": np.array([], dtype=np.int64),
                  key: np.array([], dtype=np.int64),
                  "dist2": np.array([], dtype=np.float64)}
             )
             return
-        m = best.shape[1]
         yield pd.DataFrame(
-            {"query_id": np.repeat(qi, m),
-             key: best.imag.ravel().astype(np.int64),
-             "dist2": best.real.ravel()}
+            {"query_id": np.concatenate(out_q),
+             key: np.concatenate(out_k),
+             "dist2": np.concatenate(out_d)}
         )
 
     cand = targets.select(key, x, y).mapInPandas(partial_topk, schema=out_schema)
