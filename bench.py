@@ -218,7 +218,9 @@ def main():
     ccdf.count()
     bench(
         "cluster_cc_4m",
-        lambda: vectorize.cluster(ccdf, g, lo=0.0, hi=54.0, tile=128).count(),
+        lambda: vectorize.cluster(
+            ccdf, g, lo=0.0, hi=54.0, tile=128, single_pass=True
+        ).count(),
     )
     ccdf.unpersist()
 

@@ -33,31 +33,38 @@ from ..grid import Grid
 
 
 def _local_cc(mask: np.ndarray, base_ids: np.ndarray, conn8: bool) -> np.ndarray:
-    """Min-label propagation CC on a boolean mask; labels start as base_ids
-    (global cell index). Returns label grid (-1 outside mask)."""
+    """CC on a boolean mask; labels are the component's minimum base_id
+    (global cell index). Returns label grid (-1 outside mask).
+
+    Runs as edge-list pointer-jumping (the same kernel as the cross-tile
+    merge): O(E · log diameter). [v1 swept the grid with 8 shifted minimums
+    per round until fixpoint — O(cells · diameter); a snake-shaped
+    component in a 128² tile needs hundreds of full-grid rounds, and that
+    sweep dominated the cluster bench at 4M cells.]"""
+    h, w = mask.shape
     lab = np.where(mask, base_ids, np.int64(-1))
     if not mask.any():
         return lab
-    big = np.int64(np.iinfo(np.int64).max)
-    cur = np.where(mask, base_ids, big)
-    shifts = [(0, 1), (0, -1), (1, 0), (-1, 0)]
-    if conn8:
-        shifts += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
-    while True:
-        nxt = cur.copy()
-        for dy, dx in shifts:
-            sh = np.full_like(cur, big)
-            ys = slice(max(dy, 0), cur.shape[0] + min(dy, 0))
-            yd = slice(max(-dy, 0), cur.shape[0] + min(-dy, 0))
-            xs = slice(max(dx, 0), cur.shape[1] + min(dx, 0))
-            xd = slice(max(-dx, 0), cur.shape[1] + min(-dx, 0))
-            sh[yd, xd] = cur[ys, xs]
-            nxt = np.minimum(nxt, sh)
-        nxt = np.where(mask, nxt, big)
-        if (nxt == cur).all():
-            break
-        cur = nxt
-    return np.where(mask, cur, np.int64(-1))
+    flat = np.arange(h * w, dtype=np.int64).reshape(h, w)
+    shifts = [(0, 1), (1, 0)] + ([(1, 1), (1, -1)] if conn8 else [])
+    eas, ebs = [], []
+    for dy, dx in shifts:
+        ys = slice(0, h - dy) if dy >= 0 else slice(-dy, h)
+        xs = slice(0, w - dx) if dx >= 0 else slice(-dx, w)
+        yd = slice(dy, h) if dy >= 0 else slice(0, h + dy)
+        xd = slice(dx, w) if dx >= 0 else slice(0, w + dx)
+        both = mask[ys, xs] & mask[yd, xd]
+        if both.any():
+            eas.append(flat[ys, xs][both])
+            ebs.append(flat[yd, xd][both])
+    if not eas:
+        return lab  # only isolated cells: every label is its own base id
+    uniq, roots = _edge_cc_arrays(np.concatenate(eas), np.concatenate(ebs))
+    # local flat order is row-major like base order, so the min local id of
+    # a component maps to its min base id
+    full = np.arange(h * w, dtype=np.int64)
+    full[uniq] = roots
+    return np.where(mask, base_ids.ravel()[full].reshape(h, w), np.int64(-1))
 
 
 def _per_tile_cc(cells_df: DataFrame, grid: Grid, predicate, tile: int, conn8: bool):
@@ -94,11 +101,10 @@ def _per_tile_cc(cells_df: DataFrame, grid: Grid, predicate, tile: int, conn8: b
 EDGE_LOCAL_MAX = 5_000_000  # label-graph size below which one task solves it
 
 
-def _edge_cc_np(ea: np.ndarray, eb: np.ndarray) -> pd.DataFrame:
-    """Vectorized CC over an edge list (numpy, runs INSIDE one executor
-    task): min-propagation with pointer jumping, O(E · log diameter), no
-    per-edge Python loop. Returns (label, root) for labels where root
-    differs."""
+def _edge_cc_arrays(ea: np.ndarray, eb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized CC over an edge list: min-propagation with pointer
+    jumping, O(E · log diameter), no per-edge Python loop. Returns
+    (node_ids, component_roots) aligned arrays (root = min node id)."""
     uniq = np.unique(np.concatenate([ea, eb]))
     ia = np.searchsorted(uniq, ea)
     ib = np.searchsorted(uniq, eb)
@@ -111,7 +117,13 @@ def _edge_cc_np(ea: np.ndarray, eb: np.ndarray) -> pd.DataFrame:
         root = root[root[root]]  # double pointer jump
         if (root == prev).all():
             break
-    out = uniq[root]
+    return uniq, uniq[root]
+
+
+def _edge_cc_np(ea: np.ndarray, eb: np.ndarray) -> pd.DataFrame:
+    """:func:`_edge_cc_arrays` as a (label, root) frame of CHANGED labels
+    (the cross-tile merge mapping)."""
+    uniq, out = _edge_cc_arrays(ea, eb)
     ch = out != uniq
     return pd.DataFrame({"label": uniq[ch], "root": out[ch]})
 
@@ -225,19 +237,40 @@ def _merge_labels_df(border: DataFrame, conn8: bool, by_value: bool) -> DataFram
 
 
 def cluster(
-    cells_df: DataFrame, grid: Grid, lo: float, hi: float, tile: int = 256
+    cells_df: DataFrame,
+    grid: Grid,
+    lo: float,
+    hi: float,
+    tile: int = 256,
+    single_pass: bool = False,
 ) -> DataFrame:
     """8-connected components of cells with lo ≤ value ≤ hi
-    → (row, col, value, label); label = min cell index of the component."""
+    → (row, col, value, label); label = min cell index of the component.
+
+    ``single_pass=False`` (default): the per-tile labeling is recomputed
+    for the final relabel join — two scans, O(1) storage, the only sane
+    mode at 100 TB. ``single_pass=True``: the labeled table is persisted
+    (MEMORY_AND_DISK) for the mapping pass, the result is eagerly
+    materialized, and the cache is released before returning — one scan,
+    O(cells) block-manager storage, the right mode when the grid fits the
+    cluster's storage tier (it halves the wall time at bench scale)."""
     labeled = _per_tile_cc(
         cells_df, grid, lambda v: v.isNotNull() & (v >= lo) & (v <= hi), tile, conn8=True
     )
+    if single_pass:
+        from pyspark import StorageLevel
+
+        labeled = labeled.persist(StorageLevel.MEMORY_AND_DISK)
     border = labeled.where("border").select("row", "col", "value", "label").persist()
     try:
         mapping = _merge_labels_df(border, conn8=True, by_value=False)
     finally:
         border.unpersist()
-    return _apply_mapping(labeled, mapping)
+    out = _apply_mapping(labeled, mapping)
+    if single_pass:
+        out = out.localCheckpoint(eager=True)
+        labeled.unpersist()
+    return out
 
 
 def _apply_mapping(labeled: DataFrame, mapping: DataFrame) -> DataFrame:
