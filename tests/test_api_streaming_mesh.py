@@ -223,3 +223,64 @@ def test_netcdf_variable_dict_surface(spark):
     assert nc3.variable_names == ["temp", "wind"]
     sl = nc3.sel(t=(1, 2), variable="wind")
     assert sl.df.count() == 8
+
+
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: events stream in two
+    micro-batches; advancing the watermark closes earlier sessions with
+    exact 30-min-gap semantics (the batch `sessionize` contract)."""
+    import json
+    import os
+
+    from pyramids_spark.streaming.sessionize import stream_sessionize
+
+    src = tmp_path / "events"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+
+    def write_batch(name, rows):
+        p = src / f"{name}.json"
+        tmp = str(p) + ".tmp"
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.rename(tmp, p)
+
+    # batch 1: user 1 has two events 10 min apart (one session), user 2 one
+    t0 = "2026-01-01T00:00:00Z"
+    write_batch("b1", [
+        {"ts": "2026-01-01T00:00:00Z", "user_id": 1},
+        {"ts": "2026-01-01T00:10:00Z", "user_id": 1},
+        {"ts": "2026-01-01T00:05:00Z", "user_id": 2},
+    ])
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .json(str(src))
+    )
+    out = stream_sessionize(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory").queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: much later events advance the watermark far past
+        # (session_end + gap) for every batch-1 session
+        write_batch("b2", [
+            {"ts": "2026-01-01T06:00:00Z", "user_id": 1},
+            {"ts": "2026-01-01T06:00:00Z", "user_id": 2},
+        ])
+        q.processAllAvailable()
+        # one more empty-ish advance so timeout-fired rows flush
+        write_batch("b3", [{"ts": "2026-01-01T12:00:00Z", "user_id": 3}])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    res = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"])): r["n_events"]
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    assert res[(1, "2026-01-01 00:00:00", "2026-01-01 00:10:00")] == 2
+    assert res[(2, "2026-01-01 00:05:00", "2026-01-01 00:05:00")] == 1

@@ -1,0 +1,114 @@
+"""Hypothesis property tests over the pure-numpy kernels (no Spark session
+— these fuzz the math the distributed operators are built on)."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from pyramids_spark import cells
+from pyramids_spark.operators import utm
+from pyramids_spark.operators.vectorize import _edge_cc_arrays
+
+_S = dict(deadline=None, max_examples=60)
+
+
+@settings(**_S)
+@given(
+    st.integers(min_value=0, max_value=20),
+    st.lists(st.integers(min_value=0, max_value=2**20 - 1), min_size=1, max_size=50),
+    st.lists(st.integers(min_value=0, max_value=2**20 - 1), min_size=1, max_size=50),
+)
+def test_cell_pack_unpack_roundtrip(zoom, cxs, cys):
+    n = 1 << zoom
+    cx = np.asarray(cxs, dtype=np.int64) % n
+    cy = np.asarray(cys[: len(cxs)].copy() or [0], dtype=np.int64) % n
+    m = min(len(cx), len(cy))
+    cx, cy = cx[:m], cy[:m]
+    ux, uy = cells.unpack(cells.pack(cx, cy, zoom), zoom)
+    assert (ux == cx).all() and (uy == cy).all()
+
+
+@settings(**_S)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=64))
+def test_hash_coords_always_in_range(keys):
+    k = np.asarray(keys, dtype=np.int64)
+    lon = cells.lon_np(cells.h1_np(k))
+    lat = cells.lat_np(cells.h2_np(k))
+    assert ((lon >= -180.0) & (lon < 180.0)).all()
+    assert ((lat >= -90.0) & (lat < 90.0)).all()
+    for zoom in (0, 5, 12):
+        cx, cy = cells.geo_cell_np(lon, lat, zoom)
+        n = 1 << zoom
+        assert ((cx >= 0) & (cx < n)).all() and ((cy >= 0) & (cy < n)).all()
+
+
+@settings(**_S)
+@given(
+    st.floats(min_value=-170.0, max_value=170.0),
+    st.floats(min_value=-80.0, max_value=80.0),
+    st.floats(min_value=0.05, max_value=30.0),
+    st.integers(min_value=5, max_value=24),
+    st.data(),
+)
+def test_convex_polygon_centroid_inside_far_point_outside(cx, cy, r, nv, data):
+    ang = np.sort(np.asarray(
+        data.draw(st.lists(st.floats(min_value=0.0, max_value=2 * np.pi),
+                           min_size=nv, max_size=nv, unique=True))
+    ))
+    px = cx + r * np.cos(ang)
+    py = cy + r * np.sin(ang)
+    poly = np.stack([px, py], axis=1)
+    centroid = np.array([px.mean()]), np.array([py.mean()])
+    assert cells.points_in_polygon(*centroid, poly).all()
+    far = np.array([cx + 10 * r]), np.array([cy + 10 * r])
+    assert not cells.points_in_polygon(*far, poly).any()
+
+
+@settings(**_S)
+@given(
+    st.integers(min_value=1, max_value=60),
+    st.floats(min_value=-79.0, max_value=79.0),
+    st.data(),
+)
+def test_utm_roundtrip_submm(zone, lat, data):
+    lon0 = zone * 6.0 - 183.0
+    lon = lon0 + data.draw(st.floats(min_value=-2.9, max_value=2.9))
+    epsg = (32600 if lat >= 0 else 32700) + zone
+    e, n = utm.wgs84_to_utm(np.array([lon]), np.array([lat]), epsg)
+    lon2, lat2 = utm.utm_to_wgs84(e, n, epsg)
+    # sub-mm: 1e-8 deg ≈ 1 mm
+    assert abs(lon2[0] - lon) < 1e-8 and abs(lat2[0] - lat) < 1e-8
+
+
+def _uf_reference(edges):
+    parent = {}
+
+    def find(a):
+        while parent.setdefault(a, a) != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min node of each component
+    out = {}
+    for a in parent:
+        out[a] = find(a)
+    return out
+
+
+@settings(**_S)
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=200),
+              st.integers(min_value=0, max_value=200)),
+    min_size=1, max_size=300,
+))
+def test_edge_cc_matches_union_find(edges):
+    ea = np.asarray([a for a, _ in edges], dtype=np.int64)
+    eb = np.asarray([b for _, b in edges], dtype=np.int64)
+    uniq, roots = _edge_cc_arrays(ea, eb)
+    ref = _uf_reference(edges)
+    got = dict(zip(uniq.tolist(), roots.tolist()))
+    assert got == {k: ref[k] for k in got}
