@@ -413,6 +413,147 @@ def sql_overview_nearest():
     )
 
 
+def q_focal_std(spark, sf_dir):
+    """Focal population std, offset-join path — sqrt(E[x²]−E[x]²) with the
+    exact expression shape of the tiled path and this oracle
+    (``_focal.py:122-173``)."""
+    g = grid_df(spark, COELLO)
+    out = focal.focal_join(g, COELLO, r=1, stat="std")
+    return out.select("band", "row", "col", F.round("value", 6).alias("value"))
+
+
+def sql_focal_std():
+    sr = focal.reflect_sql("g.row + o.dr", COELLO.rows)
+    sc = focal.reflect_sql("g.col + o.dc", COELLO.cols)
+    return (
+        f"WITH g AS ({grid_sql(COELLO)}), "
+        "o AS (SELECT (i // 3) - 1 AS dr, (i % 3) - 1 AS dc FROM generate_series(0, 8) t(i)), "
+        f"tgt AS (SELECT g.band, g.row AS trow, g.col AS tcol, {sr} AS srow, {sc} AS scol "
+        "FROM g CROSS JOIN o), "
+        "a AS (SELECT t.band, t.trow AS row, t.tcol AS col, "
+        "avg(s.value * s.value) AS m2, avg(s.value) AS m1 "
+        "FROM tgt t JOIN g s ON s.band = t.band AND s.row = t.srow AND s.col = t.scol "
+        "GROUP BY 1, 2, 3) "
+        "SELECT band, row, col, round(sqrt(greatest(m2 - m1 * m1, 0.0)), 6) AS value FROM a"
+    )
+
+
+def q_concat_fc(spark, sf_dir):
+    """FeatureCollection.concat (collection.py:2259): UNION of two
+    CRS-checked collections, source-tagged."""
+    docs = _read(spark, sf_dir, "documents")
+    h1, h2 = cells.h1_col(F.col("doc_id")), cells.h2_col(F.col("doc_id"))
+    base = docs.select(
+        "doc_id", F.round(cells.lon_col(h1), 6).alias("x"),
+        F.round(cells.lat_col(h2), 6).alias("y"),
+        (h1 % 2).alias("k"),
+    )
+    a = api.SparkFeatureCollection(
+        base.where(F.col("k") % 2 == 0).select("doc_id", "x", "y", F.lit("even").alias("src"))
+    )
+    b = api.SparkFeatureCollection(
+        base.where(F.col("k") % 2 == 1).select("doc_id", "x", "y", F.lit("odd").alias("src"))
+    )
+    return a.concat(b).df
+
+
+def sql_concat_fc():
+    base = (
+        "SELECT doc_id, "
+        f"round({cells.lon_sql(_H1)}, 6) AS x, round({cells.lat_sql(_H2)}, 6) AS y, "
+        f"({_H1}) % 2 AS k FROM documents"
+    )
+    return (
+        f"WITH base AS ({base}) "
+        "SELECT doc_id, x, y, 'even' AS src FROM base WHERE k % 2 = 0 "
+        "UNION ALL "
+        "SELECT doc_id, x, y, 'odd' AS src FROM base WHERE k % 2 = 1"
+    )
+
+
+def q_time_slice(spark, sf_dir):
+    """DatasetCollection head/tail positional time slices
+    (collection.py:953): first 3 + last 2 of a 10-step stack, tagged."""
+    stack = grid_df(spark, COELLO).crossJoin(
+        spark.range(10).select(F.col("id").alias("t"))
+    ).select("band", "row", "col", "t", (F.col("value") + F.col("t")).alias("value"))
+    coll = api.SparkDatasetCollection(stack)
+    head = coll.head(3).select("band", "row", "col", "t", "value", F.lit("head").alias("slice"))
+    tail = coll.tail(2).select("band", "row", "col", "t", "value", F.lit("tail").alias("slice"))
+    return head.unionByName(tail)
+
+
+def sql_time_slice():
+    return (
+        f"WITH g AS ({grid_sql(COELLO)}), "
+        "s AS (SELECT g.band, g.row, g.col, t.t, g.value + t.t AS value "
+        "FROM g CROSS JOIN generate_series(0, 9) t(t)) "
+        "SELECT band, row, col, t, value, 'head' AS slice FROM s WHERE t < 3 "
+        "UNION ALL "
+        "SELECT band, row, col, t, value, 'tail' AS slice FROM s WHERE t > 7"
+    )
+
+
+def q_mesh_subset(spark, sf_dir):
+    """Mesh subset_by_bounds (``ugrid/spatial.py:145-193``): plain range
+    predicate — Catalyst pushes it to the scan."""
+    from pyramids_spark.operators import mesh as mesh_op
+
+    nodes = _mesh_nodes(spark, sf_dir)
+    b = (COELLO.x0 + 10000.0, COELLO.y0 - 40000.0, COELLO.x0 + 40000.0, COELLO.y0 - 5000.0)
+    out = mesh_op.subset_by_bounds(nodes, b)
+    return out.select(
+        "node_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"), "data"
+    )
+
+
+def sql_mesh_subset():
+    k = "CAST(n_nationkey AS BIGINT)"
+    h1 = cells.h1_sql(k)
+    h2 = cells.h2_sql(k)
+    x = f"({COELLO.x0!r} + 56000.0 * ({h1} / 4294967296.0))"
+    y = f"({COELLO.y0!r} - 52000.0 * ({h2} / 4294967296.0))"
+    x0, y0 = COELLO.x0 + 10000.0, COELLO.y0 - 40000.0
+    x1, y1 = COELLO.x0 + 40000.0, COELLO.y0 - 5000.0
+    return (
+        f"WITH n AS (SELECT {k} AS node_id, {x} AS x, {y} AS y, "
+        f"CAST({k} * 10 + 5 AS DOUBLE) AS data FROM nation) "
+        f"SELECT node_id, round(x, 6) AS x, round(y, 6) AS y, data FROM n "
+        f"WHERE x >= {x0!r} AND x <= {x1!r} AND y >= {y0!r} AND y <= {y1!r}"
+    )
+
+
+_RAT_ROWS = [
+    (0.0, "water", 0.0),
+    (1.0, "forest", 0.35),
+    (2.0, "urban", 0.9),
+    (3.0, "cropland", 0.55),
+]
+
+
+def q_rat_join(spark, sf_dir):
+    """GDAL raster-attribute-table join (band metadata surface): attach
+    class attributes to a categorical raster via broadcast lookup, then a
+    per-class rollup keeps the attributes."""
+    g = grid_df(spark, COELLO, _CAT_VALUE)
+    rat = spark.createDataFrame(_RAT_ROWS, "value double, class_name string, albedo double")
+    j = raster.rat_join(g, rat)
+    return j.groupBy("value", "class_name", "albedo").agg(
+        F.count(F.lit(1)).alias("n_cells")
+    )
+
+
+def sql_rat_join():
+    vals = ", ".join(f"({v!r}, '{n}', {a!r})" for v, n, a in _RAT_ROWS)
+    return (
+        f"WITH g AS ({grid_sql(COELLO, _CAT_VALUE)}), "
+        f"rat(value, class_name, albedo) AS (VALUES {vals}) "
+        "SELECT g.value, rat.class_name, rat.albedo, count(*) AS n_cells "
+        "FROM g LEFT JOIN rat ON g.value = rat.value "
+        "GROUP BY 1, 2, 3"
+    )
+
+
 def q_overview_rms(spark, sf_dir):
     """RMS overview (reference method list ``abstract_dataset.py:840-843``):
     sqrt(mean(value²)) per 2×2 parent — decomposable partial agg."""
@@ -2066,6 +2207,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_nodata": q_change_nodata,
         "list_layers": q_list_layers,
         "wkt_roundtrip": q_wkt_roundtrip,
+        "focal_std": q_focal_std,
+        "concat_fc": q_concat_fc,
+        "time_slice": q_time_slice,
+        "mesh_subset": q_mesh_subset,
+        "rat_join": q_rat_join,
         "focal_mean": q_focal_mean,
         "focal_minmax": q_focal_minmax,
         "histogram": q_histogram,
@@ -2150,6 +2296,11 @@ def oracle_sql() -> dict[str, str]:
         "change_nodata": sql_change_nodata(),
         "list_layers": sql_list_layers(),
         "wkt_roundtrip": sql_wkt_roundtrip(),
+        "focal_std": sql_focal_std(),
+        "concat_fc": sql_concat_fc(),
+        "time_slice": sql_time_slice(),
+        "mesh_subset": sql_mesh_subset(),
+        "rat_join": sql_rat_join(),
         "focal_mean": sql_focal_mean(),
         "focal_minmax": sql_focal_minmax(),
         "histogram": sql_histogram(),

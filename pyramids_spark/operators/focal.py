@@ -77,7 +77,17 @@ def focal_join(cells_df: DataFrame, grid: Grid, r: int = 1, stat: str = "mean") 
     if stat == "mean":
         out = grp.agg(F.avg("value").alias("value"))
     elif stat == "std":
-        out = grp.agg(F.stddev_pop("value").alias("value"))
+        # explicit sqrt(E[x²]−E[x]²) — the same expression shape as the
+        # tiled path's cumsum formula AND the DuckDB oracle, so all three
+        # agree bit-for-bit (stddev_pop's Welford accumulation differs in
+        # the last ulp)
+        out = grp.agg(
+            F.avg(F.col("value") * F.col("value")).alias("_m2"),
+            F.avg("value").alias("_m1"),
+        ).select(
+            "band", "row", "col",
+            F.sqrt(F.greatest(F.col("_m2") - F.col("_m1") * F.col("_m1"), F.lit(0.0))).alias("value"),
+        )
     elif stat == "min":
         out = grp.agg(F.min("value").alias("value"))
     elif stat == "max":

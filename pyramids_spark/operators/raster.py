@@ -411,6 +411,15 @@ def change_no_data_value(
     )
 
 
+def rat_join(cells_df: DataFrame, rat: DataFrame, on: str = "value") -> DataFrame:
+    """Raster attribute table join (GDAL RAT — the reference's band
+    metadata surface, ``dataset/ops/band_metadata.py``): attach per-class
+    attributes to a categorical raster. The RAT is a tiny dim table →
+    broadcast equi-join, the 10^12-cell side never shuffles; unknown
+    classes keep NULL attributes (left join, GDAL lookup-miss semantics)."""
+    return cells_df.join(F.broadcast(rat), on, "left")
+
+
 def rasterize_points(
     points: DataFrame, grid: Grid, value: str | None = None,
     x: str = "x", y: str = "y",
