@@ -176,7 +176,17 @@ def cosine_topk_ivf(
                               schema=f"{qid} long, centroid_id long")
     )
     qb = F.broadcast(qraw)
-    cand = emb_assigned.join(pdf_probe, "centroid_id").join(qb, qid)
+    # literal isin over the probed lists: when the index table is stored
+    # partitioned by centroid_id (ivf_write), this prunes whole partition
+    # directories BEFORE the scan — the join alone cannot (its filter is
+    # only known at runtime). Probed lists ≪ all lists, so most of a
+    # 10^12-vector index is never read.
+    probed = sorted({c for _, c in probes})
+    cand = (
+        emb_assigned.where(F.col("centroid_id").isin(probed))
+        .join(pdf_probe, "centroid_id")
+        .join(qb, qid)
+    )
     # same expression SHAPE as cosine_topk → bit-identical doubles vs the
     # shared sql_ann_cosine oracle (ADVICE r1: dot(v/n, q/n) vs dot/(n·n)
     # differ in the last ulp and can flip a 6-dp rounding boundary)
@@ -184,6 +194,31 @@ def cosine_topk_ivf(
     scored = cand.select(qid, id_col, F.round(sim, 6).alias("cos_sim"))
     w = Window.partitionBy(qid).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_write(assigned: DataFrame, cents: np.ndarray, path: str) -> None:
+    """Persist an IVF index: the assigned vectors partitioned BY
+    centroid_id (one directory per inverted list — the Iceberg analogue is
+    an identity partition transform) plus the centroid matrix as a tiny
+    parquet. Probing then reads only nprobe directories (see the isin
+    pruning in :func:`cosine_topk_ivf`)."""
+    spark = assigned.sparkSession
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(f"{path}/lists")
+    cpdf = pd.DataFrame(
+        {"centroid_id": np.arange(cents.shape[0], dtype=np.int64),
+         "v": list(cents.astype(np.float64))}
+    )
+    spark.createDataFrame(cpdf, schema="centroid_id long, v array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_read(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """Load an :func:`ivf_write` index → (assigned, cents)."""
+    assigned = spark.read.parquet(f"{path}/lists")
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("centroid_id").collect()
+    cents = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    return assigned, cents
 
 
 def near_dup_pairs(

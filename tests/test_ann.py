@@ -64,3 +64,32 @@ def test_lsh_multiprobe_recall(spark):
     planes = ann.hyperplanes(16, 8)
     got = _pairs(ann.cosine_topk_lsh(vecs, qs, planes, k=10, probe_hamming=1))
     assert len(got & exact) / len(exact) >= 0.5
+
+
+def test_ivf_persisted_index_partition_prunes(spark, tmp_path):
+    """ivf_write partitions the lists by centroid_id; probing a stored
+    index must (a) read only the probed partition directories — asserted
+    via PartitionFilters in the scan plan — and (b) return exactly what
+    probing the in-memory index returns."""
+    vecs = _vectors(spark, 2000, dim=16)
+    qs = vecs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    idx, cents = ann.ivf_index(vecs, n_centroids=8, iters=1)
+    path = str(tmp_path / "ivf")
+    ann.ivf_write(idx, cents, path)
+    idx2, cents2 = ann.ivf_read(spark, path)
+    assert np.allclose(cents, cents2)
+
+    mem = {(r["qid"], r["rank"]): r["vec_id"]
+           for r in ann.cosine_topk_ivf(idx, cents, qs, k=5, nprobe=2).collect()}
+    disk_df = ann.cosine_topk_ivf(idx2, cents2, qs, k=5, nprobe=2)
+    disk = {(r["qid"], r["rank"]): r["vec_id"] for r in disk_df.collect()}
+    assert mem == disk
+
+    # the isin literal list must reach the scan's partition filters
+    import re
+
+    plan = disk_df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "centroid_id" in m.group(1) and "IN" in m.group(1).upper()
