@@ -50,10 +50,14 @@ def test_hash_coords_always_in_range(keys):
     st.data(),
 )
 def test_convex_polygon_centroid_inside_far_point_outside(cx, cy, r, nv, data):
-    ang = np.sort(np.asarray(
-        data.draw(st.lists(st.floats(min_value=0.0, max_value=2 * np.pi),
-                           min_size=nv, max_size=nv, unique=True))
-    ))
+    # well-spread vertex angles (gap ratio ≥ 0.3) — clustered angles make a
+    # sliver polygon whose vertex mean sits within float-eps of an edge,
+    # which tests ray-cast boundary semantics rather than inside/outside
+    gaps = np.asarray(
+        data.draw(st.lists(st.floats(min_value=0.3, max_value=1.0),
+                           min_size=nv, max_size=nv))
+    )
+    ang = 2 * np.pi * np.cumsum(gaps) / (gaps.sum() + gaps.mean())
     px = cx + r * np.cos(ang)
     py = cy + r * np.sin(ang)
     poly = np.stack([px, py], axis=1)
