@@ -151,3 +151,47 @@ def test_from_stac_bbox_filter_and_temporal_stack(spark, tmp_path):
         from_stac(spark, items, "B99")
     with pytest.raises(ValueError):
         from_stac(spark, items, "B04", bbox=(100.0, 100.0, 101.0, 101.0))
+
+
+def test_spark_submit_job_end_to_end_and_resume(spark, tmp_path):
+    """The north-rule deployment shape, actually executed: spark-submit
+    --py-files <zip> jobs/pip_tiling_job.py against a synthesized
+    documents table; a second submit must resume (skip committed chunks)
+    and produce a new snapshot over identical data."""
+    import os
+    import subprocess
+    import zipfile
+
+    from pyramids_spark import synth
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    synth.documents_full(spark, 3000, partitions=4).write.parquet(inp)
+
+    zpath = str(tmp_path / "pyramids_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(os.path.join(repo, "pyramids_spark")):
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, repo))
+
+    cmd = [
+        "spark-submit", "--master", "local[2]", "--py-files", zpath,
+        os.path.join(repo, "jobs", "pip_tiling_job.py"),
+        "--input", inp, "--output", out, "--chunks", "3", "--zones", "5",
+    ]
+    env = {**os.environ, "PYSPARK_PYTHON": os.sys.executable}
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=420, env=env)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "span-invariant violations: 0" in r1.stdout
+    assert "snapshot v1; 3 chunks" in r1.stdout
+    data_dirs = os.listdir(os.path.join(out, "pip_tiling", "data"))
+    assert sorted(data_dirs) == ["chunk=0", "chunk=1", "chunk=2"]
+
+    # resume: everything committed → chunks skipped, new snapshot pinned
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=420, env=env)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "span-invariant violations: 0" in r2.stdout
+    assert "snapshot v2; 3 chunks" in r2.stdout
