@@ -9,5 +9,6 @@ via checkpointLocation.
 """
 
 from .ingest import stream_tile_counts, streaming_dedup
+from .sessionize import stream_sessionize
 
-__all__ = ["stream_tile_counts", "streaming_dedup"]
+__all__ = ["stream_tile_counts", "streaming_dedup", "stream_sessionize"]
