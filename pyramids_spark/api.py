@@ -275,6 +275,46 @@ class SparkFeatureCollection:
             d.repartitionByRange(n, "_morton").drop("_morton"), self.epsg
         )
 
+    def write_bucketed(
+        self,
+        table: str,
+        path: str,
+        n_buckets: int = 64,
+        zoom: int = 12,
+    ) -> None:
+        """Persist the collection BUCKETED by its grid cell (Spark
+        ``bucketBy`` + ``sortBy``, ≙ Iceberg's ``bucket(N, cell_id)``
+        transform): two tables bucketed the same way join WITHOUT a
+        shuffle on either side — the co-located spatial-join strategy for
+        repeated doc×doc / doc×feature joins at 10^12 rows, where even one
+        exchange of the big table dominates the job. Pair with
+        :func:`bucketed_join` (plan asserted shuffle-free in
+        tests/test_api_streaming_mesh.py)."""
+        from . import cells as _c
+
+        cx, cy = _c.geo_cell_col(F.col("x"), F.col("y"), zoom)
+        d = self.df.withColumn("cell_id", _c.cell_id_col(cx, cy, zoom))
+        (
+            d.write.mode("overwrite")
+            .bucketBy(n_buckets, "cell_id")
+            .sortBy("cell_id")
+            .option("path", path)
+            .saveAsTable(table)
+        )
+
+    @staticmethod
+    def bucketed_join(spark: SparkSession, table_a: str, table_b: str) -> DataFrame:
+        """Inner join of two same-bucketing tables on ``cell_id`` —
+        Catalyst satisfies both sides' distribution from the bucket spec,
+        so the plan carries NO Exchange (verified by plan-shape test)."""
+        a = spark.table(table_a)
+        b = spark.table(table_b)
+        # merge hint: at real scale NEITHER side broadcasts; without it the
+        # planner broadcasts a small test table and skips the bucket spec
+        return a.hint("merge").join(
+            b.withColumnRenamed("doc_id", "doc_id_b"), "cell_id"
+        )
+
     def sjoin(self, zones: list[dict], zoom: int = 8, **kw) -> DataFrame:
         from .operators.pip import pip_join
 

@@ -284,3 +284,39 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     }
     assert res[(1, "2026-01-01 00:00:00", "2026-01-01 00:10:00")] == 2
     assert res[(2, "2026-01-01 00:05:00", "2026-01-01 00:05:00")] == 1
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two collections bucketed by the same cell spec must join with NO
+    Exchange on either side (the Iceberg bucket-transform co-location
+    story; one shuffle of a 10^12-row table dominates any join it feeds)."""
+    from pyramids_spark import synth
+
+    fc_a = SparkFeatureCollection(
+        synth.doc_points(spark, 4000).select("doc_id", "key", "x", "y")
+    )
+    fc_b = SparkFeatureCollection(
+        synth.doc_points(spark, 2000).select("doc_id", "key", "x", "y")
+    )
+    fc_a.write_bucketed("bj_a", str(tmp_path / "a"), n_buckets=8, zoom=10)
+    fc_b.write_bucketed("bj_b", str(tmp_path / "b"), n_buckets=8, zoom=10)
+    try:
+        j = SparkFeatureCollection.bucketed_join(spark, "bj_a", "bj_b")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert j.count() > 0
+        # correctness: equals the plain (shuffling) join
+        plain = (
+            spark.read.parquet(str(tmp_path / "a"))
+            .join(
+                spark.read.parquet(str(tmp_path / "b")).withColumnRenamed(
+                    "doc_id", "doc_id_b"
+                ),
+                "cell_id",
+            )
+        )
+        assert j.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bj_a")
+        spark.sql("DROP TABLE IF EXISTS bj_b")
