@@ -320,3 +320,56 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bj_a")
         spark.sql("DROP TABLE IF EXISTS bj_b")
+
+
+def test_streaming_tile_counts_match_batch(spark, tmp_path):
+    """Closed streaming windows must carry EXACTLY the counts the batch
+    twin (window groupBy over the same rows) produces — not just a schema
+    check."""
+    import json
+    import os
+
+    from pyramids_spark.streaming import stream_tile_counts
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = []
+    for i in range(200):
+        rows.append({
+            "ts": f"2026-02-01T00:00:{i % 50:02d}Z",
+            "x": float((i * 37) % 360 - 180) + 0.5,
+            "y": float((i * 53) % 170 - 85) + 0.5,
+        })
+    # sentinel far in the future: advances the watermark past every window
+    rows.append({"ts": "2026-02-01T06:00:00Z", "x": 0.5, "y": 0.5})
+    with open(src / "b1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = spark.readStream.schema("ts timestamp, x double, y double").json(str(src))
+    out = stream_tile_counts(stream, zoom=4, window="10 seconds", watermark="5 seconds")
+    q = (
+        out.writeStream.format("memory").queryName("tc")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["tile_id"]): r["n"]
+        for r in spark.sql("SELECT * FROM tc").collect()
+    }
+    batch = spark.read.schema("ts timestamp, x double, y double").json(str(src))
+    from pyramids_spark import cells
+    cx, cy = cells.geo_cell_col(F.col("x"), F.col("y"), 4)
+    want_df = (
+        batch.withColumn("tile_id", cells.cell_id_col(cx, cy, 4))
+        .groupBy(F.window("ts", "10 seconds").alias("w"), "tile_id")
+        .count()
+        .where(F.col("w.start") < "2026-02-01 01:00:00")  # closed windows only
+    )
+    want = {
+        (str(r["w"]["start"]), r["tile_id"]): r["count"] for r in want_df.collect()
+    }
+    assert got == want and len(want) > 10
