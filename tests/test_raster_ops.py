@@ -202,3 +202,29 @@ def test_frame_sample_counts(spark):
     exp = {r.media_ref: (int(r.n_frames) + 9) // 10 for _, r in meta.iterrows()}
     got = fs.groupby("media_ref").size().to_dict()
     assert got == exp
+
+
+def test_zone_label_cells_distributed_equals_driver(spark):
+    """The distributed label rasterizer (bbox explode + Arrow ray-cast +
+    min(zone_id) first-win) must produce bit-identical (row, col, zone_id)
+    rows to the driver numpy path it replaces above
+    ZONE_LABEL_DRIVER_MAX."""
+    from pyramids_spark import synth
+    from pyramids_spark.grid import COELLO
+    from pyramids_spark.operators import zonal
+
+    zones = synth.zone_polygons(12, "box", seed=7)
+    # box zones are in geo space; scale them into the coello grid extent
+    for z in zones:
+        z["parts"] = [
+            np.stack([
+                COELLO.x0 + (p[:, 0] + 180.0) * 150.0,
+                COELLO.y0 - (p[:, 1] + 90.0) * 280.0,
+            ], axis=1)
+            for p in z["parts"]
+        ]
+    a = zonal.zone_label_cells(zones, COELLO)
+    got_a = {(int(r.row), int(r.col)): int(r.zone_id) for _, r in a.iterrows()}
+    b = zonal.zone_label_cells_df(spark, zones, COELLO).collect()
+    got_b = {(r["row"], r["col"]): r["zone_id"] for r in b}
+    assert got_a == got_b and len(got_a) > 0
