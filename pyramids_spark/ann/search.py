@@ -164,16 +164,19 @@ def cosine_topk_ivf(
     spark = emb_assigned.sparkSession
     cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     qraw = queries.select(qid, F.col(qvec).alias("qv"))
-    qrows = qraw.collect()
-    probes = []
-    for r in qrows:
-        qv = np.asarray(r["qv"], dtype=np.float64)
-        sims = cn @ (qv / np.linalg.norm(qv))  # normalization ONLY for probing
-        for c in np.argsort(-sims)[:nprobe]:
-            probes.append((r[qid], int(c)))
+    qrows = qraw.collect()  # the query set is small by contract (≪ index)
+    qids = np.asarray([r[qid] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    sims = qn @ cn.T  # (Q, k) — normalization ONLY for probing
+    npb = min(nprobe, cn.shape[0])
+    top = np.argpartition(-sims, npb - 1, axis=1)[:, :npb]  # one vectorized pass
+    probes_pdf = pd.DataFrame(
+        {qid: np.repeat(qids, npb), "centroid_id": top.ravel().astype(np.int64)}
+    )
+    probes = list(zip(probes_pdf[qid].tolist(), probes_pdf["centroid_id"].tolist()))
     pdf_probe = F.broadcast(
-        spark.createDataFrame(pd.DataFrame(probes, columns=[qid, "centroid_id"]),
-                              schema=f"{qid} long, centroid_id long")
+        spark.createDataFrame(probes_pdf, schema=f"{qid} long, centroid_id long")
     )
     qb = F.broadcast(qraw)
     # literal isin over the probed lists: when the index table is stored
