@@ -1,7 +1,7 @@
 """Similarity search over an embedding column (array<float>).
 
-- :func:`cosine_topk` — exact brute-force baseline: JVM-side ``aggregate``/
-  ``zip_with`` dot products against a broadcast query set, partition-local
+- :func:`cosine_topk` — exact brute-force baseline: JVM-side unrolled
+  codegen dot products against a broadcast query set, partition-local
   top-k (same pattern as operators.knn) so the 10^12-row side is scanned
   once and only Q×k×parts candidate rows shuffle.
 - :func:`lsh_buckets` / :func:`cosine_topk_lsh` — the scale path: random-
@@ -20,14 +20,35 @@ from pyspark.sql import functions as F
 from .. import cells
 
 
-def _dot(a: F.Column, b: F.Column) -> F.Column:
+def _dot(a: F.Column, b: F.Column, dim: int | None = None) -> F.Column:
+    """Element dot product. With ``dim`` known, unrolls to a left-to-right
+    chain of codegen multiply-adds — measured 2× faster than the HOF
+    ``aggregate`` fold (lambdas don't codegen; PLANS.md §7) and
+    BIT-IDENTICAL to it (same association order). Falls back to the HOF
+    form for unknown dimension."""
+    if dim is not None:
+        out = F.lit(0.0)
+        for i in range(dim):
+            out = out + a[i] * b[i]
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
 
 
-def _norm(a: F.Column) -> F.Column:
+def _norm(a: F.Column, dim: int | None = None) -> F.Column:
+    if dim is not None:
+        out = F.lit(0.0)
+        for i in range(dim):
+            out = out + a[i] * a[i]
+        return F.sqrt(out)
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def _dim_of(df: DataFrame, vec: str) -> int | None:
+    """Embedding dimension, from one metadata-cheap row (plan-once)."""
+    r = df.select(F.size(F.col(vec)).alias("d")).first()
+    return int(r["d"]) if r is not None else None
 
 
 def cosine_topk(
@@ -44,7 +65,10 @@ def cosine_topk(
     hash stability; ties break on vec_id."""
     q = F.broadcast(queries.select(qid, qvec))
     j = emb.select(id_col, vec).crossJoin(q)
-    sim = _dot(F.col(vec), F.col(qvec)) / (_norm(F.col(vec)) * _norm(F.col(qvec)))
+    dim = _dim_of(queries, qvec)
+    sim = _dot(F.col(vec), F.col(qvec), dim) / (
+        _norm(F.col(vec), dim) * _norm(F.col(qvec), dim)
+    )
     scored = j.select(qid, id_col, F.round(sim, 6).alias("cos_sim"))
     w = Window.partitionBy(qid).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -66,7 +90,7 @@ def lsh_buckets(
     bucket = F.lit(0)
     for i in range(n_planes):
         arr = F.array(*[F.lit(float(v)) for v in planes[i]])
-        d = _dot(F.col(vec), arr)
+        d = _dot(F.col(vec), arr, dim)
         bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return emb.withColumn("bucket", bucket)
 
@@ -193,7 +217,10 @@ def cosine_topk_ivf(
     # same expression SHAPE as cosine_topk → bit-identical doubles vs the
     # shared sql_ann_cosine oracle (ADVICE r1: dot(v/n, q/n) vs dot/(n·n)
     # differ in the last ulp and can flip a 6-dp rounding boundary)
-    sim = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    dim = int(qm.shape[1])
+    sim = _dot(F.col("v"), F.col("qv"), dim) / (
+        _norm(F.col("v"), dim) * _norm(F.col("qv"), dim)
+    )
     scored = cand.select(qid, id_col, F.round(sim, 6).alias("cos_sim"))
     w = Window.partitionBy(qid).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -240,8 +267,9 @@ def near_dup_pairs(
     the SAME exact cosine. The LSH path trades recall for a linear plan —
     callers at web scale should also raise n_planes."""
     n = emb.count()
+    _d = _dim_of(emb, vec)
     score = lambda va, vb: F.round(  # noqa: E731 — identical shape both paths
-        _dot(va, vb) / (_norm(va) * _norm(vb)), 6
+        _dot(va, vb, _d) / (_norm(va, _d) * _norm(vb, _d)), 6
     )
     if n <= max_exact_rows:
         a = emb.select(F.col(id_col).alias("id_a"), F.col(vec).alias("va"))
@@ -256,10 +284,6 @@ def near_dup_pairs(
         pairs.select("id_a", "id_b", score(F.col("va"), F.col("vb")).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
-
-
-def _dim_of(emb: DataFrame, vec: str) -> int:
-    return len(emb.select(vec).head()[0])
 
 
 def cosine_topk_lsh(
@@ -285,7 +309,10 @@ def cosine_topk_lsh(
         probes += [F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
     qexp = qb.select(qid, qvec, F.explode(F.array(*probes)).alias("bucket"))
     j = eb.join(F.broadcast(qexp), "bucket")
-    sim = _dot(F.col(vec), F.col(qvec)) / (_norm(F.col(vec)) * _norm(F.col(qvec)))
+    dim = int(planes.shape[1])
+    sim = _dot(F.col(vec), F.col(qvec), dim) / (
+        _norm(F.col(vec), dim) * _norm(F.col(qvec), dim)
+    )
     scored = j.select(qid, id_col, F.round(sim, 6).alias("cos_sim")).dropDuplicates([qid, id_col])
     w = Window.partitionBy(qid).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
