@@ -1,7 +1,7 @@
 """Similarity search over an embedding column (array<float>).
 
-- :func:`cosine_topk` — exact brute-force baseline: JVM-side unrolled
-  codegen dot products against a broadcast query set, partition-local
+- :func:`cosine_topk` — exact brute-force baseline: JVM-side dot products
+  against a broadcast query set (HOF folds; see _dot), partition-local
   top-k (same pattern as operators.knn) so the 10^12-row side is scanned
   once and only Q×k×parts candidate rows shuffle.
 - :func:`lsh_buckets` / :func:`cosine_topk_lsh` — the scale path: random-
@@ -21,11 +21,14 @@ from .. import cells
 
 
 def _dot(a: F.Column, b: F.Column, dim: int | None = None) -> F.Column:
-    """Element dot product. With ``dim`` known, unrolls to a left-to-right
-    chain of codegen multiply-adds — measured 2× faster than the HOF
-    ``aggregate`` fold (lambdas don't codegen; PLANS.md §7) and
-    BIT-IDENTICAL to it (same association order). Falls back to the HOF
-    form for unknown dimension."""
+    """Element dot product. With ``dim`` given, unrolls to a left-to-right
+    chain of multiply-adds — BIT-IDENTICAL to the HOF fold (same
+    association order). Measured guidance (PLANS.md §7b): the unrolled form
+    is ~2× faster ONLY as the sole expression of a simple scan projection;
+    inside join stages or stacked with other wide expressions the generated
+    method blows past JIT/codegen size limits and runs SLOWER than the
+    fold. Default (dim=None, HOF) is the robust choice — pass dim only for
+    an isolated scan-side projection you have measured."""
     if dim is not None:
         out = F.lit(0.0)
         for i in range(dim):
@@ -65,10 +68,7 @@ def cosine_topk(
     hash stability; ties break on vec_id."""
     q = F.broadcast(queries.select(qid, qvec))
     j = emb.select(id_col, vec).crossJoin(q)
-    dim = _dim_of(queries, qvec)
-    sim = _dot(F.col(vec), F.col(qvec), dim) / (
-        _norm(F.col(vec), dim) * _norm(F.col(qvec), dim)
-    )
+    sim = _dot(F.col(vec), F.col(qvec)) / (_norm(F.col(vec)) * _norm(F.col(qvec)))
     scored = j.select(qid, id_col, F.round(sim, 6).alias("cos_sim"))
     w = Window.partitionBy(qid).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -87,10 +87,15 @@ def lsh_buckets(
 ) -> DataFrame:
     """Append ``bucket`` = sign-pattern int of the vector against each plane."""
     n_planes, dim = planes.shape
+    # HOF folds on purpose: the fully unrolled bucket expression is
+    # n_planes×dim (256+) terms in ONE projection, which trips Spark's
+    # generated-code size limits into interpreted fallback — measured 2.4×
+    # SLOWER than the folds. The unrolled form wins only for the ~100-term
+    # scorer expressions (_dot/_norm with dim set); here the fold stays.
     bucket = F.lit(0)
     for i in range(n_planes):
         arr = F.array(*[F.lit(float(v)) for v in planes[i]])
-        d = _dot(F.col(vec), arr, dim)
+        d = _dot(F.col(vec), arr)
         bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return emb.withColumn("bucket", bucket)
 
@@ -217,10 +222,7 @@ def cosine_topk_ivf(
     # same expression SHAPE as cosine_topk → bit-identical doubles vs the
     # shared sql_ann_cosine oracle (ADVICE r1: dot(v/n, q/n) vs dot/(n·n)
     # differ in the last ulp and can flip a 6-dp rounding boundary)
-    dim = int(qm.shape[1])
-    sim = _dot(F.col("v"), F.col("qv"), dim) / (
-        _norm(F.col("v"), dim) * _norm(F.col("qv"), dim)
-    )
+    sim = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
     scored = cand.select(qid, id_col, F.round(sim, 6).alias("cos_sim"))
     w = Window.partitionBy(qid).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -267,9 +269,8 @@ def near_dup_pairs(
     the SAME exact cosine. The LSH path trades recall for a linear plan —
     callers at web scale should also raise n_planes."""
     n = emb.count()
-    _d = _dim_of(emb, vec)
     score = lambda va, vb: F.round(  # noqa: E731 — identical shape both paths
-        _dot(va, vb, _d) / (_norm(va, _d) * _norm(vb, _d)), 6
+        _dot(va, vb) / (_norm(va) * _norm(vb)), 6
     )
     if n <= max_exact_rows:
         a = emb.select(F.col(id_col).alias("id_a"), F.col(vec).alias("va"))
@@ -309,10 +310,7 @@ def cosine_topk_lsh(
         probes += [F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
     qexp = qb.select(qid, qvec, F.explode(F.array(*probes)).alias("bucket"))
     j = eb.join(F.broadcast(qexp), "bucket")
-    dim = int(planes.shape[1])
-    sim = _dot(F.col(vec), F.col(qvec), dim) / (
-        _norm(F.col(vec), dim) * _norm(F.col(qvec), dim)
-    )
+    sim = _dot(F.col(vec), F.col(qvec)) / (_norm(F.col(vec)) * _norm(F.col(qvec)))
     scored = j.select(qid, id_col, F.round(sim, 6).alias("cos_sim")).dropDuplicates([qid, id_col])
     w = Window.partitionBy(qid).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
