@@ -187,6 +187,9 @@ def main():
     # --- spatial ops at bench scale ----------------------------------------
     pts = synth.doc_points(spark, N_DOCS).persist()
     pts.count()
+    # untimed warmup: Python workers + Arrow codec + codegen for the knn
+    # shape (same steady-state discipline as the flagship warmup)
+    knn.knn_join(pts.limit(100_000), _q25(), k=10).count()
     bench("knn_25q", lambda: knn.knn_join(pts, _q25(), k=10).count())
     bench(
         "knn_25q_cellpruned",
