@@ -392,7 +392,7 @@ def sql_overview_mode():
         "FROM g WHERE value IS NOT NULL GROUP BY 1, 2, 3, 4), "
         "r AS (SELECT band, row, col, value, "
         "row_number() OVER (PARTITION BY band, row, col ORDER BY n DESC, value) AS rn, "
-        "sum(n) OVER (PARTITION BY band, row, col) AS n_children FROM c) "
+        "CAST(sum(n) OVER (PARTITION BY band, row, col) AS BIGINT) AS n_children FROM c) "
         "SELECT band, row, col, value, n_children FROM r WHERE rn = 1"
     )
 
@@ -473,9 +473,11 @@ def sql_concat_fc():
 
 def q_time_slice(spark, sf_dir):
     """DatasetCollection head/tail positional time slices
-    (collection.py:953): first 3 + last 2 of a 10-step stack, tagged."""
+    (collection.py:953): first 3 + last 2 of a 10-step stack, tagged.
+    t is SPARSE (epoch-ish 5i+3) so the slice must be positional over the
+    ordered distinct t values, not a dense value predicate (ADVICE r2)."""
     stack = grid_df(spark, COELLO).crossJoin(
-        spark.range(10).select(F.col("id").alias("t"))
+        spark.range(10).select((F.col("id") * 5 + 3).alias("t"))
     ).select("band", "row", "col", "t", (F.col("value") + F.col("t")).alias("value"))
     coll = api.SparkDatasetCollection(stack)
     head = coll.head(3).select("band", "row", "col", "t", "value", F.lit("head").alias("slice"))
@@ -486,11 +488,14 @@ def q_time_slice(spark, sf_dir):
 def sql_time_slice():
     return (
         f"WITH g AS ({grid_sql(COELLO)}), "
-        "s AS (SELECT g.band, g.row, g.col, t.t, g.value + t.t AS value "
-        "FROM g CROSS JOIN generate_series(0, 9) t(t)) "
-        "SELECT band, row, col, t, value, 'head' AS slice FROM s WHERE t < 3 "
+        "s AS (SELECT g.band, g.row, g.col, t.t * 5 + 3 AS t, "
+        "g.value + (t.t * 5 + 3) AS value "
+        "FROM g CROSS JOIN generate_series(0, 9) t(t)), "
+        "hd AS (SELECT DISTINCT t FROM s ORDER BY t LIMIT 3), "
+        "tl AS (SELECT DISTINCT t FROM s ORDER BY t DESC LIMIT 2) "
+        "SELECT band, row, col, t, value, 'head' AS slice FROM s JOIN hd USING (t) "
         "UNION ALL "
-        "SELECT band, row, col, t, value, 'tail' AS slice FROM s WHERE t > 7"
+        "SELECT band, row, col, t, value, 'tail' AS slice FROM s JOIN tl USING (t)"
     )
 
 

@@ -119,18 +119,18 @@ def flagship(spark, n_docs: int) -> dict:
     path = ensure_docs(spark, n_docs)
     pruned = zone_prune_cells(zones)
 
-    out: dict = {}
-
     def _audit():
         d = spark.read.parquet(path).where(F.col("pcell").isin(pruned))
-        out["all_ok"] = d.select(
+        return d.select(
             F.min((synth.span_hash_col() == F.col("span_hash")).cast("int")).alias("all_ok")
         ).collect()[0]["all_ok"]
 
-    import threading
+    # future (not a bare Thread): an audit failure re-raises at .result()
+    # instead of being swallowed and surfacing as a KeyError (ADVICE r2)
+    from concurrent.futures import ThreadPoolExecutor
 
-    audit = threading.Thread(target=_audit)
-    audit.start()
+    pool = ThreadPoolExecutor(max_workers=1)
+    audit = pool.submit(_audit)
 
     docs = (
         spark.read.parquet(path)
@@ -150,8 +150,9 @@ def flagship(spark, n_docs: int) -> dict:
         F.count(F.lit(1)).alias("n_tiles"),
     )
     rows = agg.collect()
-    audit.join()
-    assert out["all_ok"] == 1, "span invariant violated"
+    all_ok = audit.result(timeout=600)
+    pool.shutdown()
+    assert all_ok == 1, "span invariant violated"
     return {"zones": len(rows), "joined_docs": sum(r["n_docs"] for r in rows)}
 
 

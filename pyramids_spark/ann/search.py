@@ -48,10 +48,12 @@ def _norm(a: F.Column, dim: int | None = None) -> F.Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
-def _dim_of(df: DataFrame, vec: str) -> int | None:
+def _dim_of(df: DataFrame, vec: str) -> int:
     """Embedding dimension, from one metadata-cheap row (plan-once)."""
     r = df.select(F.size(F.col(vec)).alias("d")).first()
-    return int(r["d"]) if r is not None else None
+    if r is None or r["d"] is None:
+        raise ValueError(f"cannot infer embedding dimension: {vec!r} is empty")
+    return int(r["d"])
 
 
 def cosine_topk(
@@ -194,6 +196,10 @@ def cosine_topk_ivf(
     cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     qraw = queries.select(qid, F.col(qvec).alias("qv"))
     qrows = qraw.collect()  # the query set is small by contract (≪ index)
+    if not qrows:  # np.stack crashes on zero rows (ADVICE r2)
+        return spark.createDataFrame(
+            [], f"{qid} long, {id_col} long, cos_sim double, rank int"
+        )
     qids = np.asarray([r[qid] for r in qrows], dtype=np.int64)
     qm = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)

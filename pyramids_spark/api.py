@@ -23,7 +23,7 @@ from .grid import Grid, grid_df
 
 
 @lru_cache(maxsize=128)
-def _list_layer_names_cached(path: str) -> list[str]:
+def _list_layer_names_cached(path: str, mtime_ns: int) -> list[str]:
     import glob as _glob
     import os as _os
 
@@ -31,6 +31,18 @@ def _list_layer_names_cached(path: str) -> list[str]:
         _os.path.splitext(_os.path.basename(p))[0]
         for p in _glob.glob(f"{path}/*.parquet")
     )
+
+
+def _dir_mtime_ns(path: str) -> int:
+    """Cache key for layer listings: the container dir's mtime changes when
+    layers are added/removed, invalidating stale entries without an explicit
+    cache_clear."""
+    import os as _os
+
+    try:
+        return _os.stat(path).st_mtime_ns
+    except OSError:
+        return -1
 from .operators import focal as _focal
 from .operators import raster as _raster
 from .operators import reproject as _reproject
@@ -222,8 +234,9 @@ class SparkFeatureCollection:
         """Layer names in a container directory — each ``*.parquet``
         dataset is one vector layer (≙ ``pyogrio.list_layers`` over a
         multi-layer GPKG). Memoised like the reference's C15 LRU
-        (collection.py:1248-1253); pure catalog metadata, no data read."""
-        return _list_layer_names_cached(path)
+        (collection.py:1248-1253), keyed on the directory mtime so in-process
+        layer adds/removes invalidate; pure catalog metadata, no data read."""
+        return _list_layer_names_cached(path, _dir_mtime_ns(path))
 
     @classmethod
     def list_layers(cls, spark: SparkSession, path: str) -> DataFrame:
@@ -239,6 +252,8 @@ class SparkFeatureCollection:
                 .select(F.lit(name).alias("layer"), "n_features")
             )
             out = d if out is None else out.unionByName(d)
+        if out is None:  # no layers: empty frame, same schema (not None)
+            return spark.createDataFrame([], "layer string, n_features long")
         return out
 
     # --- set ops (collection.py:2259 concat) --------------------------------
@@ -356,12 +371,16 @@ class SparkDatasetCollection:
         )
 
     def head(self, n: int) -> DataFrame:
-        """collection.py:953 positional time-slice."""
-        return self.df.where(F.col("t") < n)
+        """collection.py:953 positional time-slice: the FIRST n distinct time
+        steps, positional over the ordered distinct t values — correct when t
+        is sparse / epoch-stamped / filtered, not just dense 0-based (ADVICE
+        r2). The distinct-t frame is O(time steps) → broadcast join."""
+        ts = self.df.select("t").distinct().orderBy("t").limit(n)
+        return self.df.join(F.broadcast(ts), "t").select(*self.df.columns)
 
     def tail(self, n: int) -> DataFrame:
-        tmax = self.df.agg(F.max("t")).first()[0]
-        return self.df.where(F.col("t") > tmax - n)
+        ts = self.df.select("t").distinct().orderBy(F.col("t").desc()).limit(n)
+        return self.df.join(F.broadcast(ts), "t").select(*self.df.columns)
 
     def merge(self, *others: "SparkDatasetCollection") -> DataFrame:
         """collection.py:1371 mosaic (first-non-null priority)."""

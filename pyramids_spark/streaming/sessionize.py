@@ -58,19 +58,42 @@ def stream_sessionize(
         import numpy as np
 
         tt = np.sort(np.concatenate(times))
-        sessions = []  # closed (start, end, n)
-        if state.exists:
-            cur = list(state.get)
-        else:
-            cur = None
+        # Build [start, end, n] intervals from this batch's (sorted) events,
+        # then merge the stored open session in as one more interval.  This
+        # keeps semantics right for out-of-order arrivals across micro-batches
+        # (legal under the gap-sized global watermark): an event older than the
+        # stored start pulls start back to min(t, start), and an event more
+        # than `gap` older than the stored start forms its own earlier session
+        # instead of being folded into the later one.
+        intervals = []  # [start, end, n], start-ordered within the batch
+        cur = None
         for t in tt:
-            if cur is None:
+            if cur is None or t - cur[1] > gap_us:
+                if cur is not None:
+                    intervals.append(cur)
                 cur = [int(t), int(t), 0]
-            elif t - cur[1] > gap_us:
-                sessions.append(tuple(cur))
-                cur = [int(t), int(t), 0]
-            cur[1] = max(cur[1], int(t))
+            cur[1] = int(t)
             cur[2] += 1
+        if cur is not None:
+            intervals.append(cur)
+        if state.exists:
+            intervals.append(list(state.get))
+            intervals.sort(key=lambda s: s[0])
+        merged = []
+        for iv in intervals:
+            if merged and iv[0] - merged[-1][1] <= gap_us:
+                m = merged[-1]
+                m[0] = min(m[0], iv[0])
+                m[1] = max(m[1], iv[1])
+                m[2] += iv[2]
+            else:
+                merged.append(iv)
+        if not merged:
+            return
+        # All but the newest interval are separated from it by > gap on this
+        # side of the watermark; emit them closed, keep the newest open.
+        sessions = [tuple(s) for s in merged[:-1]]
+        cur = merged[-1]
         state.update(tuple(cur))
         # event-time timeout: fire when the watermark passes end + gap
         state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)  # µs → ms

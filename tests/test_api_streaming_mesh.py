@@ -286,6 +286,54 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     assert res[(2, "2026-01-01 00:05:00", "2026-01-01 00:05:00")] == 1
 
 
+def test_streaming_sessionize_out_of_order_across_batches(spark, tmp_path):
+    """A late event (legal under the gap-sized watermark) that lands BEFORE
+    the stored session start must pull session_start back to min(t, start),
+    not be silently folded in with the old start (ADVICE r2, medium)."""
+    import json
+    import os
+
+    from pyramids_spark.streaming.sessionize import stream_sessionize
+
+    src = tmp_path / "events"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        p = src / f"{name}.json"
+        tmp = str(p) + ".tmp"
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.rename(tmp, p)
+
+    # batch 1: user 9 at 01:00 → watermark after b1 = 00:30
+    write_batch("b1", [{"ts": "2026-01-01T01:00:00Z", "user_id": 9}])
+    stream = spark.readStream.schema("ts timestamp, user_id long").json(str(src))
+    out = stream_sessionize(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory").queryName("sessions_ooo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: late event at 00:40 — after the 00:30 watermark, before the
+        # stored session start (01:00), within gap → must merge with start=00:40
+        write_batch("b2", [{"ts": "2026-01-01T00:40:00Z", "user_id": 9}])
+        q.processAllAvailable()
+        # advance watermark far past end+gap so the session closes
+        write_batch("b3", [{"ts": "2026-01-01T12:00:00Z", "user_id": 10}])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    res = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"])): r["n_events"]
+        for r in spark.sql("SELECT * FROM sessions_ooo").collect()
+    }
+    assert res[(9, "2026-01-01 00:40:00", "2026-01-01 01:00:00")] == 2
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Two collections bucketed by the same cell spec must join with NO
     Exchange on either side (the Iceberg bucket-transform co-location
