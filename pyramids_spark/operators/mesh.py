@@ -5,8 +5,10 @@ Reference: ``/root/reference/src/pyramids/netcdf/ugrid/`` —
 ``Mesh2d`` (mesh.py:20-119: node_x/node_y/face_node_connectivity),
 ``MeshSpatialIndex`` (spatial.py): locate_faces (PIP), locate_nearest_node
 (kNN), subset_by_bounds (range); ``interpolation.py:20-182`` mesh_to_grid
-(nearest with max_distance=2·cell cutoff; linear needs a Delaunay — scipy is
-absent here, so linear is a documented stub).
+(nearest with max_distance=2·cell cutoff; linear via barycentric weights on
+the mesh's own triangular faces — no scipy Delaunay in this environment).
+Both interpolation paths are cell-indexed equi-joins (no cartesian, no
+BroadcastNestedLoopJoin — asserted by tests/test_api_streaming_mesh.py).
 
 Spark model (SURVEY §1.1): ``nodes(node_id, x, y[, data])`` and
 ``faces(face_id, node_ids array<int>, centroid_x, centroid_y[, data])``.
@@ -49,21 +51,9 @@ def locate_nearest_node(nodes: DataFrame, queries: list[tuple[int, float, float]
     return knn_join(nodes.withColumnRenamed("node_id", "key"), queries, k=k)
 
 
-def mesh_to_grid_nearest(
-    nodes: DataFrame, grid: Grid, value: str = "data",
-    max_distance: float | None = None,
-) -> DataFrame:
-    """interpolation.py:20-182 nearest path: every grid cell centre takes the
-    value of the nearest mesh node, NULL beyond ``max_distance`` (reference
-    default cutoff 2·cell). Distributed as nodes→cell rasterize + ring-1
-    gap fill is NOT exact; instead we do the exact join: grid centres ×
-    nodes partial-top-1 (scan nodes once; shuffle O(cells)). Grid centres
-    are generated, not materialized."""
-    spark = nodes.sparkSession
-    max_distance = 2 * grid.cell if max_distance is None else max_distance
-    ncells = grid.rows * grid.cols
-    centres = (
-        spark.range(ncells)
+def _grid_centres(spark, grid: Grid) -> DataFrame:
+    return (
+        spark.range(grid.rows * grid.cols)
         .select(
             (F.col("id") / grid.cols).cast("long").alias("row"),
             (F.col("id") % grid.cols).cast("long").alias("col"),
@@ -71,22 +61,78 @@ def mesh_to_grid_nearest(
         .withColumn("qx", grid.x_center_col(F.col("col")))
         .withColumn("qy", grid.y_center_col(F.col("row")))
     )
-    # exact nearest per centre: join nodes by coarse cell rings would need a
-    # zoom; for mesh≪grid the broadcast-nodes variant is the right plan
-    n = F.broadcast(nodes.select(F.col("node_id"), F.col("x"), F.col("y"), F.col(value)))
-    j = centres.join(n)
-    d2 = (F.col("qx") - F.col("x")) ** 2 + (F.col("qy") - F.col("y")) ** 2
-    from pyspark.sql import Window
 
-    w = Window.partitionBy("row", "col").orderBy(d2.asc(), F.col("node_id").asc())
-    best = (
-        j.withColumn("_d2", d2)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+
+def mesh_to_grid_nearest(
+    nodes: DataFrame, grid: Grid, value: str = "data",
+    max_distance: float | None = None,
+) -> DataFrame:
+    """interpolation.py:20-182 nearest path: every grid cell centre takes the
+    value of the nearest mesh node, NULL beyond ``max_distance`` (reference
+    default cutoff 2·cell).
+
+    Plan (VERDICT r2 #2 — was a cartesian join): block the grid into square
+    tiles of ``ceil(max_distance/cell)`` cells, so any node within the
+    cutoff of a centre lies in the centre's block or one of its 8
+    neighbours.  Nodes replicate ×9 to their neighbour blocks (mesh ≪ grid
+    by contract), then a hash EQUI-join on (block_x, block_y) pairs each
+    centre only with its local candidates — O(cells · local density)
+    instead of O(cells · nodes), and the exactness argument is geometric:
+    a node outside the 3×3 block neighbourhood is ≥ block_width ≥
+    max_distance away, so it can only be the argmin when the answer is
+    NULL anyway.  The per-cell argmin is a decomposable struct-min
+    (map-side partial agg), not a window; a per-centre sentinel keeps
+    no-candidate cells in the output without a second join."""
+    spark = nodes.sparkSession
+    max_distance = 2 * grid.cell if max_distance is None else max_distance
+    import math
+
+    bsize = max(1, int(math.ceil(max_distance / grid.cell)))
+    bw = bsize * grid.cell
+    centres = (
+        _grid_centres(spark, grid)
+        .withColumn("_bx", F.floor(F.col("col") / bsize).cast("long"))
+        .withColumn("_by", F.floor(F.col("row") / bsize).cast("long"))
     )
+    offs = F.array(*[
+        F.struct(F.lit(dx).cast("long").alias("dx"), F.lit(dy).cast("long").alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ])  # exploded literal, not a 9-row crossJoin (which plans as a BNLJ)
+    nb = (
+        nodes.select("node_id", "x", "y", value)
+        .withColumn("_nbx", F.floor((F.col("x") - F.lit(grid.x0)) / F.lit(bw)).cast("long"))
+        .withColumn("_nby", F.floor((F.lit(grid.y0) - F.col("y")) / F.lit(bw)).cast("long"))
+        .withColumn("_o", F.explode(offs))
+        .select(
+            "node_id", "x", "y", value,
+            (F.col("_nbx") + F.col("_o.dx")).alias("_bx"),
+            (F.col("_nby") + F.col("_o.dy")).alias("_by"),
+        )
+    )
+    cand = centres.join(F.broadcast(nb), ["_bx", "_by"])
+    d2 = (F.col("qx") - F.col("x")) ** 2 + (F.col("qy") - F.col("y")) ** 2
+    vtype = nodes.schema[value].dataType.simpleString()
+    scored = cand.select(
+        "row", "col",
+        F.struct(
+            d2.alias("d2"),
+            F.col("node_id").alias("nid"),
+            F.col(value).alias("v"),
+        ).alias("_s"),
+    )
+    sentinel = centres.select(
+        "row", "col",
+        F.struct(
+            F.lit(float("inf")).alias("d2"),
+            F.lit(2**63 - 1).alias("nid"),
+            F.lit(None).cast(vtype).alias("v"),
+        ).alias("_s"),
+    )
+    best = scored.unionByName(sentinel).groupBy("row", "col").agg(F.min("_s").alias("_b"))
     return best.select(
         "row", "col",
-        F.when(F.col("_d2") <= max_distance * max_distance, F.col(value)).alias("value"),
+        F.when(F.col("_b.d2") <= max_distance * max_distance, F.col("_b.v")).alias("value"),
     )
 
 
@@ -99,12 +145,19 @@ def mesh_to_grid_linear(
     ``ugrid/interpolation.py:97-182``); NULL outside every face = the
     NaN-outside-hull contract.
 
-    Plan: 3 equi-joins assemble face vertices; generated grid centres pair
-    with faces under a bbox prefilter inside the join condition (broadcast
-    here — at scale, swap for a cell-indexed equi-join on face bbox cover);
-    barycentric test + weights are pure column algebra (codegen,
+    Plan (VERDICT r2 #3 — was a BroadcastNestedLoopJoin on the bbox theta
+    condition): 3 equi-joins assemble face vertices; each face EXPLODES to
+    the grid cells covering its bbox (``F.sequence`` over the clamped
+    col/row span — a superset of the cells whose centre the bbox contains),
+    then a hash EQUI-join on (row, col) pairs each centre only with the
+    faces whose bbox covers it.  Work is O(Σ face-bbox-cells), not
+    O(cells · faces).  The exact bbox predicate survives as a cheap
+    post-join filter (faces are small relative to their covering cells, so
+    the superset costs a few extra candidate rows, never a plan blow-up).
+    Barycentric test + weights are pure column algebra (codegen,
     SQL-twinnable); a centre on a shared edge matches 2 faces → dedup to
-    the smallest face_id (deterministic).
+    the smallest face_id (deterministic) via a decomposable struct-min
+    with a per-centre sentinel (NULL outside every face).
     """
     spark = nodes.sparkSession
     tri = faces.select(
@@ -120,24 +173,33 @@ def mesh_to_grid_linear(
             F.col(value).alias(f"_v{i}"),
         )
         tri = tri.join(nd, f"_n{i}")
-    ncells = grid.rows * grid.cols
-    centres = (
-        spark.range(ncells)
-        .select(
-            (F.col("id") / grid.cols).cast("long").alias("row"),
-            (F.col("id") % grid.cols).cast("long").alias("col"),
-        )
-        .withColumn("qx", grid.x_center_col(F.col("col")))
-        .withColumn("qy", grid.y_center_col(F.col("row")))
-    )
+    centres = _grid_centres(spark, grid)
     c = lambda s: F.col(s)  # noqa: E731
-    bbox = (
+    # face bbox → covering col/row span, clamped to the grid; a face whose
+    # bbox misses the grid entirely is dropped (sequence(a,b) with a>b would
+    # generate a DESCENDING span, so the clamp guard is load-bearing)
+    xlo = F.least(c("_x0"), c("_x1"), c("_x2"))
+    xhi = F.greatest(c("_x0"), c("_x1"), c("_x2"))
+    ylo = F.least(c("_y0"), c("_y1"), c("_y2"))
+    yhi = F.greatest(c("_y0"), c("_y1"), c("_y2"))
+    c0 = F.greatest(grid.col_of_col(xlo), F.lit(0))
+    c1 = F.least(grid.col_of_col(xhi), F.lit(grid.cols - 1))
+    r0 = F.greatest(grid.row_of_col(yhi), F.lit(0))  # north edge = min row
+    r1 = F.least(grid.row_of_col(ylo), F.lit(grid.rows - 1))
+    tric = (
+        tri.withColumn("_c0", c0).withColumn("_c1", c1)
+        .withColumn("_r0", r0).withColumn("_r1", r1)
+        .where((F.col("_c0") <= F.col("_c1")) & (F.col("_r0") <= F.col("_r1")))
+        .withColumn("col", F.explode(F.sequence(F.col("_c0"), F.col("_c1"))))
+        .withColumn("row", F.explode(F.sequence(F.col("_r0"), F.col("_r1"))))
+        .drop("_c0", "_c1", "_r0", "_r1")
+    )
+    j = centres.join(F.broadcast(tric), ["row", "col"]).where(
         (c("qx") >= F.least(c("_x0"), c("_x1"), c("_x2")))
         & (c("qx") <= F.greatest(c("_x0"), c("_x1"), c("_x2")))
         & (c("qy") >= F.least(c("_y0"), c("_y1"), c("_y2")))
         & (c("qy") <= F.greatest(c("_y0"), c("_y1"), c("_y2")))
     )
-    j = centres.join(F.broadcast(tri), bbox)
     det = (c("_y1") - c("_y2")) * (c("_x0") - c("_x2")) + (c("_x2") - c("_x1")) * (c("_y0") - c("_y2"))
     w0 = ((c("_y1") - c("_y2")) * (c("qx") - c("_x2")) + (c("_x2") - c("_x1")) * (c("qy") - c("_y2"))) / det
     w1 = ((c("_y2") - c("_y0")) * (c("qx") - c("_x2")) + (c("_x0") - c("_x2")) * (c("qy") - c("_y2"))) / det
@@ -151,10 +213,14 @@ def mesh_to_grid_linear(
             c("_w0") * c("_v0") + c("_w1") * c("_v1") + c("_w2") * c("_v2"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("row", "col").orderBy(F.col("face_id").asc())
-    best = cand.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
-    return centres.join(
-        best.select("row", "col", "_val"), ["row", "col"], "left"
-    ).select("row", "col", F.col("_val").alias("value"))
+    scored = cand.select(
+        "row", "col", F.struct(F.col("face_id"), F.col("_val").alias("v")).alias("_s")
+    )
+    sentinel = centres.select(
+        "row", "col",
+        F.struct(
+            F.lit(2**63 - 1).alias("face_id"), F.lit(None).cast("double").alias("v")
+        ).alias("_s"),
+    )
+    best = scored.unionByName(sentinel).groupBy("row", "col").agg(F.min("_s").alias("_b"))
+    return best.select("row", "col", F.col("_b.v").alias("value"))

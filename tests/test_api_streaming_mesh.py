@@ -194,6 +194,29 @@ def test_mesh_to_grid_linear_reproduces_linear_field(spark):
     assert n_in >= 6  # the quad covers the grid middle
 
 
+def test_mesh_to_grid_plans_have_no_cartesian(spark):
+    """Both mesh→grid interpolation plans must be cell-indexed EQUI-joins:
+    no CartesianProduct, no BroadcastNestedLoopJoin (VERDICT r2 #2-3 —
+    those shapes are O(cells·mesh) and die at 100× either side)."""
+    nodes = spark.createDataFrame(
+        [(i, float(i % 5), float(i // 5), float(i)) for i in range(25)],
+        "node_id long, x double, y double, data double",
+    )
+    faces = spark.createDataFrame(
+        [(i, [i, i + 1, i + 2]) for i in range(23)],
+        "face_id long, node_ids array<int>",
+    )
+    g = Grid(x0=0.0, y0=5.0, cell=1.0, rows=5, cols=5)
+    for df in (
+        mesh.mesh_to_grid_nearest(nodes, g, value="data"),
+        mesh.mesh_to_grid_linear(nodes, faces, g, value="data"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert df.count() == 25  # every cell present (sentinel path)
+
+
 def test_netcdf_variable_dict_surface(spark):
     """variables dict / get_variable / add_variable / remove_variable / sel
     (reference netcdf.py:331-360, :736-846)."""
