@@ -1769,6 +1769,62 @@ def sql_with_coordinates():
     )
 
 
+def q_wkt_polygon_roundtrip(spark, sf_dir):
+    """Polygon/LineString WKT constructors + parsers (VERDICT r2 #4;
+    reference ``feature/geometry.py:26-441, 546-714``): build closed-ring
+    POLYGON and LINESTRING WKT from the multi-zone part coordinate arrays
+    with pure string algebra, parse them back, and checksum the parsed
+    vertices — same codegen string discipline as ``wkt_roundtrip``."""
+    from pyramids_spark.functions import wkt as W
+
+    rows = _multi_zone_rows()
+    df = spark.createDataFrame(
+        rows, "zone_id long, part_idx long, xs array<double>, ys array<double>"
+    )
+    poly = W.polygon_wkt(F.col("xs"), F.col("ys"))
+    ls = W.linestring_wkt(F.col("xs"), F.col("ys"))
+    d = df.select("zone_id", "part_idx", poly.alias("wkt"), ls.alias("lwkt"))
+    ssum = lambda a: F.round(  # noqa: E731
+        F.aggregate(a, F.lit(0.0), lambda s, v: s + v), 6
+    )
+    return d.select(
+        "zone_id", "part_idx", "wkt",
+        W.wkt_geometry_type(F.col("wkt")).alias("gtype"),
+        F.size(W.wkt_ring_xs(F.col("wkt"))).cast("long").alias("n_vertices"),
+        ssum(W.wkt_ring_xs(F.col("wkt"))).alias("sx"),
+        ssum(W.wkt_ring_ys(F.col("wkt"))).alias("sy"),
+        F.size(W.wkt_ring_xs(F.col("lwkt"))).cast("long").alias("n_ls"),
+    )
+
+
+def sql_wkt_polygon_roundtrip():
+    vals = ", ".join(f"({z}, {p}, {xs!r}, {ys!r})" for z, p, xs, ys in _multi_zone_rows())
+    ring_pat = "\\(\\(?([^()]+)\\)"
+    return (
+        f"WITH t(zone_id, part_idx, xs, ys) AS (VALUES {vals}), "
+        "w AS (SELECT zone_id, part_idx, "
+        "list_transform(generate_series(1, len(xs)), i -> "
+        "printf('%.6f %.6f', round(xs[i], 6) + 0.0, round(ys[i], 6) + 0.0)) AS vs "
+        "FROM t), "
+        "p AS (SELECT zone_id, part_idx, "
+        "'POLYGON ((' || array_to_string("
+        "CASE WHEN vs[1] = vs[-1] THEN vs ELSE list_append(vs, vs[1]) END, ', ') "
+        "|| '))' AS wkt, "
+        "'LINESTRING (' || array_to_string(vs, ', ') || ')' AS lwkt FROM w), "
+        f"r AS (SELECT zone_id, part_idx, wkt, "
+        f"string_split(regexp_extract(wkt, '{ring_pat}', 1), ', ') AS pts, "
+        f"string_split(regexp_extract(lwkt, '{ring_pat}', 1), ', ') AS lpts FROM p) "
+        "SELECT zone_id, part_idx, wkt, "
+        "upper(regexp_extract(wkt, '^\\s*([A-Za-z]+)', 1)) AS gtype, "
+        "CAST(len(pts) AS BIGINT) AS n_vertices, "
+        "round(list_sum(list_transform(pts, s -> "
+        "TRY_CAST(string_split(s, ' ')[1] AS DOUBLE))), 6) AS sx, "
+        "round(list_sum(list_transform(pts, s -> "
+        "TRY_CAST(string_split(s, ' ')[2] AS DOUBLE))), 6) AS sy, "
+        "CAST(len(lpts) AS BIGINT) AS n_ls FROM r"
+    )
+
+
 def q_auto_zoom(spark, sf_dir):
     """auto_zoom (basemap/tiles.py:35-77): zoom = clamp(ceil(log2(360/max_extent)), 0, 19)
     per zone bbox."""
@@ -2212,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_nodata": q_change_nodata,
         "list_layers": q_list_layers,
         "wkt_roundtrip": q_wkt_roundtrip,
+        "wkt_polygon_roundtrip": q_wkt_polygon_roundtrip,
         "focal_std": q_focal_std,
         "concat_fc": q_concat_fc,
         "time_slice": q_time_slice,
@@ -2301,6 +2358,7 @@ def oracle_sql() -> dict[str, str]:
         "change_nodata": sql_change_nodata(),
         "list_layers": sql_list_layers(),
         "wkt_roundtrip": sql_wkt_roundtrip(),
+        "wkt_polygon_roundtrip": sql_wkt_polygon_roundtrip(),
         "focal_std": sql_focal_std(),
         "concat_fc": sql_concat_fc(),
         "time_slice": sql_time_slice(),

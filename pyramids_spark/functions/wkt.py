@@ -43,6 +43,86 @@ def box_wkt(x0: Column, y0: Column, x1: Column, y1: Column) -> Column:
     )
 
 
+def _vertex_strs(xs: Column, ys: Column) -> Column:
+    return F.zip_with(
+        xs, ys, lambda x, y: F.format_string("%.6f %.6f", _norm(x), _norm(y))
+    )
+
+
+def polygon_wkt(xs: Column, ys: Column) -> Column:
+    """Coordinate arrays → single-ring ``POLYGON ((…))`` at 6-dp, closing
+    the ring when the input is open (reference ``create_polygon``'s
+    closed-ring contract, ``feature/geometry.py:546-604``). Pure array/
+    string algebra — codegen, SQL-twinnable, no UDF."""
+    parts = _vertex_strs(xs, ys)
+    closed = F.element_at(parts, 1) == F.element_at(parts, -1)
+    ring = F.when(closed, parts).otherwise(
+        F.concat(parts, F.array(F.element_at(parts, 1)))
+    )
+    return F.concat(F.lit("POLYGON (("), F.array_join(ring, ", "), F.lit("))"))
+
+
+def linestring_wkt(xs: Column, ys: Column) -> Column:
+    """Coordinate arrays → ``LINESTRING (…)`` at 6-dp (reference
+    ``create_linestring``-style constructor, ``feature/geometry.py:26-441``)."""
+    return F.concat(
+        F.lit("LINESTRING ("), F.array_join(_vertex_strs(xs, ys), ", "), F.lit(")")
+    )
+
+
+def _ring_body(wkt: Column) -> Column:
+    # first parenthesized coordinate run: the POLYGON exterior ring, or the
+    # whole LINESTRING body (neither contains nested parens)
+    return F.regexp_extract(wkt, r"\(\(?([^()]+)\)", 1)
+
+
+def wkt_ring_xs(wkt: Column) -> Column:
+    """POLYGON exterior ring (or LINESTRING) → x array<double>."""
+    return F.transform(
+        F.split(_ring_body(wkt), ", "),
+        lambda p: F.element_at(F.split(p, " "), 1).try_cast("double"),
+    )
+
+
+def wkt_ring_ys(wkt: Column) -> Column:
+    """POLYGON exterior ring (or LINESTRING) → y array<double>."""
+    return F.transform(
+        F.split(_ring_body(wkt), ", "),
+        lambda p: F.element_at(F.split(p, " "), 2).try_cast("double"),
+    )
+
+
+def multipolygon_parts(wkt: Column) -> Column:
+    """``MULTIPOLYGON (((…)), ((…)))`` → array of ``POLYGON ((…))`` part
+    strings (holes survive: each part keeps its own inner ring list) —
+    ``explode`` it for the reference's ``explode_gdf`` Multi*→parts
+    semantics (``feature/geometry.py:219``)."""
+    body = F.regexp_extract(wkt, r"^\s*MULTIPOLYGON \((.*)\)\s*$", 1)
+    pieces = F.split(body, r"\)\)\s*,\s*\(\(")
+    return F.transform(
+        pieces,
+        lambda p: F.concat(
+            F.lit("POLYGON (("),
+            F.regexp_replace(F.regexp_replace(p, r"^\(\(", ""), r"\)\)$", ""),
+            F.lit("))"),
+        ),
+    )
+
+
+def multilinestring_parts(wkt: Column) -> Column:
+    """``MULTILINESTRING ((…), (…))`` → array of ``LINESTRING (…)``."""
+    body = F.regexp_extract(wkt, r"^\s*MULTILINESTRING \((.*)\)\s*$", 1)
+    pieces = F.split(body, r"\)\s*,\s*\(")
+    return F.transform(
+        pieces,
+        lambda p: F.concat(
+            F.lit("LINESTRING ("),
+            F.regexp_replace(F.regexp_replace(p, r"^\(", ""), r"\)$", ""),
+            F.lit(")"),
+        ),
+    )
+
+
 def wkt_point_x(wkt: Column) -> Column:
     """``POINT (x y)`` → x as double (NULL on non-point input; try_cast
     because ANSI mode hard-fails on the empty no-match extract)."""

@@ -58,6 +58,60 @@ def test_wkt_parse_non_point_is_null(spark):
     assert r["t"] == "POLYGON"
 
 
+def test_polygon_wkt_closes_open_ring(spark):
+    df = spark.createDataFrame(
+        [([0.0, 2.0, 2.0], [0.0, 0.0, 1.5])], "xs array<double>, ys array<double>"
+    )
+    w = df.select(W.polygon_wkt(F.col("xs"), F.col("ys")).alias("w")).first()["w"]
+    assert w == (
+        "POLYGON ((0.000000 0.000000, 2.000000 0.000000, "
+        "2.000000 1.500000, 0.000000 0.000000))"
+    )
+    # already-closed input is left alone
+    df2 = spark.createDataFrame(
+        [([0.0, 2.0, 2.0, 0.0], [0.0, 0.0, 1.5, 0.0])],
+        "xs array<double>, ys array<double>",
+    )
+    assert df2.select(W.polygon_wkt(F.col("xs"), F.col("ys")).alias("w")).first()["w"] == w
+
+
+def test_linestring_wkt_and_ring_parsers(spark):
+    df = spark.createDataFrame(
+        [([1.25, -3.0], [4.0, 5.5])], "xs array<double>, ys array<double>"
+    )
+    r = df.select(
+        W.linestring_wkt(F.col("xs"), F.col("ys")).alias("w")
+    ).select(
+        "w",
+        W.wkt_ring_xs(F.col("w")).alias("xs"),
+        W.wkt_ring_ys(F.col("w")).alias("ys"),
+        W.wkt_geometry_type(F.col("w")).alias("t"),
+    ).first()
+    assert r["w"] == "LINESTRING (1.250000 4.000000, -3.000000 5.500000)"
+    assert r["t"] == "LINESTRING" and r["xs"] == [1.25, -3.0] and r["ys"] == [4.0, 5.5]
+
+
+def test_multipolygon_and_multilinestring_parts(spark):
+    mp = ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), "
+          "((5 5, 9 5, 9 9, 5 5), (6 6, 7 6, 7 7, 6 6)))")
+    ml = "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))"
+    df = spark.createDataFrame([(mp, ml)], "mp string, ml string")
+    r = df.select(
+        W.multipolygon_parts(F.col("mp")).alias("ps"),
+        W.multilinestring_parts(F.col("ml")).alias("ls"),
+    ).first()
+    assert r["ps"] == [
+        "POLYGON ((0 0, 1 0, 1 1, 0 0))",
+        "POLYGON ((5 5, 9 5, 9 9, 5 5), (6 6, 7 6, 7 7, 6 6))",  # hole kept
+    ]
+    assert r["ls"] == ["LINESTRING (0 0, 1 1)", "LINESTRING (2 2, 3 3, 4 4)"]
+    # parsed exterior ring of the hole-bearing part is just the exterior
+    xs = df.select(
+        W.wkt_ring_xs(F.element_at(W.multipolygon_parts(F.col("mp")), 2)).alias("xs")
+    ).first()["xs"]
+    assert xs == [5.0, 9.0, 9.0, 5.0]
+
+
 def test_change_no_data_value_sentinel_and_null(spark):
     g = grid_df(
         spark, COELLO,
