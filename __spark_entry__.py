@@ -1613,6 +1613,58 @@ def sql_reproject_sinusoidal():
     )
 
 
+_LCC_GRID = reproj_op.reproject_plan(CROP_GRID, 2154)
+_ALBERS_GRID = reproj_op.reproject_plan(CROP_GRID, 5070)
+
+
+def q_reproject_lcc(spark, sf_dir):
+    """to_crs 4326→2154 Lambert conformal conic (spherical closed form,
+    VERDICT r2 #5; reference corner-transform rule ``spatial.py:360-457``,
+    CRS dispatch ``feature/crs.py:162-268``)."""
+    g = grid_df(spark, CROP_GRID)
+    return reproj_op.to_crs_nearest(
+        g, CROP_GRID, _LCC_GRID, inverse=reproj_op.conic_inverse_cols(2154)
+    )
+
+
+def sql_reproject_lcc():
+    d = _LCC_GRID
+    xq, yq = d.x_center_sql("col"), d.y_center_sql("row")
+    lon, lat = reproj_op.conic_inverse_sql(2154, xq, yq)
+    return (
+        f"WITH g AS ({grid_sql(CROP_GRID)}), "
+        f"o AS (SELECT i // {d.cols} AS row, i % {d.cols} AS col "
+        f"FROM generate_series(0, {d.rows * d.cols - 1}) t(i)), "
+        f"m AS (SELECT row, col, {CROP_GRID.row_of_sql(lat)} AS src_row, "
+        f"{CROP_GRID.col_of_sql(lon)} AS src_col FROM o) "
+        "SELECT g.band, m.row, m.col, g.value FROM m "
+        "JOIN g ON g.row = m.src_row AND g.col = m.src_col"
+    )
+
+
+def q_reproject_albers(spark, sf_dir):
+    """to_crs 4326→5070 Albers equal-area conic (spherical closed form)."""
+    g = grid_df(spark, CROP_GRID)
+    return reproj_op.to_crs_nearest(
+        g, CROP_GRID, _ALBERS_GRID, inverse=reproj_op.conic_inverse_cols(5070)
+    )
+
+
+def sql_reproject_albers():
+    d = _ALBERS_GRID
+    xq, yq = d.x_center_sql("col"), d.y_center_sql("row")
+    lon, lat = reproj_op.conic_inverse_sql(5070, xq, yq)
+    return (
+        f"WITH g AS ({grid_sql(CROP_GRID)}), "
+        f"o AS (SELECT i // {d.cols} AS row, i % {d.cols} AS col "
+        f"FROM generate_series(0, {d.rows * d.cols - 1}) t(i)), "
+        f"m AS (SELECT row, col, {CROP_GRID.row_of_sql(lat)} AS src_row, "
+        f"{CROP_GRID.col_of_sql(lon)} AS src_col FROM o) "
+        "SELECT g.band, m.row, m.col, g.value FROM m "
+        "JOIN g ON g.row = m.src_row AND g.col = m.src_col"
+    )
+
+
 _CC_VALUE = _STATS_VALUE  # nodata where %11=0
 
 
@@ -2315,6 +2367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_3857": q_reproject_3857,
         "reproject_4087": q_reproject_4087,
         "reproject_sinusoidal": q_reproject_sinusoidal,
+        "reproject_lcc": q_reproject_lcc,
+        "reproject_albers": q_reproject_albers,
         "cluster_cc": q_cluster_cc,
         "polygonize_stats": q_polygonize_stats,
         "polygonize_rings": q_polygonize_rings,
@@ -2403,6 +2457,8 @@ def oracle_sql() -> dict[str, str]:
         "reproject_3857": sql_reproject_3857(),
         "reproject_4087": sql_reproject_4087(),
         "reproject_sinusoidal": sql_reproject_sinusoidal(),
+        "reproject_lcc": sql_reproject_lcc(),
+        "reproject_albers": sql_reproject_albers(),
         "cluster_cc": sql_cluster_cc(),
         "polygonize_stats": sql_polygonize_stats(),
         "footprint": sql_footprint(),

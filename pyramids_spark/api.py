@@ -152,6 +152,8 @@ class SparkDataset:
                 _reproject.inv_sinu_lon(dx, dy), _reproject.inv_sinu_lat(dy)
             ),
         }
+        if epsg in _reproject.CONIC_EPSG:  # LCC / Albers spherical closed forms
+            closed_form[epsg] = _reproject.conic_inverse_cols(epsg)
         if epsg in closed_form:
             dst = _reproject.reproject_plan(self.grid, epsg)
             return SparkDataset(
@@ -167,6 +169,7 @@ class SparkDataset:
             )
         raise NotImplementedError(
             f"supported targets: 3857, 4087, 54008 (sinusoidal), "
+            f"LCC/Albers {sorted(_reproject.CONIC_EPSG)}, "
             f"UTM 326xx/327xx (got {epsg})"
         )
 

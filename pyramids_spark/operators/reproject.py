@@ -105,6 +105,127 @@ def inv_sinu_sql(x: str, y: str) -> tuple[str, str]:
     )
 
 
+# --- conic projections: Lambert conformal conic + Albers equal-area --------
+# Spherical closed forms (Snyder 1987 §15/§14 sphere cases) on the same R as
+# 3857 — the reference reaches these via pyproj (feature/crs.py:162-268);
+# with pyproj banned here the spherical forms keep the whole transform in
+# codegen column algebra, same discipline as merc/eqc/sinu above. Constants
+# (n, F, ρ0) are derived once in Python doubles and embedded as literals in
+# BOTH the Column and SQL forms so the two engines compute bit-equal doubles.
+
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass(frozen=True)
+class ConicParams:
+    phi1: float  # first standard parallel (deg)
+    phi2: float  # second standard parallel (deg)
+    phi0: float  # latitude of origin (deg)
+    lam0: float  # central meridian (deg)
+
+
+#: EPSG codes with their conic family + defining parallels (spherical form)
+CONIC_EPSG: dict[int, tuple[str, ConicParams]] = {
+    2154: ("lcc", ConicParams(44.0, 49.0, 46.5, 3.0)),       # RGF93 Lambert-93
+    102004: ("lcc", ConicParams(33.0, 45.0, 39.0, -96.0)),   # USA Contiguous LCC
+    5070: ("albers", ConicParams(29.5, 45.5, 23.0, -96.0)),  # NAD83 Conus Albers
+    102008: ("albers", ConicParams(29.5, 45.5, 37.5, -96.0)),  # N.America Albers
+}
+
+
+def _lcc_consts(p: ConicParams) -> tuple[float, float, float]:
+    f1, f2, f0 = np.radians([p.phi1, p.phi2, p.phi0])
+    n = np.log(np.cos(f1) / np.cos(f2)) / np.log(
+        np.tan(np.pi / 4 + f2 / 2) / np.tan(np.pi / 4 + f1 / 2)
+    )
+    Fc = np.cos(f1) * np.tan(np.pi / 4 + f1 / 2) ** n / n
+    rho0 = R * Fc / np.tan(np.pi / 4 + f0 / 2) ** n
+    return float(n), float(Fc), float(rho0)
+
+
+def lcc_xy_np(lon: np.ndarray, lat: np.ndarray, p: ConicParams):
+    n, Fc, rho0 = _lcc_consts(p)
+    rho = R * Fc / np.tan(np.pi / 4 + np.radians(lat) / 2) ** n
+    th = n * np.radians(lon - p.lam0)
+    return rho * np.sin(th), rho0 - rho * np.cos(th)
+
+
+def inv_lcc_cols(x: Column, y: Column, p: ConicParams) -> tuple[Column, Column]:
+    n, Fc, rho0 = _lcc_consts(p)
+    dy = F.lit(rho0) - y
+    rho = F.sqrt(x * x + dy * dy)  # n > 0 for all registered codes
+    th = F.atan2(x, dy)
+    lon = F.lit(p.lam0) + F.degrees(th) / F.lit(n)
+    lat = F.degrees(
+        2 * F.atan(F.pow(F.lit(R * Fc) / rho, F.lit(1.0 / n))) - F.lit(np.pi / 2)
+    )
+    return lon, lat
+
+
+def inv_lcc_sql(x: str, y: str, p: ConicParams) -> tuple[str, str]:
+    n, Fc, rho0 = _lcc_consts(p)
+    # force DOUBLE before squaring: DuckDB parses long float literals as
+    # DECIMAL and a DECIMAL(38)² overflows
+    x = f"CAST(({x}) AS DOUBLE)"
+    y = f"CAST(({y}) AS DOUBLE)"
+    dy = f"({rho0!r} - ({y}))"
+    rho = f"sqrt(({x}) * ({x}) + {dy} * {dy})"
+    th = f"atan2(({x}), {dy})"
+    lon = f"({p.lam0!r} + degrees({th}) / {n!r})"
+    lat = f"degrees(2 * atan(pow({R * Fc!r} / {rho}, {1.0 / n!r})) - {np.pi / 2!r})"
+    return lon, lat
+
+
+def _albers_consts(p: ConicParams) -> tuple[float, float, float]:
+    f1, f2, f0 = np.radians([p.phi1, p.phi2, p.phi0])
+    n = (np.sin(f1) + np.sin(f2)) / 2
+    C = np.cos(f1) ** 2 + 2 * n * np.sin(f1)
+    rho0 = R * np.sqrt(C - 2 * n * np.sin(f0)) / n
+    return float(n), float(C), float(rho0)
+
+
+def albers_xy_np(lon: np.ndarray, lat: np.ndarray, p: ConicParams):
+    n, C, rho0 = _albers_consts(p)
+    rho = R * np.sqrt(C - 2 * n * np.sin(np.radians(lat))) / n
+    th = n * np.radians(lon - p.lam0)
+    return rho * np.sin(th), rho0 - rho * np.cos(th)
+
+
+def inv_albers_cols(x: Column, y: Column, p: ConicParams) -> tuple[Column, Column]:
+    n, C, rho0 = _albers_consts(p)
+    dy = F.lit(rho0) - y
+    rho = F.sqrt(x * x + dy * dy)
+    th = F.atan2(x, dy)
+    lon = F.lit(p.lam0) + F.degrees(th) / F.lit(n)
+    lat = F.degrees(F.asin((F.lit(C) - F.pow(rho * F.lit(n / R), F.lit(2.0))) / F.lit(2 * n)))
+    return lon, lat
+
+
+def inv_albers_sql(x: str, y: str, p: ConicParams) -> tuple[str, str]:
+    n, C, rho0 = _albers_consts(p)
+    x = f"CAST(({x}) AS DOUBLE)"
+    y = f"CAST(({y}) AS DOUBLE)"
+    dy = f"({rho0!r} - ({y}))"
+    rho = f"sqrt(({x}) * ({x}) + {dy} * {dy})"
+    th = f"atan2(({x}), {dy})"
+    lon = f"({p.lam0!r} + degrees({th}) / {n!r})"
+    lat = f"degrees(asin(({C!r} - pow({rho} * {n / R!r}, 2.0)) / {2 * n!r}))"
+    return lon, lat
+
+
+def conic_inverse_cols(epsg: int):
+    """(dx, dy) → (lon, lat) Column transform for a registered conic EPSG —
+    plugs straight into :func:`to_crs_nearest`'s callable ``inverse``."""
+    fam, p = CONIC_EPSG[epsg]
+    inv = inv_lcc_cols if fam == "lcc" else inv_albers_cols
+    return lambda dx, dy: inv(dx, dy, p)
+
+
+def conic_inverse_sql(epsg: int, x: str, y: str) -> tuple[str, str]:
+    fam, p = CONIC_EPSG[epsg]
+    return (inv_lcc_sql if fam == "lcc" else inv_albers_sql)(x, y, p)
+
+
 def to_crs_nearest(
     src: DataFrame, src_grid: Grid, dst_grid: Grid,
     inverse: tuple = (inv_merc_lon, inv_merc_lat),
@@ -162,9 +283,15 @@ def reproject_plan(src_grid: Grid, target_epsg: int) -> Grid:
         x0p = R * np.radians(xmin) * np.cos(np.radians(ymax))
         x1p = R * np.radians(xmax) * np.cos(np.radians(ymax))
         y0p = R * np.radians(ymax)
+    elif target_epsg in CONIC_EPSG:  # LCC / Albers, spherical (VERDICT r2 #5)
+        fam, p = CONIC_EPSG[target_epsg]
+        fwd = lcc_xy_np if fam == "lcc" else albers_xy_np
+        xs, ys = fwd(np.array([xmin, xmax]), np.array([ymax, ymax]), p)
+        x0p, x1p, y0p = xs[0], xs[1], ys[0]
     else:
         raise NotImplementedError(
-            f"closed-form targets: 3857, 4087, 54008 (got {target_epsg})"
+            "closed-form targets: 3857, 4087, 54008, "
+            f"{sorted(CONIC_EPSG)} (got {target_epsg})"
         )
     cell = (x1p - x0p) / src_grid.cols
     return Grid(

@@ -59,6 +59,57 @@ def test_reproject_3857_roundtrip_values(spark):
         assert r.value == src_row * 10 + src_col + 1
 
 
+def test_conic_forward_inverse_consistency(spark):
+    """LCC + Albers spherical closed forms: Column inverse ∘ numpy forward
+    is identity to float precision, over a lat/lon cloud inside each
+    projection's sane band."""
+    lon = np.linspace(-10.0, 15.0, 40)
+    lat = np.linspace(35.0, 55.0, 40)
+    for epsg in (2154, 102004, 5070, 102008):
+        fam, p = reproject.CONIC_EPSG[epsg]
+        fwd = reproject.lcc_xy_np if fam == "lcc" else reproject.albers_xy_np
+        x, y = fwd(lon, lat, p)
+        df = spark.createDataFrame(
+            pd.DataFrame({"x": x, "y": y}), "x double, y double"
+        )
+        ilon, ilat = reproject.conic_inverse_cols(epsg)(F.col("x"), F.col("y"))
+        got = df.select(ilon.alias("lon"), ilat.alias("lat")).toPandas()
+        assert np.allclose(got["lon"], lon, atol=1e-9)
+        assert np.allclose(got["lat"], lat, atol=1e-9)
+
+
+def test_to_crs_conic_facade_roundtrip_values(spark):
+    """api.to_crs(2154/5070) dispatch: every output cell's value equals the
+    source cell its centre back-projects into (numpy oracle)."""
+    from pyramids_spark.api import SparkDataset
+
+    g = grid_df(spark, CROP_GRID)
+    for epsg in (2154, 5070):
+        ds = SparkDataset(g, CROP_GRID).to_crs(epsg)
+        out = ds.df.toPandas()
+        assert len(out) > 0
+        dst = ds.grid
+        fam, p = reproject.CONIC_EPSG[epsg]
+        _, _, rho0 = (
+            reproject._lcc_consts(p) if fam == "lcc" else reproject._albers_consts(p)
+        )
+        for _, r in out.iterrows():
+            xc = dst.x0 + r.col * dst.cell + dst.cell / 2
+            yc = dst.y0 - r.row * dst.cell - dst.cell / 2
+            rho = np.hypot(xc, rho0 - yc)
+            th = np.arctan2(xc, rho0 - yc)
+            if fam == "lcc":
+                n, Fc, _ = reproject._lcc_consts(p)
+                lat = np.degrees(2 * np.arctan((reproject.R * Fc / rho) ** (1 / n)) - np.pi / 2)
+            else:
+                n, C, _ = reproject._albers_consts(p)
+                lat = np.degrees(np.arcsin((C - (rho * n / reproject.R) ** 2) / (2 * n)))
+            lon = p.lam0 + np.degrees(th) / n
+            src_col = int(np.floor((lon - CROP_GRID.x0) / CROP_GRID.cell))
+            src_row = int(np.floor((CROP_GRID.y0 - lat) / CROP_GRID.cell))
+            assert r.value == src_row * 10 + src_col + 1
+
+
 def test_crop_window_reference_doctest_contract(spark):
     """FIXTURES.md §4: box [0.1,-0.2,0.2,-0.1] on the 0.05° grid crops to
     cols 2:4 × rows 2:4 with re-origined geotransform."""
