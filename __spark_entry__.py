@@ -2198,6 +2198,77 @@ def sql_mesh_centroids():
     )
 
 
+_CLIP_BOX = (
+    COELLO.x0 + 8000.0, COELLO.y0 - 44000.0,
+    COELLO.x0 + 44000.0, COELLO.y0 - 6000.0,
+)
+
+
+def _mesh_faces10(spark):
+    """10 ragged faces over the nation-key mesh (same shape as
+    q_mesh_centroids: every 3rd face is a fill−1 triangle, rest quads)."""
+    return spark.range(10).select(
+        F.col("id").alias("face_id"),
+        F.array(
+            F.col("id").cast("int"), (F.col("id") + 1).cast("int"),
+            (F.col("id") + 2).cast("int"),
+            F.when(F.col("id") % 3 == 0, F.lit(-1)).otherwise(
+                (F.col("id") + 3).cast("int")
+            ),
+        ).alias("node_ids"),
+    )
+
+
+def q_mesh_clip(spark, sf_dir):
+    """clip_mesh with compact renumbering (VERDICT r2 #6; reference
+    ``ugrid/spatial.py:227-266`` → ``_subset_mesh_by_face_indices``):
+    faces with any node in the box survive; surviving nodes/faces get
+    dense 0-based ids in sorted-old-id order; fill −1 preserved."""
+    from pyramids_spark.operators import mesh as mesh_op
+
+    nodes = _mesh_nodes(spark, sf_dir)
+    faces = _mesh_faces10(spark)
+    _nn, nf = mesh_op.clip_mesh(nodes, faces, _CLIP_BOX, touch=True)
+    orig = faces.select("face_id", F.posexplode("node_ids").alias("pos", "old_node_id"))
+    out = nf.select(
+        "new_face_id", "face_id", F.posexplode("node_ids").alias("pos", "new_node_id")
+    )
+    return out.join(orig, ["face_id", "pos"]).select(
+        "new_face_id", "face_id", F.col("pos").cast("long").alias("pos"),
+        F.col("old_node_id").cast("long").alias("old_node_id"),
+        F.col("new_node_id").cast("long").alias("new_node_id"),
+    )
+
+
+def sql_mesh_clip():
+    bx0, by0, bx1, by1 = _CLIP_BOX
+    return (
+        f"WITH n AS ({_MESH_NODES_SQL}), "
+        "f AS (SELECT i AS face_id, CAST(p.pos AS BIGINT) AS pos, "
+        "CASE WHEN p.pos = 0 THEN i WHEN p.pos = 1 THEN i + 1 "
+        "WHEN p.pos = 2 THEN i + 2 "
+        "ELSE CASE WHEN i % 3 = 0 THEN -1 ELSE i + 3 END END AS node_id "
+        "FROM generate_series(0, 9) t(i) "
+        "CROSS JOIN (VALUES (0), (1), (2), (3)) p(pos)), "
+        "fin AS (SELECT f.face_id, "
+        f"max(CASE WHEN n.x >= {bx0!r} AND n.x <= {bx1!r} "
+        f"AND n.y >= {by0!r} AND n.y <= {by1!r} THEN 1 ELSE 0 END) AS any_in "
+        "FROM f JOIN n ON n.node_id = f.node_id WHERE f.node_id >= 0 GROUP BY 1), "
+        "kept AS (SELECT face_id FROM fin WHERE any_in = 1), "
+        "kn AS (SELECT DISTINCT f.node_id FROM f JOIN kept USING (face_id) "
+        "WHERE f.node_id >= 0), "
+        "nmap AS (SELECT node_id, CAST(row_number() OVER (ORDER BY node_id) - 1 "
+        "AS BIGINT) AS new_node_id FROM kn), "
+        "fmap AS (SELECT face_id, CAST(row_number() OVER (ORDER BY face_id) - 1 "
+        "AS BIGINT) AS new_face_id FROM kept) "
+        "SELECT fmap.new_face_id, f.face_id, f.pos, "
+        "CAST(f.node_id AS BIGINT) AS old_node_id, "
+        "CAST(COALESCE(nmap.new_node_id, -1) AS BIGINT) AS new_node_id "
+        "FROM f JOIN fmap ON fmap.face_id = f.face_id "
+        "LEFT JOIN nmap ON nmap.node_id = f.node_id"
+    )
+
+
 def q_mesh_to_grid(spark, sf_dir):
     """mesh→grid nearest interpolation with the reference's 2·cell cutoff."""
     from pyramids_spark.operators import mesh as mesh_op
@@ -2325,6 +2396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_fc": q_concat_fc,
         "time_slice": q_time_slice,
         "mesh_subset": q_mesh_subset,
+        "mesh_clip": q_mesh_clip,
         "rat_join": q_rat_join,
         "focal_mean": q_focal_mean,
         "focal_minmax": q_focal_minmax,
@@ -2417,6 +2489,7 @@ def oracle_sql() -> dict[str, str]:
         "concat_fc": sql_concat_fc(),
         "time_slice": sql_time_slice(),
         "mesh_subset": sql_mesh_subset(),
+        "mesh_clip": sql_mesh_clip(),
         "rat_join": sql_rat_join(),
         "focal_mean": sql_focal_mean(),
         "focal_minmax": sql_focal_minmax(),

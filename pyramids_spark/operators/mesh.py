@@ -136,6 +136,87 @@ def mesh_to_grid_nearest(
     )
 
 
+def _dense_index(df: DataFrame, col: str, new_col: str) -> DataFrame:
+    """(col) → (col, new_col) dense 0-based ids in sorted-id order — the
+    reference's ``old_to_new = {old: new for new, old in enumerate(sorted)}``
+    (``ugrid/spatial.py:348-349``) as a DISTRIBUTED two-level rank: count
+    per high-bit bucket (the collected bucket table is O(id_range / 2^20),
+    driver-small), broadcast cumulative offsets, then rank WITHIN buckets —
+    no global single-partition window."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    b = df.select(col).distinct().withColumn("_bkt", F.shiftright(F.col(col), 20))
+    counts = {
+        r["_bkt"]: r["n"]
+        for r in b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    acc, offs = 0, []
+    for k in sorted(counts):
+        offs.append((int(k), acc))
+        acc += counts[k]
+    odf = F.broadcast(spark.createDataFrame(offs, "_bkt long, _off long"))
+    w = Window.partitionBy("_bkt").orderBy(col)
+    return (
+        b.join(odf, "_bkt")
+        .withColumn("_rn", F.row_number().over(w) - 1)
+        .select(F.col(col), (F.col("_off") + F.col("_rn")).alias(new_col))
+    )
+
+
+def clip_mesh(
+    nodes: DataFrame,
+    faces: DataFrame,
+    bounds: tuple[float, float, float, float],
+    touch: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Clip the mesh to a box mask and RENUMBER nodes + faces compactly
+    (reference ``clip_mesh`` → ``_subset_mesh_by_face_indices``,
+    ``ugrid/spatial.py:227-266, 301-430``; VERDICT r2 #6).
+
+    ``touch=True`` keeps faces with ANY node in the box (the intersects
+    side of the duality), ``touch=False`` only faces with ALL nodes inside
+    (contains).  Surviving nodes get dense 0-based ids in sorted-old-id
+    order (the reference's enumerate-sorted contract) via the distributed
+    two-level rank; connectivity is rewritten through an equi-join with
+    fill ``-1`` preserved.  Returns ``(new_nodes, new_faces)``:
+    ``new_nodes(new_node_id, node_id, x, y, …)`` and
+    ``new_faces(new_face_id, face_id, node_ids)``."""
+    x0, y0, x1, y1 = bounds
+    fx = faces.select("face_id", F.posexplode("node_ids").alias("pos", "node_id"))
+    real = fx.where(F.col("node_id") >= 0)
+    inb = (
+        (F.col("x") >= x0) & (F.col("x") <= x1)
+        & (F.col("y") >= y0) & (F.col("y") <= y1)
+    ).cast("int")
+    per_face = (
+        real.join(nodes.select("node_id", "x", "y"), "node_id")
+        .groupBy("face_id")
+        .agg(F.max(inb).alias("any_in"), F.min(inb).alias("all_in"))
+    )
+    kept = per_face.where(
+        (F.col("any_in") if touch else F.col("all_in")) == 1
+    ).select("face_id")
+    kept_nodes = real.join(kept, "face_id").select("node_id").distinct()
+    nmap = _dense_index(kept_nodes, "node_id", "new_node_id")
+    fmap = _dense_index(kept, "face_id", "new_face_id")
+    other = [c for c in nodes.columns if c != "node_id"]
+    new_nodes = nodes.join(nmap, "node_id").select("new_node_id", "node_id", *other)
+    rewired = (
+        fx.join(kept, "face_id")
+        .join(nmap, "node_id", "left")  # fill −1 has no mapping row
+        .withColumn("_nn", F.coalesce("new_node_id", F.lit(-1)))
+        .groupBy("face_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "_nn"))).alias("_s"))
+        .select(
+            "face_id",
+            F.transform(F.col("_s"), lambda e: e["_nn"].cast("int")).alias("node_ids"),
+        )
+    )
+    new_faces = rewired.join(fmap, "face_id").select("new_face_id", "face_id", "node_ids")
+    return new_nodes, new_faces
+
+
 def mesh_to_grid_linear(
     nodes: DataFrame, faces: DataFrame, grid: Grid, value: str = "data"
 ) -> DataFrame:

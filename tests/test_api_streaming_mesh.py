@@ -194,6 +194,38 @@ def test_mesh_to_grid_linear_reproduces_linear_field(spark):
     assert n_in >= 6  # the quad covers the grid middle
 
 
+def test_clip_mesh_renumbers_compactly(spark):
+    """clip_mesh (reference ugrid/spatial.py:227-266): touch duality, dense
+    sorted renumbering of surviving nodes AND faces, fill -1 preserved."""
+    nodes = spark.createDataFrame(
+        [(i * 10, float(i), float(i), float(i * 100)) for i in range(6)],
+        "node_id long, x double, y double, data double",
+    )
+    faces = spark.createDataFrame(
+        [(7, [0, 10, 20, -1]), (8, [20, 30, 40, 50]), (9, [40, 50, 0, -1])],
+        "face_id long, node_ids array<int>",
+    )
+    box = (0.5, 0.5, 3.5, 3.5)  # contains nodes 1,2,3 (ids 10,20,30)
+    # touch=True: any node in box → faces 7 (10,20), 8 (20,30), 9 (none? 40,50,0 → no)
+    nn, nf = mesh.clip_mesh(nodes, faces, box, touch=True)
+    nfp = nf.toPandas().set_index("face_id").sort_index()
+    assert list(nfp.index) == [7, 8]
+    assert list(nfp.new_face_id) == [0, 1]
+    # surviving nodes: union of kept faces' nodes = {0,10,20,30,40,50} minus fill
+    nnp = nn.toPandas().sort_values("node_id")
+    assert list(nnp.node_id) == [0, 10, 20, 30, 40, 50]
+    assert list(nnp.new_node_id) == [0, 1, 2, 3, 4, 5]  # dense sorted
+    assert nnp.set_index("node_id").loc[20, "data"] == 200.0
+    assert list(nfp.loc[7, "node_ids"]) == [0, 1, 2, -1]  # fill preserved, renumbered
+    assert list(nfp.loc[8, "node_ids"]) == [2, 3, 4, 5]
+    # touch=False: ALL nodes inside → no face qualifies (7 has node 0 outside)
+    _nn2, nf2 = mesh.clip_mesh(nodes, faces, box, touch=False)
+    assert nf2.count() == 0
+    # a box containing every node of face 8
+    _nn3, nf3 = mesh.clip_mesh(nodes, faces, (1.5, 1.5, 5.5, 5.5), touch=False)
+    assert [r["face_id"] for r in nf3.collect()] == [8]
+
+
 def test_mesh_to_grid_plans_have_no_cartesian(spark):
     """Both mesh→grid interpolation plans must be cell-indexed EQUI-joins:
     no CartesianProduct, no BroadcastNestedLoopJoin (VERDICT r2 #2-3 —
