@@ -98,8 +98,8 @@ def lsh_pairs(sig: DataFrame, bands: int = 4, rows_per_band: int = 2) -> DataFra
     )
 
 
-def ngram_jaccard(sh: DataFrame, min_sim: float = 0.5, max_df: int | None = None) -> DataFrame:
-    """Exact pairwise n-gram Jaccard over the shingle table:
+def ngram_jaccard(sh: DataFrame, min_sim: float = 0.5, max_df: int | None = 1000) -> DataFrame:
+    """Pairwise n-gram Jaccard over the shingle table:
     |A∩B| via shingle self-join, |A∪B| = |A|+|B|−|A∩B|.
     → (id_a, id_b, jaccard) for pairs ≥ min_sim.
 
@@ -107,8 +107,11 @@ def ngram_jaccard(sh: DataFrame, min_sim: float = 0.5, max_df: int | None = None
     stopword shingle shared by d documents creates a d² bucket in the
     shuffle — the quadratic skew-bomb at web scale. Shingles with df >
     max_df are dropped from intersection AND sizes (Jaccard over the
-    filtered shingle universe, the standard df-capped similarity). None =
-    exact over all shingles."""
+    filtered shingle universe, the standard df-capped similarity).
+
+    The cap DEFAULTS ON (1000, VERDICT r2 #8): a bare call at web scale
+    must not be quadratic. Exact Jaccard over all shingles — the ground
+    truth for small corpora — is the explicit opt-in ``max_df=None``."""
     if max_df is not None:
         keep = (
             sh.groupBy("shingle")

@@ -82,10 +82,13 @@ def test_ngram_jaccard_df_cap_defuses_hot_shingle(spark):
     # filtered universe (shared tail shingles only)
     assert len(capped) == n // 2
     assert sorted(zip(capped.id_a, capped.id_b)) == [(2 * k, 2 * k + 1) for k in range(n // 2)]
-    # uncapped on the same corpus: the hot shingle pairs EVERY doc (n²/2
-    # candidate intersections survive the groupBy) — the skew the cap kills
-    uncapped = dedup.ngram_jaccard(sh, min_sim=0.0)
+    # exact (max_df=None, the explicit opt-in since r3) on the same corpus:
+    # the hot shingle pairs EVERY doc (n²/2 candidate intersections survive
+    # the groupBy) — the skew the cap kills
+    uncapped = dedup.ngram_jaccard(sh, min_sim=0.0, max_df=None)
     assert uncapped.count() == n * (n - 1) // 2
+    # the DEFAULT cap (1000) is inert on a small corpus: identical to exact
+    assert dedup.ngram_jaccard(sh, min_sim=0.0).count() == n * (n - 1) // 2
 
 
 def test_near_dup_pairs_lsh_branch_has_no_cartesian(spark):
