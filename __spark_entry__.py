@@ -2308,6 +2308,165 @@ def sql_mesh_clip():
     )
 
 
+_CF_ATTRS = [
+    ("lat", "units", "degrees_north"),
+    ("lon", "axis", "X"),
+    ("time", "units", "hours since 2020-01-01 00:00:00"),
+    ("time", "bounds", "time_bnds"),
+    ("depth", "long_name", "depth below surface"),
+    ("temp", "units", "K"),
+    ("temp", "ancillary_variables", "temp_qc"),
+    ("temp", "cell_measures", "area: cell_area"),
+    ("temp", "coordinates", "lat2 lon2"),
+    ("time_bnds", "long_name", "time bounds"),
+    ("cell_area", "units", "m2"),
+    ("temp_qc", "long_name", "quality flags"),
+    ("lat2", "units", "degrees_north"),
+    ("lon2", "units", "degrees_east"),
+    ("mesh", "cf_role", "mesh_topology"),
+    ("fconn", "cf_role", "face_node_connectivity"),
+    ("crs", "grid_mapping_name", "latitude_longitude"),
+]
+_CF_DIMS = ["lat", "lon", "time", "depth"]
+
+
+def q_cf_roles(spark, sf_dir):
+    """CF metadata machinery (reference ``netcdf/cf.py:544-695``): role
+    classification (grid_mapping > bounds > cell_measure > ancillary >
+    mesh/connectivity > coordinate > aux > data) + axis detection over a
+    tall attrs(variable, attr, value) table — joins and CASE expressions,
+    no object state (VERDICT r2 missing #4)."""
+    from pyramids_spark import cf
+
+    attrs = spark.createDataFrame(_CF_ATTRS, "variable string, attr string, value string")
+    dims = spark.createDataFrame([(d,) for d in _CF_DIMS], "name string")
+    roles = cf.classify_variables(attrs, dims)
+    wide = cf.pivot_attrs(attrs, ["axis", "standard_name", "units"])
+    ax = cf.detect_axis_col(
+        F.col("variable"), F.col("axis"), F.col("standard_name"), F.col("units")
+    )
+    return roles.join(wide, "variable").select(
+        "variable", "cf_role", ax.alias("cf_axis")
+    )
+
+
+def sql_cf_roles():
+    vals = ", ".join(f"({v!r}, {a!r}, {x!r})" for v, a, x in _CF_ATTRS)
+    dimvals = ", ".join(f"({d!r})" for d in _CF_DIMS)
+    dn = "('degrees_north', 'degree_north', 'degree_n', 'degrees_n')"
+    de = "('degrees_east', 'degree_east', 'degree_e', 'degrees_e')"
+    std = (
+        "CASE lower(sn) WHEN 'latitude' THEN 'Y' WHEN 'longitude' THEN 'X' "
+        "WHEN 'time' THEN 'T' WHEN 'projection_x_coordinate' THEN 'X' "
+        "WHEN 'projection_y_coordinate' THEN 'Y' WHEN 'grid_latitude' THEN 'Y' "
+        "WHEN 'grid_longitude' THEN 'X' WHEN 'height' THEN 'Z' "
+        "WHEN 'altitude' THEN 'Z' WHEN 'depth' THEN 'Z' "
+        "WHEN 'air_pressure' THEN 'Z' END"
+    )
+    pat = (
+        "CASE lower(trim(w.variable)) WHEN 'lat' THEN 'Y' WHEN 'latitude' THEN 'Y' "
+        "WHEN 'y' THEN 'Y' WHEN 'lon' THEN 'X' WHEN 'longitude' THEN 'X' "
+        "WHEN 'x' THEN 'X' WHEN 'time' THEN 'T' WHEN 'lev' THEN 'Z' "
+        "WHEN 'level' THEN 'Z' WHEN 'depth' THEN 'Z' WHEN 'height' THEN 'Z' "
+        "WHEN 'z' THEN 'Z' END"
+    )
+    return (
+        f"WITH attrs(variable, attr, value) AS (VALUES {vals}), "
+        f"dims(name) AS (VALUES {dimvals}), "
+        "bnd AS (SELECT DISTINCT value AS ref FROM attrs WHERE attr = 'bounds'), "
+        "cm AS (SELECT DISTINCT ref FROM (SELECT unnest(string_split_regex("
+        "replace(value, ':', ' '), '\\s+')) AS ref FROM attrs "
+        "WHERE attr = 'cell_measures') WHERE ref NOT IN ('area', 'volume') AND ref <> ''), "
+        "anc AS (SELECT DISTINCT ref FROM (SELECT unnest(string_split_regex(value, '\\s+')) "
+        "AS ref FROM attrs WHERE attr = 'ancillary_variables') WHERE ref <> ''), "
+        "aux AS (SELECT DISTINCT ref FROM (SELECT unnest(string_split_regex(value, '\\s+')) "
+        "AS ref FROM attrs WHERE attr = 'coordinates') WHERE ref <> ''), "
+        "w AS (SELECT variable, "
+        "max(CASE WHEN attr = 'grid_mapping_name' THEN value END) AS gmn, "
+        "max(CASE WHEN attr = 'cf_role' THEN value END) AS cfr, "
+        "max(CASE WHEN attr = 'topology_dimension' THEN value END) AS topo, "
+        "max(CASE WHEN attr = 'node_coordinates' THEN value END) AS nc, "
+        "max(CASE WHEN attr = 'axis' THEN value END) AS ax, "
+        "max(CASE WHEN attr = 'standard_name' THEN value END) AS sn, "
+        "max(CASE WHEN attr = 'units' THEN value END) AS un "
+        "FROM attrs GROUP BY 1) "
+        "SELECT w.variable, "
+        "CASE WHEN gmn IS NOT NULL THEN 'grid_mapping' "
+        "WHEN b.ref IS NOT NULL THEN 'bounds' "
+        "WHEN c.ref IS NOT NULL THEN 'cell_measure' "
+        "WHEN an.ref IS NOT NULL THEN 'ancillary' "
+        "WHEN cfr = 'mesh_topology' OR (topo IS NOT NULL AND nc IS NOT NULL) "
+        "THEN 'mesh_topology' "
+        "WHEN cfr LIKE '%connectivity%' THEN 'connectivity' "
+        "WHEN d.name IS NOT NULL THEN 'coordinate' "
+        "WHEN au.ref IS NOT NULL THEN 'auxiliary_coordinate' "
+        "ELSE 'data' END AS cf_role, "
+        "COALESCE(CASE WHEN upper(ax) IN ('X', 'Y', 'Z', 'T') THEN upper(ax) END, "
+        f"{std}, "
+        f"CASE WHEN lower(trim(un)) IN {dn} THEN 'Y' "
+        f"WHEN lower(trim(un)) IN {de} THEN 'X' "
+        "WHEN contains(lower(trim(un)), 'since') THEN 'T' END, "
+        f"{pat}) AS cf_axis "
+        "FROM w LEFT JOIN bnd b ON b.ref = w.variable "
+        "LEFT JOIN cm c ON c.ref = w.variable "
+        "LEFT JOIN anc an ON an.ref = w.variable "
+        "LEFT JOIN aux au ON au.ref = w.variable "
+        "LEFT JOIN dims d ON d.name = w.variable"
+    )
+
+
+def q_cf_decode(spark, sf_dir):
+    """CF value pipeline (reference ``cf.py:772-866`` + reader decode):
+    _FillValue mask → scale/offset → valid range, '<step>s since <epoch>'
+    time decode, and bit-field flag decoding — all column algebra."""
+    from pyramids_spark import cf
+
+    d = spark.range(50).select(
+        F.col("id").alias("t"),
+        F.when(F.col("id") % 13 == 0, F.lit(-999.0))
+        .otherwise((F.col("id") * 3 - 20).cast("double")).alias("raw"),
+        (F.col("id") % 8).cast("int").alias("flag"),
+    )
+    decoded = cf.decode_cf_value(
+        F.col("raw"),
+        {"_FillValue": -999.0, "scale_factor": 0.5, "add_offset": 10.0,
+         "valid_range": (0.0, 70.0)},
+    )
+    ts = F.date_format(
+        cf.decode_time_col(F.col("t"), "hours since 2020-01-01 00:00:00"),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+    flags = F.array_join(
+        cf.decode_flags_col(
+            F.col("flag"), flag_masks=[1, 2, 4],
+            flag_meanings=["low", "mid", "high"],
+        ),
+        ",",
+    )
+    return d.select(
+        "t", "raw", decoded.alias("value"), ts.alias("ts"), flags.alias("flags")
+    )
+
+
+def sql_cf_decode():
+    return (
+        "WITH d AS (SELECT i AS t, "
+        "CASE WHEN i % 13 = 0 THEN -999.0 ELSE CAST(i * 3 - 20 AS DOUBLE) END AS raw, "
+        "CAST(i % 8 AS INT) AS flag FROM generate_series(0, 49) s(i)), "
+        "sc AS (SELECT t, raw, flag, "
+        "(CASE WHEN raw = -999.0 THEN NULL ELSE raw END) * 0.5 + 10.0 AS v FROM d) "
+        "SELECT t, raw, "
+        "CASE WHEN v < 0.0 OR v > 70.0 THEN NULL ELSE v END AS value, "
+        "strftime(TIMESTAMP '2020-01-01 00:00:00' + "
+        "to_seconds(CAST(t * 3600 AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS ts, "
+        "CASE WHEN flag & 7 = 0 THEN 'unknown' ELSE concat_ws(',', "
+        "CASE WHEN flag & 1 <> 0 THEN 'low' END, "
+        "CASE WHEN flag & 2 <> 0 THEN 'mid' END, "
+        "CASE WHEN flag & 4 <> 0 THEN 'high' END) END AS flags "
+        "FROM sc"
+    )
+
+
 def q_mesh_to_grid(spark, sf_dir):
     """mesh→grid nearest interpolation with the reference's 2·cell cutoff."""
     from pyramids_spark.operators import mesh as mesh_op
@@ -2436,6 +2595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_slice": q_time_slice,
         "mesh_subset": q_mesh_subset,
         "mesh_clip": q_mesh_clip,
+        "cf_roles": q_cf_roles,
+        "cf_decode": q_cf_decode,
         "rat_join": q_rat_join,
         "focal_mean": q_focal_mean,
         "focal_minmax": q_focal_minmax,
@@ -2529,6 +2690,8 @@ def oracle_sql() -> dict[str, str]:
         "time_slice": sql_time_slice(),
         "mesh_subset": sql_mesh_subset(),
         "mesh_clip": sql_mesh_clip(),
+        "cf_roles": sql_cf_roles(),
+        "cf_decode": sql_cf_decode(),
         "rat_join": sql_rat_join(),
         "focal_mean": sql_focal_mean(),
         "focal_minmax": sql_focal_minmax(),
