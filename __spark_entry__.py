@@ -2330,6 +2330,42 @@ _CF_ATTRS = [
 _CF_DIMS = ["lat", "lon", "time", "depth"]
 
 
+_PALETTE = [  # (band, value, color, alpha) — value 3 intentionally missing
+    (0, 0.0, "#709959", 255),
+    (0, 1.0, "#F2EEA2", 128),
+    (0, 2.0, "#F2CE85", None),
+]
+
+
+def q_color_table(spark, sf_dir):
+    """Band color table (reference ``band_metadata.py:596-838``): hex
+    palette → rgba per categorical cell via broadcast left join; missing
+    palette entries keep NULL channels, missing alpha defaults 255."""
+    ct = spark.createDataFrame(
+        _PALETTE, "band int, value double, color string, alpha int"
+    )
+    g = grid_df(spark, COELLO, _CAT_VALUE)
+    out = raster.apply_color_table(g, ct)
+    return out.select("band", "row", "col", "value", "red", "green", "blue", "alpha")
+
+
+def sql_color_table():
+    vals = ", ".join(
+        f"({b}, {v!r}, {c!r}, {'NULL' if a is None else a})" for b, v, c, a in _PALETTE
+    )
+    d = "instr('0123456789abcdef', lower(substr(color, {i}, 1))) - 1"
+    ch = lambda i: f"(({d.format(i=i)}) * 16 + ({d.format(i=i + 1)}))"  # noqa: E731
+    return (
+        f"WITH g AS ({grid_sql(COELLO, _CAT_VALUE)}), "
+        f"ct0(band, value, color, alpha) AS (VALUES {vals}), "
+        f"ct AS (SELECT band, value, CAST({ch(2)} AS INT) AS red, "
+        f"CAST({ch(4)} AS INT) AS green, CAST({ch(6)} AS INT) AS blue, "
+        "CAST(COALESCE(alpha, 255) AS INT) AS alpha FROM ct0) "
+        "SELECT g.band, g.row, g.col, g.value, ct.red, ct.green, ct.blue, ct.alpha "
+        "FROM g LEFT JOIN ct ON ct.band = g.band AND ct.value = g.value"
+    )
+
+
 def q_cf_roles(spark, sf_dir):
     """CF metadata machinery (reference ``netcdf/cf.py:544-695``): role
     classification (grid_mapping > bounds > cell_measure > ancillary >
@@ -2595,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_slice": q_time_slice,
         "mesh_subset": q_mesh_subset,
         "mesh_clip": q_mesh_clip,
+        "color_table": q_color_table,
         "cf_roles": q_cf_roles,
         "cf_decode": q_cf_decode,
         "rat_join": q_rat_join,
@@ -2690,6 +2727,7 @@ def oracle_sql() -> dict[str, str]:
         "time_slice": sql_time_slice(),
         "mesh_subset": sql_mesh_subset(),
         "mesh_clip": sql_mesh_clip(),
+        "color_table": sql_color_table(),
         "cf_roles": sql_cf_roles(),
         "cf_decode": sql_cf_decode(),
         "rat_join": sql_rat_join(),

@@ -420,6 +420,32 @@ def rat_join(cells_df: DataFrame, rat: DataFrame, on: str = "value") -> DataFram
     return cells_df.join(F.broadcast(rat), on, "left")
 
 
+def color_table_expand(ct: DataFrame) -> DataFrame:
+    """(band, value, color '#RRGGBB'[, alpha]) → (band, value, red, green,
+    blue, alpha) — the reference color-table layout
+    (``dataset/ops/band_metadata.py:596-838``; hex→rgb ≙ its
+    cleopatra ``Colors.to_rgb``, alpha defaults opaque 255). ``conv`` hex
+    parse: pure column algebra."""
+    hexpart = lambda i: F.conv(F.substring(F.col("color"), i, 2), 16, 10).cast("int")  # noqa: E731
+    out = (
+        ct.withColumn("red", hexpart(2))
+        .withColumn("green", hexpart(4))
+        .withColumn("blue", hexpart(6))
+    )
+    if "alpha" in ct.columns:
+        out = out.withColumn("alpha", F.coalesce(F.col("alpha").cast("int"), F.lit(255)))
+    else:
+        out = out.withColumn("alpha", F.lit(255))
+    return out.select("band", "value", "red", "green", "blue", "alpha")
+
+
+def apply_color_table(cells_df: DataFrame, ct: DataFrame) -> DataFrame:
+    """Attach rgba to a categorical raster via the color table (palette ≪
+    raster → broadcast left join; lookup-miss keeps NULL channels, the
+    GDAL GetColorEntry-out-of-range behavior)."""
+    return cells_df.join(F.broadcast(color_table_expand(ct)), ["band", "value"], "left")
+
+
 def rasterize_points(
     points: DataFrame, grid: Grid, value: str | None = None,
     x: str = "x", y: str = "y",
