@@ -576,6 +576,34 @@ def sql_overview_rms():
     )
 
 
+def q_overview_gauss(spark, sf_dir):
+    """GAUSS overview (×2, [1,2,1]² kernel anchored at the parent block,
+    nodata-renormalized — completes the GDAL method list minus the
+    kernel-width-4+ CUBICSPLINE/LANCZOS and complex AVERAGE_MAGPHASE)."""
+    g = grid_df(spark, COELLO)
+    out = raster.overview_gauss(g)
+    return out.select(
+        "band", "row", "col", F.round("value", 6).alias("value"), "n_children"
+    )
+
+
+def sql_overview_gauss():
+    return (
+        f"WITH g AS ({grid_sql(COELLO)}), "
+        "o AS (SELECT i // 3 AS dr, i % 3 AS dc, "
+        "CAST((CASE WHEN i // 3 = 1 THEN 2 ELSE 1 END) * "
+        "(CASE WHEN i % 3 = 1 THEN 2 ELSE 1 END) AS DOUBLE) AS w "
+        "FROM generate_series(0, 8) t(i)), "
+        "e AS (SELECT g.band, (g.row - o.dr) // 2 AS row, (g.col - o.dc) // 2 AS col, "
+        "g.value, o.w FROM g CROSS JOIN o "
+        "WHERE (g.row - o.dr) % 2 = 0 AND (g.col - o.dc) % 2 = 0 "
+        "AND g.row - o.dr >= 0 AND g.col - o.dc >= 0) "
+        "SELECT band, row, col, "
+        "round(sum(w * value) / sum(CASE WHEN value IS NOT NULL THEN w END), 6) AS value, "
+        "count(value) AS n_children FROM e GROUP BY 1, 2, 3"
+    )
+
+
 _NODATA_VALUE = (
     "CASE WHEN (row * {cols} + col) % 7 = 0 THEN -9.0 "
     "WHEN (row * {cols} + col) % 11 = 0 THEN NULL "
@@ -2622,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_mode": q_overview_mode,
         "overview_nearest": q_overview_nearest,
         "overview_rms": q_overview_rms,
+        "overview_gauss": q_overview_gauss,
         "change_nodata": q_change_nodata,
         "list_layers": q_list_layers,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -2718,6 +2747,7 @@ def oracle_sql() -> dict[str, str]:
         "overview_mode": sql_overview_mode(),
         "overview_nearest": sql_overview_nearest(),
         "overview_rms": sql_overview_rms(),
+        "overview_gauss": sql_overview_gauss(),
         "change_nodata": sql_change_nodata(),
         "list_layers": sql_list_layers(),
         "wkt_roundtrip": sql_wkt_roundtrip(),

@@ -188,9 +188,13 @@ def main():
     # --- spatial ops at bench scale ----------------------------------------
     pts = synth.doc_points(spark, N_DOCS).persist()
     pts.count()
-    # untimed warmup: Python workers + Arrow codec + codegen for the knn
-    # shape (same steady-state discipline as the flagship warmup)
-    knn.knn_join(pts.limit(100_000), _q25(), k=10).count()
+    # untimed warmup: one FULL-SIZE pass. A 100k (or even 1M) warmup leaves
+    # the first full run 2-3× slower than steady state (measured 12.8 →
+    # 4.3 → 4.7 s after a 100k warmup; 8.9 → 4.7 s after 1M) — JIT tiering
+    # of the generated stage + Python-worker ramp need a full execution,
+    # not just a small one. Same steady-state discipline as the flagship
+    # warmup, at the size that actually reaches steady state.
+    knn.knn_join(pts, _q25(), k=10).count()
     bench("knn_25q", lambda: knn.knn_join(pts, _q25(), k=10).count())
     bench(
         "knn_25q_cellpruned",

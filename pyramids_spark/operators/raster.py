@@ -387,6 +387,47 @@ def overview_rollup(cells_df: DataFrame, level: int = 2, stat: str = "avg") -> D
     )
 
 
+def overview_gauss(cells_df: DataFrame) -> DataFrame:
+    """GAUSS overview level (×2 only, like GDAL which applies it per
+    factor-2 step; reference method list ``abstract_dataset.py:28-40``):
+    each parent is the [1,2,1]⊗[1,2,1]-weighted mean of the 3×3 source
+    window anchored at (2R, 2C) — kernel centre on the block's shared
+    corner cell (2R+1, 2C+1). Nodata-aware: weights renormalize over
+    non-null children (GDAL's nodata-skipping gauss).
+
+    Plan: each child explodes to its ≤4 contributing parents (offset
+    filter keeps 1, 2 or 4 of the 9 kernel slots per child), then a
+    map-side-combinable weighted groupBy — no window, no halo shuffle."""
+    offs = F.array(*[
+        F.struct(
+            F.lit(dr).alias("dr"), F.lit(dc).alias("dc"),
+            F.lit(float(wr * wc)).alias("w"),
+        )
+        for dr, wr in ((0, 1.0), (1, 2.0), (2, 1.0))
+        for dc, wc in ((0, 1.0), (1, 2.0), (2, 1.0))
+    ])
+    e = (
+        cells_df.withColumn("_o", F.explode(offs))
+        .where(
+            ((F.col("row") - F.col("_o.dr")) % 2 == 0)
+            & ((F.col("col") - F.col("_o.dc")) % 2 == 0)
+            & (F.col("row") - F.col("_o.dr") >= 0)
+            & (F.col("col") - F.col("_o.dc") >= 0)
+        )
+        .select(
+            "band",
+            ((F.col("row") - F.col("_o.dr")) / 2).cast("long").alias("row"),
+            ((F.col("col") - F.col("_o.dc")) / 2).cast("long").alias("col"),
+            "value", F.col("_o.w").alias("_w"),
+        )
+    )
+    wv = F.when(F.col("value").isNotNull(), F.col("_w"))
+    return e.groupBy("band", "row", "col").agg(
+        (F.sum(F.col("_w") * F.col("value")) / F.sum(wv)).alias("value"),
+        F.count("value").alias("n_children"),
+    )
+
+
 def change_no_data_value(
     cells_df: DataFrame,
     new_value: float,
