@@ -144,7 +144,31 @@ class SparkDataset:
         out, g = _raster.resample(self.df, self.grid, cell_size)
         return SparkDataset(out, g)
 
-    def to_crs(self, epsg: int) -> "SparkDataset":
+    def to_crs(self, epsg: int | str) -> "SparkDataset":
+        """Target as an EPSG int or a PROJ4 string ('+proj=lcc +lat_1=…');
+        strings parse via ``reproject.parse_proj4`` (reference accepts any
+        CRS input through OSR, ``feature/crs.py:162-268``)."""
+        if isinstance(epsg, str):
+            fam, arg = _reproject.parse_proj4(epsg)
+            if fam == "merc":
+                return self.to_crs(3857)
+            if fam == "eqc":
+                return self.to_crs(4087)
+            if fam == "sinu":
+                return self.to_crs(54008)
+            if fam == "utm":
+                return self.to_crs(arg)
+            if fam == "longlat":
+                return self
+            p, x0f, y0f = arg  # lcc / albers with explicit params
+            dst = _reproject.reproject_plan_conic(self.grid, fam, p, x0f, y0f)
+            return SparkDataset(
+                _reproject.to_crs_nearest(
+                    self.df, self.grid, dst,
+                    inverse=_reproject.conic_inverse_params(fam, p, x0f, y0f),
+                ),
+                dst,
+            )
         closed_form = {
             3857: (_reproject.inv_merc_lon, _reproject.inv_merc_lat),
             4087: (_reproject.inv_eqc_lon, _reproject.inv_eqc_lat),

@@ -213,6 +213,66 @@ def inv_albers_sql(x: str, y: str, p: ConicParams) -> tuple[str, str]:
     return lon, lat
 
 
+def parse_proj4(s: str):
+    """PROJ4-style CRS string → (family, params) for the closed-form
+    dispatch (the reference accepts arbitrary CRS input via pyproj/OSR,
+    ``feature/crs.py:162-268``; this covers the spherical closed-form
+    families implemented here). Returns one of:
+
+    - ``("merc"|"eqc"|"sinu"|"longlat", None)``
+    - ``("lcc"|"albers", (ConicParams, x_0, y_0))`` — false easting/
+      northing honored (subtracted before the spherical inverse)
+    - ``("utm", epsg)`` — +zone/+south → 326xx/327xx
+    """
+    toks: dict[str, object] = {}
+    for t in s.split():
+        if not t.startswith("+"):
+            continue
+        kv = t[1:].split("=", 1)
+        toks[kv[0]] = kv[1] if len(kv) == 2 else True
+    proj = toks.get("proj")
+    if proj in ("merc", "eqc", "sinu"):
+        return (proj, None)
+    if proj in ("longlat", "latlong"):
+        return ("longlat", None)
+    if proj in ("lcc", "aea"):
+        lat1 = float(toks.get("lat_1", 0.0))
+        p = ConicParams(
+            lat1,
+            float(toks.get("lat_2", lat1)),
+            float(toks.get("lat_0", 0.0)),
+            float(toks.get("lon_0", 0.0)),
+        )
+        fam = "lcc" if proj == "lcc" else "albers"
+        return (fam, (p, float(toks.get("x_0", 0.0)), float(toks.get("y_0", 0.0))))
+    if proj == "utm":
+        zone = int(toks["zone"])  # type: ignore[arg-type]
+        return ("utm", (32700 if "south" in toks else 32600) + zone)
+    raise NotImplementedError(f"unsupported +proj={proj!r} in {s!r}")
+
+
+def conic_inverse_params(fam: str, p: ConicParams, x0f: float = 0.0, y0f: float = 0.0):
+    """(dx, dy) → (lon, lat) for explicit conic params + false easting."""
+    inv = inv_lcc_cols if fam == "lcc" else inv_albers_cols
+    return lambda dx, dy: inv(dx - F.lit(x0f), dy - F.lit(y0f), p)
+
+
+def reproject_plan_conic(
+    src_grid: Grid, fam: str, p: ConicParams,
+    x0f: float = 0.0, y0f: float = 0.0, epsg: int = 0,
+) -> Grid:
+    """Corner-transform grid derivation for explicit conic params."""
+    xmin, ymin, xmax, ymax = src_grid.bounds
+    fwd = lcc_xy_np if fam == "lcc" else albers_xy_np
+    xs, ys = fwd(np.array([xmin, xmax]), np.array([ymax, ymax]), p)
+    cell = (xs[1] - xs[0]) / src_grid.cols
+    return Grid(
+        x0=float(xs[0] + x0f), y0=float(ys[0] + y0f), cell=float(cell),
+        rows=src_grid.rows, cols=src_grid.cols, epsg=epsg,
+        nodata=src_grid.nodata,
+    )
+
+
 def conic_inverse_cols(epsg: int):
     """(dx, dy) → (lon, lat) Column transform for a registered conic EPSG —
     plugs straight into :func:`to_crs_nearest`'s callable ``inverse``."""

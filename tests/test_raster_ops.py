@@ -110,6 +110,34 @@ def test_to_crs_conic_facade_roundtrip_values(spark):
             assert r.value == src_row * 10 + src_col + 1
 
 
+def test_to_crs_proj4_string_matches_epsg_path(spark):
+    """A PROJ4 LCC string with false easting/northing produces the SAME
+    (row, col, value) table as the registered-EPSG path — the offset only
+    shifts the grid origin — and UTM/merc strings route to their paths."""
+    from pyramids_spark.api import SparkDataset
+
+    g = grid_df(spark, CROP_GRID)
+    ds = SparkDataset(g, CROP_GRID)
+    fam, p = reproject.CONIC_EPSG[2154]
+    s = (f"+proj=lcc +lat_1={p.phi1} +lat_2={p.phi2} +lat_0={p.phi0} "
+         f"+lon_0={p.lam0} +x_0=700000 +y_0=6600000")
+    via_str = ds.to_crs(s)
+    via_epsg = ds.to_crs(2154)
+    assert via_str.grid.x0 - via_epsg.grid.x0 == 700000.0
+    assert via_str.grid.y0 - via_epsg.grid.y0 == 6600000.0
+    a = {(r.row, r.col): r.value for r in via_str.df.collect()}
+    b = {(r.row, r.col): r.value for r in via_epsg.df.collect()}
+    assert a == b and len(a) > 0
+    # routing of the non-conic families
+    assert reproject.parse_proj4("+proj=merc +a=6378137") == ("merc", None)
+    assert reproject.parse_proj4("+proj=utm +zone=18 +south") == ("utm", 32718)
+    assert reproject.parse_proj4("+proj=longlat +datum=WGS84") == ("longlat", None)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        reproject.parse_proj4("+proj=tpeqd +lat_1=0")
+
+
 def test_crop_window_reference_doctest_contract(spark):
     """FIXTURES.md §4: box [0.1,-0.2,0.2,-0.1] on the 0.05° grid crops to
     cols 2:4 × rows 2:4 with re-origined geotransform."""
