@@ -188,11 +188,27 @@ def test_cluster_merge_never_touches_driver(spark, monkeypatch):
 
 @pytest.mark.parametrize("seed,tile", [(1, 5)])
 def test_cluster_sparkloop_path_matches_oracle(spark, monkeypatch, seed, tile):
-    """Force the big-graph Spark fixpoint branch (EDGE_LOCAL_MAX=0) and
-    check it produces the same canonical labels as the one-task numpy path."""
+    """Force the big-graph Spark fixpoint branch (both local thresholds to
+    0) and check it produces the same canonical labels as the one-task
+    numpy paths."""
     monkeypatch.setattr(vectorize, "EDGE_LOCAL_MAX", 0)
+    monkeypatch.setattr(vectorize, "BORDER_LOCAL_MAX", -1)
     df, g, vals = _rand_grid(spark, 20, 23, seed)
     got = vectorize.cluster(df, g, lo=2.0, hi=3.0, tile=tile).toPandas()
+    mask = (vals >= 2.0) & (vals <= 3.0) & ~np.isnan(vals)
+    exp = _oracle_cc(mask, conn8=True)
+    assert len(got) == int(mask.sum())
+    for _, r in got.iterrows():
+        assert exp[int(r.row), int(r.col)] == r.label
+
+
+def test_cluster_distributed_edge_build_local_solve(spark, monkeypatch):
+    """Middle path: distributed shift-explode edge build + one-task edge
+    solve (border too big for the border-local shortcut, graph small
+    enough for the local solve)."""
+    monkeypatch.setattr(vectorize, "BORDER_LOCAL_MAX", -1)
+    df, g, vals = _rand_grid(spark, 20, 23, 2)
+    got = vectorize.cluster(df, g, lo=2.0, hi=3.0, tile=7).toPandas()
     mask = (vals >= 2.0) & (vals <= 3.0) & ~np.isnan(vals)
     exp = _oracle_cc(mask, conn8=True)
     assert len(got) == int(mask.sum())
