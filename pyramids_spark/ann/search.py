@@ -153,19 +153,38 @@ def ivf_index(
         n = np.linalg.norm(c, axis=1, keepdims=True)
         return c / np.where(n == 0, 1.0, n)
 
+    def partials(cents_b):
+        # iteration pass: per-Arrow-batch (centroid, count, sum-vector)
+        # partials — O(batches·k·dim) rows total, driver-safe by contract.
+        # [v2 emitted every assigned row and posexploded N·dim values into
+        # a groupBy — a full shuffle per Lloyd iteration for a (k × dim)
+        # result; the partials collapse that to one collect, no shuffle.]
+        def run(batches):
+            c = cents_b.value
+            for pdf in batches:
+                m = np.stack(pdf["v"].to_numpy())
+                a = (m @ c.T).argmax(axis=1)
+                out = {"centroid_id": [], "n": [], "s": []}
+                for cid in np.unique(a):
+                    sel = a == cid
+                    out["centroid_id"].append(int(cid))
+                    out["n"].append(int(sel.sum()))
+                    out["s"].append([float(x) for x in m[sel].sum(axis=0)])
+                yield pd.DataFrame(out)
+        return run
+
     for _ in range(iters):
         cb = spark.sparkContext.broadcast(_unit(cents))
-        assigned = e.mapInPandas(
-            assign(cb), schema=f"{id_col} long, v array<double>, centroid_id long"
-        )
-        new_c = (
-            assigned.select("centroid_id", F.posexplode("v").alias("pos", "val"))
-            .groupBy("centroid_id", "pos")
-            .agg(F.avg("val").alias("m"))
-            .collect()
-        )
-        for r in new_c:
-            cents[r["centroid_id"], r["pos"]] = r["m"]
+        rows = e.mapInPandas(
+            partials(cb), schema="centroid_id long, n long, s array<double>"
+        ).collect()
+        sums = np.zeros_like(cents)
+        ns = np.zeros(k, dtype=np.float64)
+        for r in rows:
+            sums[r["centroid_id"]] += np.asarray(r["s"], dtype=np.float64)
+            ns[r["centroid_id"]] += r["n"]
+        nz = ns > 0  # empty lists keep their previous centroid (as before)
+        cents[nz] = sums[nz] / ns[nz, None]
     # final assignment pass with the FINAL centroids, so the returned
     # (assigned, cents) pair is internally consistent — probing the nearest
     # nprobe lists under `cents` finds the vectors assigned under `cents`
