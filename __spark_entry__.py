@@ -604,6 +604,54 @@ def sql_overview_gauss():
     )
 
 
+def _sql_overview_weighted(taps):
+    vals = ", ".join(f"({dr}, {w!r})" for dr, w in taps)
+    return (
+        f"WITH g AS ({grid_sql(COELLO)}), "
+        f"t(dr, w) AS (VALUES {vals}), "
+        "o AS (SELECT a.dr AS dr, b.dr AS dc, "
+        "CAST(a.w AS DOUBLE) * CAST(b.w AS DOUBLE) AS w "
+        "FROM t a CROSS JOIN t b), "
+        "e AS (SELECT g.band, (g.row - o.dr) // 2 AS row, (g.col - o.dc) // 2 AS col, "
+        "g.value, o.w FROM g CROSS JOIN o "
+        "WHERE (g.row - o.dr) % 2 = 0 AND (g.col - o.dc) % 2 = 0 "
+        "AND g.row - o.dr >= 0 AND g.col - o.dc >= 0 "
+        f"AND (g.row - o.dr) // 2 <= {(COELLO.rows - 1) // 2} "
+        f"AND (g.col - o.dc) // 2 <= {(COELLO.cols - 1) // 2}) "
+        "SELECT band, row, col, "
+        "round(sum(w * value) / sum(CASE WHEN value IS NOT NULL THEN w END), 6) AS value, "
+        "count(value) AS n_children FROM e GROUP BY 1, 2, 3"
+    )
+
+
+def q_overview_cubicspline(spark, sf_dir):
+    """CUBICSPLINE overview: cubic-B-spline-weighted ×2 decimation
+    (kernel scaled to the factor; completes the GDAL method list with
+    overview_lanczos — only complex AVERAGE_MAGPHASE stays out)."""
+    g = grid_df(spark, COELLO)
+    out = raster.overview_cubicspline(g, COELLO)
+    return out.select(
+        "band", "row", "col", F.round("value", 6).alias("value"), "n_children"
+    )
+
+
+def sql_overview_cubicspline():
+    return _sql_overview_weighted(raster.cubicspline_taps())
+
+
+def q_overview_lanczos(spark, sf_dir):
+    """LANCZOS overview: windowed-sinc (a=3) weighted ×2 decimation."""
+    g = grid_df(spark, COELLO)
+    out = raster.overview_lanczos(g, COELLO)
+    return out.select(
+        "band", "row", "col", F.round("value", 6).alias("value"), "n_children"
+    )
+
+
+def sql_overview_lanczos():
+    return _sql_overview_weighted(raster.lanczos_taps())
+
+
 _NODATA_VALUE = (
     "CASE WHEN (row * {cols} + col) % 7 = 0 THEN -9.0 "
     "WHEN (row * {cols} + col) % 11 = 0 THEN NULL "
@@ -2651,6 +2699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_nearest": q_overview_nearest,
         "overview_rms": q_overview_rms,
         "overview_gauss": q_overview_gauss,
+        "overview_cubicspline": q_overview_cubicspline,
+        "overview_lanczos": q_overview_lanczos,
         "change_nodata": q_change_nodata,
         "list_layers": q_list_layers,
         "wkt_roundtrip": q_wkt_roundtrip,
@@ -2748,6 +2798,8 @@ def oracle_sql() -> dict[str, str]:
         "overview_nearest": sql_overview_nearest(),
         "overview_rms": sql_overview_rms(),
         "overview_gauss": sql_overview_gauss(),
+        "overview_cubicspline": sql_overview_cubicspline(),
+        "overview_lanczos": sql_overview_lanczos(),
         "change_nodata": sql_change_nodata(),
         "list_layers": sql_list_layers(),
         "wkt_roundtrip": sql_wkt_roundtrip(),

@@ -387,24 +387,25 @@ def overview_rollup(cells_df: DataFrame, level: int = 2, stat: str = "avg") -> D
     )
 
 
-def overview_gauss(cells_df: DataFrame) -> DataFrame:
-    """GAUSS overview level (×2 only, like GDAL which applies it per
-    factor-2 step; reference method list ``abstract_dataset.py:28-40``):
-    each parent is the [1,2,1]⊗[1,2,1]-weighted mean of the 3×3 source
-    window anchored at (2R, 2C) — kernel centre on the block's shared
-    corner cell (2R+1, 2C+1). Nodata-aware: weights renormalize over
-    non-null children (GDAL's nodata-skipping gauss).
-
-    Plan: each child explodes to its ≤4 contributing parents (offset
-    filter keeps 1, 2 or 4 of the 9 kernel slots per child), then a
-    map-side-combinable weighted groupBy — no window, no halo shuffle."""
+def _overview_weighted(
+    cells_df: DataFrame, taps: list[tuple[int, float]],
+    grid: "Grid | None" = None,
+) -> DataFrame:
+    """Generic ×2 kernel overview: parent = Σw·child / Σw over non-null
+    children, separable taps (dr, w) relative to the parent's top-left
+    child 2R. Plan: each child explodes to its contributing parents
+    (offset parity filter keeps #taps/2 per axis), then a
+    map-side-combinable weighted groupBy — no window, no halo shuffle.
+    Pass ``grid`` when any tap offset is negative: kernels that reach
+    above/left of the block spill phantom parents past the pyramid bounds
+    without the clamp."""
     offs = F.array(*[
         F.struct(
             F.lit(dr).alias("dr"), F.lit(dc).alias("dc"),
             F.lit(float(wr * wc)).alias("w"),
         )
-        for dr, wr in ((0, 1.0), (1, 2.0), (2, 1.0))
-        for dc, wc in ((0, 1.0), (1, 2.0), (2, 1.0))
+        for dr, wr in taps
+        for dc, wc in taps
     ])
     e = (
         cells_df.withColumn("_o", F.explode(offs))
@@ -421,11 +422,73 @@ def overview_gauss(cells_df: DataFrame) -> DataFrame:
             "value", F.col("_o.w").alias("_w"),
         )
     )
+    if grid is not None:  # clamp to the real parent pyramid extent
+        e = e.where(
+            (F.col("row") <= (grid.rows - 1) // 2)
+            & (F.col("col") <= (grid.cols - 1) // 2)
+        )
     wv = F.when(F.col("value").isNotNull(), F.col("_w"))
     return e.groupBy("band", "row", "col").agg(
         (F.sum(F.col("_w") * F.col("value")) / F.sum(wv)).alias("value"),
         F.count("value").alias("n_children"),
     )
+
+
+def overview_gauss(cells_df: DataFrame) -> DataFrame:
+    """GAUSS overview level (×2 only, like GDAL which applies it per
+    factor-2 step; reference method list ``abstract_dataset.py:28-40``):
+    each parent is the [1,2,1]⊗[1,2,1]-weighted mean of the 3×3 source
+    window anchored at (2R, 2C) — kernel centre on the block's shared
+    corner cell (2R+1, 2C+1). Nodata-aware: weights renormalize over
+    non-null children (GDAL's nodata-skipping gauss)."""
+    return _overview_weighted(cells_df, [(0, 1.0), (1, 2.0), (2, 1.0)])
+
+
+def _bspline3(x: float) -> float:
+    x = abs(x)
+    if x < 1.0:
+        return (4.0 - 6.0 * x * x + 3.0 * x**3) / 6.0
+    if x < 2.0:
+        return (2.0 - x) ** 3 / 6.0
+    return 0.0
+
+
+def _lanczos3(x: float) -> float:
+    import math
+
+    if x == 0.0:
+        return 1.0
+    if abs(x) >= 3.0:
+        return 0.0
+    px = math.pi * x
+    return 3.0 * math.sin(px) * math.sin(px / 3.0) / (px * px)
+
+
+def cubicspline_taps() -> list[tuple[int, float]]:
+    """Cubic B-spline kernel scaled for ×2 decimation: support ±2 parent
+    units → 8 child taps at half-integer distances from the parent centre
+    (child dr has distance |dr − 0.5|/2 parent units)."""
+    return [(dr, _bspline3((dr - 0.5) / 2.0)) for dr in range(-3, 5)]
+
+
+def lanczos_taps() -> list[tuple[int, float]]:
+    """Lanczos-3 kernel scaled for ×2 decimation: support ±3 parent units
+    → 12 child taps."""
+    return [(dr, _lanczos3((dr - 0.5) / 2.0)) for dr in range(-5, 7)]
+
+
+def overview_cubicspline(cells_df: DataFrame, grid: "Grid | None" = None) -> DataFrame:
+    """CUBICSPLINE overview (×2): cubic-B-spline-weighted decimation
+    (kernel scaled to the decimation factor, the standard prefilter
+    formulation; GDAL method list ``abstract_dataset.py:28-40``)."""
+    return _overview_weighted(cells_df, cubicspline_taps(), grid)
+
+
+def overview_lanczos(cells_df: DataFrame, grid: "Grid | None" = None) -> DataFrame:
+    """LANCZOS overview (×2): windowed-sinc (a=3) weighted decimation.
+    Note: negative lobes mean the nodata renormalization can overshoot
+    near holes, exactly like GDAL's nodata-aware lanczos."""
+    return _overview_weighted(cells_df, lanczos_taps(), grid)
 
 
 def change_no_data_value(
