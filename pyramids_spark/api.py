@@ -197,11 +197,36 @@ class SparkDataset:
             f"UTM 326xx/327xx (got {epsg})"
         )
 
-    def create_overviews(self, levels: tuple[int, ...] = (2, 4, 8, 16, 32)) -> dict[int, DataFrame]:
-        """io.py:1156 create_overviews — zoom pyramid as per-level tables."""
-        return {
-            lv: _raster.overview_rollup(self.df, level=lv, stat="avg") for lv in levels
-        }
+    def create_overviews(
+        self, levels: tuple[int, ...] = (2, 4, 8, 16, 32), method: str = "avg"
+    ) -> dict[int, DataFrame]:
+        """io.py:1156 create_overviews — zoom pyramid as per-level tables.
+        ``method``: avg/min/max/sum/rms/nearest/mode roll up directly per
+        level; the kernel methods gauss/cubicspline/lanczos apply their ×2
+        kernel ITERATIVELY (GDAL builds each kernel overview from the
+        previous factor-2 step)."""
+        kernel = {
+            "gauss": lambda df, g: _raster.overview_gauss(df),
+            "cubicspline": _raster.overview_cubicspline,
+            "lanczos": _raster.overview_lanczos,
+        }.get(method)
+        if kernel is None:
+            return {
+                lv: _raster.overview_rollup(self.df, level=lv, stat=method)
+                for lv in levels
+            }
+        out: dict[int, DataFrame] = {}
+        cur, rows, cols, lv = self.df, self.grid.rows, self.grid.cols, 1
+        from dataclasses import replace as _replace
+
+        for target in sorted(levels):
+            while lv < target:
+                cur = kernel(cur, _replace(self.grid, rows=rows, cols=cols))
+                cur = cur.drop("n_children")
+                rows, cols = (rows + 1) // 2, (cols + 1) // 2
+                lv *= 2
+            out[target] = cur
+        return out
 
     def to_xyz(self) -> DataFrame:
         return _raster.to_xyz(self.df, self.grid)

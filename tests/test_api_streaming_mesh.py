@@ -35,6 +35,11 @@ def test_dataset_facade_align_resample_overviews(spark):
     assert back.df.count() == 182
     ovs = ds.create_overviews(levels=(2, 4))
     assert ovs[2].count() == 7 * 7 and ovs[4].count() == 4 * 4
+    # kernel pyramid: iterative ×2 with extent clamp at every level
+    kv = ds.create_overviews(levels=(2, 4), method="gauss")
+    assert kv[2].count() == 7 * 7 and kv[4].count() == 4 * 4
+    lz = ds.create_overviews(levels=(2,), method="lanczos")
+    assert lz[2].count() == 7 * 7
 
 
 def test_feature_collection_facade(spark, tmp_path):
