@@ -2,12 +2,16 @@
 
 Task-brief contract: treat media as ``binary`` columns with typed metadata;
 implement decode / feature-extract / resize / frame-sample as pandas UDFs
-over ``mapInPandas``. The imaging/audio libraries are not in this container,
-so the DECODE step is stubbed (``decode_stub='error'`` raises the
-documented NotImplementedError; ``'fake'`` produces a deterministic fake
-decode from the bytes) — but the Spark-side plumbing is real and tested:
-schemas, Arrow batch shapes, partitioning, and the UDF signatures are
-exactly what a libjpeg/ffmpeg-backed implementation would drop into.
+over ``mapInPandas``.
+
+The DECODE step is REAL for the container formats a pure-numpy parser can
+handle — PGM/PPM images, 24-bit BMP, PCM16 WAV, and a frame-concatenated
+PGM video stream (:mod:`pyramids_spark.codecs`). Entropy-coded formats
+(JPEG/PNG/H.264) still raise the documented ``NotImplementedError`` (no
+libjpeg/ffmpeg in this container); the legacy deterministic fake decode
+remains for payloads that are not parseable media (sniff fallback), so the
+plumbing accepts any bytes. Schemas, Arrow batch shapes, partitioning and
+UDF signatures are identical for every path.
 """
 
 from __future__ import annotations
@@ -20,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from . import cells
+from . import codecs
 
 #: typed metadata carried alongside every media payload
 MEDIA_META_SCHEMA = T.StructType(
@@ -38,59 +42,115 @@ MEDIA_META_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
-def synth_media(spark, docs: DataFrame) -> DataFrame:
-    """Deterministic fake media table from the documents' non-text spans:
-    payload bytes derived from the media_ref hash (stands in for real blob
-    storage reads)."""
-    refs = docs.select(
+def _refs(docs: DataFrame) -> DataFrame:
+    return docs.select(
         F.explode(F.filter(F.col("spans"), lambda s: s["kind"] != "text")).alias("s")
     ).select(
         F.col("s.media_ref").alias("media_ref"), F.col("s.kind").alias("kind")
     )
+
+
+def synth_media(spark, docs: DataFrame, real_payloads: bool = True) -> DataFrame:
+    """Deterministic media table from the documents' non-text spans
+    (stands in for real blob-storage reads).
+
+    ``real_payloads=True``: payloads are genuine containers — PGM for
+    images, PCM16 WAV for audio, concatenated PGM frames for video —
+    synthesized from a per-ref deterministic RNG, so the decode path runs
+    for real. ``False`` keeps the legacy sha256 blob (exercises the
+    fake-decode fallback)."""
+    refs = _refs(docs)
     h = F.xxhash64("media_ref")
     h2 = F.xxhash64("media_ref", F.lit(31))  # second stream, no overflow-able h*31
-    return refs.select(
+    meta = refs.select(
         "media_ref",
         "kind",
-        (F.pmod(h, 512) + 16).cast("int").alias("width"),
-        (F.pmod(h2, 512) + 16).cast("int").alias("height"),
-        F.when(F.col("kind") == "video", (F.pmod(h, 120) + 1))
+        (F.pmod(h, 48) + 8).cast("int").alias("width"),
+        (F.pmod(h2, 48) + 8).cast("int").alias("height"),
+        F.when(F.col("kind") == "video", (F.pmod(h, 12) + 2))
         .otherwise(F.lit(1)).cast("int").alias("n_frames"),
         F.when(F.col("kind") == "audio", F.lit(16000)).otherwise(F.lit(0))
         .cast("int").alias("sample_rate"),
-        F.sha2(F.col("media_ref"), 256).cast("binary").alias("payload"),
+        F.pmod(h2, F.lit(2**31 - 1)).alias("_seed"),
     )
+    if not real_payloads:
+        return meta.drop("_seed").withColumn(
+            "payload", F.sha2(F.col("media_ref"), 256).cast("binary")
+        )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for kind, w, hh, nf, sr, seed in zip(
+                pdf["kind"], pdf["width"], pdf["height"], pdf["n_frames"],
+                pdf["sample_rate"], pdf["_seed"],
+            ):
+                rng = np.random.default_rng(int(seed))
+                if kind == "audio":
+                    payloads.append(
+                        codecs.encode_wav(
+                            rng.integers(-2**15, 2**15, size=int(sr) // 10,
+                                         dtype=np.int64).astype(np.int16),
+                            int(sr),
+                        )
+                    )
+                elif kind == "video":
+                    frames = [
+                        codecs.encode_pgm(
+                            rng.integers(0, 256, size=(int(hh), int(w)),
+                                         dtype=np.int64).astype(np.uint8)
+                        )
+                        for _ in range(int(nf))
+                    ]
+                    payloads.append(b"".join(frames))
+                else:
+                    payloads.append(
+                        codecs.encode_pgm(
+                            rng.integers(0, 256, size=(int(hh), int(w)),
+                                         dtype=np.int64).astype(np.uint8)
+                        )
+                    )
+            out = pdf.drop(columns=["_seed"]).copy()
+            out["payload"] = payloads
+            yield out
+
+    return meta.mapInPandas(build, schema=MEDIA_META_SCHEMA)
 
 
 def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Deterministic stand-in for image decode: tile the payload bytes into
-    a (h, w) uint8 array. A real build replaces this one function with
-    PIL/libjpeg — everything around it (batching, schema, partitioning)
-    stays identical."""
+    """Deterministic stand-in for payloads that are NOT parseable media
+    (sniff fallback): tile the payload bytes into a (h, w) uint8 array."""
     b = np.frombuffer(payload, dtype=np.uint8)
     reps = int(np.ceil(width * height / b.size))
     return np.tile(b, reps)[: width * height].reshape(height, width)
 
 
-def decode_features(
-    media: DataFrame, decode_stub: str = "fake", batch_hint: int = 1024
-) -> DataFrame:
-    """media table → (media_ref, kind, feature: array<float>) via
-    mapInPandas. Feature = FEATURE_DIM-bin normalized intensity histogram of
-    the decoded frame — the canonical embed-after-decode shape."""
-    if decode_stub == "error":
-        raise NotImplementedError(
-            "real media decode requires PIL/ffmpeg, not present in this "
-            "container; use decode_stub='fake' for the deterministic stand-in"
-        )
+def _decode_any(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Real decode when the payload is a recognized container; tiled fake
+    for anything unrecognized (legacy blobs). JPEG/PNG raise."""
+    try:
+        kind = codecs.sniff(bytes(payload))
+    except ValueError:
+        return _fake_decode(payload, width, height)
+    if kind == "wav":
+        samples, _ = codecs.decode_wav(bytes(payload))
+        # audio "frame": 8-bit companded magnitude row, histogram-compatible
+        return (np.abs(samples[:, 0].astype(np.int32)) >> 7).astype(np.uint8)[None, :]
+    return codecs.decode_image(bytes(payload))
 
+
+def decode_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """media table → (media_ref, kind, feature: array<float>) via
+    mapInPandas. Feature = FEATURE_DIM-bin normalized intensity histogram
+    of the decoded frame (image luma / companded audio magnitude) — the
+    canonical embed-after-decode shape."""
     schema = "media_ref string, kind string, feature array<float>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
-                img = _fake_decode(payload, int(w), int(h))
+                img = _decode_any(payload, int(w), int(h))
                 hist, _ = np.histogram(img, bins=FEATURE_DIM, range=(0, 256))
                 feats.append((hist / max(1, img.size)).astype(np.float32))
             yield pd.DataFrame(
@@ -100,15 +160,21 @@ def decode_features(
     return media.mapInPandas(run, schema=schema)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: output metadata reflects the new shape; payload is
-    re-derived by the fake decoder (a real build swaps in a resampler)."""
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Real nearest-neighbour resize for parseable image payloads
+    (re-encoded PGM); unrecognized payloads go through the fake decoder
+    so the pipeline never stalls on a legacy blob."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            out["payload"] = [
-                _fake_decode(p, width, height).tobytes() for p in pdf["payload"]
-            ]
+            new_p = []
+            for p, w0, h0 in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                try:
+                    img = codecs.decode_image(bytes(p))
+                except (ValueError, NotImplementedError):
+                    img = _fake_decode(p, int(w0), int(h0))
+                new_p.append(codecs.encode_pgm(codecs.resize_nearest(img, width, height)))
+            out["payload"] = new_p
             out["width"] = np.int32(width)
             out["height"] = np.int32(height)
             yield out
@@ -116,10 +182,43 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(run, schema=media.schema)
 
 
+# back-compat alias (round-2 name)
+resize_stub = resize_images
+
+
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling plumbing: one output row per sampled frame index
-    (pure column algebra — the frame extraction itself is the stubbed part).
-    """
+    """Video frame sampling: one output row per sampled frame index (pure
+    column algebra over n_frames)."""
     v = media.where(F.col("kind") == "video")
     idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
     return v.select("media_ref", F.explode(idx).alias("frame_idx"))
+
+
+def frame_extract(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL frame extraction from the concatenated-PGM video stream: walks
+    the self-delimiting frame headers and emits each sampled frame's bytes
+    → (media_ref, frame_idx, frame: binary, width, height)."""
+    schema = (
+        "media_ref string, frame_idx int, frame binary, width int, height int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_ref": [], "frame_idx": [], "frame": [],
+                    "width": [], "height": []}
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                b = bytes(payload)
+                off, idx = 0, 0
+                while off < len(b):
+                    w, h, doff = codecs._pnm_header(b[off:], b"P5")
+                    end = off + doff + w * h
+                    if idx % every_n == 0:
+                        rows["media_ref"].append(ref)
+                        rows["frame_idx"].append(idx)
+                        rows["frame"].append(b[off:end])
+                        rows["width"].append(w)
+                        rows["height"].append(h)
+                    off, idx = end, idx + 1
+            yield pd.DataFrame(rows)
+
+    return media.where(F.col("kind") == "video").mapInPandas(run, schema=schema)
