@@ -162,6 +162,15 @@ def main():
 
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%MZ")
+    # preserve hand-written "## ..." sections appended below the generated
+    # block (e.g. per-round suite-state notes)
+    extra = ""
+    path = f"{REPO}/BENCH/BASELINE.md"
+    if os.path.exists(path):
+        old = open(path).read()
+        i = old.find("\n## ")
+        if i != -1:
+            extra = old[i:]
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — flagship throughput + scaling evidence
 
@@ -218,7 +227,7 @@ nested-column scans), row-based nested parquet reader for the audit scan,
 (broadcast hash join + partial aggregation); the only exchange carries
 per-zone partial aggregates — the pattern that matters at 10^12 docs on a
 1000-executor cluster.
-""")
+""" + extra)
     print(f"wrote {REPO}/BENCH/BASELINE.md")
 
 
