@@ -1235,6 +1235,99 @@ def sql_ngram_jaccard_capped():
     )
 
 
+_NID = "CAST(doc_id AS BIGINT)"
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER resolution (the keep-one-representative dedup
+    step): n-gram-Jaccard pairs → connected components over the
+    similarity graph via the shared edge-CC solver — cluster = min doc
+    key, keeper = root. Never a driver union-find."""
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "nid", F.col("doc_id").cast("long")
+    )
+    sh = dedup.shingles(docs, n=3, id_col="nid")
+    pairs = dedup.ngram_jaccard(sh, min_sim=0.2)
+    out = dedup.dedup_clusters(docs.select("nid"), pairs, id_col="nid")
+    return out.select(F.col("nid").alias("doc_key"), "cluster", "is_keeper")
+
+
+def sql_dedup_clusters():
+    return (
+        f"WITH RECURSIVE t AS (SELECT {_NID} AS id, {_TOKS_SQL} AS tk FROM documents), "
+        "ix AS (SELECT id, tk, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i FROM t), "
+        "sh AS (SELECT DISTINCT id, array_to_string(list_slice(tk, i, i + 2), ' ') AS shingle "
+        "FROM ix WHERE len(tk) > 0), "
+        "sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id), "
+        "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i "
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2), "
+        "pairs AS (SELECT id_a, id_b FROM inter "
+        "JOIN sz x ON x.id = id_a JOIN sz y ON y.id = id_b "
+        "WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.2), "
+        f"ids AS (SELECT {_NID} AS id FROM documents), "
+        "e AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "UNION SELECT id_b AS src, id_a AS dst FROM pairs), "
+        "r AS (SELECT id AS node, id AS lab FROM ids "
+        "UNION SELECT e.dst AS node, r.lab AS lab FROM r JOIN e ON e.src = r.node), "
+        "m AS (SELECT node, min(lab) AS cluster FROM r GROUP BY node) "
+        "SELECT node AS doc_key, cluster, (node = cluster) AS is_keeper FROM m"
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum Bernoulli sample (reproducible sampleBy:
+    h1(key)/2^32 < fraction; no RNG state, stable under retry/resume)."""
+    from pyramids_spark.text import sampling
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("nid")
+    ).withColumn("stratum", F.pmod(F.col("nid"), F.lit(4)))
+    out = sampling.stratified_sample(
+        docs, {0: 0.9, 1: 0.5, 2: 0.25}, strata="stratum", key="nid"
+    )
+    return out.select(F.col("nid").alias("doc_key"), "stratum")
+
+
+def sql_stratified_sample():
+    u = f"(({cells.h1_sql(f'({_NID} + 0)')}) / 4294967296.0)"
+    return (
+        f"WITH d AS (SELECT {_NID} AS doc_key, {_NID} % 4 AS stratum, "
+        f"{u} AS u FROM documents) "
+        "SELECT doc_key, stratum FROM d WHERE u < "
+        "CASE stratum WHEN 0 THEN 0.9 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 ELSE 0.0 END"
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing: deterministic-shuffle order +
+    distributed prefix sum (per-bucket totals broadcast, windows only
+    within buckets) → the context-window bin each document starts in."""
+    from pyramids_spark.text import sampling
+
+    docs = _read(spark, sf_dir, "documents")
+    d = quality.token_count(docs).select(
+        F.col("doc_id").cast("long").alias("nid"), "n_tokens"
+    )
+    out = sampling.pack_sequences(d, budget=512, key="nid")
+    return out.select(
+        F.col("nid").alias("doc_key"), "shuffle_key", "start_offset", "bin_id"
+    )
+
+
+def sql_pack_sequences():
+    sk = cells.h1_sql(f"({_NID} + 0)")
+    return (
+        f"WITH t AS (SELECT {_NID} AS doc_key, "
+        f"CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens, "
+        f"({sk}) AS shuffle_key FROM documents), "
+        "s AS (SELECT doc_key, shuffle_key, "
+        "CAST(coalesce(sum(n_tokens) OVER (ORDER BY shuffle_key, doc_key "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset "
+        "FROM t) "
+        "SELECT doc_key, shuffle_key, start_offset, start_offset // 512 AS bin_id FROM s"
+    )
+
+
 def q_simhash(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return dedup.simhash(docs, bits=16)
@@ -1359,7 +1452,7 @@ def q_span_pipeline(spark, sf_dir):
     oracle: spans construction is engine-side; invariant asserted in-row)."""
     docs = _read(spark, sf_dir, "documents").select("doc_id")
     spans = synth.documents_spans(spark, 500).withColumn("span_hash", synth.span_hash_col())
-    spans = spans.withColumn("key", F.expr("cast(substring(doc_id, 5) as long)"))
+    spans = spans.withColumn("key", F.col("doc_id").cast("long"))
     pts = _doc_points(spark, sf_dir).join(
         spans.select(F.col("key").alias("doc_id"), F.col("doc_id").alias("span_doc"),
                      "spans", "span_hash"),
@@ -2734,6 +2827,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "simhash": q_simhash,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
@@ -2833,6 +2929,9 @@ def oracle_sql() -> dict[str, str]:
         "lsh_pairs": sql_lsh_pairs(),
         "ngram_jaccard": sql_ngram_jaccard(),
         "ngram_jaccard_capped": sql_ngram_jaccard_capped(),
+        "dedup_clusters": sql_dedup_clusters(),
+        "stratified_sample": sql_stratified_sample(),
+        "pack_sequences": sql_pack_sequences(),
         "simhash": sql_simhash(),
         "ann_cosine": sql_ann_cosine(),
         "ann_ivf": sql_ann_cosine(),  # full-probe IVF ≡ exact top-k

@@ -206,6 +206,18 @@ def _merge_labels_df(border: DataFrame, conn8: bool, by_value: bool) -> DataFram
         .where(F.col("label") != F.col("label2"))
         .select("label", "label2")
     )
+    return edge_components_df(half)
+
+
+def edge_components_df(half: DataFrame) -> DataFrame:
+    """Connected components over an arbitrary (label, label2) edge frame
+    (either direction suffices; symmetric closure is built here) →
+    (label, root) rows for CHANGED labels only, root = component min.
+
+    Shared solver for the cross-tile label merge and graph-shaped dedup
+    (near-dup cluster resolution): one-task vectorized min-propagation
+    below :data:`EDGE_LOCAL_MAX`, Spark-side pointer-jumping fixpoint
+    above it."""
     edges = (
         half.union(half.select(F.col("label2").alias("label"), F.col("label").alias("label2")))
         .distinct()
@@ -268,7 +280,7 @@ def _merge_labels_df(border: DataFrame, conn8: bool, by_value: bool) -> DataFram
             if changed == 0:
                 break
         else:
-            raise RuntimeError("border-label propagation did not converge in 60 rounds")
+            raise RuntimeError("label propagation did not converge in 60 rounds")
         mapping = m.where(F.col("label") != F.col("root")).localCheckpoint(eager=True)
         m.unpersist()
         return mapping

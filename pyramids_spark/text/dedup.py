@@ -138,6 +138,38 @@ def ngram_jaccard(sh: DataFrame, min_sim: float = 0.5, max_df: int | None = 1000
     )
 
 
+def dedup_clusters(
+    ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-duplicate CLUSTER resolution: connected components over the
+    similarity-pair graph → one row per document
+    ``(id, cluster, is_keeper)`` with cluster = min id of the component
+    and keeper = the cluster root (the standard "keep one representative
+    per near-dup cluster" pretraining-dedup step; pairs come from
+    :func:`ngram_jaccard` / :func:`lsh_candidate_pairs` /
+    ``ann.near_dup_pairs``).
+
+    Distributed via the shared edge-CC solver
+    (:func:`pyramids_spark.operators.vectorize.edge_components_df`):
+    one-task vectorized min-propagation for small graphs, Spark
+    pointer-jumping fixpoint above — never a driver union-find."""
+    from ..operators.vectorize import edge_components_df
+
+    half = pairs.select(
+        F.col("id_a").alias("label"), F.col("id_b").alias("label2")
+    )
+    mapping = edge_components_df(half)
+    out = (
+        ids.select(F.col(id_col))
+        .join(mapping.withColumnRenamed("label", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("root", F.col(id_col)).alias("cluster"),
+        )
+    )
+    return out.withColumn("is_keeper", (F.col(id_col) == F.col("cluster")))
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
     """Exact duplicate groups by content hash; keeper = min id.
     → (text_hash, n_dups, keeper_id)."""

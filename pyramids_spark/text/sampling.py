@@ -1,0 +1,109 @@
+"""Training-data sampling and sequence packing.
+
+The operations a pretraining-data pipeline runs after dedup/quality:
+deterministic (resumable, cluster-size-independent) sampling, a
+pseudorandom global shuffle, and token-budget sequence packing. Everything
+derives randomness from the portable ``cells.h1`` integer hash so results
+are bit-reproducible on any cluster, restartable mid-job, and expressible
+in ANSI SQL for the DuckDB oracles — the same discipline as the synthetic
+geometry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import cells
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, key: str = "doc_id", salt: int = 0
+) -> DataFrame:
+    """Keep each row iff ``h1(key + salt)/2^32 < fraction`` — a
+    deterministic Bernoulli sample: no RNG state, independent of
+    partitioning, stable under retries/resume (the property ``df.sample``
+    does NOT have), and different salts give independent samples."""
+    u = cells.h1_col(F.col(key) + F.lit(salt * 1_000_003)) / F.lit(2.0**32)
+    return df.where(u < F.lit(float(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict,
+    strata: str,
+    key: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample (``sampleBy`` with
+    reproducibility): ``fractions`` maps stratum value → keep fraction;
+    unlisted strata drop. The fraction table is a literal CASE — no join,
+    pure codegen scan."""
+    u = cells.h1_col(F.col(key) + F.lit(salt * 1_000_003)) / F.lit(2.0**32)
+    frac = None
+    for k, v in fractions.items():
+        cond = F.col(strata) == F.lit(k)
+        frac = F.when(cond, float(v)) if frac is None else frac.when(cond, float(v))
+    if frac is None:
+        return df.where(F.lit(False))
+    return df.where(u < frac.otherwise(F.lit(0.0)))
+
+
+def pseudo_shuffle(df: DataFrame, key: str = "doc_id", salt: int = 0) -> DataFrame:
+    """Deterministic global shuffle: attach ``shuffle_key = h1(key+salt)``
+    and range-repartition/sort by it — the epoch-reshuffle a training
+    reader wants, reproducible across runs (different salts ≙ different
+    epochs)."""
+    sk = cells.h1_col(F.col(key) + F.lit(salt * 1_000_003))
+    return df.withColumn("shuffle_key", sk).repartitionByRange(
+        df.sparkSession.sparkContext.defaultParallelism, "shuffle_key", key
+    ).sortWithinPartitions("shuffle_key", key)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    n_tokens: str = "n_tokens",
+    key: str = "doc_id",
+    salt: int = 0,
+    bucket_bits: int = 10,
+) -> DataFrame:
+    """Token-budget sequence packing: order documents by the deterministic
+    shuffle key, then assign each document to the context-window bin
+    ``floor(running_token_sum_exclusive / budget)`` — streaming first-fit
+    packing (a doc may straddle two bins; the trainer's
+    concat-and-chunk contract, where ``bin_id`` is the chunk a document
+    STARTS in).
+
+    Distributed prefix sum, no global window: per-high-bit-bucket token
+    totals (collected — O(2^(32-bucket_bits)) rows) broadcast back as
+    offsets, then the running sum windows only WITHIN buckets. Returns
+    the input plus (shuffle_key, start_offset, bin_id)."""
+    sk = cells.h1_col(F.col(key) + F.lit(salt * 1_000_003))
+    d = df.withColumn("shuffle_key", sk).withColumn(
+        "_bkt", F.shiftright(F.col("shuffle_key"), 32 - bucket_bits)
+    )
+    totals = {
+        r["_bkt"]: r["t"]
+        for r in d.groupBy("_bkt").agg(F.sum(n_tokens).alias("t")).collect()
+    }
+    acc, offs = 0, []
+    for b in sorted(totals):
+        offs.append((int(b), acc))
+        acc += totals[b]
+    spark = df.sparkSession
+    odf = F.broadcast(spark.createDataFrame(offs, "_bkt long, _off long"))
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy("shuffle_key", key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("_off") + F.coalesce(F.sum(n_tokens).over(w), F.lit(0))
+    return (
+        d.join(odf, "_bkt")
+        .withColumn("start_offset", start)
+        # integer div, not floor(double /): token prefix sums pass 2^53 at
+        # 100-TB corpora and double division would lose exactness
+        .withColumn("bin_id", F.expr(f"start_offset div {int(budget)}"))
+        .drop("_bkt", "_off")
+    )

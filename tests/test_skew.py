@@ -115,3 +115,43 @@ def test_near_dup_pairs_lsh_branch_has_no_cartesian(spark):
     ex = set(zip(exact.id_a, exact.id_b))
     assert set(zip(got.id_a, got.id_b)) <= ex
     assert len(ex) > 0
+
+
+def test_dedup_clusters_keep_one_per_component(spark):
+    """Twin docs pair up; clusters resolve to min-id roots with exactly
+    one keeper per component (transitivity: a chain a~b, b~c lands in ONE
+    cluster even if a~c never paired directly)."""
+    from pyramids_spark.text import dedup
+
+    ids = spark.range(8).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"  # chain 0-1-2; pair 5-6
+    )
+    got = dedup.dedup_clusters(ids, pairs).toPandas().set_index("doc_id").sort_index()
+    assert list(got.cluster) == [0, 0, 0, 3, 4, 5, 5, 7]
+    assert list(got.is_keeper) == [True, False, False, True, True, True, False, True]
+
+
+def test_sampling_deterministic_and_packing_contiguous(spark):
+    """Deterministic sample: identical across invocations, disjoint across
+    salts in expectation; packing: start_offsets are the exact prefix sums
+    of the shuffle order and bins advance monotonically."""
+    from pyramids_spark.text import sampling
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"] for r in sampling.deterministic_sample(df, 0.3).collect()}
+    b = {r["doc_id"] for r in sampling.deterministic_sample(df, 0.3).collect()}
+    assert a == b and 0.2 < len(a) / 2000 < 0.4
+    c = {r["doc_id"] for r in sampling.deterministic_sample(df, 0.3, salt=1).collect()}
+    assert c != a  # independent stream
+
+    d = df.withColumn("n_tokens", F.pmod(F.col("doc_id") * 7, F.lit(100)) + 1)
+    out = sampling.pack_sequences(d, budget=256, key="doc_id").toPandas()
+    out = out.sort_values(["shuffle_key", "doc_id"]).reset_index(drop=True)
+    csum = 0
+    for _, r in out.iterrows():
+        assert r.start_offset == csum
+        assert r.bin_id == csum // 256
+        csum += r.n_tokens
+    assert out.bin_id.is_monotonic_increasing
+    assert out.bin_id.max() > 10
