@@ -8,7 +8,7 @@ watermarked windowed aggregation → ``writeStream``, with exactly-once sinks
 via checkpointLocation.
 """
 
-from .ingest import stream_tile_counts, streaming_dedup
+from .ingest import stream_tile_counts, stream_zone_counts, streaming_dedup
 from .sessionize import stream_sessionize
 
-__all__ = ["stream_tile_counts", "streaming_dedup", "stream_sessionize"]
+__all__ = ["stream_tile_counts", "stream_zone_counts", "streaming_dedup", "stream_sessionize"]

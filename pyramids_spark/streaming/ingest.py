@@ -39,6 +39,41 @@ def stream_tile_counts(
     )
 
 
+def stream_zone_counts(
+    stream: DataFrame,
+    zones: list[dict],
+    zoom: int = 8,
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+    ts: str = "ts",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """The flagship PIP join on a STREAM: (ts, x, y) events → per-(event-
+    time window, zone) counts. ``pip_join`` is stateless (cell encode +
+    broadcast cover join + codegen refine), so it applies to a streaming
+    DataFrame unchanged as a stream-static broadcast join — the document
+    side is never shuffled pre-aggregation, identical to the batch plan;
+    only the windowed count keeps (watermark-bounded) state."""
+    from ..operators import pip
+
+    # watermark BEFORE the join: pip_join drops zone misses, and a dropped
+    # row must still advance event time (otherwise a quiet zone stalls the
+    # watermark at the last HIT, not the last EVENT)
+    hits = pip.pip_join(stream.withWatermark(ts, watermark), zones, zoom=zoom, x=x, y=y)
+    return (
+        hits
+        .groupBy(F.window(F.col(ts), window).alias("win"), "zone_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "zone_id",
+            "n",
+        )
+    )
+
+
 def streaming_dedup(stream: DataFrame, key: str = "doc_id", ts: str = "ts",
                     watermark: str = "1 minute") -> DataFrame:
     """Exactly-once streaming dedup by content key within the watermark

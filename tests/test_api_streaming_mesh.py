@@ -430,6 +430,59 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bj_b")
 
 
+def test_streaming_zone_counts_match_batch(spark, tmp_path):
+    """The flagship PIP join applied to a stream (stream-static broadcast
+    join + windowed count) must emit exactly the counts of the batch twin
+    (pip_join + window groupBy over the same rows)."""
+    import json
+
+    from pyramids_spark import synth
+    from pyramids_spark.operators import pip
+    from pyramids_spark.streaming import stream_zone_counts
+
+    zones = synth.zone_polygons(6, "box")
+    src = tmp_path / "zev"
+    src.mkdir()
+    rows = []
+    for i in range(300):
+        h1 = (i * 2654435761 + 1013904223) % (2**32)
+        h2 = (i * 2246822519 + 3266489917) % (2**32)
+        rows.append({
+            "ts": f"2026-03-01T00:00:{i % 50:02d}Z",
+            "x": -180.0 + 360.0 * h1 / 2**32,
+            "y": -85.0 + 170.0 * h2 / 2**32,
+        })
+    rows.append({"ts": "2026-03-01T06:00:00Z", "x": 0.0, "y": 0.0})  # sentinel
+    with open(src / "b1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = spark.readStream.schema("ts timestamp, x double, y double").json(str(src))
+    out = stream_zone_counts(stream, zones, zoom=6, window="10 seconds",
+                             watermark="5 seconds")
+    q = (
+        out.writeStream.format("memory").queryName("zc")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["zone_id"]): r["n"]
+        for r in spark.sql("SELECT * FROM zc").collect()
+    }
+    batch = spark.read.schema("ts timestamp, x double, y double").json(str(src))
+    want_df = (
+        pip.pip_join(batch, zones, zoom=6)
+        .groupBy(F.window("ts", "10 seconds").alias("w"), "zone_id")
+        .count()
+        .where(F.col("w.start") < "2026-03-01 01:00:00")  # closed windows only
+    )
+    want = {(str(r["w"]["start"]), r["zone_id"]): r["count"] for r in want_df.collect()}
+    assert got == want and len(want) > 0
+
+
 def test_streaming_tile_counts_match_batch(spark, tmp_path):
     """Closed streaming windows must carry EXACTLY the counts the batch
     twin (window groupBy over the same rows) produces — not just a schema
