@@ -116,3 +116,51 @@ def test_edge_cc_matches_union_find(edges):
     ref = _uf_reference(edges)
     got = dict(zip(uniq.tolist(), roots.tolist()))
     assert got == {k: ref[k] for k in got}
+
+
+@settings(**_S)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_codec_roundtrips_any_shape(w, h, seed):
+    from pyramids_spark import codecs
+
+    rng = np.random.default_rng(seed)
+    gray = rng.integers(0, 256, size=(h, w), dtype=np.int64).astype(np.uint8)
+    np.testing.assert_array_equal(codecs.decode_pgm(codecs.encode_pgm(gray)), gray)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64).astype(np.uint8)
+    np.testing.assert_array_equal(codecs.decode_ppm(codecs.encode_ppm(rgb)), rgb)
+    np.testing.assert_array_equal(codecs.decode_bmp(codecs.encode_bmp(rgb)), rgb)
+    n = int(rng.integers(1, 500))
+    s = rng.integers(-2**15, 2**15, size=n, dtype=np.int64).astype(np.int16)
+    dec, rate = codecs.decode_wav(codecs.encode_wav(s, 44100))
+    assert rate == 44100
+    np.testing.assert_array_equal(dec[:, 0], s)
+
+
+@settings(**_S)
+@given(
+    st.floats(min_value=-25.0, max_value=40.0),
+    st.floats(min_value=20.0, max_value=65.0),
+)
+def test_conic_inverse_of_forward_is_identity(lon, lat):
+    from pyramids_spark.operators import reproject as R
+
+    for epsg, (fam, p) in R.CONIC_EPSG.items():
+        if fam == "lcc":
+            fwd, consts = R.lcc_xy_np, R._lcc_consts(p)
+        else:
+            fwd, consts = R.albers_xy_np, R._albers_consts(p)
+        x, y = fwd(np.array([lon]), np.array([lat]), p)
+        n, A, rho0 = consts
+        rho = np.hypot(x, rho0 - y)
+        th = np.arctan2(x, rho0 - y)
+        ilon = p.lam0 + np.degrees(th) / n
+        if fam == "lcc":
+            ilat = np.degrees(2 * np.arctan((R.R * A / rho) ** (1 / n)) - np.pi / 2)
+        else:
+            ilat = np.degrees(np.arcsin((A - (rho * n / R.R) ** 2) / (2 * n)))
+        assert abs(ilon[0] - lon) < 1e-8
+        assert abs(ilat[0] - lat) < 1e-8
