@@ -1452,7 +1452,8 @@ def q_span_pipeline(spark, sf_dir):
     oracle: spans construction is engine-side; invariant asserted in-row)."""
     docs = _read(spark, sf_dir, "documents").select("doc_id")
     spans = synth.documents_spans(spark, 500).withColumn("span_hash", synth.span_hash_col())
-    spans = spans.withColumn("key", F.col("doc_id").cast("long"))
+    # synth ids are 'doc-000…N' strings — strip the prefix for the numeric key
+    spans = spans.withColumn("key", F.expr("cast(substring(doc_id, 5) as long)"))
     pts = _doc_points(spark, sf_dir).join(
         spans.select(F.col("key").alias("doc_id"), F.col("doc_id").alias("span_doc"),
                      "spans", "span_hash"),
@@ -2147,8 +2148,9 @@ def sql_block_arrangement():
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: spans → media table → stub-decode →
-    histogram features (rows-only: decode is the documented stub)."""
+    """Multimodal pipeline: spans → media table with REAL container
+    payloads (PGM/WAV/PGM-stream video) → pure-numpy decode → histogram
+    features (rows-only: binary payloads have no SQL twin)."""
     from pyramids_spark import media
 
     docs = synth.documents_spans(spark, 200)
