@@ -652,6 +652,41 @@ def sql_overview_lanczos():
     return _sql_overview_weighted(raster.lanczos_taps())
 
 
+def q_raster_algebra(spark, sf_dir):
+    """Cell-wise dataset arithmetic (reference numpy array algebra after
+    read_array): all four ops on two aligned grids, NULL-propagating,
+    try_divide for x/0."""
+    a = grid_df(spark, COELLO, _MOSAIC_A)
+    b = grid_df(spark, COELLO, "CAST((row + col) % 5 AS DOUBLE)")
+    add = raster.raster_algebra(a, b, "+").withColumnRenamed("value", "v_add")
+    sub = raster.raster_algebra(a, b, "-").select(
+        "band", "row", "col", F.col("value").alias("v_sub")
+    )
+    mul = raster.raster_algebra(a, b, "*").select(
+        "band", "row", "col", F.col("value").alias("v_mul")
+    )
+    div = raster.raster_algebra(a, b, "/").select(
+        "band", "row", "col", F.round("value", 6).alias("v_div")
+    )
+    return (
+        add.join(sub, ["band", "row", "col"])
+        .join(mul, ["band", "row", "col"])
+        .join(div, ["band", "row", "col"])
+    )
+
+
+def sql_raster_algebra():
+    return (
+        f"WITH a AS ({grid_sql(COELLO, _MOSAIC_A)}), "
+        f"b AS ({grid_sql(COELLO, 'CAST((row + col) % 5 AS DOUBLE)')}) "
+        "SELECT a.band, a.row, a.col, "
+        "a.value + b.value AS v_add, a.value - b.value AS v_sub, "
+        "a.value * b.value AS v_mul, "
+        "round(CASE WHEN b.value = 0 THEN NULL ELSE a.value / b.value END, 6) AS v_div "
+        "FROM a JOIN b ON b.band = a.band AND b.row = a.row AND b.col = a.col"
+    )
+
+
 _NODATA_VALUE = (
     "CASE WHEN (row * {cols} + col) % 7 = 0 THEN -9.0 "
     "WHEN (row * {cols} + col) % 11 = 0 THEN NULL "
@@ -2794,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_nearest": q_overview_nearest,
         "overview_rms": q_overview_rms,
         "overview_gauss": q_overview_gauss,
+        "raster_algebra": q_raster_algebra,
         "overview_cubicspline": q_overview_cubicspline,
         "overview_lanczos": q_overview_lanczos,
         "change_nodata": q_change_nodata,
@@ -2896,6 +2932,7 @@ def oracle_sql() -> dict[str, str]:
         "overview_nearest": sql_overview_nearest(),
         "overview_rms": sql_overview_rms(),
         "overview_gauss": sql_overview_gauss(),
+        "raster_algebra": sql_raster_algebra(),
         "overview_cubicspline": sql_overview_cubicspline(),
         "overview_lanczos": sql_overview_lanczos(),
         "change_nodata": sql_change_nodata(),

@@ -197,6 +197,14 @@ class SparkDataset:
             f"UTM 326xx/327xx (got {epsg})"
         )
 
+    def algebra(self, other: "SparkDataset", op: str = "+") -> "SparkDataset":
+        """Cell-wise arithmetic with another dataset on the SAME grid
+        (align first otherwise — the reference's array arithmetic
+        contract)."""
+        if other.grid != self.grid:
+            raise ValueError("grids differ: align() the operand first")
+        return SparkDataset(_raster.raster_algebra(self.df, other.df, op), self.grid)
+
     def create_overviews(
         self, levels: tuple[int, ...] = (2, 4, 8, 16, 32), method: str = "avg"
     ) -> dict[int, DataFrame]:

@@ -524,6 +524,27 @@ def rat_join(cells_df: DataFrame, rat: DataFrame, on: str = "value") -> DataFram
     return cells_df.join(F.broadcast(rat), on, "left")
 
 
+def raster_algebra(a: DataFrame, b: DataFrame, op: str = "+") -> DataFrame:
+    """Cell-wise binary algebra between two ALIGNED rasters (the
+    reference's numpy array arithmetic after ``read_array``; alignment is
+    the caller's contract, ≙ ``Dataset.align`` first). Inner equi-join on
+    (band, row, col) — dense int keys hash evenly, no skew — with nodata
+    propagation: NULL if either side is NULL (numpy NaN semantics), and
+    NULL for x/0 under ANSI-safe ``try_divide``."""
+    bb = b.select(
+        "band", "row", "col", F.col("value").alias("_bv")
+    )
+    j = a.join(bb, ["band", "row", "col"])
+    x, y = F.col("value"), F.col("_bv")
+    expr = {
+        "+": x + y,
+        "-": x - y,
+        "*": x * y,
+        "/": F.try_divide(x, y),
+    }[op]
+    return j.select("band", "row", "col", expr.alias("value"))
+
+
 def color_table_expand(ct: DataFrame) -> DataFrame:
     """(band, value, color '#RRGGBB'[, alpha]) → (band, value, red, green,
     blue, alpha) — the reference color-table layout
