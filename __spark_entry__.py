@@ -1232,7 +1232,9 @@ def sql_lsh_pairs():
 def q_ngram_jaccard(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     sh = dedup.shingles(docs, n=3)
-    out = dedup.ngram_jaccard(sh, min_sim=0.2)
+    # max_df=None: the oracle computes EXACT Jaccard — the engine must too
+    # (the capped twin is q_ngram_jaccard_capped)
+    out = dedup.ngram_jaccard(sh, min_sim=0.2, max_df=None)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1282,7 +1284,7 @@ def q_dedup_clusters(spark, sf_dir):
         "nid", F.col("doc_id").cast("long")
     )
     sh = dedup.shingles(docs, n=3, id_col="nid")
-    pairs = dedup.ngram_jaccard(sh, min_sim=0.2)
+    pairs = dedup.ngram_jaccard(sh, min_sim=0.2, max_df=None)  # exact ≙ oracle
     out = dedup.dedup_clusters(docs.select("nid"), pairs, id_col="nid")
     return out.select(F.col("nid").alias("doc_key"), "cluster", "is_keeper")
 

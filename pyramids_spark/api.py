@@ -223,6 +223,12 @@ class SparkDataset:
                 lv: _raster.overview_rollup(self.df, level=lv, stat=method)
                 for lv in levels
             }
+        bad = [lv for lv in levels if lv < 1 or lv & (lv - 1)]
+        if bad:
+            raise ValueError(
+                f"kernel overviews build by iterated ×2 steps; levels must be "
+                f"powers of 2 (got {bad})"
+            )
         out: dict[int, DataFrame] = {}
         cur, rows, cols, lv = self.df, self.grid.rows, self.grid.cols, 1
         from dataclasses import replace as _replace

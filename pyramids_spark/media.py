@@ -134,8 +134,10 @@ def _decode_any(payload: bytes, width: int, height: int) -> np.ndarray:
         return _fake_decode(payload, width, height)
     if kind == "wav":
         samples, _ = codecs.decode_wav(bytes(payload))
-        # audio "frame": 8-bit companded magnitude row, histogram-compatible
-        return (np.abs(samples[:, 0].astype(np.int32)) >> 7).astype(np.uint8)[None, :]
+        # audio "frame": 8-bit companded magnitude row, histogram-compatible;
+        # clip before the cast — abs(-32768)>>7 is 256 and would wrap to 0
+        mag = np.minimum(np.abs(samples[:, 0].astype(np.int32)) >> 7, 255)
+        return mag.astype(np.uint8)[None, :]
     return codecs.decode_image(bytes(payload))
 
 
@@ -161,22 +163,34 @@ def decode_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Real nearest-neighbour resize for parseable image payloads
-    (re-encoded PGM); unrecognized payloads go through the fake decoder
-    so the pipeline never stalls on a legacy blob."""
+    """Real nearest-neighbour resize for IMAGE rows (re-encoded PGM);
+    audio/video rows pass through UNTOUCHED — resizing must not truncate a
+    video stream to its first frame or replace audio bytes with a
+    fake-decoded picture while the metadata still claims the old kind.
+    Unrecognized image blobs go through the fake decoder so the pipeline
+    never stalls on a legacy payload."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            new_p = []
-            for p, w0, h0 in zip(pdf["payload"], pdf["width"], pdf["height"]):
+            new_p, new_w, new_h = [], [], []
+            for kind, p, w0, h0 in zip(
+                pdf["kind"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                if kind != "image":
+                    new_p.append(p)
+                    new_w.append(np.int32(w0))
+                    new_h.append(np.int32(h0))
+                    continue
                 try:
                     img = codecs.decode_image(bytes(p))
                 except (ValueError, NotImplementedError):
                     img = _fake_decode(p, int(w0), int(h0))
                 new_p.append(codecs.encode_pgm(codecs.resize_nearest(img, width, height)))
+                new_w.append(np.int32(width))
+                new_h.append(np.int32(height))
             out["payload"] = new_p
-            out["width"] = np.int32(width)
-            out["height"] = np.int32(height)
+            out["width"] = new_w
+            out["height"] = new_h
             yield out
 
     return media.mapInPandas(run, schema=media.schema)

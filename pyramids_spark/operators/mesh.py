@@ -275,7 +275,12 @@ def mesh_to_grid_linear(
         .withColumn("row", F.explode(F.sequence(F.col("_r0"), F.col("_r1"))))
         .drop("_c0", "_c1", "_r0", "_r1")
     )
-    j = centres.join(F.broadcast(tric), ["row", "col"]).where(
+    # NO broadcast hint on the exploded side: Σ face-bbox-cells is O(grid
+    # cells) when the mesh covers the grid, so broadcasting the post-explode
+    # frame would collect grid-scale data to the driver. A plain hash equi-
+    # join partitions both sides on (row, col); AQE may still choose to
+    # broadcast a genuinely small mesh at runtime.
+    j = centres.join(tric, ["row", "col"]).where(
         (c("qx") >= F.least(c("_x0"), c("_x1"), c("_x2")))
         & (c("qx") <= F.greatest(c("_x0"), c("_x1"), c("_x2")))
         & (c("qy") >= F.least(c("_y0"), c("_y1"), c("_y2")))

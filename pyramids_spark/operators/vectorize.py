@@ -387,7 +387,7 @@ _SIDE_EDGES = (
 )
 
 
-def _turn_key(din, cur, prev=None):
+def _turn_key(din, cur):
     """Leftmost-turn comparator in MAP space; with y flipped the map cross
     product sign equals (dvr1·dvc2 − dvc1·dvr2)."""
     def turn(v):

@@ -2,11 +2,20 @@
 
 The streaming twin of the batch ``sessionize`` query (window lag + running
 sum): events are grouped per user, sessions merge while consecutive events
-are within ``gap``, and a session is EMITTED once the event-time watermark
-guarantees no earlier event can still arrive (event-time timeout at
-``session_end + gap``). State per user is one (start, end, n) triple —
-bounded regardless of stream length; at scale this runs on the RocksDB
-state store with the shuffle partitioned by user.
+are within ``gap``, and a session is EMITTED only once the event-time
+WATERMARK passes ``session_end + gap`` — the point after which no legal
+event can still extend or merge into it (any such event would be within
+``gap`` of the end, hence older than the watermark, hence dropped
+upstream). Until then a session stays in state, even when a later event in
+the same batch already opened a newer one: with a gap-sized watermark
+delay, a late event may legally land BETWEEN two in-state sessions and
+merge them (append-mode output cannot be retracted, so early emission
+would split sessions — code-review r3 finding).
+
+State per user is the array of still-open sessions — bounded by
+O(active sessions within the watermark horizon), not stream length; at
+scale this runs on the RocksDB state store with the shuffle partitioned by
+user.
 
 Reference scope note: the reference engine is batch-only; this operator is
 part of the Spark-first streaming surface (SURVEY §2.10) mirroring its
@@ -22,7 +31,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 _OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, n_events long"
 )
-_STATE_SCHEMA = "start long, end long, n long"  # epoch microseconds
+#: parallel arrays of open sessions, epoch microseconds
+_STATE_SCHEMA = "starts array<long>, ends array<long>, ns array<long>"
 
 
 def stream_sessionize(
@@ -36,20 +46,39 @@ def stream_sessionize(
     ``sessionize`` oracle)."""
     gap_us = gap_minutes * 60 * 1_000_000
 
+    def _emit(uid, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(sessions),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in sessions],
+                "n_events": [n for _, _, n in sessions],
+            }
+        )
+
+    def _split_and_store(state, merged, wm_us):
+        """Emit watermark-confirmed-closed sessions, keep the rest."""
+        closed = [tuple(s) for s in merged if s[1] + gap_us <= wm_us]
+        kept = [s for s in merged if s[1] + gap_us > wm_us]
+        if kept:
+            state.update((
+                [s[0] for s in kept], [s[1] for s in kept], [s[2] for s in kept],
+            ))
+            # fire when the watermark passes the EARLIEST possible closure
+            state.setTimeoutTimestamp((min(s[1] for s in kept) + gap_us) // 1000)
+        else:
+            state.remove()
+        return closed
+
     def fn(key, pdfs, state: GroupState):
         uid = key[0]
+        wm_us = state.getCurrentWatermarkMs() * 1000
         if state.hasTimedOut:
-            # watermark passed end+gap: the open session can never grow
-            (s0, e0, n0) = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [uid],
-                    "session_start": [pd.Timestamp(s0, unit="us")],
-                    "session_end": [pd.Timestamp(e0, unit="us")],
-                    "n_events": [n0],
-                }
-            )
+            starts, ends, ns = state.get
+            merged = [list(s) for s in zip(starts, ends, ns)]
+            closed = _split_and_store(state, merged, wm_us)
+            if closed:
+                yield _emit(uid, closed)
             return
         times = []
         for pdf in pdfs:
@@ -59,12 +88,11 @@ def stream_sessionize(
 
         tt = np.sort(np.concatenate(times))
         # Build [start, end, n] intervals from this batch's (sorted) events,
-        # then merge the stored open session in as one more interval.  This
-        # keeps semantics right for out-of-order arrivals across micro-batches
-        # (legal under the gap-sized global watermark): an event older than the
-        # stored start pulls start back to min(t, start), and an event more
-        # than `gap` older than the stored start forms its own earlier session
-        # instead of being folded into the later one.
+        # then merge ALL stored open sessions in as intervals.  Out-of-order
+        # arrivals across micro-batches (legal under the gap-sized global
+        # watermark) are handled by construction: a late event pulls a
+        # session's start back, opens its own earlier session, or BRIDGES
+        # two stored sessions into one.
         intervals = []  # [start, end, n], start-ordered within the batch
         cur = None
         for t in tt:
@@ -77,7 +105,8 @@ def stream_sessionize(
         if cur is not None:
             intervals.append(cur)
         if state.exists:
-            intervals.append(list(state.get))
+            starts, ends, ns = state.get
+            intervals.extend([int(s), int(e), int(n)] for s, e, n in zip(starts, ends, ns))
             intervals.sort(key=lambda s: s[0])
         merged = []
         for iv in intervals:
@@ -90,22 +119,9 @@ def stream_sessionize(
                 merged.append(iv)
         if not merged:
             return
-        # All but the newest interval are separated from it by > gap on this
-        # side of the watermark; emit them closed, keep the newest open.
-        sessions = [tuple(s) for s in merged[:-1]]
-        cur = merged[-1]
-        state.update(tuple(cur))
-        # event-time timeout: fire when the watermark passes end + gap
-        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)  # µs → ms
-        if sessions:
-            yield pd.DataFrame(
-                {
-                    "user_id": [uid] * len(sessions),
-                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
-                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in sessions],
-                    "n_events": [n for _, _, n in sessions],
-                }
-            )
+        closed = _split_and_store(state, merged, wm_us)
+        if closed:
+            yield _emit(uid, closed)
 
     return (
         stream.withWatermark(ts, f"{gap_minutes} minutes")

@@ -430,6 +430,64 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bj_b")
 
 
+def test_streaming_sessionize_late_event_bridges_sessions(spark, tmp_path):
+    """Two in-state sessions separated by > gap must NOT be emitted until
+    the watermark confirms closure: a legal late event landing between
+    them bridges all three into ONE session (code-review r3 — early
+    emission in append mode would have split it irrecoverably)."""
+    import json
+    import os
+
+    from pyramids_spark.streaming.sessionize import stream_sessionize
+
+    src = tmp_path / "events"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        p = src / f"{name}.json"
+        tmp = str(p) + ".tmp"
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.rename(tmp, p)
+
+    # batch 1: events at 00:00 and 00:45 (45 min apart > 30-min gap → two
+    # provisional sessions); watermark after b1 = 00:15
+    write_batch("b1", [
+        {"ts": "2026-01-01T00:00:00Z", "user_id": 9},
+        {"ts": "2026-01-01T00:45:00Z", "user_id": 9},
+    ])
+    stream = spark.readStream.schema("ts timestamp, user_id long").json(str(src))
+    out = stream_sessionize(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory").queryName("sessions_bridge")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # nothing may be emitted yet: watermark (00:15) has not passed
+        # 00:00 + gap (00:30)
+        assert spark.sql("SELECT count(*) n FROM sessions_bridge").first()["n"] == 0
+        # batch 2: late event at 00:20 (> watermark) bridges both sessions
+        write_batch("b2", [{"ts": "2026-01-01T00:20:00Z", "user_id": 9}])
+        q.processAllAvailable()
+        # close everything
+        write_batch("b3", [{"ts": "2026-01-01T12:00:00Z", "user_id": 10}])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT * FROM sessions_bridge WHERE user_id = 9"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert str(r["session_start"]) == "2026-01-01 00:00:00"
+    assert str(r["session_end"]) == "2026-01-01 00:45:00"
+    assert r["n_events"] == 3
+
+
 def test_streaming_zone_counts_match_batch(spark, tmp_path):
     """The flagship PIP join applied to a stream (stream-static broadcast
     join + windowed count) must emit exactly the counts of the batch twin
