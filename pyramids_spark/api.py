@@ -508,6 +508,23 @@ class SparkNetCDF:
                 d = d.where(F.col(k) == v)
         return SparkNetCDF(d)
 
+    def decode_variable(
+        self, name: str, attrs: dict, time_units: str | None = None
+    ) -> SparkDatasetCollection:
+        """``get_variable`` + the CF value pipeline (``cf.decode_cf_value``:
+        _FillValue → scale/offset → valid range) and, when ``time_units``
+        is given ('hours since …'), a decoded ``time`` timestamp column —
+        the reader-side decode the reference applies per variable
+        (``netcdf/cf.py``, ``dimensions.py``)."""
+        from . import cf as _cf
+
+        d = self.get_variable(name).df.withColumn(
+            "value", _cf.decode_cf_value(F.col("value"), attrs)
+        )
+        if time_units is not None:
+            d = d.withColumn("time", _cf.decode_time_col(F.col("t"), time_units))
+        return SparkDatasetCollection(d)
+
     @classmethod
     def open_mfdataset(cls, spark: SparkSession, paths: list[str]) -> "SparkNetCDF":
         """open_mfdataset ≙ one multi-path parquet scan (netcdf.py:934-982);

@@ -83,6 +83,35 @@ def test_decode_cf_value_pipeline(spark):
     assert pd.isna(out[4])           # 75 > valid_max
 
 
+def test_netcdf_decode_variable_facade(spark):
+    """SparkNetCDF.decode_variable: CF value pipeline + time decode on the
+    tall table surface."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from pyramids_spark.api import SparkNetCDF
+
+    rows = [
+        ("temp", t, 0, r, c, v)
+        for t, r, c, v in [
+            (0, 0, 0, -999.0), (0, 0, 1, 10.0), (6, 0, 0, 100.0), (6, 0, 1, 300.0),
+        ]
+    ]
+    nc = SparkNetCDF(spark.createDataFrame(
+        rows, "variable string, t long, band int, row long, col long, value double"
+    ))
+    out = nc.decode_variable(
+        "temp",
+        {"_FillValue": -999.0, "scale_factor": 0.1, "add_offset": 0.0,
+         "valid_max": 20.0},
+        time_units="hours since 2021-06-01 00:00:00",
+    ).df.toPandas().sort_values(["t", "col"]).reset_index(drop=True)
+    assert pd.isna(out.loc[0, "value"])        # fill
+    assert out.loc[1, "value"] == 1.0          # scaled
+    assert out.loc[2, "value"] == 10.0
+    assert pd.isna(out.loc[3, "value"])        # 30 > valid_max
+    assert str(out.loc[2, "time"]) == "2021-06-01 06:00:00"
+
+
 def test_classify_variables_precedence(spark):
     # a variable that is BOTH a dimension name and referenced as bounds:
     # bounds wins (reference precedence, cf.py:652-676)
