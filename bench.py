@@ -235,6 +235,21 @@ def main():
     )
     ccdf.unpersist()
 
+    # full polygonize→WKT ring extraction at 4M cells / ~47k polygons:
+    # per-tile chain walks + partition-level chain-graph stitch (round-3
+    # distributed ring assembly — one task holds O(perimeter), never a
+    # component's cells)
+    rdf = grid_df(
+        spark, g,
+        "CAST(pmod(hash(CAST(row / 8 AS LONG) * 2048 + CAST(col / 8 AS LONG)), 7) AS DOUBLE)",
+    ).persist()
+    rdf.count()
+    bench(
+        "polygonize_rings_4m",
+        lambda: vectorize.polygonize_rings(rdf, g, tile=256).count(),
+    )
+    rdf.unpersist()
+
     # --- text pipeline at bench scale ---------------------------------------
     texts = (
         synth.documents_spans(spark, N_TEXT)

@@ -530,9 +530,20 @@ def polygonize_rings(cells_df: DataFrame, grid: Grid, tile: int = 256) -> DataFr
         def is_cut(v):
             return v[0] == c0 or v[0] == c0 + w or v[1] == r0 or v[1] == r0 + h
 
-        for lab_v in np.unique(el):
-            m = el == lab_v
-            chains, rings = _walk_edges(ea[m], eb[m], is_cut)
+        # group edges by label with ONE argsort + split — a per-label
+        # boolean scan is O(labels · edges) and dominated dense-region
+        # tiles (measured: 1k regions/tile made the ring stage ~10× the
+        # polygonize cost)
+        order = np.argsort(el, kind="stable")
+        el_s, ea_s, eb_s = el[order], ea[order], eb[order]
+        bounds = np.flatnonzero(np.diff(el_s)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(el_s)]])
+        for s0, e0 in zip(starts, ends):
+            if s0 == e0:
+                continue
+            lab_v = el_s[s0]
+            chains, rings = _walk_edges(ea_s[s0:e0], eb_s[s0:e0], is_cut)
             for kind, paths in ((1, chains), (2, rings)):
                 for p in paths:
                     out["label"].append(int(lab_v))
@@ -549,8 +560,7 @@ def polygonize_rings(cells_df: DataFrame, grid: Grid, tile: int = 256) -> DataFr
                "vxs array<long>, vys array<long>",
     )
 
-    def stitch(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        (label,) = key
+    def stitch_one(label, pdf: pd.DataFrame) -> dict:
         counts = pdf[pdf["kind"] == 0]
         n_cells = int(counts["n_own"].sum())
         value = float(counts["value"].iloc[0])
@@ -605,13 +615,26 @@ def polygonize_rings(cells_df: DataFrame, grid: Grid, tile: int = 256) -> DataFr
             "(" + ", ".join(f"{x0 + vc * cs} {y0 - vr * cs}" for vc, vr in rg) + ")"
             for rg in rings
         )
-        return pd.DataFrame(
-            {"label": [label], "value": [value], "n_cells": [n_cells],
-             "wkt": [f"POLYGON ({body})"]}
-        )
+        return {"label": int(label), "value": value, "n_cells": n_cells,
+                "wkt": f"POLYGON ({body})"}
 
-    return frags.groupBy("label").applyInPandas(
-        stitch, schema="label long, value double, n_cells long, wkt string"
+    def stitch_partition(batches):
+        # MANY components per task: repartition("label") co-locates each
+        # component's fragments, then one pandas groupby stitches them all
+        # — applyInPandas with one 3-row group per component paid ~47k
+        # per-group Arrow/pandas setups at bench scale (measured ~10 s of
+        # pure overhead for 47k polygons); this is one setup per PARTITION.
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        rows = [stitch_one(label, g) for label, g in pdf.groupby("label")]
+        if rows:
+            yield pd.DataFrame(rows)
+
+    n_parts = frags.sparkSession.sparkContext.defaultParallelism * 2
+    return frags.repartition(n_parts, "label").mapInPandas(
+        stitch_partition, schema="label long, value double, n_cells long, wkt string"
     )
 
 
