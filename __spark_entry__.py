@@ -1489,8 +1489,7 @@ def q_span_pipeline(spark, sf_dir):
     oracle: spans construction is engine-side; invariant asserted in-row)."""
     docs = _read(spark, sf_dir, "documents").select("doc_id")
     spans = synth.documents_spans(spark, 500).withColumn("span_hash", synth.span_hash_col())
-    # synth ids are 'doc-000…N' strings — strip the prefix for the numeric key
-    spans = spans.withColumn("key", F.expr("cast(substring(doc_id, 5) as long)"))
+    spans = spans.withColumn("key", synth.doc_key_col())
     pts = _doc_points(spark, sf_dir).join(
         spans.select(F.col("key").alias("doc_id"), F.col("doc_id").alias("span_doc"),
                      "spans", "span_hash"),

@@ -298,8 +298,9 @@ def near_dup_pairs(
     # (VERDICT r2 nit #6)
     n = emb.limit(max_exact_rows + 1).count()
     if n == 0:
+        idt = emb.schema[id_col].dataType.simpleString()
         return emb.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cos_sim double"
+            [], f"id_a {idt}, id_b {idt}, cos_sim double"
         )
     score = lambda va, vb: F.round(  # noqa: E731 — identical shape both paths
         _dot(va, vb) / (_norm(va) * _norm(vb)), 6

@@ -94,6 +94,13 @@ def _spans_batch(ids: np.ndarray) -> pd.DataFrame:
     )
 
 
+
+def doc_key_col() -> "F.Column":
+    """Numeric key recovered from the synthetic 'doc-%013d' id — the ONE
+    place that knows the prefix format (substring(…, 5) with no length so
+    recovery works at any id width)."""
+    return F.expr("cast(substring(doc_id, 5) as long)")
+
 def documents_spans(
     spark: SparkSession, n: int, partitions: int | None = None, start: int = 0
 ) -> DataFrame:
@@ -185,8 +192,7 @@ def documents_full(
     avoids a full-table shuffle join — at 10^12 rows the fused scan is the
     only sane plan (and mirrors reading one wide Iceberg table)."""
     docs = documents_spans(spark, n, partitions)
-    # substring(doc_id, 5) with no length: key recovery works at any id width
-    key = F.expr("cast(substring(doc_id, 5) as long)")
+    key = doc_key_col()
     from . import cells as _c
 
     h1 = _c.h1_col(key)

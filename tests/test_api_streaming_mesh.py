@@ -525,7 +525,10 @@ def test_streaming_zone_counts_match_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        assert q.awaitTermination(120), "streaming zone-count query timed out"
+    finally:
+        q.stop()
     got = {
         (str(r["window_start"]), r["zone_id"]): r["n"]
         for r in spark.sql("SELECT * FROM zc").collect()
