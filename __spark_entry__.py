@@ -2845,6 +2845,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "color_table": q_color_table,
         "cf_roles": q_cf_roles,
         "cf_decode": q_cf_decode,
+        "reproject_lcc": q_reproject_lcc,
+        "reproject_albers": q_reproject_albers,
+        "ann_lsh": q_ann_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "rat_join": q_rat_join,
         "focal_mean": q_focal_mean,
         "focal_minmax": q_focal_minmax,
@@ -2866,12 +2872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "dedup_clusters": q_dedup_clusters,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
         "simhash": q_simhash,
         "ann_cosine": q_ann_cosine,
-        "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "span_pipeline": q_span_pipeline,
         "morton": q_morton,
@@ -2890,8 +2892,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_3857": q_reproject_3857,
         "reproject_4087": q_reproject_4087,
         "reproject_sinusoidal": q_reproject_sinusoidal,
-        "reproject_lcc": q_reproject_lcc,
-        "reproject_albers": q_reproject_albers,
         "cluster_cc": q_cluster_cc,
         "polygonize_stats": q_polygonize_stats,
         "polygonize_rings": q_polygonize_rings,
