@@ -56,6 +56,33 @@ class SparkDataset:
 
     df: DataFrame  # cells(band, row, col, value); value NULL ≙ nodata
     grid: Grid
+    #: band index → display name (band_metadata.py:441 _get_band_names)
+    band_names: tuple = ()
+    #: band index → color-interpretation name (band_metadata.py:483
+    #: band_color: {0: 'red', 1: 'green', …})
+    band_color: tuple = ()
+
+    def with_band_metadata(
+        self, names: list[str] | None = None, colors: dict[int, str] | None = None
+    ) -> "SparkDataset":
+        """Attach band names / color interpretations — plan-side metadata
+        like the Grid, broadcast with the plan, never shuffled
+        (``band_metadata.py:441-595``)."""
+        from dataclasses import replace as _replace
+
+        return _replace(
+            self,
+            band_names=tuple(names) if names is not None else self.band_names,
+            band_color=tuple(sorted((colors or dict(self.band_color)).items())),
+        )
+
+    def get_band_by_color(self, color_name: str) -> int | None:
+        """First band whose color interpretation matches (case-insensitive;
+        ``band_metadata.py:549`` — None on no match)."""
+        for band, c in self.band_color:
+            if c.lower() == color_name.lower():
+                return band
+        return None
 
     # --- scans / sinks (dataset.py:596 read_file; io.py:673 to_file) -------
     @classmethod

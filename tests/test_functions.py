@@ -141,3 +141,21 @@ def test_list_layers_names_and_counts(spark, tmp_path):
     rows = {r["layer"]: r["n_features"]
             for r in api.SparkFeatureCollection.list_layers(spark, base).collect()}
     assert rows == {"alpha": 7, "beta": 3}
+
+
+def test_band_metadata_names_and_colors(spark):
+    """Band names + color interpretation dict surface
+    (reference band_metadata.py:441-595)."""
+    from pyramids_spark.api import SparkDataset
+    from pyramids_spark.grid import COELLO
+
+    ds = SparkDataset.create(spark, COELLO, "CAST(1 AS DOUBLE)", bands=3)
+    ds2 = ds.with_band_metadata(
+        names=["red band", "green band", "blue band"],
+        colors={0: "Red", 1: "Green", 2: "Blue"},
+    )
+    assert ds2.band_names == ("red band", "green band", "blue band")
+    assert ds2.get_band_by_color("green") == 1
+    assert ds2.get_band_by_color("alpha") is None
+    # metadata is immutable plan-side state; the cell table is untouched
+    assert ds2.df is ds.df
