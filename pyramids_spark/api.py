@@ -187,12 +187,12 @@ class SparkDataset:
                 return self.to_crs(arg)
             if fam == "longlat":
                 return self
-            p, x0f, y0f = arg  # lcc / albers with explicit params
-            dst = _reproject.reproject_plan_conic(self.grid, fam, p, x0f, y0f)
+            p = arg  # lcc / albers with explicit ellipsoidal params
+            dst = _reproject.reproject_plan_conic(self.grid, fam, p)
             return SparkDataset(
                 _reproject.to_crs_nearest(
                     self.df, self.grid, dst,
-                    inverse=_reproject.conic_inverse_params(fam, p, x0f, y0f),
+                    inverse=_reproject.conic_inverse_params(fam, p),
                 ),
                 dst,
             )
@@ -203,7 +203,7 @@ class SparkDataset:
                 _reproject.inv_sinu_lon(dx, dy), _reproject.inv_sinu_lat(dy)
             ),
         }
-        if epsg in _reproject.CONIC_EPSG:  # LCC / Albers spherical closed forms
+        if epsg in _reproject.CONIC_EPSG:  # LCC / Albers ellipsoidal closed forms
             closed_form[epsg] = _reproject.conic_inverse_cols(epsg)
         if epsg in closed_form:
             dst = _reproject.reproject_plan(self.grid, epsg)

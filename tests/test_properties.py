@@ -150,17 +150,10 @@ def test_conic_inverse_of_forward_is_identity(lon, lat):
 
     for epsg, (fam, p) in R.CONIC_EPSG.items():
         if fam == "lcc":
-            fwd, consts = R.lcc_xy_np, R._lcc_consts(p)
+            fwd, inv = R.lcc_xy_np, R.inv_lcc_np
         else:
-            fwd, consts = R.albers_xy_np, R._albers_consts(p)
+            fwd, inv = R.albers_xy_np, R.inv_albers_np
         x, y = fwd(np.array([lon]), np.array([lat]), p)
-        n, A, rho0 = consts
-        rho = np.hypot(x, rho0 - y)
-        th = np.arctan2(x, rho0 - y)
-        ilon = p.lam0 + np.degrees(th) / n
-        if fam == "lcc":
-            ilat = np.degrees(2 * np.arctan((R.R * A / rho) ** (1 / n)) - np.pi / 2)
-        else:
-            ilat = np.degrees(np.arcsin((A - (rho * n / R.R) ** 2) / (2 * n)))
-        assert abs(ilon[0] - lon) < 1e-8
-        assert abs(ilat[0] - lat) < 1e-8
+        ilon, ilat = inv(x, y, p)
+        assert abs(ilon[0] - lon) < 1e-7
+        assert abs(ilat[0] - lat) < 1e-7

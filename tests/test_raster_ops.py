@@ -60,9 +60,9 @@ def test_reproject_3857_roundtrip_values(spark):
 
 
 def test_conic_forward_inverse_consistency(spark):
-    """LCC + Albers spherical closed forms: Column inverse ∘ numpy forward
-    is identity to float precision, over a lat/lon cloud inside each
-    projection's sane band."""
+    """LCC + Albers ellipsoidal closed forms: Column inverse ∘ numpy forward
+    is identity to series precision (authalic series is O(e⁸) ≈ 1e-8 deg),
+    over a lat/lon cloud inside each projection's sane band."""
     lon = np.linspace(-10.0, 15.0, 40)
     lat = np.linspace(35.0, 55.0, 40)
     for epsg in (2154, 102004, 5070, 102008):
@@ -74,8 +74,26 @@ def test_conic_forward_inverse_consistency(spark):
         )
         ilon, ilat = reproject.conic_inverse_cols(epsg)(F.col("x"), F.col("y"))
         got = df.select(ilon.alias("lon"), ilat.alias("lat")).toPandas()
-        assert np.allclose(got["lon"], lon, atol=1e-9)
-        assert np.allclose(got["lat"], lat, atol=1e-9)
+        assert np.allclose(got["lon"], lon, atol=1e-7)
+        assert np.allclose(got["lat"], lat, atol=1e-7)
+
+
+def test_conic_golden_points():
+    """Published golden points. Snyder PP 1395 Appendix A numerical examples
+    (Clarke 1866, e² = 0.00676866 as printed): ellipsoidal LCC p. 296 and
+    Albers p. 292, both at φ=35° λ=−75°. Plus the Lambert-93 defining
+    property: the projection origin (3°E, 46.5°N) maps exactly to the false
+    origin (700000, 6600000) — EPSG:9802 definition of EPSG:2154."""
+    clk = dict(a=6378206.4, e2=0.00676866)
+    p = reproject.ConicParams(33.0, 45.0, 23.0, -96.0, **clk)
+    x, y = reproject.lcc_xy_np(np.array([-75.0]), np.array([35.0]), p)
+    assert abs(x[0] - 1894410.9) < 1.0 and abs(y[0] - 1564649.5) < 1.0
+    p = reproject.ConicParams(29.5, 45.5, 23.0, -96.0, **clk)
+    x, y = reproject.albers_xy_np(np.array([-75.0]), np.array([35.0]), p)
+    assert abs(x[0] - 1885472.7) < 1.0 and abs(y[0] - 1535925.0) < 1.0
+    _, p93 = reproject.CONIC_EPSG[2154]
+    x, y = reproject.lcc_xy_np(np.array([3.0]), np.array([46.5]), p93)
+    assert abs(x[0] - 700000.0) < 1e-6 and abs(y[0] - 6600000.0) < 1e-6
 
 
 def test_to_crs_conic_facade_roundtrip_values(spark):
@@ -90,23 +108,13 @@ def test_to_crs_conic_facade_roundtrip_values(spark):
         assert len(out) > 0
         dst = ds.grid
         fam, p = reproject.CONIC_EPSG[epsg]
-        _, _, rho0 = (
-            reproject._lcc_consts(p) if fam == "lcc" else reproject._albers_consts(p)
-        )
+        inv = reproject.inv_lcc_np if fam == "lcc" else reproject.inv_albers_np
         for _, r in out.iterrows():
             xc = dst.x0 + r.col * dst.cell + dst.cell / 2
             yc = dst.y0 - r.row * dst.cell - dst.cell / 2
-            rho = np.hypot(xc, rho0 - yc)
-            th = np.arctan2(xc, rho0 - yc)
-            if fam == "lcc":
-                n, Fc, _ = reproject._lcc_consts(p)
-                lat = np.degrees(2 * np.arctan((reproject.R * Fc / rho) ** (1 / n)) - np.pi / 2)
-            else:
-                n, C, _ = reproject._albers_consts(p)
-                lat = np.degrees(np.arcsin((C - (rho * n / reproject.R) ** 2) / (2 * n)))
-            lon = p.lam0 + np.degrees(th) / n
-            src_col = int(np.floor((lon - CROP_GRID.x0) / CROP_GRID.cell))
-            src_row = int(np.floor((CROP_GRID.y0 - lat) / CROP_GRID.cell))
+            lon, lat = inv(np.array([xc]), np.array([yc]), p)
+            src_col = int(np.floor((lon[0] - CROP_GRID.x0) / CROP_GRID.cell))
+            src_row = int(np.floor((CROP_GRID.y0 - lat[0]) / CROP_GRID.cell))
             assert r.value == src_row * 10 + src_col + 1
 
 
@@ -120,14 +128,18 @@ def test_to_crs_proj4_string_matches_epsg_path(spark):
     ds = SparkDataset(g, CROP_GRID)
     fam, p = reproject.CONIC_EPSG[2154]
     s = (f"+proj=lcc +lat_1={p.phi1} +lat_2={p.phi2} +lat_0={p.phi0} "
-         f"+lon_0={p.lam0} +x_0=700000 +y_0=6600000")
+         f"+lon_0={p.lam0} +x_0={p.x0f} +y_0={p.y0f} +ellps=GRS80")
     via_str = ds.to_crs(s)
     via_epsg = ds.to_crs(2154)
-    assert via_str.grid.x0 - via_epsg.grid.x0 == 700000.0
-    assert via_str.grid.y0 - via_epsg.grid.y0 == 6600000.0
+    assert via_str.grid.x0 == via_epsg.grid.x0
+    assert via_str.grid.y0 == via_epsg.grid.y0
     a = {(r.row, r.col): r.value for r in via_str.df.collect()}
     b = {(r.row, r.col): r.value for r in via_epsg.df.collect()}
     assert a == b and len(a) > 0
+    # dropping the false origin only shifts the grid origin
+    no_fo = ds.to_crs(s.replace(f"+x_0={p.x0f} +y_0={p.y0f} ", ""))
+    assert via_str.grid.x0 - no_fo.grid.x0 == p.x0f
+    assert via_str.grid.y0 - no_fo.grid.y0 == p.y0f
     # routing of the non-conic families
     assert reproject.parse_proj4("+proj=merc +a=6378137") == ("merc", None)
     assert reproject.parse_proj4("+proj=utm +zone=18 +south") == ("utm", 32718)
