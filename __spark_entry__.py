@@ -202,6 +202,65 @@ def q_pip_hexagons(spark, sf_dir):
     return pip_op.pip_join(pts, _hex_zones(), zoom=6).select("doc_id", "zone_id")
 
 
+# --- pip_faces: DataFrame-native polygon side (VERDICT r3 next-round #2) ----
+# 12k hexagon parts synthesized in PURE COLUMN MATH from the portable int64
+# hash — the polygon side never exists driver-side, exercising the
+# locate_faces-at-10^7-faces plan shape (pip.pip_join_df).
+
+_FACES_N = 12000
+_HEX6_COS = [float(np.cos(2 * np.pi * k / 6)) for k in range(6)]
+_HEX6_SIN = [float(np.sin(2 * np.pi * k / 6)) for k in range(6)]
+
+
+def _faces_zones_df(spark: SparkSession, n: int = _FACES_N) -> DataFrame:
+    z = spark.range(n).select(F.col("id").alias("zone_id"))
+    k = F.col("zone_id") * F.lit(1000003) + F.lit(11)
+    z = (
+        z.withColumn("_cx", cells.lon_col(cells.h1_col(k)) * 0.75)
+        .withColumn("_cy", cells.lat_col(cells.h2_col(k)) * 0.75)
+        .withColumn(
+            "_r",
+            F.lit(0.5)
+            + (cells.h1_col(F.col("zone_id") * F.lit(3) + F.lit(1)) % F.lit(1500))
+            / F.lit(1000.0),
+        )
+    )
+    xs = F.array(*[F.col("_cx") + F.col("_r") * F.lit(c) for c in _HEX6_COS])
+    ys = F.array(*[F.col("_cy") + F.col("_r") * F.lit(s) for s in _HEX6_SIN])
+    return z.select("zone_id", xs.alias("xs"), ys.alias("ys"))
+
+
+def q_pip_faces(spark, sf_dir):
+    pts = _doc_points(spark, sf_dir)
+    return pip_op.pip_join_df(pts, _faces_zones_df(spark), zoom=7).select(
+        "doc_id", "zone_id"
+    )
+
+
+def sql_pip_faces():
+    k = "(i * 1000003 + 11)"
+    cx = f"({cells.lon_sql(cells.h1_sql_big(k))} * 0.75)"
+    cy = f"({cells.lat_sql(cells.h2_sql_big(k))} * 0.75)"
+    r = f"(0.5 + (({cells.h1_sql_big('(i * 3 + 1)')}) % 1500) / 1000.0)"
+    conds = []
+    for i in range(6):
+        j = (i + 1) % 6
+        xa = f"(z.cx + z.r * {_HEX6_COS[i]!r})"
+        ya = f"(z.cy + z.r * {_HEX6_SIN[i]!r})"
+        xb = f"(z.cx + z.r * {_HEX6_COS[j]!r})"
+        yb = f"(z.cy + z.r * {_HEX6_SIN[j]!r})"
+        conds.append(
+            f"(({xb} - {xa}) * (p.y - {ya}) - ({yb} - {ya}) * (p.x - {xa})) > 0"
+        )
+    cond = " AND ".join(conds)
+    return (
+        f"WITH pts AS ({_PTS_SQL}), "
+        f"z AS (SELECT i AS zone_id, {cx} AS cx, {cy} AS cy, {r} AS r "
+        f"FROM generate_series(0, {_FACES_N - 1}) t(i)) "
+        f"SELECT p.doc_id, z.zone_id FROM pts p JOIN z ON {cond}"
+    )
+
+
 def sql_pip_hexagons():
     parts = [
         f"SELECT p.doc_id, {z['zone_id']} AS zone_id FROM pts p "
@@ -2815,6 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_encode": q_cell_encode,
         "pip_boxes": q_pip_boxes,
         "pip_hexagons": q_pip_hexagons,
+        "pip_faces": q_pip_faces,
         "knn": q_knn,
         "knn_cellpruned": q_knn_cellpruned,
         "extract_at_points": q_extract_at_points,
@@ -2918,6 +2978,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_encode": sql_cell_encode(),
         "pip_boxes": sql_pip_boxes(),
         "pip_hexagons": sql_pip_hexagons(),
+        "pip_faces": sql_pip_faces(),
         "knn": sql_knn(),
         "knn_cellpruned": sql_knn(),  # same semantics, different physical plan
         "extract_at_points": sql_extract_at_points(),

@@ -71,6 +71,26 @@ def h2_sql(key: str) -> str:
     return f"(({key}) * {_H2_MUL} + {_H2_ADD}) % {_HASH_MOD}"
 
 
+def mulmod32_sql(key: str, mul: int, add: int) -> str:
+    """Overflow-safe SQL twin of :func:`mulmod32_col` (same 16-bit-halves
+    split, every intermediate < 2^48): ``h1_sql``/``h2_sql`` overflow INT64
+    once the key exceeds ~3.4e9 (key·mul > 2^63), so synthetic keys built
+    from large products (e.g. zone_id·1000003) need this form."""
+    kl = f"(({key}) % {_HASH_MOD})"
+    a = f"({kl} // 65536)"
+    b = f"({kl} % 65536)"
+    r = f"(({a} * {mul}) % 65536)"
+    return f"(({r} * 65536 + {b} * {mul} + {add}) % {_HASH_MOD})"
+
+
+def h1_sql_big(key: str) -> str:
+    return mulmod32_sql(key, _H1_MUL, _H1_ADD)
+
+
+def h2_sql_big(key: str) -> str:
+    return mulmod32_sql(key, _H2_MUL, _H2_ADD)
+
+
 def h1_np(key: np.ndarray) -> np.ndarray:
     k = key.astype(np.uint64)
     return ((k * np.uint64(_H1_MUL) + np.uint64(_H1_ADD)) % np.uint64(_HASH_MOD)).astype(np.int64)

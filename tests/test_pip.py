@@ -4,6 +4,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from pyramids_spark import cells, synth
 from pyramids_spark.operators import pip
 
@@ -129,6 +131,88 @@ def test_span_sequence_invariant_through_pip_join(spark):
     )
     for d, ks in k1.items():
         assert list(ks) == list(k0[d])
+
+
+def _zones_as_df(spark, zones):
+    rows = []
+    for z in zones:
+        for part in z["parts"]:
+            p = np.asarray(part, dtype=np.float64)
+            rows.append((int(z["zone_id"]), p[:, 0].tolist(), p[:, 1].tolist()))
+    return spark.createDataFrame(
+        rows, "zone_id long, xs array<double>, ys array<double>"
+    )
+
+
+def test_pip_join_df_matches_broadcast_path(spark):
+    """DataFrame-native polygon side (VERDICT r3 #2) ≡ the broadcast list
+    path on the same zone set — both refine modes of pip_join."""
+    pts = synth.doc_points(spark, 4000)
+    zones = synth.zone_polygons(9, "hex")
+    zdf = _zones_as_df(spark, zones)
+    a = pip.pip_join(pts, zones, zoom=7, refine="udf")
+    b = pip.pip_join_df(pts, zdf, zoom=7)
+    ka = {(r["doc_id"], r["zone_id"]) for r in a.select("doc_id", "zone_id").collect()}
+    kb = {(r["doc_id"], r["zone_id"]) for r in b.select("doc_id", "zone_id").collect()}
+    assert ka == kb and len(ka) > 0
+    assert set(b.columns) == set(pts.columns) | {"zone_id"}
+
+
+def test_pip_join_df_batch_cover_matches_per_part(spark):
+    """zone_cover_df's batched kernel ≡ _part_cover_np per part, cell for
+    cell, boundary flag for boundary flag (mixed ring lengths across the
+    pad buckets: boxes V=4, hexagons V=6)."""
+    zones = synth.zone_polygons(6, "hex") + [
+        {"zone_id": 100 + z["zone_id"], "parts": z["parts"]}
+        for z in synth.zone_polygons(5, "box")
+    ]
+    zdf = _zones_as_df(spark, zones).withColumn(
+        "part_key", F.xxhash64(F.col("zone_id"), F.col("xs"), F.col("ys"))
+    )
+    got = (
+        pip.zone_cover_df(zdf, 8, "intersects")
+        .toPandas()
+        .sort_values(["zone_id", "cell_id"])
+        .reset_index(drop=True)
+    )
+    exp = []
+    for z in zones:
+        for part in z["parts"]:
+            cover, bnd = pip._part_cover_np(np.asarray(part, dtype=np.float64), 8, "intersects")
+            for cid, bb in zip(cover, bnd):
+                exp.append((z["zone_id"], cid, bb))
+    exp = (
+        pd.DataFrame(exp, columns=["zone_id", "cell_id", "boundary"])
+        .sort_values(["zone_id", "cell_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) > 0
+    assert (got["zone_id"].to_numpy() == exp["zone_id"].to_numpy()).all()
+    assert (got["cell_id"].to_numpy() == exp["cell_id"].to_numpy()).all()
+    assert (got["boundary"].to_numpy() == exp["boundary"].to_numpy()).all()
+
+
+def test_pip_join_df_plan_no_driver_cover(spark):
+    """The polygon side must stay distributed end-to-end: zones built from
+    spark.range column math → the plan's leaves are Range scans + the
+    MapInPandas cover, with NO LocalTableScan (a driver-materialized cover
+    would show up as one) and no broadcast of the exploded cover."""
+    from pyspark.sql import functions as SF
+
+    pts = synth.doc_points(spark, 1000)
+    z = spark.range(400).select(SF.col("id").alias("zone_id"))
+    cx = (SF.col("zone_id") % 20).cast("double") * 8.0 - 80.0
+    cy = (SF.col("zone_id") / 20).cast("long").cast("double") * 6.0 - 60.0
+    zdf = z.select(
+        "zone_id",
+        SF.array(cx - 2.0, cx + 2.0, cx + 2.0, cx - 2.0).alias("xs"),
+        SF.array(cy - 1.5, cy - 1.5, cy + 1.5, cy + 1.5).alias("ys"),
+    )
+    df = pip.pip_join_df(pts, zdf, zoom=7)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "LocalTableScan" not in plan
+    assert df.count() > 0
 
 
 def test_zone_cover_interior_flag_sound(spark):
