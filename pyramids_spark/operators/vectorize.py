@@ -449,7 +449,126 @@ def _walk_edges(ea: np.ndarray, eb: np.ndarray, is_cut) -> tuple[list, list]:
     return chains, rings
 
 
-def polygonize_rings(cells_df: DataFrame, grid: Grid, tile: int = 256) -> DataFrame:
+def _merge_chains(chains: list, scut) -> tuple[list, list]:
+    """Walk the chain graph: merge chain fragments end-to-start, cutting
+    merged paths at ``scut`` vertices. Returns (open_paths, rings): paths
+    start and end at scut vertices; rings are cycles that never touch one.
+    Pinch vertices resolve with the SAME leftmost-turn rule the per-tile
+    walk applies at interior vertices, so the pairing is identical no
+    matter at which level (tile, super-tile, global) a junction resolves."""
+    by_start: dict[tuple, list] = {}
+    for i, ch in enumerate(chains):
+        by_start.setdefault(tuple(ch[0]), []).append(i)
+    used = [False] * len(chains)
+
+    def pick(cur: tuple, prev: tuple) -> int:
+        cand = [j for j in by_start.get(cur, ()) if not used[j]]
+        if len(cand) == 1:
+            return cand[0]
+        din = (cur[0] - prev[0], cur[1] - prev[1])
+        turn = _turn_key(din, cur)
+        return min(cand, key=lambda k: turn(chains[k][1]))
+
+    open_paths, rings = [], []
+    for i in range(len(chains)):
+        if used[i] or not scut(tuple(chains[i][0])):
+            continue
+        used[i] = True
+        path = list(chains[i])
+        while not scut(tuple(path[-1])):
+            j = pick(tuple(path[-1]), tuple(path[-2]))
+            used[j] = True
+            path.extend(chains[j][1:])
+        open_paths.append(path)
+    for i in range(len(chains)):
+        if used[i]:
+            continue
+        used[i] = True
+        ring = list(chains[i])
+        start = tuple(ring[0])
+        while tuple(ring[-1]) != start:
+            j = pick(tuple(ring[-1]), tuple(ring[-2]))
+            used[j] = True
+            ring.extend(chains[j][1:])
+        rings.append(ring)
+    return open_paths, rings
+
+
+def _super_merge(frags: DataFrame, grid: Grid, tile: int, super_factor: int) -> DataFrame:
+    """Intermediate stitch level: merge each (label, super-tile)'s chain
+    fragments, cutting only at super-tile borders; closed rings and counts
+    aggregate per group. Output schema = fragment schema, so the global
+    stitch is unchanged. Grouping is repartition + mapInPandas + pandas
+    groupby (one Arrow setup per PARTITION — applyInPandas with one tiny
+    group per component paid ~10 s of per-group setup at bench scale).
+
+    The cut predicate is INTERIOR super border lines only: a vertex on the
+    grid edge has all its incident cells inside this super-tile, so a
+    boundary running along the grid edge (the common continent-touches-
+    domain-edge case) merges here instead of staying one fragment per
+    cell edge."""
+    M = tile * super_factor
+    grows, gcols = grid.rows, grid.cols
+
+    def scut(v) -> bool:
+        return (v[0] % M == 0 and 0 < v[0] < gcols) or (
+            v[1] % M == 0 and 0 < v[1] < grows
+        )
+
+    def merge_partition(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        out = {k: [] for k in ("tile_y", "tile_x", "label", "kind", "value",
+                               "n_own", "vxs", "vys")}
+
+        def emit(sty, stx, lab, kind, value, n_own, vxs, vys):
+            out["tile_y"].append(sty)
+            out["tile_x"].append(stx)
+            out["label"].append(lab)
+            out["kind"].append(kind)
+            out["value"].append(value)
+            out["n_own"].append(n_own)
+            out["vxs"].append(vxs)
+            out["vys"].append(vys)
+
+        gkey = [pdf["label"], pdf["tile_y"] // super_factor, pdf["tile_x"] // super_factor]
+        for (lab, sty, stx), g in pdf.groupby(gkey):
+            lab, sty, stx = int(lab), int(sty), int(stx)
+            counts = g[g["kind"] == 0]
+            if len(counts):
+                emit(sty, stx, lab, 0, float(counts["value"].iloc[0]),
+                     int(counts["n_own"].sum()), None, None)
+            for vx, vy in zip(g.loc[g["kind"] == 2, "vxs"], g.loc[g["kind"] == 2, "vys"]):
+                emit(sty, stx, lab, 2, None, None,
+                     [int(v) for v in vx], [int(v) for v in vy])
+            chains = sorted(
+                list(zip(vx, vy))
+                for vx, vy in zip(g.loc[g["kind"] == 1, "vxs"], g.loc[g["kind"] == 1, "vys"])
+            )
+            if chains:
+                open_paths, rings = _merge_chains(chains, scut)
+                for kind, paths in ((1, open_paths), (2, rings)):
+                    for p in paths:
+                        emit(sty, stx, lab, kind, None, None,
+                             [int(v[0]) for v in p], [int(v[1]) for v in p])
+        if out["label"]:
+            yield pd.DataFrame(out)
+
+    n_parts = frags.sparkSession.sparkContext.defaultParallelism * 2
+    sf = frags.withColumn("_sty", (F.col("tile_y") / super_factor).cast("long")) \
+              .withColumn("_stx", (F.col("tile_x") / super_factor).cast("long"))
+    return sf.repartition(n_parts, "label", "_sty", "_stx").drop("_sty", "_stx").mapInPandas(
+        merge_partition,
+        schema="tile_y long, tile_x long, label long, kind int, value double, "
+               "n_own long, vxs array<long>, vys array<long>",
+    )
+
+
+def polygonize_rings(
+    cells_df: DataFrame, grid: Grid, tile: int = 256, super_factor: int = 8
+) -> DataFrame:
     """Full cluster2 semantics: per-region exterior ring as WKT + value
     (``_band_to_polygon``, reference ``vectorize.py:802-879``).
 
@@ -461,10 +580,36 @@ def polygonize_rings(cells_df: DataFrame, grid: Grid, tile: int = 256) -> DataFr
     tile-boundary vertices and shipped as compressed vertex arrays; the
     per-component stitch then walks the CHAIN graph — O(#tile crossings)
     steps + numpy concatenation — so a continent-sized region costs one
-    task O(perimeter), never O(area)."""
+    task O(perimeter), never O(area).
+
+    TWO-LEVEL stitch (VERDICT r3 #3): when the grid spans more than
+    ``super_factor`` tiles per axis, chains first merge WITHIN super-tiles
+    of ``super_factor × super_factor`` tiles (grouped by (label,
+    super-tile), cut only at super-tile borders), so the global stitch
+    holds O(super-tile-border crossings) fragments per component instead
+    of O(tile crossings) — a continent-sized component can no longer
+    concentrate its whole perimeter's fragment list in one task's input.
+    A vertex interior to a super-tile has all four incident tiles inside
+    it, so the super-level candidate set at every junction it resolves is
+    complete, and the leftmost-turn pairing makes the output rings
+    identical to the single-level stitch (asserted by the equivalence
+    test)."""
     comp = polygonize(cells_df, grid, tile)
     rows, cols = grid.rows, grid.cols
     x0, y0, cs = grid.x0, grid.y0, grid.cell
+    frags = _ring_fragments(comp, grid, tile)
+    n_ty, n_tx = (rows - 1) // tile + 1, (cols - 1) // tile + 1
+    if super_factor and (n_ty > super_factor or n_tx > super_factor):
+        frags = _super_merge(frags, grid, tile, super_factor)
+    return _final_stitch(frags, x0, y0, cs)
+
+
+def _ring_fragments(comp: DataFrame, grid: Grid, tile: int) -> DataFrame:
+    """Per-tile boundary-edge extraction + chaining (stage 1 of
+    polygonize_rings): chains cut at tile-border vertices, plus per-
+    (tile, label) cell counts riding along so the labeled table is
+    scanned once."""
+    rows, cols = grid.rows, grid.cols
     big = np.int64(1) << 32
 
     ty = (F.col("row") / tile).cast("long")
@@ -496,7 +641,9 @@ def polygonize_rings(cells_df: DataFrame, grid: Grid, tile: int = 256) -> DataFr
         own = pdf[~pdf["halo"]]
         out = {"label": [], "kind": [], "value": [], "n_own": [], "vxs": [], "vys": []}
         if own.empty:  # empty float64 columns break Arrow's list<long> cast
-            return pd.DataFrame(out).astype({"vxs": object, "vys": object})
+            return pd.DataFrame({"tile_y": [], "tile_x": [], **out}).astype(
+                {"tile_y": np.int64, "tile_x": np.int64, "vxs": object, "vys": object}
+            )
         # per-(tile,label) cell counts — summed at the stitch so the whole
         # pipeline is one scan of the labeled table
         for lab_v, grp in own.groupby("label"):
@@ -552,13 +699,21 @@ def polygonize_rings(cells_df: DataFrame, grid: Grid, tile: int = 256) -> DataFr
                     out["n_own"].append(None)
                     out["vxs"].append([int(v[0]) for v in p])
                     out["vys"].append([int(v[1]) for v in p])
-        return pd.DataFrame(out)
+        res = pd.DataFrame(out)
+        res.insert(0, "tile_y", np.int64(t_y))
+        res.insert(1, "tile_x", np.int64(t_x))
+        return res
 
-    frags = spread.groupBy("tile_y", "tile_x").applyInPandas(
+    return spread.groupBy("tile_y", "tile_x").applyInPandas(
         per_tile,
-        schema="label long, kind int, value double, n_own long, "
-               "vxs array<long>, vys array<long>",
+        schema="tile_y long, tile_x long, label long, kind int, value double, "
+               "n_own long, vxs array<long>, vys array<long>",
     )
+
+
+def _final_stitch(frags: DataFrame, x0: float, y0: float, cs: float) -> DataFrame:
+    """Global per-component stitch (stage 3): close every component's rings
+    from its (already super-merged) chain fragments and emit WKT."""
 
     def stitch_one(label, pdf: pd.DataFrame) -> dict:
         counts = pdf[pdf["kind"] == 0]
@@ -576,32 +731,20 @@ def polygonize_rings(cells_df: DataFrame, grid: Grid, tile: int = 256) -> DataFr
                 )
             ),
         )
-        # chain-graph walk: successors keyed by start vertex; pinch vertices
-        # on tile borders resolve with the SAME leftmost-turn rule the
-        # per-tile walk applies at interior vertices
-        by_start: dict[tuple, list] = {}
-        for i, ch in enumerate(chains):
-            by_start.setdefault(tuple(ch[0]), []).append(i)
-        used = [False] * len(chains)
-        for i in range(len(chains)):
-            if used[i]:
-                continue
-            used[i] = True
-            ring = list(chains[i])
-            start = tuple(ring[0])
-            while tuple(ring[-1]) != start:
-                cur = tuple(ring[-1])
-                prev = tuple(ring[-2])
-                cand_idx = [j for j in by_start.get(cur, ()) if not used[j]]
-                if len(cand_idx) == 1:
-                    j = cand_idx[0]
-                else:
-                    din = (cur[0] - prev[0], cur[1] - prev[1])
-                    turn = _turn_key(din, cur)
-                    j = min(cand_idx, key=lambda k: turn(chains[k][1]))
-                used[j] = True
-                ring.extend(chains[j][1:])
-            rings.append(ring)
+        # chain-graph walk (shared _merge_chains, scut=never → every merged
+        # path is a closed ring)
+        rings.extend(_merge_chains(chains, lambda v: False)[1])
+
+        def canon(rg):
+            # rotate the closed ring to start at its smallest vertex: the
+            # emitted WKT is then independent of the stitch level and of
+            # which fragment a walk happened to start from (determinism
+            # across partitionings/cluster sizes)
+            core = rg[:-1] if tuple(rg[0]) == tuple(rg[-1]) else rg
+            i = min(range(len(core)), key=lambda j: tuple(core[j]))
+            return core[i:] + core[:i] + [core[i]]
+
+        rings = [canon(rg) for rg in rings]
 
         def shoelace_int(rg):
             # translation-invariant: |map area| = cs² · |integer shoelace|
