@@ -822,6 +822,70 @@ def sql_wkt_roundtrip():
     )
 
 
+def q_wkt_geometrycollection(spark, sf_dir):
+    """GEOMETRYCOLLECTION flattening (reference
+    ``geometry_collection_coords``, ``feature/geometry.py:392-441``): build
+    a collection (point + bbox polygon) per doc in codegen string algebra,
+    split it back into typed parts, extract type + first vertex."""
+    from pyramids_spark.functions import wkt as W
+
+    docs = _read(spark, sf_dir, "documents")
+    h1, h2 = cells.h1_col(F.col("doc_id")), cells.h2_col(F.col("doc_id"))
+    d = docs.select(
+        "doc_id", cells.lon_col(h1).alias("lon"), cells.lat_col(h2).alias("lat")
+    )
+    gc = F.concat(
+        F.lit("GEOMETRYCOLLECTION ("),
+        W.point_wkt(F.col("lon"), F.col("lat")),
+        F.lit(", "),
+        W.box_wkt(
+            F.col("lon") - 1.0, F.col("lat") - 1.0,
+            F.col("lon") + 1.0, F.col("lat") + 1.0,
+        ),
+        F.lit(")"),
+    )
+    p = d.withColumn("gc", gc).select(
+        "doc_id",
+        F.posexplode(W.geometrycollection_parts(F.col("gc"))).alias(
+            "part_idx", "part"
+        ),
+    )
+    return p.select(
+        "doc_id", "part_idx",
+        W.wkt_geometry_type(F.col("part")).alias("gtype"),
+        F.element_at(W.wkt_ring_xs(F.col("part")), 1).alias("x1"),
+        F.element_at(W.wkt_ring_ys(F.col("part")), 1).alias("y1"),
+    )
+
+
+def sql_wkt_geometrycollection():
+    pt = "printf('POINT (%.6f %.6f)', round(lon, 6) + 0.0, round(lat, 6) + 0.0)"
+    box = (
+        "printf('POLYGON ((%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f))', "
+        "round(lon - 1.0, 6) + 0.0, round(lat - 1.0, 6) + 0.0, "
+        "round(lon + 1.0, 6) + 0.0, round(lat - 1.0, 6) + 0.0, "
+        "round(lon + 1.0, 6) + 0.0, round(lat + 1.0, 6) + 0.0, "
+        "round(lon - 1.0, 6) + 0.0, round(lat + 1.0, 6) + 0.0, "
+        "round(lon - 1.0, 6) + 0.0, round(lat - 1.0, 6) + 0.0)"
+    )
+    ring = r"regexp_extract(part, '\(\(?([^()]+)\)', 1)"
+    return (
+        "WITH d AS (SELECT doc_id, "
+        f"{cells.lon_sql(_H1)} AS lon, {cells.lat_sql(_H2)} AS lat FROM documents), "
+        f"w AS (SELECT doc_id, 'GEOMETRYCOLLECTION (' || {pt} || ', ' || {box} || ')' AS gc FROM d), "
+        r"b AS (SELECT doc_id, string_split(regexp_replace("
+        r"regexp_extract(gc, '^\s*GEOMETRYCOLLECTION \((.*)\)\s*$', 1), "
+        r"',\s*([A-Z])', chr(31) || '\1', 'g'), chr(31)) AS parts FROM w), "
+        "p AS (SELECT doc_id, 0 AS part_idx, parts[1] AS part FROM b "
+        "UNION ALL SELECT doc_id, 1, parts[2] FROM b) "
+        "SELECT doc_id, part_idx, "
+        r"upper(regexp_extract(part, '^\s*([A-Za-z]+)', 1)) AS gtype, "
+        f"TRY_CAST(str_split(str_split({ring}, ', ')[1], ' ')[1] AS DOUBLE) AS x1, "
+        f"TRY_CAST(str_split(str_split({ring}, ', ')[1], ' ')[2] AS DOUBLE) AS y1 "
+        "FROM p"
+    )
+
+
 def q_focal_mean(spark, sf_dir):
     g = grid_df(spark, COELLO)
     out = focal.focal_join(g, COELLO, r=1, stat="mean")
@@ -2896,6 +2960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_nodata": q_change_nodata,
         "list_layers": q_list_layers,
         "wkt_roundtrip": q_wkt_roundtrip,
+        "wkt_geometrycollection": q_wkt_geometrycollection,
         "wkt_polygon_roundtrip": q_wkt_polygon_roundtrip,
         "focal_std": q_focal_std,
         "concat_fc": q_concat_fc,
@@ -3000,6 +3065,7 @@ def oracle_sql() -> dict[str, str]:
         "change_nodata": sql_change_nodata(),
         "list_layers": sql_list_layers(),
         "wkt_roundtrip": sql_wkt_roundtrip(),
+        "wkt_geometrycollection": sql_wkt_geometrycollection(),
         "wkt_polygon_roundtrip": sql_wkt_polygon_roundtrip(),
         "focal_std": sql_focal_std(),
         "concat_fc": sql_concat_fc(),

@@ -123,6 +123,32 @@ def multilinestring_parts(wkt: Column) -> Column:
     )
 
 
+def geometrycollection_parts(wkt: Column) -> Column:
+    """``GEOMETRYCOLLECTION (POINT (…), POLYGON ((…)), …)`` → array of the
+    member WKT strings, RECURSIVELY flattened like the reference's
+    ``geometry_collection_coords`` (``feature/geometry.py:392-441``): a
+    nested collection contributes its primitive/Multi* members, not itself.
+
+    Pure string algebra (codegen, no UDF): (1) strip every nested
+    ``GEOMETRYCOLLECTION (`` header; (2) split members on ``", "`` followed
+    by a geometry TAG — coordinates never start with a letter; a
+    capture-and-sentinel replace rather than a lookahead so the DuckDB twin
+    (RE2: no lookahead) stays textually parallel; (3) the stripped nested
+    headers leave their closing parens dangling at the END of the member
+    that preceded them — trim each part by its paren-count excess."""
+    body = F.regexp_extract(wkt, r"^\s*GEOMETRYCOLLECTION \((.*)\)\s*$", 1)
+    flat = F.regexp_replace(body, r"GEOMETRYCOLLECTION \(", "")
+    parts = F.split(F.regexp_replace(flat, r",\s*([A-Z])", "\x1f$1"), "\x1f")
+
+    def trim(p: Column) -> Column:
+        excess = (
+            F.length(p) - F.length(F.regexp_replace(p, r"\)", ""))
+        ) - (F.length(p) - F.length(F.regexp_replace(p, r"\(", "")))
+        return p.substr(F.lit(1), F.length(p) - F.greatest(excess, F.lit(0)))
+
+    return F.transform(parts, trim)
+
+
 def wkt_point_x(wkt: Column) -> Column:
     """``POINT (x y)`` → x as double (NULL on non-point input; try_cast
     because ANSI mode hard-fails on the empty no-match extract)."""

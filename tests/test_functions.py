@@ -112,6 +112,32 @@ def test_multipolygon_and_multilinestring_parts(spark):
     assert xs == [5.0, 9.0, 9.0, 5.0]
 
 
+def test_geometrycollection_parts_mixed_and_nested(spark):
+    gc = ("GEOMETRYCOLLECTION (POINT (1.5 -2.0), "
+          "LINESTRING (0.0 0.0, 1.0 1.0), "
+          "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5))), "
+          "GEOMETRYCOLLECTION (POINT (9.0 9.0), POINT (8.0 8.0)))")
+    df = spark.createDataFrame([(gc,)], "gc string")
+    parts = df.select(W.geometrycollection_parts(F.col("gc")).alias("p")).collect()[0]["p"]
+    # nested collections flatten recursively (reference
+    # geometry_collection_coords semantics): members surface, header gone
+    assert parts == [
+        "POINT (1.5 -2.0)",
+        "LINESTRING (0.0 0.0, 1.0 1.0)",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+        "POINT (9.0 9.0)",
+        "POINT (8.0 8.0)",
+    ]
+    # Multi* parts split onward with the existing part splitters
+    polys = (
+        df.select(F.explode(W.geometrycollection_parts(F.col("gc"))).alias("part"))
+        .where(F.col("part").startswith("MULTIPOLYGON"))
+        .select(W.multipolygon_parts(F.col("part")).alias("p"))
+        .collect()[0]["p"]
+    )
+    assert polys == ["POLYGON ((0 0, 1 0, 1 1, 0 0))", "POLYGON ((5 5, 6 5, 6 6, 5 5))"]
+
+
 def test_change_no_data_value_sentinel_and_null(spark):
     g = grid_df(
         spark, COELLO,
