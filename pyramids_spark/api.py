@@ -172,11 +172,15 @@ class SparkDataset:
         return SparkDataset(out, g)
 
     def to_crs(self, epsg: int | str) -> "SparkDataset":
-        """Target as an EPSG int or a PROJ4 string ('+proj=lcc +lat_1=…');
-        strings parse via ``reproject.parse_proj4`` (reference accepts any
-        CRS input through OSR, ``feature/crs.py:162-268``)."""
+        """Target as an EPSG int, a PROJ4 string ('+proj=lcc +lat_1=…'), or
+        an OGC WKT1 / .prj string ('PROJCS[…]'); strings parse via
+        ``reproject.parse_proj4`` / ``parse_wkt_crs`` (reference accepts
+        any CRS input through OSR, ``feature/crs.py:162-268``)."""
         if isinstance(epsg, str):
-            fam, arg = _reproject.parse_proj4(epsg)
+            if epsg.lstrip().startswith(("PROJCS", "GEOGCS", "GEOGCRS")):
+                fam, arg = _reproject.parse_wkt_crs(epsg)
+            else:
+                fam, arg = _reproject.parse_proj4(epsg)
             if fam == "merc":
                 return self.to_crs(3857)
             if fam == "eqc":

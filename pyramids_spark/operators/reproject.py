@@ -442,6 +442,103 @@ def parse_proj4(s: str):
     raise NotImplementedError(f"unsupported +proj={proj!r} in {s!r}")
 
 
+#: OGC WKT1 / ESRI PROJECTION names → closed-form family
+_WKT_PROJ_FAMILIES = {
+    "lambert_conformal_conic_2sp": "lcc",
+    "lambert_conformal_conic_1sp": "lcc",
+    "lambert_conformal_conic": "lcc",
+    "albers_conic_equal_area": "albers",
+    "albers": "albers",
+    "transverse_mercator": "utm",
+    "mercator_1sp": "merc",
+    "mercator": "merc",
+    "equirectangular": "eqc",
+    "equidistant_cylindrical": "eqc",
+    "sinusoidal": "sinu",
+}
+
+
+def parse_wkt_crs(s: str):
+    """Minimal OGC WKT1 (.prj) CRS parser → the same (family, params)
+    language as :func:`parse_proj4`, mapped onto the existing closed-form
+    dispatch (reference ``get_epsg_from_prj``, ``feature/crs.py:94`` — it
+    round-trips .prj text through OSR; here the projection family +
+    parameters are extracted directly). Handles PROJCS with
+    LCC/Albers/TM(UTM)/Mercator/Equirectangular/Sinusoidal projections and
+    bare GEOGCS (→ longlat). Not a full WKT grammar: fields are located
+    with anchored regexes, which is exactly as much structure as .prj
+    files emitted by GDAL/ESRI carry."""
+    import re
+
+    head = re.match(r"\s*([A-Z_]+)\s*\[", s)
+    root = head.group(1) if head else None
+    if root in ("GEOGCS", "GEOGCRS"):
+        return ("longlat", None)
+    if root != "PROJCS":
+        raise NotImplementedError(f"unsupported WKT-CRS root {root!r}")
+    proj_m = re.search(r'PROJECTION\s*\[\s*"([^"]+)"', s)
+    if not proj_m:
+        raise NotImplementedError("PROJCS without PROJECTION[] node")
+    fam = _WKT_PROJ_FAMILIES.get(proj_m.group(1).strip().lower().replace(" ", "_"))
+    if fam is None:
+        raise NotImplementedError(f"unsupported PROJECTION {proj_m.group(1)!r}")
+    params = {
+        k.strip().lower(): float(v)
+        for k, v in re.findall(
+            r'PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-+0-9.eE]+)\s*\]', s
+        )
+    }
+    sph = re.search(
+        r'SPHEROID\s*\[\s*"[^"]*"\s*,\s*([-+0-9.eE]+)\s*,\s*([-+0-9.eE]+)', s
+    )
+    a, rf = (float(sph.group(1)), float(sph.group(2))) if sph else (GRS80_A, GRS80_RF)
+
+    def P(*names: str, default: float = 0.0) -> float:
+        for n in names:
+            if n in params:
+                return params[n]
+        return default
+
+    if fam == "utm":
+        lon0 = P("central_meridian", "longitude_of_center")
+        k0 = P("scale_factor", default=1.0)
+        zone = (lon0 + 183.0) / 6.0
+        if (
+            abs(k0 - 0.9996) < 1e-12
+            and P("false_easting") == 500000.0
+            and abs(zone - round(zone)) < 1e-9
+            and 1 <= round(zone) <= 60
+        ):
+            south = P("false_northing") == 10_000_000.0
+            return ("utm", (32700 if south else 32600) + int(round(zone)))
+        raise NotImplementedError("general (non-UTM) Transverse_Mercator unsupported")
+    if fam in ("lcc", "albers"):
+        lat1 = P("standard_parallel_1")
+        p = ConicParams(
+            lat1,
+            P("standard_parallel_2", default=lat1),
+            P("latitude_of_origin", "latitude_of_center"),
+            P("central_meridian", "longitude_of_center"),
+            P("false_easting"),
+            P("false_northing"),
+            a,
+            _e2_of_rf(rf),
+        )
+        return (fam, p)
+    return (fam, None)
+
+
+def get_epsg_from_prj(s: str) -> "int | None":
+    """EPSG code of a .prj / WKT1 string: the LAST ``AUTHORITY["EPSG", …]``
+    node is the whole-CRS authority (nested GEOGCS/DATUM/UNIT authorities
+    come earlier in GDAL/ESRI-emitted WKT). Reference
+    ``feature/crs.py:94``. None when no EPSG authority is present."""
+    import re
+
+    hits = re.findall(r'AUTHORITY\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]', s)
+    return int(hits[-1]) if hits else None
+
+
 def conic_inverse_params(fam: str, p: ConicParams):
     """(dx, dy) → (lon, lat) for explicit conic params (false origin is
     carried in ``p`` and subtracted inside the inverse)."""

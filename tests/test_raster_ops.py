@@ -118,6 +118,72 @@ def test_to_crs_conic_facade_roundtrip_values(spark):
             assert r.value == src_row * 10 + src_col + 1
 
 
+_PRJ_2154 = (
+    'PROJCS["RGF93 / Lambert-93",GEOGCS["RGF93",DATUM["Reseau_Geodesique_'
+    'Francais_1993",SPHEROID["GRS 1980",6378137,298.257222101,AUTHORITY['
+    '"EPSG","7019"]],AUTHORITY["EPSG","6171"]],PRIMEM["Greenwich",0],UNIT['
+    '"degree",0.0174532925199433],AUTHORITY["EPSG","4171"]],PROJECTION['
+    '"Lambert_Conformal_Conic_2SP"],PARAMETER["standard_parallel_1",49],'
+    'PARAMETER["standard_parallel_2",44],PARAMETER["latitude_of_origin",'
+    '46.5],PARAMETER["central_meridian",3],PARAMETER["false_easting",'
+    '700000],PARAMETER["false_northing",6600000],UNIT["metre",1],'
+    'AUTHORITY["EPSG","2154"]]'
+)
+_PRJ_5070 = (
+    'PROJCS["NAD83 / Conus Albers",GEOGCS["NAD83",DATUM["North_American_'
+    'Datum_1983",SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM['
+    '"Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION['
+    '"Albers_Conic_Equal_Area"],PARAMETER["standard_parallel_1",29.5],'
+    'PARAMETER["standard_parallel_2",45.5],PARAMETER["latitude_of_center",'
+    '23],PARAMETER["longitude_of_center",-96],PARAMETER["false_easting",0],'
+    'PARAMETER["false_northing",0],UNIT["metre",1],AUTHORITY["EPSG","5070"]]'
+)
+_PRJ_32618 = (
+    'PROJCS["WGS 84 / UTM zone 18N",GEOGCS["WGS 84",DATUM["WGS_1984",'
+    'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT['
+    '"degree",0.0174532925199433],AUTHORITY["EPSG","4326"]],PROJECTION['
+    '"Transverse_Mercator"],PARAMETER["latitude_of_origin",0],PARAMETER['
+    '"central_meridian",-75],PARAMETER["scale_factor",0.9996],PARAMETER['
+    '"false_easting",500000],PARAMETER["false_northing",0],UNIT["metre",1],'
+    'AUTHORITY["EPSG","32618"]]'
+)
+
+
+def test_parse_wkt_crs_real_prj_strings(spark):
+    """VERDICT r3 #5: real GDAL-style .prj strings for 32618/2154/5070 map
+    onto the existing reproject dispatch."""
+    fam, epsg = reproject.parse_wkt_crs(_PRJ_32618)
+    assert (fam, epsg) == ("utm", 32618)
+    fam, p = reproject.parse_wkt_crs(_PRJ_2154)
+    _, reg = reproject.CONIC_EPSG[2154]
+    assert fam == "lcc" and p == reg
+    fam, p = reproject.parse_wkt_crs(_PRJ_5070)
+    _, reg = reproject.CONIC_EPSG[5070]
+    assert fam == "albers" and p == reg
+    assert reproject.parse_wkt_crs('GEOGCS["WGS 84",AUTHORITY["EPSG","4326"]]') == (
+        "longlat", None
+    )
+    assert reproject.get_epsg_from_prj(_PRJ_2154) == 2154
+    assert reproject.get_epsg_from_prj(_PRJ_5070) == 5070
+    assert reproject.get_epsg_from_prj(_PRJ_32618) == 32618
+    assert reproject.get_epsg_from_prj('PROJCS["x",PROJECTION["Sinusoidal"]]') is None
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        reproject.parse_wkt_crs(_PRJ_32618.replace("0.9996", "1.0"))  # non-UTM TM
+    # .prj path through the facade ≡ the registered-EPSG path
+    from pyramids_spark.api import SparkDataset
+
+    g = grid_df(spark, CROP_GRID)
+    ds = SparkDataset(g, CROP_GRID)
+    via_prj = ds.to_crs(_PRJ_2154)
+    via_epsg = ds.to_crs(2154)
+    assert via_prj.grid.x0 == via_epsg.grid.x0 and via_prj.grid.y0 == via_epsg.grid.y0
+    a = {(r.row, r.col): r.value for r in via_prj.df.collect()}
+    b = {(r.row, r.col): r.value for r in via_epsg.df.collect()}
+    assert a == b and len(a) > 0
+
+
 def test_to_crs_proj4_string_matches_epsg_path(spark):
     """A PROJ4 LCC string with false easting/northing produces the SAME
     (row, col, value) table as the registered-EPSG path — the offset only
