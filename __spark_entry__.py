@@ -1172,6 +1172,41 @@ def sql_sel_slice():
     )
 
 
+def q_sel_labels(spark, sf_dir):
+    """Label-coordinate sel (VERDICT r3 #6; reference
+    ``netcdf/dimensions.py`` label machinery): BETWEEN on an IRREGULAR
+    coordinate axis — labels come from a lookup table (label = t + ⌊t/3⌋·5,
+    non-uniform steps), matching indices broadcast-semi-join back into the
+    cell table."""
+    from pyramids_spark.api import SparkNetCDF
+
+    ev = _read(spark, sf_dir, "events")
+    cells_long = ev.select(
+        "event_id", "user_id",
+        F.dayofmonth("ts").cast("long").alias("t"),
+        "value",
+    )
+    coords = (
+        cells_long.select("t").distinct()
+        .withColumn("label", F.col("t") + (F.col("t") / 3).cast("long") * 5)
+    )
+    nc = SparkNetCDF(cells_long).sel_labels(coords, "t", between=(20, 40))
+    return nc.df.select(
+        "event_id", "user_id", "t", F.round("value", 6).alias("value")
+    )
+
+
+def sql_sel_labels():
+    return (
+        "WITH d AS (SELECT event_id, user_id, CAST(day(ts) AS BIGINT) AS t, value "
+        "FROM events), "
+        "c AS (SELECT t, t + (t // 3) * 5 AS label FROM (SELECT DISTINCT t FROM d)), "
+        "s AS (SELECT t FROM c WHERE label >= 20 AND label <= 40) "
+        "SELECT event_id, user_id, t, round(value, 6) AS value FROM d "
+        "WHERE t IN (SELECT t FROM s)"
+    )
+
+
 def q_netcdf_variables(spark, sf_dir):
     """Multi-variable NetCDF workflow (netcdf.py:331-360 variables dict +
     get_variable): two variables from the long cell table, per-cell
@@ -2987,6 +3022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reduce": q_temporal_reduce,
         "temporal_groupby": q_temporal_groupby,
         "sel_slice": q_sel_slice,
+        "sel_labels": q_sel_labels,
         "netcdf_variables": q_netcdf_variables,
         "token_count": q_token_count,
         "quality": q_quality,
@@ -3086,6 +3122,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_reduce": sql_temporal_reduce(),
         "temporal_groupby": sql_temporal_groupby(),
         "sel_slice": sql_sel_slice(),
+        "sel_labels": sql_sel_labels(),
         "netcdf_variables": sql_netcdf_variables(),
         "token_count": sql_token_count(),
         "quality": sql_quality(),

@@ -261,16 +261,20 @@ class SparkDataset:
                 f"powers of 2 (got {bad})"
             )
         out: dict[int, DataFrame] = {}
-        cur, rows, cols, lv = self.df, self.grid.rows, self.grid.cols, 1
+        base, rows, cols, lv = self.df, self.grid.rows, self.grid.cols, 1
+        last = self.df
         from dataclasses import replace as _replace
 
         for target in sorted(levels):
             while lv < target:
-                cur = kernel(cur, _replace(self.grid, rows=rows, cols=cols))
-                cur = cur.drop("n_children")
+                # keep n_children on the EMITTED frame (schema-consistent
+                # with the stat-method levels, ADVICE r3); drop it only on
+                # the frame feeding the next ×2 kernel step
+                last = kernel(base, _replace(self.grid, rows=rows, cols=cols))
+                base = last.drop("n_children")
                 rows, cols = (rows + 1) // 2, (cols + 1) // 2
                 lv *= 2
-            out[target] = cur
+            out[target] = last
         return out
 
     def to_xyz(self) -> DataFrame:
@@ -538,6 +542,29 @@ class SparkNetCDF:
             else:
                 d = d.where(F.col(k) == v)
         return SparkNetCDF(d)
+
+    def sel_labels(
+        self, coords: DataFrame, dim: str,
+        eq=None, isin=None, between: "tuple | None" = None,
+    ) -> "SparkNetCDF":
+        """Label-based selection through a NON-index coordinate variable
+        (reference ``netcdf/dimensions.py`` label machinery: irregular /
+        2-D coordinate variables are lookup TABLES, not affine formulas —
+        e.g. a non-uniform time axis). ``coords`` carries one row per
+        dimension index: a column named ``dim`` (the index) plus a
+        ``label`` column the predicate evaluates on. Matching indices
+        join back into the cell table as a broadcast LEFT SEMI join, so
+        the (10^12-row) data side is never shuffled and the predicate
+        pushes into the scan when ``dim`` is a partition column."""
+        c = coords
+        if between is not None:
+            c = c.where((F.col("label") >= between[0]) & (F.col("label") <= between[1]))
+        elif isin is not None:
+            c = c.where(F.col("label").isin(*isin))
+        elif eq is not None:
+            c = c.where(F.col("label") == eq)
+        idx = c.select(dim).distinct()
+        return SparkNetCDF(self.df.join(F.broadcast(idx), dim, "left_semi"))
 
     def decode_variable(
         self, name: str, attrs: dict, time_units: str | None = None

@@ -110,7 +110,13 @@ def mesh_to_grid_nearest(
             (F.col("_nby") + F.col("_o.dy")).alias("_by"),
         )
     )
-    cand = centres.join(F.broadcast(nb), ["_bx", "_by"])
+    # broadcast the ×9-replicated node table only when the mesh is actually
+    # small (ADVICE r3: "mesh ≪ grid" is a docstring contract, not an
+    # invariant — a big mesh would blow the driver). limit(n+1).count()
+    # early-exits after guard+1 rows, same probe as ann.near_dup_embeddings.
+    _BROADCAST_NODES_MAX = 300_000
+    nodes_small = nodes.limit(_BROADCAST_NODES_MAX + 1).count() <= _BROADCAST_NODES_MAX
+    cand = centres.join(F.broadcast(nb) if nodes_small else nb, ["_bx", "_by"])
     d2 = (F.col("qx") - F.col("x")) ** 2 + (F.col("qy") - F.col("y")) ** 2
     vtype = nodes.schema[value].dataType.simpleString()
     scored = cand.select(

@@ -64,8 +64,11 @@ def stream_sessionize(
             state.update((
                 [s[0] for s in kept], [s[1] for s in kept], [s[2] for s in kept],
             ))
-            # fire when the watermark passes the EARLIEST possible closure
-            state.setTimeoutTimestamp((min(s[1] for s in kept) + gap_us) // 1000)
+            # fire when the watermark passes the EARLIEST possible closure;
+            # round UP to ms (ADVICE r3: floor truncation could re-arm a
+            # timeout exactly at the current watermark ms with sub-ms event
+            # times, which Spark rejects and kills the query)
+            state.setTimeoutTimestamp((min(s[1] for s in kept) + gap_us + 999) // 1000)
         else:
             state.remove()
         return closed

@@ -7,6 +7,11 @@ derives randomness from the portable ``cells.h1`` integer hash so results
 are bit-reproducible on any cluster, restartable mid-job, and expressible
 in ANSI SQL for the DuckDB oracles — the same discipline as the synthetic
 geometry.
+
+``key`` must be an INTEGRAL column (``cells.h1_col`` shifts and
+multiplies it): string ids like the canonical ``'doc-%013d'`` fail at plan
+time — pre-cast with ``synth.doc_key_col``-style recovery (every in-repo
+call site casts to long first).
 """
 
 from __future__ import annotations
@@ -76,9 +81,9 @@ def pack_sequences(
     STARTS in).
 
     Distributed prefix sum, no global window: per-high-bit-bucket token
-    totals (collected — O(2^(32-bucket_bits)) rows) broadcast back as
-    offsets, then the running sum windows only WITHIN buckets. Returns
-    the input plus (shuffle_key, start_offset, bin_id)."""
+    totals (collected — O(2^bucket_bits) rows, 1024 at the default)
+    broadcast back as offsets, then the running sum windows only WITHIN
+    buckets. Returns the input plus (shuffle_key, start_offset, bin_id)."""
     sk = cells.h1_col(F.col(key) + F.lit(salt * 1_000_003))
     d = df.withColumn("shuffle_key", sk).withColumn(
         "_bkt", F.shiftright(F.col("shuffle_key"), 32 - bucket_bits)
