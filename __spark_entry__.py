@@ -2970,10 +2970,60 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "pip_faces": q_pip_faces,
+        "wkt_geometrycollection": q_wkt_geometrycollection,
+        "sel_labels": q_sel_labels,
+        "netcdf_variables": q_netcdf_variables,
+        "token_count": q_token_count,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "exact_dedup": q_exact_dedup,
+        "fingerprint": q_fingerprint,
+        "minhash": q_minhash,
+        "lsh_pairs": q_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "simhash": q_simhash,
+        "ann_cosine": q_ann_cosine,
+        "ann_ivf": q_ann_ivf,
+        "morton": q_morton,
+        "to_xyz": q_to_xyz,
+        "extract_domain": q_extract_domain,
+        "count_domain": q_count_domain,
+        "get_mask": q_get_mask,
+        "fill_constant": q_fill_constant,
+        "scale_offset": q_scale_offset,
+        "resample_up": q_resample_up,
+        "resample_bilinear": q_resample_bilinear,
+        "resample_cubic": q_resample_cubic,
+        "fill_gaps": q_fill_gaps,
+        "convert_longitude": q_convert_longitude,
+        "slope_hillshade": q_slope_hillshade,
+        "reproject_3857": q_reproject_3857,
+        "reproject_4087": q_reproject_4087,
+        "reproject_sinusoidal": q_reproject_sinusoidal,
+        "cluster_cc": q_cluster_cc,
+        "polygonize_stats": q_polygonize_stats,
+        "footprint": q_footprint,
+        "explode_centroid": q_explode_centroid,
+        "with_coordinates": q_with_coordinates,
+        "auto_zoom": q_auto_zoom,
+        "block_arrangement": q_block_arrangement,
+        "near_dup_embeddings": q_near_dup_embeddings,
+        "sessionize": q_sessionize,
+        "cluster_summary": q_cluster_summary,
+        "histogram_approx": q_histogram_approx,
+        "zonal_raster": q_zonal_raster,
+        "salted_agg": q_salted_agg,
+        "mesh_centroids": q_mesh_centroids,
+        "mesh_to_grid": q_mesh_to_grid,
+        "mesh_to_grid_linear": q_mesh_to_grid_linear,
+        "span_pipeline": q_span_pipeline,
+        "polygonize_rings": q_polygonize_rings,
+        "media_features": q_media_features,
         "cell_encode": q_cell_encode,
         "pip_boxes": q_pip_boxes,
         "pip_hexagons": q_pip_hexagons,
-        "pip_faces": q_pip_faces,
         "knn": q_knn,
         "knn_cellpruned": q_knn_cellpruned,
         "extract_at_points": q_extract_at_points,
@@ -2995,7 +3045,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_nodata": q_change_nodata,
         "list_layers": q_list_layers,
         "wkt_roundtrip": q_wkt_roundtrip,
-        "wkt_geometrycollection": q_wkt_geometrycollection,
         "wkt_polygon_roundtrip": q_wkt_polygon_roundtrip,
         "focal_std": q_focal_std,
         "concat_fc": q_concat_fc,
@@ -3022,55 +3071,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reduce": q_temporal_reduce,
         "temporal_groupby": q_temporal_groupby,
         "sel_slice": q_sel_slice,
-        "sel_labels": q_sel_labels,
-        "netcdf_variables": q_netcdf_variables,
-        "token_count": q_token_count,
-        "quality": q_quality,
-        "lang_id": q_lang_id,
-        "exact_dedup": q_exact_dedup,
-        "fingerprint": q_fingerprint,
-        "minhash": q_minhash,
-        "lsh_pairs": q_lsh_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "simhash": q_simhash,
-        "ann_cosine": q_ann_cosine,
-        "ann_ivf": q_ann_ivf,
-        "span_pipeline": q_span_pipeline,
-        "morton": q_morton,
-        "to_xyz": q_to_xyz,
-        "extract_domain": q_extract_domain,
-        "count_domain": q_count_domain,
-        "get_mask": q_get_mask,
-        "fill_constant": q_fill_constant,
-        "scale_offset": q_scale_offset,
-        "resample_up": q_resample_up,
-        "resample_bilinear": q_resample_bilinear,
-        "resample_cubic": q_resample_cubic,
-        "fill_gaps": q_fill_gaps,
-        "convert_longitude": q_convert_longitude,
-        "slope_hillshade": q_slope_hillshade,
-        "reproject_3857": q_reproject_3857,
-        "reproject_4087": q_reproject_4087,
-        "reproject_sinusoidal": q_reproject_sinusoidal,
-        "cluster_cc": q_cluster_cc,
-        "polygonize_stats": q_polygonize_stats,
-        "polygonize_rings": q_polygonize_rings,
-        "footprint": q_footprint,
-        "explode_centroid": q_explode_centroid,
-        "with_coordinates": q_with_coordinates,
-        "auto_zoom": q_auto_zoom,
-        "block_arrangement": q_block_arrangement,
-        "media_features": q_media_features,
-        "near_dup_embeddings": q_near_dup_embeddings,
-        "sessionize": q_sessionize,
-        "cluster_summary": q_cluster_summary,
-        "histogram_approx": q_histogram_approx,
-        "zonal_raster": q_zonal_raster,
-        "salted_agg": q_salted_agg,
-        "mesh_centroids": q_mesh_centroids,
-        "mesh_to_grid": q_mesh_to_grid,
-        "mesh_to_grid_linear": q_mesh_to_grid_linear,
     }
 
 
