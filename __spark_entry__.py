@@ -1207,6 +1207,82 @@ def sql_sel_labels():
     )
 
 
+def q_sel_coords2d(spark, sf_dir):
+    """2-D coordinate-variable sel (curvilinear grid: lat/lon are tables
+    keyed by BOTH dims — reference ``netcdf/dimensions.py`` multi-dim
+    coordinate machinery): lat/lon box predicate on the coordinate table,
+    matching (row, col) pairs broadcast-semi-join into the cell table."""
+    from pyramids_spark.api import SparkNetCDF
+
+    ev = _read(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id", "user_id",
+        (F.col("user_id") % 13).alias("row"),
+        (F.col("event_id") % 14).alias("col"),
+        "value",
+    )
+    c = spark.range(13 * 14).select(
+        (F.col("id") / 14).cast("long").alias("row"),
+        (F.col("id") % 14).alias("col"),
+        cells.lat_col(cells.h2_col(F.col("id"))).alias("lat"),
+        cells.lon_col(cells.h1_col(F.col("id"))).alias("lon"),
+    )
+    nc = SparkNetCDF(d).sel_coords2d(
+        c, dims=("row", "col"), lat=(-40.0, 40.0), lon=(-90.0, 90.0)
+    )
+    return nc.df.select(
+        "event_id", "user_id", "row", "col", F.round("value", 6).alias("value")
+    )
+
+
+def sql_sel_coords2d():
+    lat = cells.lat_sql(cells.h2_sql("i"))
+    lon = cells.lon_sql(cells.h1_sql("i"))
+    return (
+        "WITH d AS (SELECT event_id, user_id, user_id % 13 AS row, "
+        "event_id % 14 AS col, value FROM events), "
+        f"c AS (SELECT i // 14 AS row, i % 14 AS col, {lat} AS lat, {lon} AS lon "
+        f"FROM generate_series(0, {13 * 14 - 1}) t(i)), "
+        "s AS (SELECT DISTINCT row, col FROM c WHERE lat >= -40.0 AND lat <= 40.0 "
+        "AND lon >= -90.0 AND lon <= 90.0) "
+        "SELECT d.event_id, d.user_id, d.row, d.col, round(d.value, 6) AS value "
+        "FROM d JOIN s USING (row, col)"
+    )
+
+
+def q_sel_bounds(spark, sf_dir):
+    """CF bounds-array sel (``time_bnds`` cell intervals, irregular widths
+    — reference ``dimensions.py`` bounds machinery): keep time indices
+    whose interval OVERLAPS the query range."""
+    from pyramids_spark.api import SparkNetCDF
+
+    ev = _read(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id", "user_id", F.dayofmonth("ts").cast("long").alias("t"), "value"
+    )
+    b = d.select("t").distinct().select(
+        "t",
+        (F.col("t") * 100).alias("lo"),
+        (F.col("t") * 100 + 50 + (F.col("t") % 7) * 20).alias("hi"),
+    )
+    nc = SparkNetCDF(d).sel_bounds(b, "t", 520, 1090)
+    return nc.df.select(
+        "event_id", "user_id", "t", F.round("value", 6).alias("value")
+    )
+
+
+def sql_sel_bounds():
+    return (
+        "WITH d AS (SELECT event_id, user_id, CAST(day(ts) AS BIGINT) AS t, value "
+        "FROM events), "
+        "b AS (SELECT t, t * 100 AS lo, t * 100 + 50 + (t % 7) * 20 AS hi "
+        "FROM (SELECT DISTINCT t FROM d)), "
+        "s AS (SELECT t FROM b WHERE hi >= 520 AND lo <= 1090) "
+        "SELECT event_id, user_id, t, round(value, 6) AS value FROM d "
+        "WHERE t IN (SELECT t FROM s)"
+    )
+
+
 def q_netcdf_variables(spark, sf_dir):
     """Multi-variable NetCDF workflow (netcdf.py:331-360 variables dict +
     get_variable): two variables from the long cell table, per-cell
@@ -2973,6 +3049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_faces": q_pip_faces,
         "wkt_geometrycollection": q_wkt_geometrycollection,
         "sel_labels": q_sel_labels,
+        "sel_coords2d": q_sel_coords2d,
+        "sel_bounds": q_sel_bounds,
         "netcdf_variables": q_netcdf_variables,
         "token_count": q_token_count,
         "quality": q_quality,
@@ -3123,6 +3201,8 @@ def oracle_sql() -> dict[str, str]:
         "temporal_groupby": sql_temporal_groupby(),
         "sel_slice": sql_sel_slice(),
         "sel_labels": sql_sel_labels(),
+        "sel_coords2d": sql_sel_coords2d(),
+        "sel_bounds": sql_sel_bounds(),
         "netcdf_variables": sql_netcdf_variables(),
         "token_count": sql_token_count(),
         "quality": sql_quality(),

@@ -493,6 +493,18 @@ class SparkDatasetCollection:
         )
 
 
+def _label_filter(df: DataFrame, col: str, eq, isin, between) -> DataFrame:
+    """Apply the sel() predicate language (scalar ==, list IN, 2-tuple
+    BETWEEN) to one column of a coordinate lookup table."""
+    if between is not None:
+        return df.where((F.col(col) >= between[0]) & (F.col(col) <= between[1]))
+    if isin is not None:
+        return df.where(F.col(col).isin(*isin))
+    if eq is not None:
+        return df.where(F.col(col) == eq)
+    return df
+
+
 @dataclass(frozen=True)
 class SparkNetCDF:
     """Multi-variable NetCDF surface over the LONG cell table
@@ -556,13 +568,47 @@ class SparkNetCDF:
         join back into the cell table as a broadcast LEFT SEMI join, so
         the (10^12-row) data side is never shuffled and the predicate
         pushes into the scan when ``dim`` is a partition column."""
+        c = _label_filter(coords, "label", eq, isin, between)
+        idx = c.select(dim).distinct()
+        return SparkNetCDF(self.df.join(F.broadcast(idx), dim, "left_semi"))
+
+    def sel_coords2d(
+        self, coords: DataFrame, dims: tuple = ("row", "col"), **ranges
+    ) -> "SparkNetCDF":
+        """Selection through 2-D coordinate variables (CF curvilinear
+        grids: ``lat(y, x)``/``lon(y, x)`` are tables keyed by BOTH
+        dimensions — reference ``netcdf/dimensions.py`` multi-dim
+        coordinate handling). ``coords`` carries the dim columns plus the
+        coordinate columns; ``ranges`` uses :meth:`sel` syntax (scalar ==,
+        list IN, 2-tuple BETWEEN) over the coordinate columns. The
+        matching dim tuples broadcast-semi-join into the cell table — the
+        coordinate table is O(grid cells), dwarfed by data × time ×
+        variable, so the data side never shuffles."""
         c = coords
-        if between is not None:
-            c = c.where((F.col("label") >= between[0]) & (F.col("label") <= between[1]))
-        elif isin is not None:
-            c = c.where(F.col("label").isin(*isin))
-        elif eq is not None:
-            c = c.where(F.col("label") == eq)
+        for k, v in ranges.items():
+            if isinstance(v, tuple) and len(v) == 2:
+                c = c.where((F.col(k) >= v[0]) & (F.col(k) <= v[1]))
+            elif isinstance(v, (list, set)):
+                c = c.where(F.col(k).isin(*v))
+            else:
+                c = c.where(F.col(k) == v)
+        idx = c.select(*dims).distinct()
+        return SparkNetCDF(self.df.join(F.broadcast(idx), list(dims), "left_semi"))
+
+    def sel_bounds(
+        self, bounds: DataFrame, dim: str, lo, hi, mode: str = "overlaps"
+    ) -> "SparkNetCDF":
+        """Selection through a CF BOUNDS array (``time_bnds``-style cell
+        intervals, one (lo, hi) row per dim index — reference
+        ``dimensions.py`` bounds machinery): keep indices whose interval
+        ``overlaps`` (default) or is ``within`` [lo, hi]. Broadcast
+        semi-join, same shape as :meth:`sel_labels`."""
+        if mode == "overlaps":
+            c = bounds.where((F.col("hi") >= lo) & (F.col("lo") <= hi))
+        elif mode == "within":
+            c = bounds.where((F.col("lo") >= lo) & (F.col("hi") <= hi))
+        else:
+            raise ValueError(f"mode must be 'overlaps' or 'within' (got {mode!r})")
         idx = c.select(dim).distinct()
         return SparkNetCDF(self.df.join(F.broadcast(idx), dim, "left_semi"))
 
