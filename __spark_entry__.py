@@ -1569,6 +1569,42 @@ def sql_stratified_sample():
     )
 
 
+def q_weighted_repeat(spark, sf_dir):
+    """Deterministic fractional upsampling for corpus mixing ("2.5 epochs
+    of src0, 0.25 of src2"): copies = ⌊w⌋ + hash-Bernoulli(frac(w)),
+    bit-reproducible and resumable; unlisted sources drop."""
+    from pyramids_spark.text import sampling
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("nid"), "source"
+    )
+    out = sampling.weighted_repeat(
+        docs,
+        {"src0": 2.5, "src1": 1.0, "src2": 0.25, "src3": 3.0},
+        strata="source",
+        key="nid",
+    )
+    return out.select(F.col("nid").alias("doc_key"), "source", "copy_id")
+
+
+def sql_weighted_repeat():
+    u = f"(({cells.h1_sql(f'({_NID} + 0)')}) / 4294967296.0)"
+    bern = lambda f: f"(CASE WHEN u < {f!r} THEN 1 ELSE 0 END)"  # noqa: E731
+    case = (
+        "CASE source "
+        f"WHEN 'src0' THEN 2 + {bern(0.5)} "
+        f"WHEN 'src1' THEN 1 + {bern(0.0)} "
+        f"WHEN 'src2' THEN 0 + {bern(0.25)} "
+        f"WHEN 'src3' THEN 3 + {bern(0.0)} "
+        "ELSE 0 END"
+    )
+    return (
+        f"WITH d AS (SELECT {_NID} AS doc_key, source, {u} AS u FROM documents), "
+        f"n AS (SELECT doc_key, source, CAST({case} AS BIGINT) AS n FROM d) "
+        "SELECT doc_key, source, unnest(range(n)) AS copy_id FROM n WHERE n > 0"
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Token-budget sequence packing: deterministic-shuffle order +
     distributed prefix sum (per-bucket totals broadcast, windows only
@@ -3051,6 +3087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sel_labels": q_sel_labels,
         "sel_coords2d": q_sel_coords2d,
         "sel_bounds": q_sel_bounds,
+        "weighted_repeat": q_weighted_repeat,
         "netcdf_variables": q_netcdf_variables,
         "token_count": q_token_count,
         "quality": q_quality,
@@ -3203,6 +3240,7 @@ def oracle_sql() -> dict[str, str]:
         "sel_labels": sql_sel_labels(),
         "sel_coords2d": sql_sel_coords2d(),
         "sel_bounds": sql_sel_bounds(),
+        "weighted_repeat": sql_weighted_repeat(),
         "netcdf_variables": sql_netcdf_variables(),
         "token_count": sql_token_count(),
         "quality": sql_quality(),

@@ -54,6 +54,39 @@ def stratified_sample(
     return df.where(u < frac.otherwise(F.lit(0.0)))
 
 
+def weighted_repeat(
+    df: DataFrame,
+    weights: dict,
+    strata: str,
+    key: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic FRACTIONAL upsampling for corpus mixing (the
+    "3.5 epochs of Wikipedia, 0.25 of CommonCrawl" recipe of a pretraining
+    data plan): each row of stratum ``s`` appears ``⌊w_s⌋ + Bernoulli(w_s
+    − ⌊w_s⌋)`` times, the Bernoulli drawn from the portable hash so the
+    mix is bit-reproducible and resumable (same discipline as
+    :func:`deterministic_sample`; unlisted strata get weight 0 and drop).
+    Output adds ``copy_id`` (0-based) — feed ``(key, copy_id)`` to
+    :func:`pseudo_shuffle` so copies of one document spread across the
+    epoch instead of sitting adjacent. Weight table is a literal CASE
+    (codegen, no join); the explode is O(output rows), shuffle-free."""
+    u = cells.h1_col(F.col(key) + F.lit(salt * 1_000_003)) / F.lit(2.0**32)
+    n = None
+    for k, w in weights.items():
+        whole, frac = int(w), float(w) - int(w)
+        cnt = F.lit(whole) + (u < F.lit(frac)).cast("long")
+        cond = F.col(strata) == F.lit(k)
+        n = F.when(cond, cnt) if n is None else n.when(cond, cnt)
+    n = F.lit(0).cast("long") if n is None else n.otherwise(F.lit(0)).cast("long")
+    return (
+        df.withColumn("_n", n)
+        .where(F.col("_n") > 0)
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_n")
+    )
+
+
 def pseudo_shuffle(df: DataFrame, key: str = "doc_id", salt: int = 0) -> DataFrame:
     """Deterministic global shuffle: attach ``shuffle_key = h1(key+salt)``
     and range-repartition/sort by it — the epoch-reshuffle a training

@@ -155,3 +155,35 @@ def test_sampling_deterministic_and_packing_contiguous(spark):
         csum += r.n_tokens
     assert out.bin_id.is_monotonic_increasing
     assert out.bin_id.max() > 10
+
+
+def test_weighted_repeat_counts_and_determinism(spark):
+    """Corpus-mix upsampling: per-row copy count is floor(w) +
+    hash-Bernoulli(frac), numpy-oracled; deterministic across invocations;
+    copy_id is a contiguous 0-based range per kept row."""
+    import numpy as np
+
+    from pyramids_spark import cells
+    from pyramids_spark.text import sampling
+
+    n = 1200
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("src"),
+    )
+    weights = {"s0": 2.5, "s1": 0.25, "s2": 1.0}
+    out = sampling.weighted_repeat(df, weights, strata="src", key="doc_id")
+    got = out.toPandas().sort_values(["doc_id", "copy_id"]).reset_index(drop=True)
+    ids = np.arange(n, dtype=np.int64)
+    u = cells.h1_np(ids) / 2.0**32
+    w = np.array([weights[f"s{i % 3}"] for i in range(n)])
+    exp_n = np.floor(w).astype(int) + (u < (w - np.floor(w))).astype(int)
+    per_doc = got.groupby("doc_id").size().reindex(ids, fill_value=0).to_numpy()
+    assert (per_doc == exp_n).all()
+    for did, grp in got.groupby("doc_id"):
+        assert list(grp["copy_id"]) == list(range(len(grp)))
+    again = sampling.weighted_repeat(df, weights, strata="src", key="doc_id").toPandas()
+    assert len(again) == len(got)
+    # expected-volume sanity: mix ratios land near the weights
+    frac_s0 = (got["src"] == "s0").mean()
+    assert 0.6 < frac_s0 < 0.72  # 2.5 / 3.75 ≈ 0.667
