@@ -208,33 +208,15 @@ def q_pip_hexagons(spark, sf_dir):
 # locate_faces-at-10^7-faces plan shape (pip.pip_join_df).
 
 _FACES_N = 12000
-_HEX6_COS = [float(np.cos(2 * np.pi * k / 6)) for k in range(6)]
-_HEX6_SIN = [float(np.sin(2 * np.pi * k / 6)) for k in range(6)]
-
-
-def _faces_zones_df(spark: SparkSession, n: int = _FACES_N) -> DataFrame:
-    z = spark.range(n).select(F.col("id").alias("zone_id"))
-    k = F.col("zone_id") * F.lit(1000003) + F.lit(11)
-    z = (
-        z.withColumn("_cx", cells.lon_col(cells.h1_col(k)) * 0.75)
-        .withColumn("_cy", cells.lat_col(cells.h2_col(k)) * 0.75)
-        .withColumn(
-            "_r",
-            F.lit(0.5)
-            + (cells.h1_col(F.col("zone_id") * F.lit(3) + F.lit(1)) % F.lit(1500))
-            / F.lit(1000.0),
-        )
-    )
-    xs = F.array(*[F.col("_cx") + F.col("_r") * F.lit(c) for c in _HEX6_COS])
-    ys = F.array(*[F.col("_cy") + F.col("_r") * F.lit(s) for s in _HEX6_SIN])
-    return z.select("zone_id", xs.alias("xs"), ys.alias("ys"))
+_HEX6_COS = synth.HEX6_COS
+_HEX6_SIN = synth.HEX6_SIN
 
 
 def q_pip_faces(spark, sf_dir):
     pts = _doc_points(spark, sf_dir)
-    return pip_op.pip_join_df(pts, _faces_zones_df(spark), zoom=7).select(
-        "doc_id", "zone_id"
-    )
+    return pip_op.pip_join_df(
+        pts, synth.zone_hexagons_df(spark, _FACES_N), zoom=7
+    ).select("doc_id", "zone_id")
 
 
 def sql_pip_faces():

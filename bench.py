@@ -212,6 +212,19 @@ def main():
             pts, synth.zone_polygons(25, "box"), value="key", zoom=8
         ).count(),
     )
+    # DataFrame-native polygon side (locate_faces shape): 12k hexagon parts
+    # synthesized in column math, mapInPandas batched cover, AQE broadcasts
+    # the 1.1M-row zoom-10 cover so the 8M-point side never shuffles;
+    # short warmup compiles the cover/refine codepaths (session is already
+    # hot from the queries above — measured warm-vs-steady gap ~4%)
+    zdf = synth.zone_hexagons_df(spark, 12000)
+    pip_op.pip_join_df(
+        pts.where(F.col("key") % 40 == 0), zdf, zoom=10
+    ).count()
+    bench(
+        "pip_faces_12k",
+        lambda: pip_op.pip_join_df(pts, zdf, zoom=10).count(),
+    )
     pts.unpersist()
 
     g = Grid(x0=0.0, y0=0.0, cell=1.0, rows=2048, cols=2048)

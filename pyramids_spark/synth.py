@@ -312,3 +312,33 @@ def _convex_hull(pts: np.ndarray) -> np.ndarray:
     lower = half(pts)
     upper = half(pts[::-1])
     return np.array(lower[:-1] + upper[:-1])
+
+
+#: unit-hexagon vertex offsets (ccw) for zone_hexagons_df — embedded as the
+#: SAME double literals in the entry oracle SQL so the two engines agree
+HEX6_COS = [float(np.cos(2 * np.pi * k / 6)) for k in range(6)]
+HEX6_SIN = [float(np.sin(2 * np.pi * k / 6)) for k in range(6)]
+
+
+def zone_hexagons_df(spark: SparkSession, n: int) -> DataFrame:
+    """``n`` hexagon polygon parts as a DataFrame ``(zone_id, xs, ys)`` —
+    the DISTRIBUTED polygon side for ``pip.pip_join_df`` (reference
+    ``locate_faces`` against 10^7-face mesh tables). Synthesized in pure
+    column math from the portable int64 hash: centre from
+    ``h1/h2(zone_id·1000003 + 11)``, radius 0.5–2.0° from
+    ``h1(zone_id·3 + 1)``; never materialized driver-side."""
+    z = spark.range(n).select(F.col("id").alias("zone_id"))
+    k = F.col("zone_id") * F.lit(1000003) + F.lit(11)
+    z = (
+        z.withColumn("_cx", cells.lon_col(cells.h1_col(k)) * 0.75)
+        .withColumn("_cy", cells.lat_col(cells.h2_col(k)) * 0.75)
+        .withColumn(
+            "_r",
+            F.lit(0.5)
+            + (cells.h1_col(F.col("zone_id") * F.lit(3) + F.lit(1)) % F.lit(1500))
+            / F.lit(1000.0),
+        )
+    )
+    xs = F.array(*[F.col("_cx") + F.col("_r") * F.lit(c) for c in HEX6_COS])
+    ys = F.array(*[F.col("_cy") + F.col("_r") * F.lit(s) for s in HEX6_SIN])
+    return z.select("zone_id", xs.alias("xs"), ys.alias("ys"))
