@@ -219,7 +219,9 @@ def q_pip_faces(spark, sf_dir):
     ).select("doc_id", "zone_id")
 
 
-def sql_pip_faces():
+def _faces_sql_parts() -> tuple[str, str]:
+    """(z CTE body, convex-interior join condition) for the hexagon-part
+    fixture — shared by the pip_faces and zonal_faces oracles."""
     k = "(i * 1000003 + 11)"
     cx = f"({cells.lon_sql(cells.h1_sql_big(k))} * 0.75)"
     cy = f"({cells.lat_sql(cells.h2_sql_big(k))} * 0.75)"
@@ -234,12 +236,44 @@ def sql_pip_faces():
         conds.append(
             f"(({xb} - {xa}) * (p.y - {ya}) - ({yb} - {ya}) * (p.x - {xa})) > 0"
         )
-    cond = " AND ".join(conds)
+    z_cte = (
+        f"SELECT i AS zone_id, {cx} AS cx, {cy} AS cy, {r} AS r "
+        f"FROM generate_series(0, {_FACES_N - 1}) t(i)"
+    )
+    return z_cte, " AND ".join(conds)
+
+
+def sql_pip_faces():
+    z_cte, cond = _faces_sql_parts()
     return (
-        f"WITH pts AS ({_PTS_SQL}), "
-        f"z AS (SELECT i AS zone_id, {cx} AS cx, {cy} AS cy, {r} AS r "
-        f"FROM generate_series(0, {_FACES_N - 1}) t(i)) "
+        f"WITH pts AS ({_PTS_SQL}), z AS ({z_cte}) "
         f"SELECT p.doc_id, z.zone_id FROM pts p JOIN z ON {cond}"
+    )
+
+
+def q_zonal_faces(spark, sf_dir):
+    """Zonal stats with the DATAFRAME zone side (zonal twin of
+    locate_faces-at-scale): pip_join_df composition, map-side partial agg,
+    no-hit zones kept as NULL rows."""
+    pts = _doc_points(spark, sf_dir)
+    out = zonal.zonal_stats_points_df(
+        pts, synth.zone_hexagons_df(spark, _FACES_N), value="n_chars",
+        zoom=7, stat_names=("count", "sum", "mean"),
+    )
+    return out.select(
+        "zone_id", "count", "sum", F.round("mean", 6).alias("mean")
+    )
+
+
+def sql_zonal_faces():
+    z_cte, cond = _faces_sql_parts()
+    return (
+        f"WITH pts AS ({_PTS_SQL}), z AS ({z_cte}), "
+        f"j AS (SELECT z.zone_id, p.n_chars FROM pts p JOIN z ON {cond}), "
+        "a AS (SELECT zone_id, count(n_chars) AS count, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum, round(avg(n_chars), 6) AS mean "
+        "FROM j GROUP BY 1) "
+        "SELECT z.zone_id, a.count, a.sum, a.mean FROM z LEFT JOIN a USING (zone_id)"
     )
 
 
@@ -865,6 +899,74 @@ def sql_wkt_geometrycollection():
         f"TRY_CAST(str_split(str_split({ring}, ', ')[1], ' ')[1] AS DOUBLE) AS x1, "
         f"TRY_CAST(str_split(str_split({ring}, ', ')[1], ' ')[2] AS DOUBLE) AS y1 "
         "FROM p"
+    )
+
+
+def q_geojson_roundtrip(spark, sf_dir):
+    """GeoJSON geometry-as-dict surface (reference builds/accepts geojson
+    dicts throughout feature/geometry.py): construct Point + Polygon
+    GeoJSON strings in codegen string algebra, parse type/coords back."""
+    from pyramids_spark.functions import wkt as W
+
+    docs = _read(spark, sf_dir, "documents")
+    h1, h2 = cells.h1_col(F.col("doc_id")), cells.h2_col(F.col("doc_id"))
+    d = docs.select(
+        "doc_id", cells.lon_col(h1).alias("lon"), cells.lat_col(h2).alias("lat")
+    )
+    lon, lat = F.col("lon"), F.col("lat")
+    d = d.withColumn("pt", W.point_geojson(lon, lat)).withColumn(
+        "poly",
+        W.polygon_geojson(
+            F.array(lon - 1.0, lon + 1.0, lon + 1.0, lon - 1.0),
+            F.array(lat - 1.0, lat - 1.0, lat + 1.0, lat + 1.0),
+        ),
+    )
+    return d.select(
+        "doc_id", "pt",
+        W.geojson_type(F.col("pt")).alias("ptype"),
+        W.geojson_point_x(F.col("pt")).alias("px"),
+        W.geojson_point_y(F.col("pt")).alias("py"),
+        W.geojson_type(F.col("poly")).alias("gtype"),
+        F.element_at(W.geojson_ring_xs(F.col("poly")), 2).alias("x2"),
+        F.size(W.geojson_ring_xs(F.col("poly"))).cast("long").alias("nvtx"),
+    )
+
+
+def sql_geojson_roundtrip():
+    num = "(-?[0-9]+\\.?[0-9]*)"
+    pt = (
+        "printf('{\"type\": \"Point\", \"coordinates\": [%.6f, %.6f]}', "
+        "round(lon, 6) + 0.0, round(lat, 6) + 0.0)"
+    )
+    ring = ", ".join(["[%.6f, %.6f]"] * 5)
+    vals = (
+        "round(lon - 1.0, 6) + 0.0, round(lat - 1.0, 6) + 0.0, "
+        "round(lon + 1.0, 6) + 0.0, round(lat - 1.0, 6) + 0.0, "
+        "round(lon + 1.0, 6) + 0.0, round(lat + 1.0, 6) + 0.0, "
+        "round(lon - 1.0, 6) + 0.0, round(lat + 1.0, 6) + 0.0, "
+        "round(lon - 1.0, 6) + 0.0, round(lat - 1.0, 6) + 0.0"
+    )
+    poly = (
+        "printf('{\"type\": \"Polygon\", \"coordinates\": [[" + ring + "]]}', "
+        + vals + ")"
+    )
+    coord_pat = f'"coordinates":\\s*\\[{num}, {num}\\]'
+    xs = (
+        r"string_split_regex(regexp_extract(poly, '\[\[\[(.*?)\]\]', 1), "
+        r"'\],\s*\[')"
+    )
+    return (
+        "WITH d AS (SELECT doc_id, "
+        f"{cells.lon_sql(_H1)} AS lon, {cells.lat_sql(_H2)} AS lat FROM documents), "
+        f"w AS (SELECT doc_id, {pt} AS pt, {poly} AS poly FROM d) "
+        "SELECT doc_id, pt, "
+        "regexp_extract(pt, '\"type\":\\s*\"([A-Za-z]+)\"', 1) AS ptype, "
+        f"TRY_CAST(regexp_extract(pt, '{coord_pat}', 1) AS DOUBLE) AS px, "
+        f"TRY_CAST(regexp_extract(pt, '{coord_pat}', 2) AS DOUBLE) AS py, "
+        "regexp_extract(poly, '\"type\":\\s*\"([A-Za-z]+)\"', 1) AS gtype, "
+        f"TRY_CAST(str_split({xs}[2], ', ')[1] AS DOUBLE) AS x2, "
+        f"CAST(len({xs}) AS BIGINT) AS nvtx "
+        "FROM w"
     )
 
 
@@ -3065,7 +3167,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_faces": q_pip_faces,
+        "zonal_faces": q_zonal_faces,
         "wkt_geometrycollection": q_wkt_geometrycollection,
+        "geojson_roundtrip": q_geojson_roundtrip,
         "sel_labels": q_sel_labels,
         "sel_coords2d": q_sel_coords2d,
         "sel_bounds": q_sel_bounds,
@@ -3177,6 +3281,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_boxes": sql_pip_boxes(),
         "pip_hexagons": sql_pip_hexagons(),
         "pip_faces": sql_pip_faces(),
+        "zonal_faces": sql_zonal_faces(),
         "knn": sql_knn(),
         "knn_cellpruned": sql_knn(),  # same semantics, different physical plan
         "extract_at_points": sql_extract_at_points(),
@@ -3199,6 +3304,7 @@ def oracle_sql() -> dict[str, str]:
         "list_layers": sql_list_layers(),
         "wkt_roundtrip": sql_wkt_roundtrip(),
         "wkt_geometrycollection": sql_wkt_geometrycollection(),
+        "geojson_roundtrip": sql_geojson_roundtrip(),
         "wkt_polygon_roundtrip": sql_wkt_polygon_roundtrip(),
         "focal_std": sql_focal_std(),
         "concat_fc": sql_concat_fc(),

@@ -164,3 +164,60 @@ def wkt_geometry_type(wkt: Column) -> Column:
     """Leading WKT tag (``POINT`` / ``POLYGON`` / …) — reference
     ``geom_type`` accessor."""
     return F.upper(F.regexp_extract(wkt, r"^\s*([A-Za-z]+)", 1))
+
+
+# --- GeoJSON (reference geometry-as-dict surface, feature/geometry.py) ------
+# Same 6-dp + (-0.0 → +0.0) discipline as the WKT constructors so the Spark
+# and DuckDB strings are byte-identical.
+
+
+def point_geojson(x: Column, y: Column) -> Column:
+    """(x, y) → ``{"type": "Point", "coordinates": [x, y]}``."""
+    return F.format_string(
+        '{"type": "Point", "coordinates": [%.6f, %.6f]}', _norm(x), _norm(y)
+    )
+
+
+def polygon_geojson(xs: Column, ys: Column) -> Column:
+    """Coordinate arrays → single-ring GeoJSON Polygon, ring closed when
+    the input is open (the create_polygon closed-ring contract)."""
+    parts = F.zip_with(
+        xs, ys, lambda a, b: F.format_string("[%.6f, %.6f]", _norm(a), _norm(b))
+    )
+    closed = F.element_at(parts, 1) == F.element_at(parts, -1)
+    ring = F.when(closed, parts).otherwise(
+        F.concat(parts, F.array(F.element_at(parts, 1)))
+    )
+    return F.concat(
+        F.lit('{"type": "Polygon", "coordinates": [['),
+        F.array_join(ring, ", "),
+        F.lit("]]}"),
+    )
+
+
+def geojson_type(s: Column) -> Column:
+    """GeoJSON ``type`` field (``Point`` / ``Polygon`` / …)."""
+    return F.regexp_extract(s, r'"type":\s*"([A-Za-z]+)"', 1)
+
+
+def geojson_point_x(s: Column) -> Column:
+    """GeoJSON Point → x (NULL on non-point input)."""
+    return F.regexp_extract(
+        s, rf'"coordinates":\s*\[{_NUM}, {_NUM}\]', 1
+    ).try_cast("double")
+
+
+def geojson_point_y(s: Column) -> Column:
+    """GeoJSON Point → y (NULL on non-point input)."""
+    return F.regexp_extract(
+        s, rf'"coordinates":\s*\[{_NUM}, {_NUM}\]', 2
+    ).try_cast("double")
+
+
+def geojson_ring_xs(s: Column) -> Column:
+    """GeoJSON Polygon exterior ring → x array<double>."""
+    body = F.regexp_extract(s, r"\[\[\[(.*?)\]\]", 1)
+    return F.transform(
+        F.split(body, r"\],\s*\["),
+        lambda p: F.element_at(F.split(p, ", "), 1).try_cast("double"),
+    )
