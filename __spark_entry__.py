@@ -317,6 +317,39 @@ def q_knn_cellpruned(spark, sf_dir):
     )
 
 
+def q_knn_df(spark, sf_dir):
+    """kNN with a DATAFRAME query side (locate_nearest_node over whole
+    point sets): radius-block equi-join + guarantee, sparse queries fall
+    back to the broadcast scan — same results as knn_join."""
+    pts = _doc_points(spark, sf_dir).withColumn("key", F.col("doc_id"))
+    kq = F.col("id") * F.lit(7919) + F.lit(3)
+    q = spark.range(40).select(
+        F.col("id").alias("query_id"),
+        cells.lon_col(cells.h1_col(kq)).alias("qx"),
+        cells.lat_col(cells.h2_col(kq)).alias("qy"),
+    )
+    out = knn.knn_join_df(pts, q, k=3, radius=30.0)
+    return out.select(
+        "query_id", F.col("key").alias("doc_id"),
+        F.round("dist2", 6).alias("dist2"), F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def sql_knn_df():
+    kq = "(i * 7919 + 3)"
+    return (
+        f"WITH pts AS ({_PTS_SQL}), "
+        f"q AS (SELECT i AS query_id, {cells.lon_sql(cells.h1_sql(kq))} AS qx, "
+        f"{cells.lat_sql(cells.h2_sql(kq))} AS qy FROM generate_series(0, 39) t(i)), "
+        "d AS (SELECT q.query_id, p.doc_id, "
+        "(p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy) AS dist2 "
+        "FROM q CROSS JOIN pts p), "
+        "r AS (SELECT query_id, doc_id, dist2, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY dist2, doc_id) AS rank FROM d) "
+        "SELECT query_id, doc_id, round(dist2, 6) AS dist2, rank FROM r WHERE rank <= 3"
+    )
+
+
 def q_extract_at_points(spark, sf_dir):
     """Point × raster nearest-cell lookup (reference Dataset.extract at points)."""
     g = grid_df(spark, COELLO)
@@ -3168,6 +3201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_faces": q_pip_faces,
         "zonal_faces": q_zonal_faces,
+        "knn_df": q_knn_df,
         "wkt_geometrycollection": q_wkt_geometrycollection,
         "geojson_roundtrip": q_geojson_roundtrip,
         "sel_labels": q_sel_labels,
@@ -3282,6 +3316,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_hexagons": sql_pip_hexagons(),
         "pip_faces": sql_pip_faces(),
         "zonal_faces": sql_zonal_faces(),
+        "knn_df": sql_knn_df(),
         "knn": sql_knn(),
         "knn_cellpruned": sql_knn(),  # same semantics, different physical plan
         "extract_at_points": sql_extract_at_points(),

@@ -103,6 +103,97 @@ def knn_join(
     )
 
 
+def knn_join_df(
+    targets: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    radius: float = 2.0,
+    x: str = "x",
+    y: str = "y",
+    key: str = "key",
+    qx: str = "qx",
+    qy: str = "qy",
+    max_fallback: int = 50_000,
+) -> DataFrame:
+    """Exact kNN where the QUERY side is a DATAFRAME — both sides scale
+    (reference ``locate_nearest_node`` takes whole point sets,
+    ``ugrid/spatial.py:101-143``; the list-based :func:`knn_join`
+    broadcasts its queries, capping them at driver size).
+
+    Two fixed phases, no per-round driver loop:
+
+    1. **Radius-block join**: queries replicate ×9 to their neighbouring
+       ``radius``-sized blocks (exploded literal offsets), one hash
+       equi-join on the block key pairs each query only with local
+       targets, window top-k per query. The ring guarantee (≥k candidates
+       AND kth distance ≤ radius) is exact: every target within
+       ``radius`` of a query lies in its 3×3 block neighbourhood, and
+       anything outside is strictly farther than radius.
+    2. **Sparse fallback**: unresolved queries (sparse neighbourhoods)
+       run through the broadcast partial-top-k scan. They are collected —
+       guarded by ``max_fallback`` (raise = "increase radius"), the same
+       honesty contract as ann.near_dup_embeddings' max_exact_rows — so
+       the whole operator costs exactly ONE driver action when every
+       query resolves in phase 1.
+
+    Returns (query_id, {key}, dist2, rank), rank 1..k, ties by
+    (dist2, key) — identical to :func:`knn_join`.
+    """
+    tb = (
+        targets.select(key, x, y)
+        .withColumn("_bx", F.floor(F.col(x) / radius).cast("long"))
+        .withColumn("_by", F.floor(F.col(y) / radius).cast("long"))
+    )
+    offs = F.array(*[
+        F.struct(F.lit(dx).cast("long").alias("dx"), F.lit(dy).cast("long").alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ])  # exploded literal, not a 9-row crossJoin (which plans as a BNLJ)
+    q9 = (
+        queries.select("query_id", qx, qy)
+        .withColumn("_o", F.explode(offs))
+        .select(
+            "query_id", qx, qy,
+            (F.floor(F.col(qx) / radius).cast("long") + F.col("_o.dx")).alias("_bx"),
+            (F.floor(F.col(qy) / radius).cast("long") + F.col("_o.dy")).alias("_by"),
+        )
+    )
+    d2 = (F.col(x) - F.col(qx)) ** 2 + (F.col(y) - F.col(qy)) ** 2
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col(key).asc())
+    ranked = (
+        q9.join(tb, ["_bx", "_by"])
+        .withColumn("dist2", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", key, "dist2", "rank")
+    )
+    guaranteed = (
+        ranked.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_n"), F.max("dist2").alias("_kthd"))
+        .where((F.col("_n") >= k) & (F.col("_kthd") <= F.lit(float(radius) ** 2)))
+        .select("query_id")
+    )
+    # ranked and guaranteed share the query_id shuffle → ReusedExchange,
+    # co-partitioned joins, no broadcast of the (possibly huge) done set
+    done = ranked.join(guaranteed, "query_id", "left_semi")
+    rest = queries.join(guaranteed, "query_id", "left_anti")
+    rest_rows = rest.select("query_id", qx, qy).limit(max_fallback + 1).collect()
+    if len(rest_rows) > max_fallback:
+        raise ValueError(
+            f"> {max_fallback} queries unresolved at radius={radius}: "
+            "increase radius (or max_fallback) — the sparse fallback "
+            "broadcasts the leftover query set"
+        )
+    if rest_rows:
+        fb = knn_join(
+            targets,
+            [(r["query_id"], r[qx], r[qy]) for r in rest_rows],
+            k=k, x=x, y=y, key=key,
+        )
+        done = done.unionByName(fb.select("query_id", key, "dist2", "rank"))
+    return done
+
+
 def knn_join_cellpruned(
     targets: DataFrame,
     queries: list[tuple[int, float, float]],

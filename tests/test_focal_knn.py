@@ -97,15 +97,25 @@ def _np_knn(ids, xs, ys, queries, k):
     return exp
 
 
-@pytest.mark.parametrize("engine", ["partial_topk", "cellpruned"])
+@pytest.mark.parametrize(
+    "engine", ["partial_topk", "cellpruned", "df_dense", "df_sparse"]
+)
 def test_knn_matches_numpy(spark, engine):
     n = 4000
     pts = synth.doc_points(spark, n)
     queries = [(0, 10.0, 20.0), (1, -170.0, -80.0), (2, 0.01, 0.02), (3, 179.0, 84.0)]
     if engine == "partial_topk":
         got = knn.knn_join(pts, queries, k=7).toPandas()
-    else:
+    elif engine == "cellpruned":
         got = knn.knn_join_cellpruned(pts, queries, k=7, zoom=4).toPandas()
+    else:
+        # DataFrame query side; the small radius forces the corner queries
+        # through the sparse fallback, the big one resolves all in phase 1
+        qdf = spark.createDataFrame(
+            queries, "query_id long, qx double, qy double"
+        )
+        radius = 40.0 if engine == "df_dense" else 4.0
+        got = knn.knn_join_df(pts, qdf, k=7, radius=radius).toPandas()
     ids = np.arange(n)
     h1, h2 = cells.h1_np(ids), cells.h2_np(ids)
     h3 = ((ids.astype(np.uint64) * np.uint64(2971215073) + np.uint64(433494437)) % np.uint64(2**32)).astype(np.int64)
