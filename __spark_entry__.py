@@ -1705,7 +1705,7 @@ def q_weighted_repeat(spark, sf_dir):
 
 
 def sql_weighted_repeat():
-    u = f"(({cells.h1_sql(f'({_NID} + 0)')}) / 4294967296.0)"
+    u = f"(({cells.h2_sql(f'({_NID} + 0)')}) / 4294967296.0)"
     bern = lambda f: f"(CASE WHEN u < {f!r} THEN 1 ELSE 0 END)"  # noqa: E731
     case = (
         "CASE source "
@@ -2250,9 +2250,10 @@ _ALBERS_GRID = reproj_op.reproject_plan(CROP_GRID, 5070)
 
 
 def q_reproject_lcc(spark, sf_dir):
-    """to_crs 4326→2154 Lambert conformal conic (spherical closed form,
-    VERDICT r2 #5; reference corner-transform rule ``spatial.py:360-457``,
-    CRS dispatch ``feature/crs.py:162-268``)."""
+    """to_crs 4326→2154 Lambert conformal conic (ELLIPSOIDAL GRS80 closed
+    form with the 700000/6600000 false origin, VERDICT r3 #1; reference
+    corner-transform rule ``spatial.py:360-457``, CRS dispatch
+    ``feature/crs.py:162-268``)."""
     g = grid_df(spark, CROP_GRID)
     return reproj_op.to_crs_nearest(
         g, CROP_GRID, _LCC_GRID, inverse=reproj_op.conic_inverse_cols(2154)
@@ -2275,7 +2276,8 @@ def sql_reproject_lcc():
 
 
 def q_reproject_albers(spark, sf_dir):
-    """to_crs 4326→5070 Albers equal-area conic (spherical closed form)."""
+    """to_crs 4326→5070 Albers equal-area conic (ellipsoidal GRS80 closed
+    form, authalic-series inverse latitude)."""
     g = grid_df(spark, CROP_GRID)
     return reproj_op.to_crs_nearest(
         g, CROP_GRID, _ALBERS_GRID, inverse=reproj_op.conic_inverse_cols(5070)

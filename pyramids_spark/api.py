@@ -262,7 +262,9 @@ class SparkDataset:
             )
         out: dict[int, DataFrame] = {}
         base, rows, cols, lv = self.df, self.grid.rows, self.grid.cols, 1
-        last = self.df
+        # level 1 (identity) still carries n_children=1 so every emitted
+        # level has the same schema (matching overview_rollup at level 1)
+        last = self.df.withColumn("n_children", F.lit(1).cast("long"))
         from dataclasses import replace as _replace
 
         for target in sorted(levels):
@@ -493,15 +495,28 @@ class SparkDatasetCollection:
         )
 
 
+def _apply_ranges(df: DataFrame, ranges: dict) -> DataFrame:
+    """The sel() predicate language, in ONE place: scalar ==, list/set IN,
+    2-tuple BETWEEN — shared by sel, sel_coords2d and sel_labels so the
+    three selection surfaces cannot diverge."""
+    for k, v in ranges.items():
+        if isinstance(v, tuple) and len(v) == 2:
+            df = df.where((F.col(k) >= v[0]) & (F.col(k) <= v[1]))
+        elif isinstance(v, (list, set)):
+            df = df.where(F.col(k).isin(*v))
+        else:
+            df = df.where(F.col(k) == v)
+    return df
+
+
 def _label_filter(df: DataFrame, col: str, eq, isin, between) -> DataFrame:
-    """Apply the sel() predicate language (scalar ==, list IN, 2-tuple
-    BETWEEN) to one column of a coordinate lookup table."""
+    """kwargs form of the sel() predicate language for one column."""
     if between is not None:
-        return df.where((F.col(col) >= between[0]) & (F.col(col) <= between[1]))
+        return _apply_ranges(df, {col: tuple(between)})
     if isin is not None:
-        return df.where(F.col(col).isin(*isin))
+        return _apply_ranges(df, {col: list(isin)})
     if eq is not None:
-        return df.where(F.col(col) == eq)
+        return _apply_ranges(df, {col: eq})
     return df
 
 
@@ -545,15 +560,7 @@ class SparkNetCDF:
     def sel(self, **ranges) -> "SparkNetCDF":
         """Label slice per dimension column: scalar ==, list IN, 2-tuple
         BETWEEN (netcdf.py:736-846)."""
-        d = self.df
-        for k, v in ranges.items():
-            if isinstance(v, tuple) and len(v) == 2:
-                d = d.where((F.col(k) >= v[0]) & (F.col(k) <= v[1]))
-            elif isinstance(v, (list, set)):
-                d = d.where(F.col(k).isin(*v))
-            else:
-                d = d.where(F.col(k) == v)
-        return SparkNetCDF(d)
+        return SparkNetCDF(_apply_ranges(self.df, ranges))
 
     def sel_labels(
         self, coords: DataFrame, dim: str,
@@ -568,8 +575,7 @@ class SparkNetCDF:
         join back into the cell table as a broadcast LEFT SEMI join, so
         the (10^12-row) data side is never shuffled and the predicate
         pushes into the scan when ``dim`` is a partition column."""
-        c = _label_filter(coords, "label", eq, isin, between)
-        idx = c.select(dim).distinct()
+        idx = _label_filter(coords, "label", eq, isin, between).select(dim).distinct()
         return SparkNetCDF(self.df.join(F.broadcast(idx), dim, "left_semi"))
 
     def sel_coords2d(
@@ -584,15 +590,7 @@ class SparkNetCDF:
         matching dim tuples broadcast-semi-join into the cell table — the
         coordinate table is O(grid cells), dwarfed by data × time ×
         variable, so the data side never shuffles."""
-        c = coords
-        for k, v in ranges.items():
-            if isinstance(v, tuple) and len(v) == 2:
-                c = c.where((F.col(k) >= v[0]) & (F.col(k) <= v[1]))
-            elif isinstance(v, (list, set)):
-                c = c.where(F.col(k).isin(*v))
-            else:
-                c = c.where(F.col(k) == v)
-        idx = c.select(*dims).distinct()
+        idx = _apply_ranges(coords, ranges).select(*dims).distinct()
         return SparkNetCDF(self.df.join(F.broadcast(idx), list(dims), "left_semi"))
 
     def sel_bounds(

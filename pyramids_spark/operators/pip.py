@@ -410,6 +410,14 @@ def zone_cover_df(rings: DataFrame, zoom: int, mode: str = "intersects") -> Data
             pk = pdf["part_key"].to_numpy(dtype=np.int64)
             xs_l, ys_l = pdf["xs"].to_list(), pdf["ys"].to_list()
             lens = np.fromiter((len(a) for a in xs_l), np.int64, len(xs_l))
+            if (lens == 0).any():  # degenerate empty rings: no cover
+                keep = np.flatnonzero(lens > 0)
+                zid, pk = zid[keep], pk[keep]
+                xs_l = [xs_l[i] for i in keep]
+                ys_l = [ys_l[i] for i in keep]
+                lens = lens[keep]
+            if len(lens) == 0:
+                continue
             out = []
             # bucket parts by padded ring length (next power of two) so one
             # 10^5-vertex coastline doesn't pad every quad in the batch to

@@ -502,15 +502,17 @@ def parse_wkt_crs(s: str):
     if fam == "utm":
         lon0 = P("central_meridian", "longitude_of_center")
         k0 = P("scale_factor", default=1.0)
+        fn = P("false_northing")
         zone = (lon0 + 183.0) / 6.0
         if (
             abs(k0 - 0.9996) < 1e-12
             and P("false_easting") == 500000.0
+            and P("latitude_of_origin") == 0.0
+            and fn in (0.0, 10_000_000.0)
             and abs(zone - round(zone)) < 1e-9
             and 1 <= round(zone) <= 60
         ):
-            south = P("false_northing") == 10_000_000.0
-            return ("utm", (32700 if south else 32600) + int(round(zone)))
+            return ("utm", (32700 if fn == 10_000_000.0 else 32600) + int(round(zone)))
         raise NotImplementedError("general (non-UTM) Transverse_Mercator unsupported")
     if fam in ("lcc", "albers"):
         lat1 = P("standard_parallel_1")

@@ -70,8 +70,14 @@ def weighted_repeat(
     Output adds ``copy_id`` (0-based) — feed ``(key, copy_id)`` to
     :func:`pseudo_shuffle` so copies of one document spread across the
     epoch instead of sitting adjacent. Weight table is a literal CASE
-    (codegen, no join); the explode is O(output rows), shuffle-free."""
-    u = cells.h1_col(F.col(key) + F.lit(salt * 1_000_003)) / F.lit(2.0**32)
+    (codegen, no join); the explode is O(output rows), shuffle-free.
+
+    The Bernoulli stream is ``h2`` (not ``h1``): deterministic_sample /
+    stratified_sample draw from ``h1``, and drawing the repeat fraction
+    from the same stream would fully correlate with an upstream sample at
+    the same salt (every sample survivor has small u → the fractional
+    copy would fire for 100% of them, silently biasing the mix)."""
+    u = cells.h2_col(F.col(key) + F.lit(salt * 1_000_003)) / F.lit(2.0**32)
     n = None
     for k, w in weights.items():
         whole, frac = int(w), float(w) - int(w)

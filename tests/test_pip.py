@@ -215,6 +215,22 @@ def test_pip_join_df_plan_no_driver_cover(spark):
     assert df.count() > 0
 
 
+def test_pip_join_df_tolerates_empty_rings(spark):
+    """A degenerate (xs=[], ys=[]) ring row must not crash the distributed
+    cover (parity with the driver-side path's empty-part skip)."""
+    pts = synth.doc_points(spark, 500)
+    zones = synth.zone_polygons(3, "hex")
+    zdf = _zones_as_df(spark, zones)
+    empty = spark.createDataFrame(
+        [(99, [], [])], "zone_id long, xs array<double>, ys array<double>"
+    )
+    a = pip.pip_join_df(pts, zdf, zoom=7)
+    b = pip.pip_join_df(pts, zdf.unionByName(empty), zoom=7)
+    ka = {(r["doc_id"], r["zone_id"]) for r in a.collect()}
+    kb = {(r["doc_id"], r["zone_id"]) for r in b.collect()}
+    assert ka == kb and len(ka) > 0
+
+
 def test_zone_cover_interior_flag_sound(spark):
     """boundary=False cells must be fully inside their zone."""
     zones = synth.zone_polygons(6, "hex")

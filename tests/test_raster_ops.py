@@ -171,6 +171,10 @@ def test_parse_wkt_crs_real_prj_strings(spark):
 
     with _pytest.raises(NotImplementedError):
         reproject.parse_wkt_crs(_PRJ_32618.replace("0.9996", "1.0"))  # non-UTM TM
+    with _pytest.raises(NotImplementedError):  # shifted-origin TM is not UTM
+        reproject.parse_wkt_crs(
+            _PRJ_32618.replace('"latitude_of_origin",0', '"latitude_of_origin",40')
+        )
     # .prj path through the facade ≡ the registered-EPSG path
     from pyramids_spark.api import SparkDataset
 

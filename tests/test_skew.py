@@ -175,7 +175,7 @@ def test_weighted_repeat_counts_and_determinism(spark):
     out = sampling.weighted_repeat(df, weights, strata="src", key="doc_id")
     got = out.toPandas().sort_values(["doc_id", "copy_id"]).reset_index(drop=True)
     ids = np.arange(n, dtype=np.int64)
-    u = cells.h1_np(ids) / 2.0**32
+    u = cells.h2_np(ids) / 2.0**32  # h2: decorrelated from the h1 sample stream
     w = np.array([weights[f"s{i % 3}"] for i in range(n)])
     exp_n = np.floor(w).astype(int) + (u < (w - np.floor(w))).astype(int)
     per_doc = got.groupby("doc_id").size().reindex(ids, fill_value=0).to_numpy()
