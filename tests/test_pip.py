@@ -146,16 +146,41 @@ def _zones_as_df(spark, zones):
 
 def test_pip_join_df_matches_broadcast_path(spark):
     """DataFrame-native polygon side (VERDICT r3 #2) ≡ the broadcast list
-    path on the same zone set — both refine modes of pip_join."""
+    path on the same zone set — both refine modes of pip_join_df."""
     pts = synth.doc_points(spark, 4000)
     zones = synth.zone_polygons(9, "hex")
     zdf = _zones_as_df(spark, zones)
     a = pip.pip_join(pts, zones, zoom=7, refine="udf")
-    b = pip.pip_join_df(pts, zdf, zoom=7)
     ka = {(r["doc_id"], r["zone_id"]) for r in a.select("doc_id", "zone_id").collect()}
-    kb = {(r["doc_id"], r["zone_id"]) for r in b.select("doc_id", "zone_id").collect()}
-    assert ka == kb and len(ka) > 0
-    assert set(b.columns) == set(pts.columns) | {"zone_id"}
+    for mode in ("auto", "udf"):
+        b = pip.pip_join_df(pts, zdf, zoom=7, refine=mode)
+        kb = {(r["doc_id"], r["zone_id"]) for r in b.select("doc_id", "zone_id").collect()}
+        assert ka == kb and len(ka) > 0, mode
+        assert set(b.columns) == set(pts.columns) | {"zone_id"}
+
+
+def test_pip_join_df_convex_refine_is_jvm_and_concave_falls_back(spark):
+    """Convex parts must refine via the JVM half-plane array test (no
+    Python eval node in the plan); a CONCAVE part still ray-casts and both
+    modes agree on a mixed zone set."""
+    pts = synth.doc_points(spark, 3000)
+    zones = synth.zone_polygons(4, "hex")
+    # L-shaped (concave) part spanning the hot cell
+    L = np.array([[-2.0, -2.0], [2.0, -2.0], [2.0, 0.0], [0.0, 0.0],
+                  [0.0, 2.0], [-2.0, 2.0]])
+    zones.append({"zone_id": 50, "parts": [L]})
+    zdf = _zones_as_df(spark, zones)
+    auto = pip.pip_join_df(pts, zdf, zoom=7, refine="auto")
+    udf = pip.pip_join_df(pts, zdf, zoom=7, refine="udf")
+    ka = {(r["doc_id"], r["zone_id"]) for r in auto.collect()}
+    kb = {(r["doc_id"], r["zone_id"]) for r in udf.collect()}
+    assert ka == kb
+    assert any(z == 50 for _, z in ka)  # the concave zone has hits
+    # the convex branch's keep-condition is a JVM higher-order forall —
+    # visible in the executed plan text (the concave ray-cast branch still
+    # appears statically in the union but scans only concave parts)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "forall" in plan
 
 
 def test_pip_join_df_batch_cover_matches_per_part(spark):
