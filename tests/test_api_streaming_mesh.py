@@ -595,3 +595,54 @@ def test_streaming_tile_counts_match_batch(spark, tmp_path):
         (str(r["w"]["start"]), r["tile_id"]): r["count"] for r in want_df.collect()
     }
     assert got == want and len(want) > 10
+
+
+def test_streaming_pip_join_df_matches_batch(spark, tmp_path):
+    """pip_join_df works unchanged as a stream-static join: the zone side
+    (mapInPandas cover + ring table) is static, the point stream flows
+    through cell-encode → cover join → convex/ray-cast refine; rows equal
+    the batch run over the same files."""
+    import json
+
+    from pyramids_spark.operators import pip
+
+    zdf = spark.createDataFrame(
+        [
+            (0, [-60.0, -20.0, -20.0, -60.0], [-40.0, -40.0, 10.0, 10.0]),
+            (1, [0.0, 80.0, 80.0, 40.0, 0.0], [0.0, 0.0, 60.0, 80.0, 60.0]),
+            # concave L: exercises the ray-cast branch under streaming
+            (2, [-180.0, -100.0, -100.0, -140.0, -140.0, -180.0],
+             [-85.0, -85.0, -45.0, -45.0, -65.0, -65.0]),
+        ],
+        "zone_id long, xs array<double>, ys array<double>",
+    )
+    src = tmp_path / "spdf"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for i in range(400):
+            h1 = (i * 2654435761 + 1013904223) % (2**32)
+            h2 = (i * 2246822519 + 3266489917) % (2**32)
+            f.write(json.dumps({
+                "pid": i,
+                "x": -180.0 + 360.0 * h1 / 2**32,
+                "y": -85.0 + 170.0 * h2 / 2**32,
+            }) + "\n")
+    schema = "pid long, x double, y double"
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = pip.pip_join_df(stream, zdf, zoom=6)
+    q = (
+        out.writeStream.format("memory").queryName("spdf")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120), "streaming pip_join_df timed out"
+    finally:
+        q.stop()
+    got = {(r["pid"], r["zone_id"]) for r in spark.sql("SELECT * FROM spdf").collect()}
+    batch = spark.read.schema(schema).json(str(src))
+    want = {(r["pid"], r["zone_id"]) for r in pip.pip_join_df(batch, zdf, zoom=6).collect()}
+    assert got == want and len(want) > 0
+    assert any(z == 2 for _, z in want)  # concave zone exercised
