@@ -1539,6 +1539,28 @@ _SHINGLE_SQL = (
 )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (test-set n-gram leakage check): flag
+    training docs sharing any 3-gram with a held-out benchmark subset;
+    benchmark shingles broadcast, corpus never shuffled wider than its
+    hit shingles."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 50 == 7)
+    out = dedup.decontaminate(docs, bench, n=3)
+    return out.select("doc_id", "n_contaminated_ngrams", "contaminated")
+
+
+def sql_decontaminate():
+    return (
+        f"{_SHINGLE_SQL}, b AS (SELECT DISTINCT shingle FROM sh WHERE id % 50 = 7), "
+        "hits AS (SELECT sh.id, count(*) AS n FROM sh JOIN b ON b.shingle = sh.shingle "
+        "GROUP BY 1) "
+        "SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_ngrams, "
+        "coalesce(h.n, 0) >= 1 AS contaminated "
+        "FROM documents d LEFT JOIN hits h ON h.id = d.doc_id"
+    )
+
+
 def q_minhash(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     sh = dedup.shingles(docs, n=3)
@@ -3210,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sel_coords2d": q_sel_coords2d,
         "sel_bounds": q_sel_bounds,
         "weighted_repeat": q_weighted_repeat,
+        "decontaminate": q_decontaminate,
         "netcdf_variables": q_netcdf_variables,
         "token_count": q_token_count,
         "quality": q_quality,
@@ -3366,6 +3389,7 @@ def oracle_sql() -> dict[str, str]:
         "sel_coords2d": sql_sel_coords2d(),
         "sel_bounds": sql_sel_bounds(),
         "weighted_repeat": sql_weighted_repeat(),
+        "decontaminate": sql_decontaminate(),
         "netcdf_variables": sql_netcdf_variables(),
         "token_count": sql_token_count(),
         "quality": sql_quality(),

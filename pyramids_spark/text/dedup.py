@@ -57,6 +57,43 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id", text: str = "tex
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing ≥
+    ``min_hits`` distinct word n-grams with a held-out benchmark set (the
+    standard n-gram-overlap test-set-leakage check of a pretraining
+    pipeline). Returns the docs' columns + ``n_contaminated_ngrams``
+    (0 for clean docs) + ``contaminated`` boolean.
+
+    100-TB shape: the benchmark is SMALL by nature (eval sets), so its
+    distinct shingle set broadcasts; the corpus side explodes to shingles,
+    hash-semi-joins the broadcast set, and the per-doc hit count is a
+    map-side-combined aggregate — corpus rows are never shuffled wider
+    than (id, hit-shingle). The final count joins back LEFT so clean
+    documents survive with 0."""
+    bench_sh = F.broadcast(
+        shingles(benchmark, n=n, id_col=id_col, text=text)
+        .select("shingle").distinct()
+    )
+    hits = (
+        shingles(docs, n=n, id_col=id_col, text=text)
+        .join(bench_sh, "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    out = docs.join(hits, F.col(id_col) == F.col("id"), "left").drop("id")
+    n_hits = F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0))
+    return out.withColumn("n_contaminated_ngrams", n_hits).withColumn(
+        "contaminated", n_hits >= F.lit(min_hits)
+    )
+
+
 def minhash_signatures(sh: DataFrame, n_hashes: int = 8) -> DataFrame:
     """(id, sig array<long>) — min over the universal-hash family per doc.
 
