@@ -96,6 +96,23 @@ class SparkDataset:
     def to_parquet(self, path: str) -> None:
         self.df.write.mode("overwrite").parquet(path)
 
+    def to_zarr(self, path: str, chunks: tuple[int, int] = (256, 256)):
+        """Write a REAL zarr v2 store (uncompressed <f8 chunks + .zarray/
+        .zattrs JSON — ``pyramids_spark.zarr``; reference ``to_zarr`` wraps
+        GDAL's Zarr driver). Returns the per-chunk manifest (lineage)."""
+        from . import zarr as _zarr
+
+        return _zarr.write_zarr(self.df, self.grid, path, chunks)
+
+    @classmethod
+    def from_zarr(cls, spark: SparkSession, path: str) -> "SparkDataset":
+        """Open a zarr v2 store written by :meth:`to_zarr` (distributed
+        binaryFile chunk scan; georeferencing from .zattrs)."""
+        from . import zarr as _zarr
+
+        df, grid = _zarr.read_zarr(spark, path)
+        return cls(df, grid)
+
     # --- §2.2 filters (analysis.py:322 extract; :523 get_mask; :261 fill) --
     def extract(self, exclude_value: float | None = None) -> DataFrame:
         return _raster.extract(self.df, exclude_value)

@@ -1,0 +1,174 @@
+"""Real Zarr v2 container I/O in pure numpy + json — no zarr library.
+
+Reference surface: ``Dataset.to_zarr`` / zarr ingest (the reference wraps
+GDAL's Zarr driver). The v2 on-disk format is a PUBLIC spec simple enough
+to implement directly for the uncompressed case: a store directory holding
+
+- ``.zarray``  — JSON array metadata (shape, chunks, dtype, fill_value,
+  ``compressor: null`` = raw chunks, ``order: "C"``),
+- ``.zattrs``  — JSON user attributes (the Grid georeferencing rides here:
+  x0/y0/cell/epsg/nodata — the same role as GDAL's _CRS attribute),
+- one file per chunk named ``b.i.j`` (3-D band/row/col chunk grid), raw
+  little-endian C-order float64 bytes, edge chunks padded to FULL chunk
+  shape with ``fill_value`` (per spec).
+
+Distributed shape: the WRITE groups cells by chunk id and each task
+serializes + writes its own chunk files (one shuffle on the chunk key —
+the parquet-writer pattern; on a cluster the store dir is a shared
+filesystem). It returns a per-chunk MANIFEST (chunk id, cells, bytes) —
+the lineage/metrics table of the checkpoint contract. The READ lists the
+store with Spark's ``binaryFile`` source (distributed scan, no driver
+loop) and decodes chunks in ``mapInPandas``; cells equal to fill drop,
+restoring the engine's absent-row nodata contract.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .grid import Grid
+
+_DTYPE = "<f8"
+
+
+def _fill_of(grid: Grid) -> float:
+    return float("nan") if grid.nodata is None else float(grid.nodata)
+
+
+def write_zarr(
+    cells_df: DataFrame, grid: Grid, path: str, chunks: tuple[int, int] = (256, 256)
+) -> pd.DataFrame:
+    """Write the cell table as a zarr v2 array ``[bands, rows, cols]``
+    (band chunk size 1). Returns the chunk manifest as pandas
+    ``(band, ci, cj, n_cells, n_bytes, file)``."""
+    ch, cw = int(chunks[0]), int(chunks[1])
+    rows, cols = grid.rows, grid.cols
+    fill = _fill_of(grid)
+    os.makedirs(path, exist_ok=True)
+    n_bands_row = cells_df.select(F.max("band").alias("m")).collect()[0]
+    n_bands = int(n_bands_row["m"]) + 1 if n_bands_row["m"] is not None else 1
+    meta = {
+        "zarr_format": 2,
+        "shape": [n_bands, rows, cols],
+        "chunks": [1, ch, cw],
+        "dtype": _DTYPE,
+        "compressor": None,
+        "fill_value": "NaN" if math.isnan(fill) else fill,
+        "order": "C",
+        "filters": None,
+    }
+    with open(os.path.join(path, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(path, ".zattrs"), "w") as f:
+        json.dump(
+            {"x0": grid.x0, "y0": grid.y0, "cell": grid.cell,
+             "epsg": grid.epsg, "nodata": grid.nodata},
+            f,
+        )
+
+    def write_chunks(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        b, ci, cj = int(key[0]), int(key[1]), int(key[2])
+        block = np.full((ch, cw), fill, dtype=np.float64)
+        r = pdf["row"].to_numpy(np.int64) - ci * ch
+        c = pdf["col"].to_numpy(np.int64) - cj * cw
+        v = pdf["value"].to_numpy(np.float64)
+        block[r, c] = v
+        name = f"{b}.{ci}.{cj}"
+        data = block.astype("<f8").tobytes(order="C")
+        with open(os.path.join(path, name), "wb") as f:
+            f.write(data)
+        return pd.DataFrame(
+            {"band": [b], "ci": [ci], "cj": [cj], "n_cells": [len(pdf)],
+             "n_bytes": [len(data)], "file": [name]}
+        )
+
+    keyed = cells_df.where(F.col("value").isNotNull()).select(
+        "band", "row", "col", "value",
+        (F.col("row") / ch).cast("long").alias("_ci"),
+        (F.col("col") / cw).cast("long").alias("_cj"),
+    )
+    manifest = (
+        keyed.groupBy("band", "_ci", "_cj")
+        .applyInPandas(
+            write_chunks,
+            schema="band long, ci long, cj long, n_cells long, n_bytes long, file string",
+        )
+        .toPandas()
+        .sort_values(["band", "ci", "cj"])
+        .reset_index(drop=True)
+    )
+    return manifest
+
+
+def read_zarr(spark: SparkSession, path: str) -> tuple[DataFrame, Grid]:
+    """Open a (this-module-shaped: float64, uncompressed, band-chunk 1)
+    zarr v2 store → (cell table, Grid). Chunks are scanned with the
+    ``binaryFile`` source — a distributed read, no driver loop; fill cells
+    drop (absent-row nodata contract)."""
+    with open(os.path.join(path, ".zarray")) as f:
+        meta = json.load(f)
+    if (
+        meta.get("zarr_format") != 2
+        or meta.get("compressor") is not None
+        or meta.get("dtype") != _DTYPE
+        or meta.get("order") != "C"
+        or meta.get("chunks", [0])[0] != 1
+    ):
+        raise NotImplementedError(
+            "supported zarr stores: v2, uncompressed, <f8, C-order, band-chunk 1 "
+            f"(got {meta})"
+        )
+    _, rows, cols = meta["shape"]
+    _, ch, cw = meta["chunks"]
+    fv = meta.get("fill_value")
+    fill = float("nan") if fv in (None, "NaN") else float(fv)
+    try:
+        with open(os.path.join(path, ".zattrs")) as f:
+            attrs = json.load(f)
+    except FileNotFoundError:
+        attrs = {}
+    grid = Grid(
+        x0=float(attrs.get("x0", 0.0)), y0=float(attrs.get("y0", 0.0)),
+        cell=float(attrs.get("cell", 1.0)), rows=rows, cols=cols,
+        epsg=int(attrs.get("epsg", 4326)), nodata=attrs.get("nodata"),
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            frames = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                name = os.path.basename(p)
+                b, ci, cj = (int(t) for t in name.split("."))
+                block = np.frombuffer(content, dtype="<f8").reshape(ch, cw)
+                r0, c0 = ci * ch, cj * cw
+                h = min(ch, rows - r0)
+                w = min(cw, cols - c0)
+                block = block[:h, :w]
+                if math.isnan(fill):
+                    rr, cc = np.nonzero(~np.isnan(block))
+                else:
+                    rr, cc = np.nonzero(block != fill)
+                frames.append(
+                    pd.DataFrame(
+                        {"band": np.int64(b), "row": (rr + r0).astype(np.int64),
+                         "col": (cc + c0).astype(np.int64),
+                         "value": block[rr, cc].astype(np.float64)}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "[0-9]*.*.*")
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(decode, "band long, row long, col long, value double"), grid

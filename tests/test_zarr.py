@@ -1,0 +1,66 @@
+"""Zarr v2 container round trip (pure-numpy writer/reader, no zarr lib):
+byte-level chunk oracle, metadata fields, nodata contract, multiband."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyramids_spark.api import SparkDataset
+from pyramids_spark.grid import COELLO, Grid, grid_df
+
+
+def test_zarr_roundtrip_and_chunk_bytes(spark, tmp_path):
+    store = str(tmp_path / "z")
+    g = COELLO
+    ds = SparkDataset(grid_df(spark, g), g)
+    manifest = ds.to_zarr(store, chunks=(5, 4))
+    # metadata is spec-shaped
+    meta = json.load(open(os.path.join(store, ".zarray")))
+    assert meta["zarr_format"] == 2 and meta["compressor"] is None
+    assert meta["shape"] == [1, g.rows, g.cols] and meta["chunks"] == [1, 5, 4]
+    assert meta["dtype"] == "<f8" and meta["order"] == "C"
+    # manifest covers every non-empty chunk; bytes = full padded chunk
+    assert (manifest["n_bytes"] == 5 * 4 * 8).all()
+    assert manifest["n_cells"].sum() == ds.df.where(F.col("value").isNotNull()).count()
+    # byte-level oracle: decode chunk (0,0,0) with raw numpy
+    src = ds.df.toPandas()
+    blk = np.full((5, 4), g.nodata, dtype=np.float64)
+    sel = src[(src.row < 5) & (src.col < 4) & src.value.notna()]
+    blk[sel.row.to_numpy(), sel.col.to_numpy()] = sel.value.to_numpy()
+    raw = np.frombuffer(open(os.path.join(store, "0.0.0"), "rb").read(), "<f8")
+    np.testing.assert_array_equal(raw.reshape(5, 4), blk)
+    # round trip: identical cell set + grid
+    back = SparkDataset.from_zarr(spark, store)
+    assert back.grid == g
+    a = {(r.band, r.row, r.col): r.value for r in ds.df.where(F.col("value").isNotNull()).collect()}
+    b = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_zarr_nan_fill_and_multiband(spark, tmp_path):
+    store = str(tmp_path / "zn")
+    g = Grid(x0=10.0, y0=20.0, cell=0.5, rows=7, cols=9, epsg=3857, nodata=None)
+    ds = SparkDataset.create(spark, g, "CAST(row * 9 + col AS DOUBLE)", bands=2)
+    d = ds.df.where((F.col("row") + F.col("col")) % 3 != 0)  # punch holes
+    SparkDataset(d, g).to_zarr(store, chunks=(4, 4))
+    meta = json.load(open(os.path.join(store, ".zarray")))
+    assert meta["fill_value"] == "NaN" and meta["shape"] == [2, 7, 9]
+    back = SparkDataset.from_zarr(spark, store)
+    assert back.grid == g and back.grid.nodata is None
+    a = {(r.band, r.row, r.col): r.value for r in d.collect()}
+    b = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_zarr_reader_rejects_foreign_stores(spark, tmp_path):
+    store = tmp_path / "zf"
+    store.mkdir()
+    (store / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": [4, 4], "chunks": [2, 2], "dtype": "<f4",
+        "compressor": {"id": "blosc"}, "fill_value": 0, "order": "C",
+    }))
+    with pytest.raises(NotImplementedError):
+        SparkDataset.from_zarr(spark, str(store))
