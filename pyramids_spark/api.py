@@ -113,6 +113,46 @@ class SparkDataset:
         df, grid = _zarr.read_zarr(spark, path)
         return cls(df, grid)
 
+    def to_cog(
+        self, path: str, levels: tuple[int, ...] = (2, 4),
+        tile: tuple[int, int] = (256, 256),
+    ) -> int:
+        """Export a REAL tiled GeoTIFF with an embedded averaged overview
+        pyramid (COG-shaped; ``pyramids_spark.tiff`` — pure struct/numpy,
+        no GDAL). Tiles build distributed, stream to the one output file
+        in order. Returns bytes written."""
+        from dataclasses import replace as _replace
+
+        from . import tiff as _tiff
+
+        m = self.df.select(F.max("band").alias("m")).collect()[0]["m"]
+        n_bands = int(m) + 1 if m is not None else 1
+        per = [(self.df, self.grid)]
+        for lv in levels:
+            ov = _raster.overview_rollup(self.df, level=lv, stat="avg").select(
+                "band", "row", "col", "value"
+            )
+            g = _replace(
+                self.grid,
+                cell=self.grid.cell * lv,
+                rows=(self.grid.rows + lv - 1) // lv,
+                cols=(self.grid.cols + lv - 1) // lv,
+            )
+            per.append((ov, g))
+        return _tiff.write_geotiff(per, n_bands, path, tile)
+
+    @classmethod
+    def from_geotiff(
+        cls, spark: SparkSession, path: str, overview: int = 0
+    ) -> "SparkDataset":
+        """Open a GeoTIFF written by :meth:`to_cog` (driver parses the IFD
+        chain only; tiles decode distributed by byte range). ``overview``
+        picks the pyramid level."""
+        from . import tiff as _tiff
+
+        df, grid, _ = _tiff.read_geotiff(spark, path, overview)
+        return cls(df, grid)
+
     # --- §2.2 filters (analysis.py:322 extract; :523 get_mask; :261 fill) --
     def extract(self, exclude_value: float | None = None) -> DataFrame:
         return _raster.extract(self.df, exclude_value)

@@ -1,0 +1,91 @@
+"""GeoTIFF writer/reader (pure struct/numpy): header golden bytes, round
+trip, overview pyramid, multiband, empty tiles, nodata tag."""
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyramids_spark.api import SparkDataset
+from pyramids_spark.grid import COELLO, Grid, grid_df
+from pyramids_spark.operators import raster
+
+
+def test_geotiff_header_golden_bytes(spark, tmp_path):
+    p = str(tmp_path / "a.tif")
+    g = Grid(x0=5.0, y0=9.0, cell=0.25, rows=6, cols=8, epsg=32618, nodata=-1.0)
+    SparkDataset.create(spark, g, "CAST(row * 8 + col AS DOUBLE)").to_cog(
+        p, levels=(), tile=(4, 4)
+    )
+    raw = open(p, "rb").read()
+    bo, magic, ifd0 = struct.unpack_from("<2sHI", raw, 0)
+    assert bo == b"II" and magic == 42
+    (n_tags,) = struct.unpack_from("<H", raw, ifd0)
+    tags = {}
+    for i in range(n_tags):
+        t, typ, cnt, val = struct.unpack_from("<HHII", raw, ifd0 + 2 + 12 * i)
+        tags[t] = (typ, cnt, val)
+    assert tags[256][2] == 8 and tags[257][2] == 6        # width / height
+    assert tags[322][2] == 4 and tags[323][2] == 4        # tile w/h
+    assert tags[259][2] == 1 and tags[339][2] == 3        # uncompressed float
+    assert tags[258][2] == 64
+    assert tags[324][1] == 4  # 2x2 tile grid → 4 offsets
+    # pixel scale + tiepoint carry the grid
+    scale = struct.unpack_from("<3d", raw, tags[33550][2])
+    tie = struct.unpack_from("<6d", raw, tags[33922][2])
+    assert scale[0] == 0.25 and tie[3] == 5.0 and tie[4] == 9.0
+    # geokeys carry the EPSG as a projected CS
+    gk = struct.unpack_from("<16H", raw, tags[34735][2])
+    assert gk[3] == 3 and 3072 in gk and 32618 in gk
+    # nodata ascii
+    typ, cnt, off = tags[42113]
+    assert raw[off:off + cnt].rstrip(b"\x00") == b"-1"
+    # first tile bytes decode to the top-left block
+    off0 = struct.unpack_from("<4I", raw, tags[324][2])[0]
+    blk = np.frombuffer(raw[off0:off0 + 4 * 4 * 8], "<f8").reshape(4, 4)
+    exp = np.arange(48, dtype=np.float64).reshape(6, 8)[:4, :4]
+    np.testing.assert_array_equal(blk, exp)
+
+
+def test_geotiff_roundtrip_with_overviews_and_empty_tiles(spark, tmp_path):
+    p = str(tmp_path / "b.tif")
+    g = COELLO
+    src = grid_df(spark, g)
+    ds = SparkDataset(src.where((F.col("row") < 5) | (F.col("col") > 10)), g)
+    ds.to_cog(p, levels=(2,), tile=(4, 4))
+    back = SparkDataset.from_geotiff(spark, p)
+    assert back.grid == g
+    a = {(r.band, r.row, r.col): r.value
+         for r in ds.df.where(F.col("value").isNotNull()).collect()}
+    b = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
+    assert a == b and len(a) > 0
+    # overview level ≡ the avg rollup of the kept cells
+    ov = SparkDataset.from_geotiff(spark, p, overview=1)
+    assert ov.grid.cell == g.cell * 2 and ov.grid.rows == (g.rows + 1) // 2
+    want = {
+        (r.band, r.row, r.col): r.value
+        for r in raster.overview_rollup(ds.df, level=2, stat="avg").collect()
+    }
+    got = {(r.band, r.row, r.col): r.value for r in ov.df.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_geotiff_multiband_nan_nodata(spark, tmp_path):
+    p = str(tmp_path / "c.tif")
+    g = Grid(x0=0.0, y0=4.0, cell=1.0, rows=4, cols=5, epsg=4326, nodata=None)
+    ds = SparkDataset.create(spark, g, "CAST(band * 100 + row * 5 + col AS DOUBLE)", bands=3)
+    d = ds.df.where((F.col("col") + F.col("band")) % 4 != 0)
+    SparkDataset(d, g).to_cog(p, levels=(), tile=(4, 4))
+    back = SparkDataset.from_geotiff(spark, p)
+    assert back.grid.nodata is None and back.grid.epsg == 4326
+    a = {(r.band, r.row, r.col): r.value for r in d.collect()}
+    b = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
+    assert a == b and len({k[0] for k in b}) == 3
+
+
+def test_geotiff_reader_rejects_foreign(tmp_path, spark):
+    p = tmp_path / "x.tif"
+    p.write_bytes(struct.pack("<2sHI", b"MM", 42, 8))
+    with pytest.raises(NotImplementedError):
+        SparkDataset.from_geotiff(spark, str(p))
