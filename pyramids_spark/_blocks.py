@@ -1,0 +1,43 @@
+"""Shared dense-block ↔ sparse-cell kernels for the container writers
+(zarr chunks, GeoTIFF tiles): ONE implementation of fill-padding, edge
+trimming and NaN-vs-sentinel masking so the two formats stay
+byte-consistent by construction."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+
+def dense_block(pdf: pd.DataFrame, h: int, w: int, r0: int, c0: int, fill: float) -> np.ndarray:
+    """Cell rows → full (h, w) float64 block padded with ``fill``."""
+    block = np.full((h, w), fill, dtype=np.float64)
+    r = pdf["row"].to_numpy(np.int64) - r0
+    c = pdf["col"].to_numpy(np.int64) - c0
+    block[r, c] = pdf["value"].to_numpy(np.float64)
+    return block
+
+
+def sparse_cells(
+    block: np.ndarray, band: int, r0: int, c0: int,
+    rows: int, cols: int, fill: "float | None",
+) -> pd.DataFrame:
+    """Padded block → cell rows inside the raster extent; cells equal to
+    ``fill`` drop (NaN-aware), restoring the absent-row nodata contract."""
+    h = min(block.shape[0], rows - r0)
+    w = min(block.shape[1], cols - c0)
+    block = block[:h, :w]
+    if fill is None or math.isnan(fill):
+        rr, cc = np.nonzero(~np.isnan(block))
+    else:
+        rr, cc = np.nonzero(block != fill)
+    return pd.DataFrame(
+        {
+            "band": np.int64(band),
+            "row": (rr + r0).astype(np.int64),
+            "col": (cc + c0).astype(np.int64),
+            "value": block[rr, cc].astype(np.float64),
+        }
+    )

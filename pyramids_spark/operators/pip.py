@@ -390,15 +390,32 @@ def _parts_cover_batch(X: np.ndarray, Y: np.ndarray, zoom: int, mode: str):
     return part[keep], cells.pack(gx[keep], gy[keep], zoom), ~interior[keep]
 
 
-def _convex_ccw_batch(X: np.ndarray, Y: np.ndarray) -> np.ndarray:
-    """Per-part ccw-convexity over (P, V) padded rings: every consecutive
-    edge cross product ≥ 0 with at least one > 0 (degenerate pad edges
-    contribute exact zeros, which convexity tolerates)."""
-    V = X.shape[1]
+def _convex_ccw_batch(X: np.ndarray, Y: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-part ccw-convexity over (P, V) repeat-last-padded rings with
+    true lengths ``lens``. The padded cross chain checks every consecutive
+    real-edge pair EXCEPT (last-interior-edge × closing-edge) — zero pad
+    edges sit between them — so that one turn is added explicitly with
+    per-row fancy indexing (a concave-only-at-the-last-vertex ring was
+    misclassified convex before; code-review r4 finding #1)."""
+    P, V = X.shape
     nxt = list(range(1, V)) + [0]
     ex, ey = X[:, nxt] - X, Y[:, nxt] - Y
     cross = ex * ey[:, nxt] - ey * ex[:, nxt]
-    return (cross >= 0).all(axis=1) & (cross > 0).any(axis=1)
+    rows = np.arange(P)
+    li = np.maximum(lens - 2, 0)  # last real edge index (v_{L-2}→v_{L-1})
+    ax, ay = ex[rows, li], ey[rows, li]
+    # successor of the last real edge: the closing vector v_{L-1}→v_0 for
+    # open rings; for CLOSED inputs (v_{L-1}==v_0) that vector is zero and
+    # the true successor is e_0
+    cx_ = X[rows, 0] - X[rows, lens - 1]
+    cy_ = Y[rows, 0] - Y[rows, lens - 1]
+    is_closed = (cx_ == 0) & (cy_ == 0)
+    bx = np.where(is_closed, ex[rows, 0], cx_)
+    by = np.where(is_closed, ey[rows, 0], cy_)
+    extra = ax * by - ay * bx
+    return (cross >= 0).all(axis=1) & (extra >= 0) & (
+        (cross > 0).any(axis=1) | (extra > 0)
+    )
 
 
 def zone_cover_df(rings: DataFrame, zoom: int, mode: str = "intersects") -> DataFrame:
@@ -443,7 +460,7 @@ def zone_cover_df(rings: DataFrame, zoom: int, mode: str = "intersects") -> Data
                     X[i, :lv], Y[i, :lv] = xs_l[r], ys_l[r]
                     X[i, lv:], Y[i, lv:] = xs_l[r][lv - 1], ys_l[r][lv - 1]
                 prow, cell_id, boundary = _parts_cover_batch(X, Y, zoom, mode)
-                conv = _convex_ccw_batch(X, Y)
+                conv = _convex_ccw_batch(X, Y, lens[sel])
                 out.append(
                     pd.DataFrame(
                         {

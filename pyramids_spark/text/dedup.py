@@ -86,8 +86,9 @@ def decontaminate(
         .join(bench_sh, "shingle", "left_semi")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+        .withColumnRenamed("id", "_decon_id")  # docs may themselves use 'id'
     )
-    out = docs.join(hits, F.col(id_col) == F.col("id"), "left").drop("id")
+    out = docs.join(hits, F.col(id_col) == F.col("_decon_id"), "left").drop("_decon_id")
     n_hits = F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0))
     return out.withColumn("n_contaminated_ngrams", n_hits).withColumn(
         "contaminated", n_hits >= F.lit(min_hits)

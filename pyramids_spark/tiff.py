@@ -33,7 +33,6 @@ the binaryFile-with-offsets pattern.
 
 from __future__ import annotations
 
-import math
 import struct
 
 import numpy as np
@@ -41,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import _blocks
 from .grid import Grid
 
 # TIFF tag ids
@@ -124,6 +124,12 @@ def write_geotiff(
         f_.data_at = data_start
         data_start += f_.n_tiles * f_.tile_bytes
     total = data_start
+    if total > 2**32 - 1:
+        raise ValueError(
+            f"raster needs {total} bytes — classic TIFF caps at 4 GiB "
+            "(BigTIFF out of scope); use to_zarr/to_parquet for rasters "
+            "this size"
+        )
 
     def geokeys(epsg: int) -> bytes:
         model = 2 if epsg == 4326 else 1  # geographic vs projected
@@ -195,10 +201,7 @@ def write_geotiff(
 
             def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
                 bb, ti, tj = int(key[0]), int(key[1]), int(key[2])
-                block = np.full((th, tw), fill, dtype=np.float64)
-                r = pdf["row"].to_numpy(np.int64) - ti * th
-                c = pdf["col"].to_numpy(np.int64) - tj * tw
-                block[r, c] = pdf["value"].to_numpy(np.float64)
+                block = _blocks.dense_block(pdf, th, tw, ti * th, tj * tw, fill)
                 return pd.DataFrame(
                     {"band": [bb], "ti": [ti], "tj": [tj],
                      "data": [block.astype("<f8").tobytes(order="C")]}
@@ -324,17 +327,9 @@ def read_geotiff(
                 ):
                     fh.seek(o)
                     block = np.frombuffer(fh.read(c), dtype="<f8").reshape(th, tw)
-                    r0, c0 = int(ti) * th, int(tj) * tw
-                    block = block[: min(th, rows - r0), : min(tw, cols - c0)]
-                    if fill is None or math.isnan(fill):
-                        rr, cc = np.nonzero(~np.isnan(block))
-                    else:
-                        rr, cc = np.nonzero(block != fill)
                     frames.append(
-                        pd.DataFrame(
-                            {"band": np.int64(b), "row": (rr + r0).astype(np.int64),
-                             "col": (cc + c0).astype(np.int64),
-                             "value": block[rr, cc].astype(np.float64)}
+                        _blocks.sparse_cells(
+                            block, int(b), int(ti) * th, int(tj) * tw, rows, cols, fill
                         )
                     )
                 if frames:

@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import _blocks
 from .grid import Grid
 
 _DTYPE = "<f8"
@@ -75,11 +76,7 @@ def write_zarr(
 
     def write_chunks(key, pdf: pd.DataFrame) -> pd.DataFrame:
         b, ci, cj = int(key[0]), int(key[1]), int(key[2])
-        block = np.full((ch, cw), fill, dtype=np.float64)
-        r = pdf["row"].to_numpy(np.int64) - ci * ch
-        c = pdf["col"].to_numpy(np.int64) - cj * cw
-        v = pdf["value"].to_numpy(np.float64)
-        block[r, c] = v
+        block = _blocks.dense_block(pdf, ch, cw, ci * ch, cj * cw, fill)
         name = f"{b}.{ci}.{cj}"
         data = block.astype("<f8").tobytes(order="C")
         with open(os.path.join(path, name), "wb") as f:
@@ -147,20 +144,8 @@ def read_zarr(spark: SparkSession, path: str) -> tuple[DataFrame, Grid]:
                 name = os.path.basename(p)
                 b, ci, cj = (int(t) for t in name.split("."))
                 block = np.frombuffer(content, dtype="<f8").reshape(ch, cw)
-                r0, c0 = ci * ch, cj * cw
-                h = min(ch, rows - r0)
-                w = min(cw, cols - c0)
-                block = block[:h, :w]
-                if math.isnan(fill):
-                    rr, cc = np.nonzero(~np.isnan(block))
-                else:
-                    rr, cc = np.nonzero(block != fill)
                 frames.append(
-                    pd.DataFrame(
-                        {"band": np.int64(b), "row": (rr + r0).astype(np.int64),
-                         "col": (cc + c0).astype(np.int64),
-                         "value": block[rr, cc].astype(np.float64)}
-                    )
+                    _blocks.sparse_cells(block, b, ci * ch, cj * cw, rows, cols, fill)
                 )
             if frames:
                 yield pd.concat(frames, ignore_index=True)

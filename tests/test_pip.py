@@ -271,3 +271,37 @@ def test_zone_cover_interior_flag_sound(spark):
             for p in parts:
                 ok |= cells.points_in_polygon(qx, qy, np.asarray(p))
             assert ok.all()
+
+
+def test_convex_flag_on_padded_rings_regression(spark):
+    """Code-review r4 #1: a ring concave ONLY at its last vertex must not
+    be flagged convex after repeat-last padding (the padded cross chain
+    skipped the last-real-edge × closing-edge turn)."""
+    ang = np.linspace(0, 2 * np.pi, 7)[:-1]
+    xs, ys = np.cos(ang), np.sin(ang)
+    cx, cy = xs.copy(), ys.copy()
+    cx[5] *= 0.1
+    cy[5] *= 0.1  # pull the LAST vertex inward → concave there
+
+    def padded(v, V=8):
+        out = np.empty(V)
+        out[: len(v)] = v
+        out[len(v):] = v[-1]
+        return out
+
+    lens = np.array([6, 6, 6], dtype=np.int64)
+    X = np.stack([padded(xs), padded(cx), padded(np.append(xs, xs[0]), 8)[:8]])
+    Y = np.stack([padded(ys), padded(cy), padded(np.append(ys, ys[0]), 8)[:8]])
+    lens = np.array([6, 6, 7], dtype=np.int64)
+    got = pip._convex_ccw_batch(X, Y, lens)
+    assert list(got) == [True, False, True]  # convex open, concave, convex CLOSED
+    # end-to-end: auto ≡ udf on a zone set containing that concave ring
+    pts = synth.doc_points(spark, 2500)
+    poly = np.stack([cx * 30.0, cy * 30.0], axis=1)
+    zones = synth.zone_polygons(3, "hex") + [{"zone_id": 77, "parts": [poly]}]
+    zdf = _zones_as_df(spark, zones)
+    a = {(r["doc_id"], r["zone_id"])
+         for r in pip.pip_join_df(pts, zdf, zoom=7, refine="auto").collect()}
+    b = {(r["doc_id"], r["zone_id"])
+         for r in pip.pip_join_df(pts, zdf, zoom=7, refine="udf").collect()}
+    assert a == b and any(z == 77 for _, z in a)
