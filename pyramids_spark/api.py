@@ -96,13 +96,17 @@ class SparkDataset:
     def to_parquet(self, path: str) -> None:
         self.df.write.mode("overwrite").parquet(path)
 
-    def to_zarr(self, path: str, chunks: tuple[int, int] = (256, 256)):
-        """Write a REAL zarr v2 store (uncompressed <f8 chunks + .zarray/
-        .zattrs JSON — ``pyramids_spark.zarr``; reference ``to_zarr`` wraps
-        GDAL's Zarr driver). Returns the per-chunk manifest (lineage)."""
+    def to_zarr(
+        self, path: str, chunks: tuple[int, int] = (256, 256),
+        compress: "int | None" = None,
+    ):
+        """Write a REAL zarr v2 store (raw or zlib-compressed <f8 chunks +
+        .zarray/.zattrs JSON — ``pyramids_spark.zarr``; reference
+        ``to_zarr`` wraps GDAL's Zarr driver). Returns the per-chunk
+        manifest (lineage)."""
         from . import zarr as _zarr
 
-        return _zarr.write_zarr(self.df, self.grid, path, chunks)
+        return _zarr.write_zarr(self.df, self.grid, path, chunks, compress)
 
     @classmethod
     def from_zarr(cls, spark: SparkSession, path: str) -> "SparkDataset":
@@ -115,7 +119,7 @@ class SparkDataset:
 
     def to_cog(
         self, path: str, levels: tuple[int, ...] = (2, 4),
-        tile: tuple[int, int] = (256, 256),
+        tile: tuple[int, int] = (256, 256), compress: "int | None" = None,
     ) -> int:
         """Export a REAL tiled GeoTIFF with an embedded averaged overview
         pyramid (COG-shaped; ``pyramids_spark.tiff`` — pure struct/numpy,
@@ -139,7 +143,7 @@ class SparkDataset:
                 cols=(self.grid.cols + lv - 1) // lv,
             )
             per.append((ov, g))
-        return _tiff.write_geotiff(per, n_bands, path, tile)
+        return _tiff.write_geotiff(per, n_bands, path, tile, compress)
 
     @classmethod
     def from_geotiff(

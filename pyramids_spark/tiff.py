@@ -2,13 +2,15 @@
 
 Reference surface: ``Dataset.to_file`` / ``to_cog`` / ``read_file``
 (GDAL GTiff/COG drivers). Classic TIFF 6.0 + the GeoTIFF tag set are
-PUBLIC specs; the uncompressed float64 tiled case is directly writable:
+PUBLIC specs; the float64 tiled case (raw or DEFLATE via stdlib zlib)
+is directly writable:
 
 - header ``II*\\0`` + first-IFD offset;
 - one IFD per (band, pyramid level): band 0 full-res first, then its
   overview IFDs (the COG-style embedded pyramid), then band 1, …;
 - per IFD: tiled layout tags (TileWidth/Length/Offsets/ByteCounts),
-  SampleFormat=IEEE-float, BitsPerSample=64, Compression=none, plus the
+  SampleFormat=IEEE-float, BitsPerSample=64, Compression none/DEFLATE,
+  plus the
   GeoTIFF georeferencing tags (ModelPixelScale, ModelTiepoint,
   GeoKeyDirectory with the EPSG code) and GDAL's ASCII nodata tag;
 - tile payloads: raw little-endian float64, edge tiles padded with
@@ -78,10 +80,15 @@ def write_geotiff(
     n_bands: int,
     path: str,
     tile: tuple[int, int] = (256, 256),
+    compress: "int | None" = None,
 ) -> int:
     """Write bands × pyramid levels as one tiled GeoTIFF. ``per_level`` is
     [(cells_df, grid)] — full resolution first, then each overview (all
-    levels carry every band). Returns total bytes written."""
+    levels carry every band). ``compress`` = DEFLATE level 1-9
+    (Compression=8, stdlib zlib) or None for raw tiles. Raw tiles have a
+    constant size so every offset is precomputable; deflated tiles stream
+    sequentially and the offset/count arrays (whose POSITIONS are fixed
+    either way) are patched at the end. Returns total bytes written."""
     th, tw = int(tile[0]), int(tile[1])
     base_grid = per_level[0][1]
     nodata = base_grid.nodata
@@ -120,13 +127,12 @@ def write_geotiff(
         ext += len(nod_ascii) + (len(nod_ascii) % 2)
         pos += ext
     data_start = pos + (pos % 2)
-    for f_ in ifds:
-        f_.data_at = data_start
-        data_start += f_.n_tiles * f_.tile_bytes
-    total = data_start
-    if total > 2**32 - 1:
+    bound = data_start + sum(f_.n_tiles * f_.tile_bytes for f_ in ifds)
+    if compress is not None:  # deflate worst case adds <0.1% on raw bytes
+        bound = int(bound * 1.01) + 4096
+    if bound > 2**32 - 1:
         raise ValueError(
-            f"raster needs {total} bytes — classic TIFF caps at 4 GiB "
+            f"raster needs up to {bound} bytes — classic TIFF caps at 4 GiB "
             "(BigTIFF out of scope); use to_zarr/to_parquet for rasters "
             "this size"
         )
@@ -153,19 +159,15 @@ def write_geotiff(
                 (_W, _T_LONG, 1, f_.cols),
                 (_H, _T_LONG, 1, f_.rows),
                 (_BITS, _T_SHORT, 1, 64),
-                (_COMP, _T_SHORT, 1, 1),
+                (_COMP, _T_SHORT, 1, 1 if compress is None else 8),
                 (_PHOTO, _T_SHORT, 1, 1),
                 (_SPP, _T_SHORT, 1, 1),
                 (_TW, _T_SHORT, 1, tw),
                 (_TH, _T_SHORT, 1, th),
-                (
-                    _TOFF, _T_LONG, f_.n_tiles,
-                    f_.data_at if f_.n_tiles == 1 else f_.off_arr_at,
-                ),
-                (
-                    _TCNT, _T_LONG, f_.n_tiles,
-                    f_.tile_bytes if f_.n_tiles == 1 else f_.cnt_arr_at,
-                ),
+                # value 0 for single-tile IFDs: the real offset/count is
+                # patched into the tag's value field after streaming
+                (_TOFF, _T_LONG, f_.n_tiles, 0 if f_.n_tiles == 1 else f_.off_arr_at),
+                (_TCNT, _T_LONG, f_.n_tiles, 0 if f_.n_tiles == 1 else f_.cnt_arr_at),
                 (_SFMT, _T_SHORT, 1, 3),
                 (_PIXSCALE, _T_DOUBLE, 3, f_.scale_at),
                 (_TIEPOINT, _T_DOUBLE, 6, f_.tie_at),
@@ -175,16 +177,15 @@ def write_geotiff(
             tags.sort(key=lambda t: t[0])
             fh.seek(ifd_pos[k])
             fh.write(struct.pack("<H", len(tags)))
-            for t in tags:
+            for idx, t in enumerate(tags):
+                if t[0] == _TOFF:
+                    f_.toff_val_pos = ifd_pos[k] + 2 + idx * 12 + 8
+                if t[0] == _TCNT:
+                    f_.tcnt_val_pos = ifd_pos[k] + 2 + idx * 12 + 8
                 fh.write(_pack_tag(*t))
             nxt = ifd_pos[k + 1] if k + 1 < len(ifds) else 0
             fh.write(struct.pack("<I", nxt))
-            if f_.n_tiles > 1:
-                offs = [f_.data_at + i * f_.tile_bytes for i in range(f_.n_tiles)]
-                fh.seek(f_.off_arr_at)
-                fh.write(struct.pack(f"<{f_.n_tiles}I", *offs))
-                fh.seek(f_.cnt_arr_at)
-                fh.write(struct.pack(f"<{f_.n_tiles}I", *([f_.tile_bytes] * f_.n_tiles)))
+            f_.offs, f_.cnts = [], []
             fh.seek(f_.scale_at)
             fh.write(struct.pack("<3d", g.cell, g.cell, 0.0))
             fh.seek(f_.tie_at)
@@ -195,7 +196,11 @@ def write_geotiff(
             fh.write(nod_ascii)
 
         # ---- tile payloads: distributed block build, streamed in order ----
-        fill_tile = np.full((th, tw), fill, dtype="<f8").tobytes(order="C")
+        import zlib
+
+        raw_fill = np.full((th, tw), fill, dtype="<f8").tobytes(order="C")
+        fill_tile = raw_fill if compress is None else zlib.compress(raw_fill, compress)
+        cur = data_start
         for li, (cdf, g) in enumerate(per_level):
             nty, ntx = _ntiles(g.rows, g.cols, th, tw)
 
@@ -223,17 +228,35 @@ def write_geotiff(
                 f_ = ifds[b * len(per_level) + li]
                 for t in range(nty * ntx):
                     ti, tj = t // ntx, t % ntx
-                    fh.seek(f_.data_at + t * f_.tile_bytes)
                     if (
                         nxt_row is not None
                         and (nxt_row["band"], nxt_row["ti"], nxt_row["tj"]) == (b, ti, tj)
                     ):
-                        fh.write(nxt_row["data"])
+                        data = nxt_row["data"]
+                        if compress is not None:
+                            data = zlib.compress(data, compress)
                         nxt_row = next(it, None)
                     else:  # empty tile: all nodata
-                        fh.write(fill_tile)
-        fh.truncate(total)
-    return total
+                        data = fill_tile
+                    fh.seek(cur)
+                    fh.write(data)
+                    f_.offs.append(cur)
+                    f_.cnts.append(len(data))
+                    cur += len(data)
+        # patch offset/count arrays (or single-tile tag value fields)
+        for f_ in ifds:
+            if f_.n_tiles > 1:
+                fh.seek(f_.off_arr_at)
+                fh.write(struct.pack(f"<{f_.n_tiles}I", *f_.offs))
+                fh.seek(f_.cnt_arr_at)
+                fh.write(struct.pack(f"<{f_.n_tiles}I", *f_.cnts))
+            else:
+                fh.seek(f_.toff_val_pos)
+                fh.write(struct.pack("<I", f_.offs[0]))
+                fh.seek(f_.tcnt_val_pos)
+                fh.write(struct.pack("<I", f_.cnts[0]))
+        fh.truncate(cur)
+    return cur
 
 
 def _read_ifds(path: str) -> list[dict]:
@@ -270,8 +293,9 @@ def _read_ifds(path: str) -> list[dict]:
                 "geokeys": arr(_GEOKEYS, "H", 2),
                 "overview": _NEWSUBFILE in tags and tags[_NEWSUBFILE][2] == 1,
             }
-            if tags[_COMP][2] != 1 or tags[_BITS][2] != 64 or tags[_SFMT][2] != 3:
-                raise NotImplementedError("only uncompressed float64 tiles")
+            d["comp"] = tags[_COMP][2]
+            if d["comp"] not in (1, 8) or tags[_BITS][2] != 64 or tags[_SFMT][2] != 3:
+                raise NotImplementedError("only raw/DEFLATE float64 tiles")
             if _GDAL_NODATA in tags:
                 typ, cnt, val = tags[_GDAL_NODATA]
                 fh.seek(val)
@@ -317,6 +341,7 @@ def read_geotiff(
     )
     th, tw, rows, cols = d0["th"], d0["tw"], d0["rows"], d0["cols"]
     fill = d0["nodata"]
+    comp = d0["comp"]
 
     def decode(batches):
         with open(path, "rb") as fh:
@@ -326,7 +351,12 @@ def read_geotiff(
                     pdf["band"], pdf["ti"], pdf["tj"], pdf["off"], pdf["cnt"]
                 ):
                     fh.seek(o)
-                    block = np.frombuffer(fh.read(c), dtype="<f8").reshape(th, tw)
+                    raw = fh.read(c)
+                    if comp == 8:
+                        import zlib
+
+                        raw = zlib.decompress(raw)
+                    block = np.frombuffer(raw, dtype="<f8").reshape(th, tw)
                     frames.append(
                         _blocks.sparse_cells(
                             block, int(b), int(ti) * th, int(tj) * tw, rows, cols, fill

@@ -44,10 +44,13 @@ def _fill_of(grid: Grid) -> float:
 
 
 def write_zarr(
-    cells_df: DataFrame, grid: Grid, path: str, chunks: tuple[int, int] = (256, 256)
+    cells_df: DataFrame, grid: Grid, path: str, chunks: tuple[int, int] = (256, 256),
+    compress: "int | None" = None,
 ) -> pd.DataFrame:
     """Write the cell table as a zarr v2 array ``[bands, rows, cols]``
-    (band chunk size 1). Returns the chunk manifest as pandas
+    (band chunk size 1). ``compress`` = zlib level 1-9 (numcodecs ``zlib``
+    compressor id — stdlib, no dependency) or None for raw chunks.
+    Returns the chunk manifest as pandas
     ``(band, ci, cj, n_cells, n_bytes, file)``."""
     ch, cw = int(chunks[0]), int(chunks[1])
     rows, cols = grid.rows, grid.cols
@@ -60,7 +63,7 @@ def write_zarr(
         "shape": [n_bands, rows, cols],
         "chunks": [1, ch, cw],
         "dtype": _DTYPE,
-        "compressor": None,
+        "compressor": None if compress is None else {"id": "zlib", "level": int(compress)},
         "fill_value": "NaN" if math.isnan(fill) else fill,
         "order": "C",
         "filters": None,
@@ -79,6 +82,10 @@ def write_zarr(
         block = _blocks.dense_block(pdf, ch, cw, ci * ch, cj * cw, fill)
         name = f"{b}.{ci}.{cj}"
         data = block.astype("<f8").tobytes(order="C")
+        if compress is not None:
+            import zlib
+
+            data = zlib.compress(data, int(compress))
         with open(os.path.join(path, name), "wb") as f:
             f.write(data)
         return pd.DataFrame(
@@ -111,17 +118,19 @@ def read_zarr(spark: SparkSession, path: str) -> tuple[DataFrame, Grid]:
     drop (absent-row nodata contract)."""
     with open(os.path.join(path, ".zarray")) as f:
         meta = json.load(f)
+    comp = meta.get("compressor")
     if (
         meta.get("zarr_format") != 2
-        or meta.get("compressor") is not None
+        or (comp is not None and comp.get("id") != "zlib")
         or meta.get("dtype") != _DTYPE
         or meta.get("order") != "C"
         or meta.get("chunks", [0])[0] != 1
     ):
         raise NotImplementedError(
-            "supported zarr stores: v2, uncompressed, <f8, C-order, band-chunk 1 "
-            f"(got {meta})"
+            "supported zarr stores: v2, raw or zlib chunks, <f8, C-order, "
+            f"band-chunk 1 (got {meta})"
         )
+    zlib_chunks = comp is not None
     _, rows, cols = meta["shape"]
     _, ch, cw = meta["chunks"]
     fv = meta.get("fill_value")
@@ -143,6 +152,10 @@ def read_zarr(spark: SparkSession, path: str) -> tuple[DataFrame, Grid]:
             for p, content in zip(pdf["path"], pdf["content"]):
                 name = os.path.basename(p)
                 b, ci, cj = (int(t) for t in name.split("."))
+                if zlib_chunks:
+                    import zlib
+
+                    content = zlib.decompress(content)
                 block = np.frombuffer(content, dtype="<f8").reshape(ch, cw)
                 frames.append(
                     _blocks.sparse_cells(block, b, ci * ch, cj * cw, rows, cols, fill)

@@ -89,3 +89,35 @@ def test_geotiff_reader_rejects_foreign(tmp_path, spark):
     p.write_bytes(struct.pack("<2sHI", b"MM", 42, 8))
     with pytest.raises(NotImplementedError):
         SparkDataset.from_geotiff(spark, str(p))
+
+
+def test_geotiff_deflate_roundtrip(spark, tmp_path):
+    """Compression=8 (DEFLATE) tiles: smaller file, identical cells; raw
+    and deflated stores round-trip to the same table."""
+    import zlib
+
+    p = str(tmp_path / "d.tif")
+    praw = str(tmp_path / "draw.tif")
+    g = COELLO
+    ds = SparkDataset(grid_df(spark, g), g)
+    n_c = ds.to_cog(p, levels=(2,), tile=(8, 8), compress=6)
+    n_r = ds.to_cog(praw, levels=(2,), tile=(8, 8))
+    assert n_c < n_r  # deflate actually shrinks the payload
+    raw = open(p, "rb").read()
+    # Compression tag value is 8
+    ifd0 = struct.unpack_from("<I", raw, 4)[0]
+    (n_tags,) = struct.unpack_from("<H", raw, ifd0)
+    tags = {t: (typ, cnt, val) for t, typ, cnt, val in
+            (struct.unpack_from("<HHII", raw, ifd0 + 2 + 12 * i) for i in range(n_tags))}
+    assert tags[259][2] == 8
+    # first tile decompresses to the dense top-left block
+    off = struct.unpack_from("<I", raw, tags[324][2])[0]
+    cnt = struct.unpack_from("<I", raw, tags[325][2])[0]
+    blk = np.frombuffer(zlib.decompress(raw[off:off + cnt]), "<f8").reshape(8, 8)
+    assert blk.shape == (8, 8)
+    for back_path in (p, praw):
+        back = SparkDataset.from_geotiff(spark, back_path)
+        a = {(r.band, r.row, r.col): r.value
+             for r in ds.df.where(F.col("value").isNotNull()).collect()}
+        b = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
+        assert a == b and back.grid == g

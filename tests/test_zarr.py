@@ -64,3 +64,23 @@ def test_zarr_reader_rejects_foreign_stores(spark, tmp_path):
     }))
     with pytest.raises(NotImplementedError):
         SparkDataset.from_zarr(spark, str(store))
+
+
+def test_zarr_zlib_compressed_roundtrip(spark, tmp_path):
+    import zlib
+
+    store = str(tmp_path / "zc")
+    g = COELLO
+    ds = SparkDataset(grid_df(spark, g), g)
+    manifest = ds.to_zarr(store, chunks=(5, 4), compress=6)
+    meta = json.load(open(os.path.join(store, ".zarray")))
+    assert meta["compressor"] == {"id": "zlib", "level": 6}
+    # chunks are genuinely deflated; bytes decompress to the dense block
+    assert (manifest["n_bytes"] < 5 * 4 * 8).any()
+    raw = zlib.decompress(open(os.path.join(store, "0.0.0"), "rb").read())
+    assert len(raw) == 5 * 4 * 8
+    back = SparkDataset.from_zarr(spark, store)
+    a = {(r.band, r.row, r.col): r.value
+         for r in ds.df.where(F.col("value").isNotNull()).collect()}
+    b = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
+    assert a == b and back.grid == g
