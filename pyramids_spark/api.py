@@ -238,7 +238,7 @@ class SparkDataset:
         ``reproject.parse_proj4`` / ``parse_wkt_crs`` (reference accepts
         any CRS input through OSR, ``feature/crs.py:162-268``)."""
         if isinstance(epsg, str):
-            if epsg.lstrip().startswith(("PROJCS", "GEOGCS", "GEOGCRS")):
+            if epsg.lstrip().startswith(("PROJCRS", "PROJCS", "GEOGCRS", "GEOGCS")):
                 fam, arg = _reproject.parse_wkt_crs(epsg)
             else:
                 fam, arg = _reproject.parse_proj4(epsg)

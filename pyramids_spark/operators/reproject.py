@@ -458,38 +458,79 @@ _WKT_PROJ_FAMILIES = {
 }
 
 
+#: WKT2 human-readable PARAMETER names → WKT1-style keys
+_WKT2_PARAM_SYNONYMS = {
+    "latitude_of_false_origin": "latitude_of_origin",
+    "latitude_of_natural_origin": "latitude_of_origin",
+    "latitude_of_projection_centre": "latitude_of_origin",
+    "longitude_of_false_origin": "central_meridian",
+    "longitude_of_natural_origin": "central_meridian",
+    "longitude_of_origin": "central_meridian",
+    "latitude_of_1st_standard_parallel": "standard_parallel_1",
+    "latitude_of_2nd_standard_parallel": "standard_parallel_2",
+    "easting_at_false_origin": "false_easting",
+    "northing_at_false_origin": "false_northing",
+    "scale_factor_at_natural_origin": "scale_factor",
+}
+
+#: WKT2 METHOD names (normalized, parenthetical variant stripped) → family
+_WKT2_METHODS = {
+    "lambert_conic_conformal": "lcc",
+    "albers_equal_area": "albers",
+    "transverse_mercator": "utm",
+    "mercator": "merc",
+    "equidistant_cylindrical": "eqc",
+    "sinusoidal": "sinu",
+}
+
+
 def parse_wkt_crs(s: str):
-    """Minimal OGC WKT1 (.prj) CRS parser → the same (family, params)
-    language as :func:`parse_proj4`, mapped onto the existing closed-form
-    dispatch (reference ``get_epsg_from_prj``, ``feature/crs.py:94`` — it
-    round-trips .prj text through OSR; here the projection family +
-    parameters are extracted directly). Handles PROJCS with
-    LCC/Albers/TM(UTM)/Mercator/Equirectangular/Sinusoidal projections and
-    bare GEOGCS (→ longlat). Not a full WKT grammar: fields are located
-    with anchored regexes, which is exactly as much structure as .prj
-    files emitted by GDAL/ESRI carry."""
+    """Minimal OGC WKT CRS parser — WKT1 (.prj, ``PROJCS``/``GEOGCS``,
+    ``PROJECTION``, ``SPHEROID``, ``AUTHORITY``) AND WKT2 (ISO 19162,
+    ``PROJCRS``/``GEOGCRS``, ``METHOD``, ``ELLIPSOID``, human-readable
+    PARAMETER names, ``ID``) — → the same (family, params) language as
+    :func:`parse_proj4`, mapped onto the existing closed-form dispatch
+    (reference ``get_epsg_from_prj``, ``feature/crs.py:94`` — it
+    round-trips CRS text through OSR; here the projection family +
+    parameters are extracted directly). Handles LCC/Albers/TM(UTM)/
+    Mercator/Equirectangular/Sinusoidal projections and bare geographic
+    roots (→ longlat). Not a full WKT grammar: fields are located with
+    anchored regexes, which is exactly as much structure as GDAL/ESRI/EPSG
+    registry output carries."""
     import re
 
     head = re.match(r"\s*([A-Z_]+)\s*\[", s)
     root = head.group(1) if head else None
     if root in ("GEOGCS", "GEOGCRS"):
         return ("longlat", None)
-    if root != "PROJCS":
+    if root not in ("PROJCS", "PROJCRS"):
         raise NotImplementedError(f"unsupported WKT-CRS root {root!r}")
+
+    def norm(name: str) -> str:
+        name = re.sub(r"\s*\([^)]*\)\s*$", "", name.strip())  # drop "(2SP)"
+        return name.lower().replace(" ", "_")
+
+    fam = None
     proj_m = re.search(r'PROJECTION\s*\[\s*"([^"]+)"', s)
-    if not proj_m:
-        raise NotImplementedError("PROJCS without PROJECTION[] node")
-    fam = _WKT_PROJ_FAMILIES.get(proj_m.group(1).strip().lower().replace(" ", "_"))
+    if proj_m:
+        fam = _WKT_PROJ_FAMILIES.get(norm(proj_m.group(1)))
+    else:
+        meth_m = re.search(r'METHOD\s*\[\s*"([^"]+)"', s)
+        if not meth_m:
+            raise NotImplementedError("PROJCS/PROJCRS without PROJECTION/METHOD")
+        proj_m = meth_m
+        fam = _WKT2_METHODS.get(norm(meth_m.group(1)))
     if fam is None:
-        raise NotImplementedError(f"unsupported PROJECTION {proj_m.group(1)!r}")
-    params = {
-        k.strip().lower(): float(v)
-        for k, v in re.findall(
-            r'PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-+0-9.eE]+)\s*\]', s
-        )
-    }
+        raise NotImplementedError(f"unsupported projection {proj_m.group(1)!r}")
+    params = {}
+    for k, v in re.findall(
+        r'PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-+0-9.eE]+)', s
+    ):
+        key = norm(k)
+        params[_WKT2_PARAM_SYNONYMS.get(key, key)] = float(v)
     sph = re.search(
-        r'SPHEROID\s*\[\s*"[^"]*"\s*,\s*([-+0-9.eE]+)\s*,\s*([-+0-9.eE]+)', s
+        r'(?:SPHEROID|ELLIPSOID)\s*\[\s*"[^"]*"\s*,\s*([-+0-9.eE]+)\s*,\s*([-+0-9.eE]+)',
+        s,
     )
     a, rf = (float(sph.group(1)), float(sph.group(2))) if sph else (GRS80_A, GRS80_RF)
 
@@ -531,13 +572,14 @@ def parse_wkt_crs(s: str):
 
 
 def get_epsg_from_prj(s: str) -> "int | None":
-    """EPSG code of a .prj / WKT1 string: the LAST ``AUTHORITY["EPSG", …]``
-    node is the whole-CRS authority (nested GEOGCS/DATUM/UNIT authorities
-    come earlier in GDAL/ESRI-emitted WKT). Reference
-    ``feature/crs.py:94``. None when no EPSG authority is present."""
+    """EPSG code of a WKT CRS string: the LAST ``AUTHORITY["EPSG", …]``
+    (WKT1) or ``ID["EPSG", …]`` (WKT2) node is the whole-CRS authority
+    (nested GEOGCS/DATUM/UNIT authorities come earlier in emitted WKT).
+    Reference ``feature/crs.py:94``. None when no EPSG authority is
+    present."""
     import re
 
-    hits = re.findall(r'AUTHORITY\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]', s)
+    hits = re.findall(r'(?:AUTHORITY|ID)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]', s)
     return int(hits[-1]) if hits else None
 
 

@@ -438,3 +438,60 @@ def test_zone_label_cells_distributed_equals_driver(spark):
     b = zonal.zone_label_cells_df(spark, zones, COELLO).collect()
     got_b = {(r["row"], r["col"]): r["zone_id"] for r in b}
     assert got_a == got_b and len(got_a) > 0
+
+
+_WKT2_2154 = (
+    'PROJCRS["RGF93 v1 / Lambert-93",BASEGEOGCRS["RGF93 v1",DATUM['
+    '"Reseau Geodesique Francais 1993 v1",ELLIPSOID["GRS 1980",6378137,'
+    '298.257222101,LENGTHUNIT["metre",1]]],PRIMEM["Greenwich",0,'
+    'ANGLEUNIT["degree",0.0174532925199433]],ID["EPSG",4171]],'
+    'CONVERSION["Lambert-93",METHOD["Lambert Conic Conformal (2SP)",'
+    'ID["EPSG",9802]],PARAMETER["Latitude of false origin",46.5,'
+    'ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8821]],'
+    'PARAMETER["Longitude of false origin",3,ANGLEUNIT["degree",'
+    '0.0174532925199433],ID["EPSG",8822]],PARAMETER['
+    '"Latitude of 1st standard parallel",49,ANGLEUNIT["degree",'
+    '0.0174532925199433],ID["EPSG",8823]],PARAMETER['
+    '"Latitude of 2nd standard parallel",44,ANGLEUNIT["degree",'
+    '0.0174532925199433],ID["EPSG",8824]],PARAMETER['
+    '"Easting at false origin",700000,LENGTHUNIT["metre",1],'
+    'ID["EPSG",8826]],PARAMETER["Northing at false origin",6600000,'
+    'LENGTHUNIT["metre",1],ID["EPSG",8827]]],CS[Cartesian,2],'
+    'AXIS["easting (X)",east],AXIS["northing (Y)",north],'
+    'LENGTHUNIT["metre",1],ID["EPSG",2154]]'
+)
+_WKT2_32618 = (
+    'PROJCRS["WGS 84 / UTM zone 18N",BASEGEOGCRS["WGS 84",DATUM['
+    '"World Geodetic System 1984",ELLIPSOID["WGS 84",6378137,'
+    '298.257223563]],ID["EPSG",4326]],CONVERSION["UTM zone 18N",'
+    'METHOD["Transverse Mercator",ID["EPSG",9807]],'
+    'PARAMETER["Latitude of natural origin",0],'
+    'PARAMETER["Longitude of natural origin",-75],'
+    'PARAMETER["Scale factor at natural origin",0.9996],'
+    'PARAMETER["False easting",500000],PARAMETER["False northing",0]],'
+    'CS[Cartesian,2],ID["EPSG",32618]]'
+)
+
+
+def test_parse_wkt2_crs_strings(spark):
+    """WKT2 (ISO 19162) PROJCRS strings — METHOD/ELLIPSOID/human-readable
+    PARAMETER names/ID — map onto the same dispatch as WKT1."""
+    fam, p = reproject.parse_wkt_crs(_WKT2_2154)
+    _, reg = reproject.CONIC_EPSG[2154]
+    assert fam == "lcc" and p == reg
+    fam, epsg = reproject.parse_wkt_crs(_WKT2_32618)
+    assert (fam, epsg) == ("utm", 32618)
+    assert reproject.get_epsg_from_prj(_WKT2_2154) == 2154
+    assert reproject.get_epsg_from_prj(_WKT2_32618) == 32618
+    assert reproject.parse_wkt_crs('GEOGCRS["WGS 84",ID["EPSG",4326]]') == (
+        "longlat", None
+    )
+    # WKT2 text through the facade == registered-EPSG path
+    from pyramids_spark.api import SparkDataset
+
+    g = grid_df(spark, CROP_GRID)
+    via_wkt2 = SparkDataset(g, CROP_GRID).to_crs(_WKT2_2154)
+    via_epsg = SparkDataset(g, CROP_GRID).to_crs(2154)
+    a = {(r.row, r.col): r.value for r in via_wkt2.df.collect()}
+    b = {(r.row, r.col): r.value for r in via_epsg.df.collect()}
+    assert a == b and len(a) > 0
