@@ -234,12 +234,18 @@ class SparkDataset:
 
     def to_crs(self, epsg: int | str) -> "SparkDataset":
         """Target as an EPSG int, a PROJ4 string ('+proj=lcc +lat_1=…'), or
-        an OGC WKT1 / .prj string ('PROJCS[…]'); strings parse via
+        OGC WKT1 (.prj) / WKT2 (ISO 19162) CRS text; strings parse via
         ``reproject.parse_proj4`` / ``parse_wkt_crs`` (reference accepts
         any CRS input through OSR, ``feature/crs.py:162-268``)."""
         if isinstance(epsg, str):
-            if epsg.lstrip().startswith(("PROJCRS", "PROJCS", "GEOGCRS", "GEOGCS")):
+            code = 0
+            if epsg.lstrip().startswith(
+                ("PROJCRS", "PROJCS", "GEOGCRS", "GEOGCS", "GEODCRS")
+            ):
                 fam, arg = _reproject.parse_wkt_crs(epsg)
+                # carry the WKT's own authority onto the output grid so a
+                # later to_cog writes real GeoKey CRS metadata
+                code = _reproject.get_epsg_from_prj(epsg) or 0
             else:
                 fam, arg = _reproject.parse_proj4(epsg)
             if fam == "merc":
@@ -253,7 +259,7 @@ class SparkDataset:
             if fam == "longlat":
                 return self
             p = arg  # lcc / albers with explicit ellipsoidal params
-            dst = _reproject.reproject_plan_conic(self.grid, fam, p)
+            dst = _reproject.reproject_plan_conic(self.grid, fam, p, epsg=code)
             return SparkDataset(
                 _reproject.to_crs_nearest(
                     self.df, self.grid, dst,

@@ -473,12 +473,16 @@ _WKT2_PARAM_SYNONYMS = {
     "scale_factor_at_natural_origin": "scale_factor",
 }
 
-#: WKT2 METHOD names (normalized, parenthetical variant stripped) → family
+#: WKT2 METHOD names (normalized, parenthetical variant stripped) → family.
+#: NOTE: plain "Mercator" (variants A/B — EPSG:3395-style ELLIPSOIDAL
+#: Mercator) is deliberately ABSENT: collapsing it to the spherical
+#: web-mercator would be km-scale wrong; only the spherical
+#: pseudo-mercator method maps to the 3857 closed form.
 _WKT2_METHODS = {
     "lambert_conic_conformal": "lcc",
     "albers_equal_area": "albers",
     "transverse_mercator": "utm",
-    "mercator": "merc",
+    "popular_visualisation_pseudo_mercator": "merc",
     "equidistant_cylindrical": "eqc",
     "sinusoidal": "sinu",
 }
@@ -501,14 +505,21 @@ def parse_wkt_crs(s: str):
 
     head = re.match(r"\s*([A-Z_]+)\s*\[", s)
     root = head.group(1) if head else None
-    if root in ("GEOGCS", "GEOGCRS"):
+    if root in ("GEOGCS", "GEOGCRS", "GEODCRS"):  # GEODCRS = WKT2:2015 spelling
         return ("longlat", None)
     if root not in ("PROJCS", "PROJCRS"):
         raise NotImplementedError(f"unsupported WKT-CRS root {root!r}")
 
     def norm(name: str) -> str:
         name = re.sub(r"\s*\([^)]*\)\s*$", "", name.strip())  # drop "(2SP)"
-        return name.lower().replace(" ", "_")
+        return name.lower().replace(" ", "_").replace("-", "_")
+
+    # units guard: parameter values are interpreted as degrees/metres; a
+    # grads or survey-feet CRS (e.g. US state plane in ftUS) must fail
+    # loudly, not produce silently wrong coordinates
+    for u in re.findall(r'(?:ANGLEUNIT|LENGTHUNIT|UNIT)\s*\[\s*"([^"]+)"', s):
+        if norm(u) not in ("degree", "metre", "meter"):
+            raise NotImplementedError(f"non-degree/metre unit {u!r} unsupported")
 
     fam = None
     proj_m = re.search(r'PROJECTION\s*\[\s*"([^"]+)"', s)
@@ -568,6 +579,11 @@ def parse_wkt_crs(s: str):
             _e2_of_rf(rf),
         )
         return (fam, p)
+    if fam == "eqc" and P("standard_parallel_1") != 0.0:
+        raise NotImplementedError(
+            "equidistant cylindrical with a non-zero standard parallel "
+            "unsupported (closed form assumes lat_ts=0)"
+        )
     return (fam, None)
 
 
@@ -579,8 +595,18 @@ def get_epsg_from_prj(s: str) -> "int | None":
     present."""
     import re
 
-    hits = re.findall(r'(?:AUTHORITY|ID)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]', s)
-    return int(hits[-1]) if hits else None
+    last = None
+    for m in re.finditer(
+        r'(?:AUTHORITY|ID)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*(?:,\s*[0-9.]+\s*)?\]', s
+    ):
+        last = m
+    # the whole-CRS authority is the FINAL node: only closing brackets may
+    # follow it (a last hit deeper in the tree is a parameter/unit ID —
+    # e.g. a customized PROJCRS with its top-level ID stripped still has
+    # ID["EPSG",8827] on 'Northing at false origin')
+    if last is not None and re.fullmatch(r"[\]\s]*", s[last.end():]):
+        return int(last.group(1))
+    return None
 
 
 def conic_inverse_params(fam: str, p: ConicParams):

@@ -17,12 +17,12 @@ is directly writable:
   nodata, ALL tiles materialized (no sparse offset-0 tiles — maximum
   reader compatibility).
 
-Because uncompressed tiles all have one known size, every offset is
-computable BEFORE any pixel is seen, so the writer streams: tile blocks
-are built DISTRIBUTED (groupBy tile + applyInPandas, same shape as the
-zarr chunk writer), then iterated to the driver in (band, level, tile)
-order via ``toLocalIterator`` — O(tile) driver memory — and appended at
-their precomputed offsets. A single .tif is an EXPORT artifact (classic
+Tile blocks (and their optional deflation) are built DISTRIBUTED
+(groupBy tile + applyInPandas, same shape as the zarr chunk writer), then
+iterated to the driver in (band, level, tile) order via
+``toLocalIterator`` — O(tile) driver memory — and appended sequentially;
+the offset/count arrays live at layout-time-fixed positions and are
+patched once streaming ends. A single .tif is an EXPORT artifact (classic
 TIFF caps at 4 GiB; BigTIFF out of scope) — the 100-TB storage paths are
 the parquet/zarr cell tables; this exists for interop with the
 reference's GDAL world.
@@ -207,9 +207,13 @@ def write_geotiff(
             def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
                 bb, ti, tj = int(key[0]), int(key[1]), int(key[2])
                 block = _blocks.dense_block(pdf, th, tw, ti * th, tj * tw, fill)
+                data = block.astype("<f8").tobytes(order="C")
+                if compress is not None:  # deflate in the EXECUTORS — the
+                    import zlib  # driver only streams the ready bytes
+
+                    data = zlib.compress(data, compress)
                 return pd.DataFrame(
-                    {"band": [bb], "ti": [ti], "tj": [tj],
-                     "data": [block.astype("<f8").tobytes(order="C")]}
+                    {"band": [bb], "ti": [ti], "tj": [tj], "data": [data]}
                 )
 
             keyed = cdf.where(F.col("value").isNotNull()).select(
@@ -232,9 +236,7 @@ def write_geotiff(
                         nxt_row is not None
                         and (nxt_row["band"], nxt_row["ti"], nxt_row["tj"]) == (b, ti, tj)
                     ):
-                        data = nxt_row["data"]
-                        if compress is not None:
-                            data = zlib.compress(data, compress)
+                        data = nxt_row["data"]  # already deflated executor-side
                         nxt_row = next(it, None)
                     else:  # empty tile: all nodata
                         data = fill_tile
@@ -322,6 +324,8 @@ def read_geotiff(
         raise ValueError(f"store has {n_levels} levels (asked for {overview})")
     picked = [ifds[b * n_levels + overview] for b in range(n_bands)]
     d0 = picked[0]
+    if any(d["comp"] != d0["comp"] for d in picked):
+        raise NotImplementedError("mixed per-band compression unsupported")
     gk = d0["geokeys"]
     epsg = 4326
     for i in range(4, len(gk) - 3, 4):  # entries follow the 4-SHORT header

@@ -2,7 +2,7 @@
 
 Reference surface: ``Dataset.to_zarr`` / zarr ingest (the reference wraps
 GDAL's Zarr driver). The v2 on-disk format is a PUBLIC spec simple enough
-to implement directly for the uncompressed case: a store directory holding
+to implement directly for the raw/zlib case: a store directory holding
 
 - ``.zarray``  — JSON array metadata (shape, chunks, dtype, fill_value,
   ``compressor: null`` = raw chunks, ``order: "C"``),
@@ -112,7 +112,7 @@ def write_zarr(
 
 
 def read_zarr(spark: SparkSession, path: str) -> tuple[DataFrame, Grid]:
-    """Open a (this-module-shaped: float64, uncompressed, band-chunk 1)
+    """Open a (this-module-shaped: float64, raw or zlib chunks, band-chunk 1)
     zarr v2 store → (cell table, Grid). Chunks are scanned with the
     ``binaryFile`` source — a distributed read, no driver loop; fill cells
     drop (absent-row nodata contract)."""

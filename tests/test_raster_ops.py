@@ -492,6 +492,45 @@ def test_parse_wkt2_crs_strings(spark):
     g = grid_df(spark, CROP_GRID)
     via_wkt2 = SparkDataset(g, CROP_GRID).to_crs(_WKT2_2154)
     via_epsg = SparkDataset(g, CROP_GRID).to_crs(2154)
+    assert via_wkt2.grid.epsg == 2154  # WKT authority carried onto the grid
     a = {(r.row, r.col): r.value for r in via_wkt2.df.collect()}
     b = {(r.row, r.col): r.value for r in via_epsg.df.collect()}
     assert a == b and len(a) > 0
+
+
+def test_parse_wkt2_guards():
+    """Review-pass-3 guards: ellipsoidal Mercator and foreign units REJECT
+    instead of silently collapsing; pseudo-mercator and GEODCRS accepted;
+    nested parameter IDs are not mistaken for the CRS authority."""
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):  # EPSG:3395-style ellipsoidal
+        reproject.parse_wkt_crs(
+            'PROJCRS["WGS 84 / World Mercator",BASEGEOGCRS["WGS 84",DATUM["W",'
+            'ELLIPSOID["WGS 84",6378137,298.257223563]]],CONVERSION["M",'
+            'METHOD["Mercator (variant A)"],PARAMETER["Latitude of natural origin",0],'
+            'PARAMETER["Scale factor at natural origin",1]],ID["EPSG",3395]]'
+        )
+    with _pytest.raises(NotImplementedError):  # survey-feet state plane
+        reproject.parse_wkt_crs(
+            _WKT2_2154.replace('LENGTHUNIT["metre",1],ID["EPSG",8826]',
+                               'LENGTHUNIT["US survey foot",0.3048],ID["EPSG",8826]')
+        )
+    fam, _ = reproject.parse_wkt_crs(
+        'PROJCRS["WGS 84 / Pseudo-Mercator",BASEGEOGCRS["WGS 84",DATUM["W",'
+        'ELLIPSOID["WGS 84",6378137,298.257223563]]],CONVERSION["PM",'
+        'METHOD["Popular Visualisation Pseudo Mercator"],'
+        'PARAMETER["Longitude of natural origin",0]],ID["EPSG",3857]]'
+    )
+    assert fam == "merc"
+    assert reproject.parse_wkt_crs('GEODCRS["WGS 84",ID["EPSG",4326]]') == (
+        "longlat", None
+    )
+    # a PROJCRS with its top-level ID stripped still has parameter IDs —
+    # they must not be reported as the CRS authority
+    stripped = _WKT2_2154[: _WKT2_2154.rfind(',ID["EPSG",2154]')] + "]"
+    assert reproject.get_epsg_from_prj(stripped) is None
+    # versioned top-level ID parses
+    assert reproject.get_epsg_from_prj(
+        _WKT2_2154.replace('ID["EPSG",2154]]', 'ID["EPSG",2154,9.9]]')
+    ) == 2154
