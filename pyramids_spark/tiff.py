@@ -50,6 +50,7 @@ _W, _H = 256, 257
 _BITS, _COMP, _PHOTO = 258, 259, 262
 _SPP, _SFMT = 277, 339
 _TW, _TH, _TOFF, _TCNT = 322, 323, 324, 325
+_SOFF, _RPS, _SCNT = 273, 278, 279  # strip layout (read side only)
 _NEWSUBFILE = 254
 _PIXSCALE, _TIEPOINT, _GEOKEYS = 33550, 33922, 34735
 _GDAL_NODATA = 42113
@@ -279,7 +280,9 @@ def _read_ifds(path: str) -> list[dict]:
 
             def arr(tag, fmt, per):
                 typ, cnt, val = tags[tag]
-                if cnt == 1 and fmt == "I":
+                if fmt == "I" and typ == _T_SHORT:
+                    fmt, per = "H", 2  # old writers store strip arrays as SHORT
+                if cnt == 1 and fmt in ("I", "H"):
                     return [val]
                 cur = fh.tell()
                 fh.seek(val)
@@ -289,15 +292,27 @@ def _read_ifds(path: str) -> list[dict]:
 
             d = {
                 "rows": tags[_H][2], "cols": tags[_W][2],
-                "tw": tags[_TW][2], "th": tags[_TH][2],
-                "offsets": arr(_TOFF, "I", 4), "counts": arr(_TCNT, "I", 4),
-                "scale": arr(_PIXSCALE, "d", 8), "tie": arr(_TIEPOINT, "d", 8),
-                "geokeys": arr(_GEOKEYS, "H", 2),
+                "scale": arr(_PIXSCALE, "d", 8) if _PIXSCALE in tags else [1.0, 1.0, 0.0],
+                "tie": arr(_TIEPOINT, "d", 8) if _TIEPOINT in tags else [0.0] * 6,
+                "geokeys": arr(_GEOKEYS, "H", 2) if _GEOKEYS in tags else [1, 1, 0, 0],
                 "overview": _NEWSUBFILE in tags and tags[_NEWSUBFILE][2] == 1,
             }
-            d["comp"] = tags[_COMP][2]
-            if d["comp"] not in (1, 8) or tags[_BITS][2] != 64 or tags[_SFMT][2] != 3:
-                raise NotImplementedError("only raw/DEFLATE float64 tiles")
+            if _TW in tags:  # tiled layout (our writer; COGs)
+                d["tw"], d["th"] = tags[_TW][2], tags[_TH][2]
+                d["offsets"], d["counts"] = arr(_TOFF, "I", 4), arr(_TCNT, "I", 4)
+            elif _SOFF in tags:  # strip layout — how most GeoTIFFs in the
+                # wild are organized: strips ≙ full-width tiles (the last
+                # strip may be SHORT — decode reshapes by actual length)
+                d["tw"] = tags[_W][2]
+                d["th"] = tags[_RPS][2] if _RPS in tags else tags[_H][2]
+                d["offsets"], d["counts"] = arr(_SOFF, "I", 4), arr(_SCNT, "I", 4)
+            else:
+                raise NotImplementedError("IFD has neither tile nor strip layout")
+            d["comp"] = tags[_COMP][2] if _COMP in tags else 1
+            bits = tags.get(_BITS, (0, 0, 0))[2]
+            sfmt = tags.get(_SFMT, (0, 0, 1))[2]
+            if d["comp"] not in (1, 8) or bits != 64 or sfmt != 3:
+                raise NotImplementedError("only raw/DEFLATE float64 rasters")
             if _GDAL_NODATA in tags:
                 typ, cnt, val = tags[_GDAL_NODATA]
                 fh.seek(val)
@@ -360,7 +375,9 @@ def read_geotiff(
                         import zlib
 
                         raw = zlib.decompress(raw)
-                    block = np.frombuffer(raw, dtype="<f8").reshape(th, tw)
+                    # reshape by actual length: tiles are full (th, tw);
+                    # a foreign file's LAST STRIP may be short
+                    block = np.frombuffer(raw, dtype="<f8").reshape(-1, tw)
                     frames.append(
                         _blocks.sparse_cells(
                             block, int(b), int(ti) * th, int(tj) * tw, rows, cols, fill

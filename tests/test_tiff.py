@@ -121,3 +121,54 @@ def test_geotiff_deflate_roundtrip(spark, tmp_path):
              for r in ds.df.where(F.col("value").isNotNull()).collect()}
         b = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
         assert a == b and back.grid == g
+
+
+def test_geotiff_reads_foreign_strip_layout(spark, tmp_path):
+    """Most real GeoTIFFs are STRIP-organized: hand-build one (float64,
+    RowsPerStrip=3, SHORT last strip, no nodata tag) and read it."""
+    rows, cols, rps = 7, 4, 3
+    vals = np.arange(rows * cols, dtype="<f8").reshape(rows, cols)
+    strips = [vals[s: s + rps].tobytes() for s in range(0, rows, rps)]
+    n_strips = len(strips)
+
+    # layout: header(8) | IFD | offsets arr | counts arr | scale | tie | data
+    n_tags = 10
+    ifd_at = 8
+    p_off = ifd_at + 2 + n_tags * 12 + 4
+    p_cnt = p_off + 4 * n_strips
+    p_scale = p_cnt + 4 * n_strips
+    p_tie = p_scale + 24
+    data_at = p_tie + 48
+    offs, cur = [], data_at
+    for s in strips:
+        offs.append(cur)
+        cur += len(s)
+    tags = sorted([
+        (256, 4, 1, cols), (257, 4, 1, rows), (258, 3, 1, 64),
+        (259, 3, 1, 1), (262, 3, 1, 1),
+        (273, 4, n_strips, p_off), (278, 4, 1, rps),
+        (279, 4, n_strips, p_cnt), (339, 3, 1, 3),
+        (33550, 12, 3, p_scale),
+    ])
+    buf = bytearray(struct.pack("<2sHI", b"II", 42, ifd_at))
+    buf += struct.pack("<H", n_tags)
+    for t in tags:
+        buf += struct.pack("<HHII", *t)
+    buf += struct.pack("<I", 0)
+    buf += struct.pack(f"<{n_strips}I", *offs)
+    buf += struct.pack(f"<{n_strips}I", *[len(s) for s in strips])
+    buf += struct.pack("<3d", 2.0, 2.0, 0.0)
+    buf += struct.pack("<6d", 0.0, 0.0, 0.0, 100.0, 200.0, 0.0)
+    for s in strips:
+        buf += s
+    # tiepoint tag omitted from the IFD on purpose: defaults apply
+    p = tmp_path / "strip.tif"
+    p.write_bytes(bytes(buf))
+
+    back = SparkDataset.from_geotiff(spark, str(p))
+    assert back.grid.rows == rows and back.grid.cols == cols
+    assert back.grid.cell == 2.0 and back.grid.nodata is None
+    got = {(r.row, r.col): r.value for r in back.df.collect()}
+    exp = {(r, c): float(vals[r, c]) for r in range(rows) for c in range(cols)
+           if not np.isnan(vals[r, c])}
+    assert got == exp and len(got) == rows * cols
