@@ -305,3 +305,18 @@ def test_convex_flag_on_padded_rings_regression(spark):
     b = {(r["doc_id"], r["zone_id"])
          for r in pip.pip_join_df(pts, zdf, zoom=7, refine="udf").collect()}
     assert a == b and any(z == 77 for _, z in a)
+
+
+def test_pip_join_df_hot_spot_skew_still_exact(spark):
+    """90% of points in one cell (worst-case skew) through the DataFrame
+    polygon side: results equal the broadcast list path (AQE skew handling
+    is the runtime backstop when the cover side is shuffle-joined)."""
+    pts = synth.doc_points(spark, 3000, hot_frac=0.9)
+    zones = synth.zone_polygons(4, "hex")
+    zdf = _zones_as_df(spark, zones)
+    a = {(r["doc_id"], r["zone_id"])
+         for r in pip.pip_join(pts, zones, zoom=6, refine="udf")
+         .select("doc_id", "zone_id").collect()}
+    b = {(r["doc_id"], r["zone_id"])
+         for r in pip.pip_join_df(pts, zdf, zoom=6).select("doc_id", "zone_id").collect()}
+    assert a == b and len(a) > 0
