@@ -311,8 +311,12 @@ def _read_ifds(path: str) -> list[dict]:
             d["comp"] = tags[_COMP][2] if _COMP in tags else 1
             bits = tags.get(_BITS, (0, 0, 0))[2]
             sfmt = tags.get(_SFMT, (0, 0, 1))[2]
-            if d["comp"] not in (1, 8) or bits != 64 or sfmt != 3:
-                raise NotImplementedError("only raw/DEFLATE float64 rasters")
+            spp = tags.get(_SPP, (0, 0, 1))[2]
+            if d["comp"] not in (1, 8) or bits != 64 or sfmt != 3 or spp != 1:
+                raise NotImplementedError(
+                    "only raw/DEFLATE float64 single-sample-per-pixel rasters "
+                    "(multiband ≙ one IFD per band, not interleaved samples)"
+                )
             if _GDAL_NODATA in tags:
                 typ, cnt, val = tags[_GDAL_NODATA]
                 fh.seek(val)

@@ -84,6 +84,26 @@ def test_geotiff_multiband_nan_nodata(spark, tmp_path):
     assert a == b and len({k[0] for k in b}) == 3
 
 
+def test_geotiff_reader_rejects_interleaved_samples(tmp_path, spark):
+    """SamplesPerPixel>1 (interleaved RGB-style) files must reject loudly,
+    not decode garbage."""
+    rows = cols = 2
+    buf = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    tags = sorted([
+        (256, 4, 1, cols), (257, 4, 1, rows), (258, 3, 1, 64), (259, 3, 1, 1),
+        (273, 4, 1, 200), (277, 3, 1, 3), (278, 4, 1, rows),
+        (279, 4, 1, rows * cols * 3 * 8), (339, 3, 1, 3),
+    ])
+    buf += struct.pack("<H", len(tags))
+    for t in tags:
+        buf += struct.pack("<HHII", *t)
+    buf += struct.pack("<I", 0)
+    p = tmp_path / "ileave.tif"
+    p.write_bytes(bytes(buf))
+    with pytest.raises(NotImplementedError):
+        SparkDataset.from_geotiff(spark, str(p))
+
+
 def test_geotiff_reader_rejects_foreign(tmp_path, spark):
     p = tmp_path / "x.tif"
     p.write_bytes(struct.pack("<2sHI", b"MM", 42, 8))
