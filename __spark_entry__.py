@@ -819,6 +819,44 @@ def sql_change_nodata():
     )
 
 
+def q_zarr_roundtrip(spark, sf_dir):
+    """Container gate: write the COELLO grid to a REAL zarr v2 store
+    (zlib chunks) and read it back distributed — the oracle is the grid
+    generator itself, so any byte-level container defect shows up as a
+    value mismatch."""
+    from pyramids_spark.api import SparkDataset
+
+    ds = SparkDataset(grid_df(spark, COELLO), COELLO)
+    ds.to_zarr("/tmp/pyramids_q_zarr", chunks=(7, 9), compress=1)
+    back = SparkDataset.from_zarr(spark, "/tmp/pyramids_q_zarr")
+    return back.df.select("band", "row", "col", "value")
+
+
+def sql_zarr_roundtrip():
+    return (
+        f"WITH g AS ({grid_sql(COELLO)}) "
+        "SELECT band, row, col, value FROM g WHERE value IS NOT NULL"
+    )
+
+
+def q_geotiff_roundtrip(spark, sf_dir):
+    """Container gate: DEFLATE tiled GeoTIFF with an overview IFD, read
+    back distributed; same generator oracle as the zarr twin."""
+    from pyramids_spark.api import SparkDataset
+
+    ds = SparkDataset(grid_df(spark, COELLO), COELLO)
+    ds.to_cog("/tmp/pyramids_q_cog.tif", levels=(2,), tile=(8, 8), compress=6)
+    back = SparkDataset.from_geotiff(spark, "/tmp/pyramids_q_cog.tif")
+    return back.df.select("band", "row", "col", "value")
+
+
+def sql_geotiff_roundtrip():
+    return (
+        f"WITH g AS ({grid_sql(COELLO)}) "
+        "SELECT band, row, col, value FROM g WHERE value IS NOT NULL"
+    )
+
+
 def q_list_layers(spark, sf_dir):
     """``FeatureCollection.list_layers`` (``feature/collection.py:1240``,
     pyogrio multi-layer listing ≙ parquet datasets in a container dir) +
@@ -3304,6 +3342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_lanczos": q_overview_lanczos,
         "change_nodata": q_change_nodata,
         "list_layers": q_list_layers,
+        "zarr_roundtrip": q_zarr_roundtrip,
+        "geotiff_roundtrip": q_geotiff_roundtrip,
         "wkt_roundtrip": q_wkt_roundtrip,
         "wkt_polygon_roundtrip": q_wkt_polygon_roundtrip,
         "focal_std": q_focal_std,
@@ -3362,6 +3402,8 @@ def oracle_sql() -> dict[str, str]:
         "overview_lanczos": sql_overview_lanczos(),
         "change_nodata": sql_change_nodata(),
         "list_layers": sql_list_layers(),
+        "zarr_roundtrip": sql_zarr_roundtrip(),
+        "geotiff_roundtrip": sql_geotiff_roundtrip(),
         "wkt_roundtrip": sql_wkt_roundtrip(),
         "wkt_geometrycollection": sql_wkt_geometrycollection(),
         "geojson_roundtrip": sql_geojson_roundtrip(),
