@@ -3261,6 +3261,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # -- driver-window rotation (r5): the 8 never-driver-validated
+        # -- queries first, then stalest (r1/r2), then round-5 additions;
+        # -- r3-validated fill the window, r4-validated (freshest) last
+        "zonal_raster": q_zonal_raster,
+        "salted_agg": q_salted_agg,
+        "mesh_centroids": q_mesh_centroids,
+        "mesh_to_grid": q_mesh_to_grid,
+        "mesh_to_grid_linear": q_mesh_to_grid_linear,
+        "media_features": q_media_features,
+        "zarr_roundtrip": q_zarr_roundtrip,
+        "geotiff_roundtrip": q_geotiff_roundtrip,
+        "polygonize_rings": q_polygonize_rings,
+        "span_pipeline": q_span_pipeline,
+        # -- round-5 additions go here (inside the first-50 window) --
+        # -- last validated r3 --
+        "cell_encode": q_cell_encode,
+        "pip_boxes": q_pip_boxes,
+        "pip_hexagons": q_pip_hexagons,
+        "knn": q_knn,
+        "knn_cellpruned": q_knn_cellpruned,
+        "extract_at_points": q_extract_at_points,
+        "rasterize": q_rasterize,
+        "zonal_stats": q_zonal_stats,
+        "crop_window": q_crop_window,
+        "crop_aligned": q_crop_aligned,
+        "crop_polygon": q_crop_polygon,
+        "crop_polygon_clip": q_crop_polygon_clip,
+        "align_nearest": q_align_nearest,
+        "overview_rollup": q_overview_rollup,
+        "overview_mode": q_overview_mode,
+        "overview_nearest": q_overview_nearest,
+        "overview_rms": q_overview_rms,
+        "overview_gauss": q_overview_gauss,
+        "raster_algebra": q_raster_algebra,
+        "overview_cubicspline": q_overview_cubicspline,
+        "overview_lanczos": q_overview_lanczos,
+        "change_nodata": q_change_nodata,
+        "list_layers": q_list_layers,
+        "wkt_roundtrip": q_wkt_roundtrip,
+        "wkt_polygon_roundtrip": q_wkt_polygon_roundtrip,
+        "focal_std": q_focal_std,
+        "concat_fc": q_concat_fc,
+        "time_slice": q_time_slice,
+        "mesh_subset": q_mesh_subset,
+        "mesh_clip": q_mesh_clip,
+        "color_table": q_color_table,
+        "cf_roles": q_cf_roles,
+        "cf_decode": q_cf_decode,
+        "reproject_lcc": q_reproject_lcc,
+        "reproject_albers": q_reproject_albers,
+        "ann_lsh": q_ann_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "rat_join": q_rat_join,
+        "focal_mean": q_focal_mean,
+        "focal_minmax": q_focal_minmax,
+        "histogram": q_histogram,
+        "mosaic": q_mosaic,
+        "stats": q_stats,
+        "normalize": q_normalize,
+        "overlay": q_overlay,
+        "temporal_reduce": q_temporal_reduce,
+        "temporal_groupby": q_temporal_groupby,
+        "sel_slice": q_sel_slice,
+        # -- last validated r4 (freshest — outside the window is fine) --
         "pip_faces": q_pip_faces,
         "zonal_faces": q_zonal_faces,
         "knn_df": q_knn_df,
@@ -3311,66 +3377,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "cluster_summary": q_cluster_summary,
         "histogram_approx": q_histogram_approx,
-        "zonal_raster": q_zonal_raster,
-        "salted_agg": q_salted_agg,
-        "mesh_centroids": q_mesh_centroids,
-        "mesh_to_grid": q_mesh_to_grid,
-        "mesh_to_grid_linear": q_mesh_to_grid_linear,
-        "span_pipeline": q_span_pipeline,
-        "polygonize_rings": q_polygonize_rings,
-        "media_features": q_media_features,
-        "cell_encode": q_cell_encode,
-        "pip_boxes": q_pip_boxes,
-        "pip_hexagons": q_pip_hexagons,
-        "knn": q_knn,
-        "knn_cellpruned": q_knn_cellpruned,
-        "extract_at_points": q_extract_at_points,
-        "rasterize": q_rasterize,
-        "zonal_stats": q_zonal_stats,
-        "crop_window": q_crop_window,
-        "crop_aligned": q_crop_aligned,
-        "crop_polygon": q_crop_polygon,
-        "crop_polygon_clip": q_crop_polygon_clip,
-        "align_nearest": q_align_nearest,
-        "overview_rollup": q_overview_rollup,
-        "overview_mode": q_overview_mode,
-        "overview_nearest": q_overview_nearest,
-        "overview_rms": q_overview_rms,
-        "overview_gauss": q_overview_gauss,
-        "raster_algebra": q_raster_algebra,
-        "overview_cubicspline": q_overview_cubicspline,
-        "overview_lanczos": q_overview_lanczos,
-        "change_nodata": q_change_nodata,
-        "list_layers": q_list_layers,
-        "zarr_roundtrip": q_zarr_roundtrip,
-        "geotiff_roundtrip": q_geotiff_roundtrip,
-        "wkt_roundtrip": q_wkt_roundtrip,
-        "wkt_polygon_roundtrip": q_wkt_polygon_roundtrip,
-        "focal_std": q_focal_std,
-        "concat_fc": q_concat_fc,
-        "time_slice": q_time_slice,
-        "mesh_subset": q_mesh_subset,
-        "mesh_clip": q_mesh_clip,
-        "color_table": q_color_table,
-        "cf_roles": q_cf_roles,
-        "cf_decode": q_cf_decode,
-        "reproject_lcc": q_reproject_lcc,
-        "reproject_albers": q_reproject_albers,
-        "ann_lsh": q_ann_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "rat_join": q_rat_join,
-        "focal_mean": q_focal_mean,
-        "focal_minmax": q_focal_minmax,
-        "histogram": q_histogram,
-        "mosaic": q_mosaic,
-        "stats": q_stats,
-        "normalize": q_normalize,
-        "overlay": q_overlay,
-        "temporal_reduce": q_temporal_reduce,
-        "temporal_groupby": q_temporal_groupby,
-        "sel_slice": q_sel_slice,
     }
 
 

@@ -566,7 +566,34 @@ def parse_wkt_crs(s: str):
         ):
             return ("utm", (32700 if fn == 10_000_000.0 else 32600) + int(round(zone)))
         raise NotImplementedError("general (non-UTM) Transverse_Mercator unsupported")
+    if fam == "merc":
+        # The closed form here is the SPHERICAL web-mercator (3857). A WKT1
+        # PROJECTION["Mercator_1SP"] over an ellipsoidal SPHEROID (e.g. an
+        # EPSG:3395-style .prj) is the ELLIPSOIDAL Mercator — silently using
+        # the spherical form would be off by ~20-40 km in northing. Accept
+        # the family only when the spheroid is a sphere (rf == 0) or the
+        # whole-CRS authority is the web-mercator code itself (3857/900913
+        # WKT lists the WGS84 spheroid but projects on the sphere), exactly
+        # mirroring the _WKT2_METHODS guard that omits plain "Mercator".
+        if abs(P("scale_factor", default=1.0) - 1.0) > 1e-12:
+            raise NotImplementedError(
+                "Mercator with scale_factor != 1 unsupported"
+            )
+        if rf != 0.0 and get_epsg_from_prj(s) not in (3857, 900913):
+            raise NotImplementedError(
+                "ellipsoidal Mercator (EPSG:3395-style) unsupported — only "
+                "the spherical web-mercator closed form is implemented"
+            )
     if fam in ("lcc", "albers"):
+        # Closed forms assume k0 = 1 (2SP conics have no scale factor; a
+        # 1SP CRS with k0 != 1, e.g. NTF Lambert zone II k0=0.99987742,
+        # would be silently off by hundreds of metres) — fail loudly like
+        # the non-UTM Transverse_Mercator guard above.
+        if abs(P("scale_factor", default=1.0) - 1.0) > 1e-12:
+            raise NotImplementedError(
+                f"{fam} with scale_factor != 1 unsupported (closed form "
+                "assumes k0 = 1)"
+            )
         lat1 = P("standard_parallel_1")
         p = ConicParams(
             lat1,

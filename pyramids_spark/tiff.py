@@ -207,6 +207,18 @@ def write_geotiff(
 
             def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
                 bb, ti, tj = int(key[0]), int(key[1]), int(key[2])
+                rr, cc = pdf["row"].to_numpy(), pdf["col"].to_numpy()
+                if (
+                    rr.min() < 0 or rr.max() >= g.rows
+                    or cc.min() < 0 or cc.max() >= g.cols
+                ):
+                    # out-of-extent cells would either wrap via fancy
+                    # indexing (negative) or desync the sequential merge
+                    # stream (beyond-grid ti/tj) — fail loudly instead
+                    raise ValueError(
+                        f"cell outside grid extent ({g.rows}x{g.cols}): "
+                        f"rows [{rr.min()},{rr.max()}] cols [{cc.min()},{cc.max()}]"
+                    )
                 block = _blocks.dense_block(pdf, th, tw, ti * th, tj * tw, fill)
                 data = block.astype("<f8").tobytes(order="C")
                 if compress is not None:  # deflate in the EXECUTORS — the
@@ -246,6 +258,15 @@ def write_geotiff(
                     f_.offs.append(cur)
                     f_.cnts.append(len(data))
                     cur += len(data)
+            if nxt_row is not None:
+                # a block the merge never matched means its (band, ti, tj)
+                # is outside the declared layout — the file written so far
+                # is silently fill-padded, so fail loudly
+                raise ValueError(
+                    "unconsumed tile block after streaming level "
+                    f"{li}: band={nxt_row['band']} ti={nxt_row['ti']} "
+                    f"tj={nxt_row['tj']} (outside {n_bands}x{nty}x{ntx})"
+                )
         # patch offset/count arrays (or single-tile tag value fields)
         for f_ in ifds:
             if f_.n_tiles > 1:
@@ -282,8 +303,15 @@ def _read_ifds(path: str) -> list[dict]:
                 typ, cnt, val = tags[tag]
                 if fmt == "I" and typ == _T_SHORT:
                     fmt, per = "H", 2  # old writers store strip arrays as SHORT
-                if cnt == 1 and fmt in ("I", "H"):
-                    return [val]
+                if cnt * per <= 4 and fmt in ("I", "H"):
+                    # TIFF 6.0: values totalling <= 4 bytes live IN the
+                    # value field (e.g. a 2-strip file with SHORT
+                    # StripByteCounts inlines both), not at an offset
+                    return list(
+                        struct.unpack(
+                            f"<{cnt}{fmt}", struct.pack("<I", val)[: cnt * per]
+                        )
+                    )
                 cur = fh.tell()
                 fh.seek(val)
                 vals = list(struct.unpack(f"<{cnt}{fmt}", fh.read(cnt * per)))

@@ -188,6 +188,59 @@ def test_parse_wkt_crs_real_prj_strings(spark):
     assert a == b and len(a) > 0
 
 
+def test_parse_wkt_crs_mercator_and_k0_guards():
+    """ADVICE r4: (1) WKT1 Mercator over an ellipsoidal SPHEROID without a
+    3857 authority (EPSG:3395-style .prj) must REJECT, not silently use the
+    spherical closed form (~20-40 km northing error); (2) an lcc CRS with
+    scale_factor != 1 (NTF Lambert zone II style) must REJECT."""
+    import pytest as _pytest
+
+    _merc = (
+        'PROJCS["WGS 84 / World Mercator",GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],PROJECTION["Mercator_1SP"],'
+        'PARAMETER["central_meridian",0],PARAMETER["scale_factor",1],'
+        'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+        'UNIT["metre",1]{auth}]'
+    )
+    # ellipsoidal spheroid, no web-mercator authority → loud reject
+    with _pytest.raises(NotImplementedError, match="ellipsoidal Mercator"):
+        reproject.parse_wkt_crs(_merc.format(auth=',AUTHORITY["EPSG","3395"]'))
+    with _pytest.raises(NotImplementedError, match="ellipsoidal Mercator"):
+        reproject.parse_wkt_crs(_merc.format(auth=""))
+    # the 3857 authority carries the WGS84 spheroid but projects spherical
+    fam, p = reproject.parse_wkt_crs(
+        _merc.format(auth=',AUTHORITY["EPSG","3857"]')
+    )
+    assert (fam, p) == ("merc", None)
+    # a true sphere (rf == 0) is the spherical form regardless of authority
+    fam, p = reproject.parse_wkt_crs(
+        _merc.replace('SPHEROID["WGS 84",6378137,298.257223563]',
+                      'SPHEROID["Sphere",6378137,0]').format(auth="")
+    )
+    assert (fam, p) == ("merc", None)
+    # Mercator k0 != 1 → reject
+    with _pytest.raises(NotImplementedError, match="scale_factor"):
+        reproject.parse_wkt_crs(
+            _merc.replace('"scale_factor",1', '"scale_factor",0.7')
+            .replace("298.257223563", "0").format(auth="")
+        )
+    # lcc with a 1SP-style k0 != 1 → reject (was silently hundreds of m off)
+    ntf = _PRJ_2154.replace(
+        'PARAMETER["false_easting"',
+        'PARAMETER["scale_factor",0.99987742],PARAMETER["false_easting"',
+    )
+    with _pytest.raises(NotImplementedError, match="scale_factor"):
+        reproject.parse_wkt_crs(ntf)
+    # explicit k0 == 1 stays accepted
+    ok = _PRJ_2154.replace(
+        'PARAMETER["false_easting"',
+        'PARAMETER["scale_factor",1.0],PARAMETER["false_easting"',
+    )
+    fam, p = reproject.parse_wkt_crs(ok)
+    assert fam == "lcc" and p == reproject.CONIC_EPSG[2154][1]
+
+
 def test_to_crs_proj4_string_matches_epsg_path(spark):
     """A PROJ4 LCC string with false easting/northing produces the SAME
     (row, col, value) table as the registered-EPSG path — the offset only

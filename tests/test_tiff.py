@@ -192,3 +192,60 @@ def test_geotiff_reads_foreign_strip_layout(spark, tmp_path):
     exp = {(r, c): float(vals[r, c]) for r in range(rows) for c in range(cols)
            if not np.isnan(vals[r, c])}
     assert got == exp and len(got) == rows * cols
+
+
+def test_geotiff_reads_two_strip_short_arrays(spark, tmp_path):
+    """ADVICE r4: two SHORTs (4 bytes) inline in the tag value field per
+    TIFF 6.0 — a foreign 2-strip file with SHORT StripOffsets/ByteCounts
+    must decode from the value field, not seek to a garbage offset."""
+    rows, cols, rps = 4, 3, 2
+    vals = np.arange(rows * cols, dtype="<f8").reshape(rows, cols)
+    strips = [vals[s: s + rps].tobytes() for s in range(0, rows, rps)]
+    assert len(strips) == 2
+
+    n_tags = 10
+    ifd_at = 8
+    p_scale = ifd_at + 2 + n_tags * 12 + 4
+    p_tie = p_scale + 24
+    data_at = p_tie + 48
+    offs = [data_at, data_at + len(strips[0])]
+    assert offs[1] < 65536  # SHORT-representable offsets
+    pack2 = lambda a, b: struct.unpack("<I", struct.pack("<HH", a, b))[0]
+    tags = sorted([
+        (256, 4, 1, cols), (257, 4, 1, rows), (258, 3, 1, 64),
+        (259, 3, 1, 1), (262, 3, 1, 1),
+        (273, 3, 2, pack2(*offs)), (278, 4, 1, rps),
+        (279, 3, 2, pack2(len(strips[0]), len(strips[1]))),
+        (339, 3, 1, 3), (33550, 12, 3, p_scale),
+    ])
+    buf = bytearray(struct.pack("<2sHI", b"II", 42, ifd_at))
+    buf += struct.pack("<H", n_tags)
+    for t in tags:
+        buf += struct.pack("<HHII", *t)
+    buf += struct.pack("<I", 0)
+    buf += struct.pack("<3d", 1.0, 1.0, 0.0)
+    buf += struct.pack("<6d", 0.0, 0.0, 0.0, 10.0, 20.0, 0.0)
+    for s in strips:
+        buf += s
+    p = tmp_path / "two_strip.tif"
+    p.write_bytes(bytes(buf))
+
+    back = SparkDataset.from_geotiff(spark, str(p))
+    assert back.grid.rows == rows and back.grid.cols == cols
+    got = {(r.row, r.col): r.value for r in back.df.collect()}
+    exp = {(r, c): float(vals[r, c]) for r in range(rows) for c in range(cols)}
+    assert got == exp
+
+
+def test_geotiff_write_rejects_out_of_extent_cells(spark, tmp_path):
+    """ADVICE r4: a cell beyond the grid extent (or negative) must fail
+    loudly instead of silently fill-padding every later tile."""
+    g = Grid(x0=0.0, y0=8.0, cell=1.0, rows=8, cols=8, epsg=4326, nodata=-9.0)
+    base = grid_df(spark, g)
+    for bad_row, bad_col in ((9, 0), (-1, 2)):
+        extra = spark.createDataFrame(
+            [(0, bad_row, bad_col, 1.0)], "band long, row long, col long, value double"
+        )
+        ds = SparkDataset(base.unionByName(extra), g)
+        with pytest.raises(Exception, match="outside grid extent|unconsumed"):
+            ds.to_cog(str(tmp_path / "bad.tif"), levels=(), tile=(4, 4))
