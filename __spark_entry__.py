@@ -857,6 +857,51 @@ def sql_geotiff_roundtrip():
     )
 
 
+def q_geotiff_roundtrip_i16(spark, sf_dir):
+    """Container dtype gate (VERDICT r4 #2): int16 storage — DEFLATE tiled
+    GeoTIFF with a rounded-average overview IFD, read back distributed and
+    widened to float64; the oracle is the grid generator, so any cast or
+    tag defect shows as a value mismatch. Reference dtype table
+    ``base/_utils.py:16-56``."""
+    from pyramids_spark.api import SparkDataset
+
+    ds = SparkDataset(grid_df(spark, COELLO), COELLO)
+    ds.to_cog(
+        "/tmp/pyramids_q_cog_i16.tif", levels=(2,), tile=(8, 8),
+        compress=3, dtype="int16",
+    )
+    back = SparkDataset.from_geotiff(spark, "/tmp/pyramids_q_cog_i16.tif")
+    return back.df.select("band", "row", "col", "value")
+
+
+def sql_geotiff_roundtrip_i16():
+    return (
+        f"WITH g AS ({grid_sql(COELLO)}) "
+        "SELECT band, row, col, value FROM g WHERE value IS NOT NULL"
+    )
+
+
+def q_zarr_roundtrip_u8(spark, sf_dir):
+    """Container dtype gate: uint8 zarr v2 store (``|u1`` dtype string,
+    integer JSON fill_value, zlib chunks) round-trips the generator."""
+    from dataclasses import replace
+
+    from pyramids_spark.api import SparkDataset
+
+    g = replace(COELLO, nodata=255.0)
+    ds = SparkDataset(grid_df(spark, g), g)
+    ds.to_zarr("/tmp/pyramids_q_zarr_u8", chunks=(7, 9), compress=1, dtype="uint8")
+    back = SparkDataset.from_zarr(spark, "/tmp/pyramids_q_zarr_u8")
+    return back.df.select("band", "row", "col", "value")
+
+
+def sql_zarr_roundtrip_u8():
+    return (
+        f"WITH g AS ({grid_sql(COELLO)}) "
+        "SELECT band, row, col, value FROM g WHERE value IS NOT NULL"
+    )
+
+
 def q_list_layers(spark, sf_dir):
     """``FeatureCollection.list_layers`` (``feature/collection.py:1240``,
     pyogrio multi-layer listing ≙ parquet datasets in a container dir) +
@@ -3275,6 +3320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygonize_rings": q_polygonize_rings,
         "span_pipeline": q_span_pipeline,
         # -- round-5 additions go here (inside the first-50 window) --
+        "geotiff_roundtrip_i16": q_geotiff_roundtrip_i16,
+        "zarr_roundtrip_u8": q_zarr_roundtrip_u8,
         # -- last validated r3 --
         "cell_encode": q_cell_encode,
         "pip_boxes": q_pip_boxes,
@@ -3409,6 +3456,8 @@ def oracle_sql() -> dict[str, str]:
         "change_nodata": sql_change_nodata(),
         "list_layers": sql_list_layers(),
         "zarr_roundtrip": sql_zarr_roundtrip(),
+        "zarr_roundtrip_u8": sql_zarr_roundtrip_u8(),
+        "geotiff_roundtrip_i16": sql_geotiff_roundtrip_i16(),
         "geotiff_roundtrip": sql_geotiff_roundtrip(),
         "wkt_roundtrip": sql_wkt_roundtrip(),
         "wkt_geometrycollection": sql_wkt_geometrycollection(),

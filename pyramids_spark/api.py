@@ -98,15 +98,17 @@ class SparkDataset:
 
     def to_zarr(
         self, path: str, chunks: tuple[int, int] = (256, 256),
-        compress: "int | None" = None,
+        compress: "int | None" = None, dtype: str = "float64",
     ):
-        """Write a REAL zarr v2 store (raw or zlib-compressed <f8 chunks +
+        """Write a REAL zarr v2 store (raw or zlib-compressed chunks +
         .zarray/.zattrs JSON — ``pyramids_spark.zarr``; reference
-        ``to_zarr`` wraps GDAL's Zarr driver). Returns the per-chunk
-        manifest (lineage)."""
+        ``to_zarr`` wraps GDAL's Zarr driver). ``dtype`` picks the storage
+        dtype from the reference's GDAL dtype table
+        (``pyramids_spark.dtypes``). Returns the per-chunk manifest
+        (lineage)."""
         from . import zarr as _zarr
 
-        return _zarr.write_zarr(self.df, self.grid, path, chunks, compress)
+        return _zarr.write_zarr(self.df, self.grid, path, chunks, compress, dtype)
 
     @classmethod
     def from_zarr(cls, spark: SparkSession, path: str) -> "SparkDataset":
@@ -120,14 +122,19 @@ class SparkDataset:
     def to_cog(
         self, path: str, levels: tuple[int, ...] = (2, 4),
         tile: tuple[int, int] = (256, 256), compress: "int | None" = None,
+        dtype: str = "float64",
     ) -> int:
         """Export a REAL tiled GeoTIFF with an embedded averaged overview
         pyramid (COG-shaped; ``pyramids_spark.tiff`` — pure struct/numpy,
-        no GDAL). Tiles build distributed, stream to the one output file
-        in order. Returns bytes written."""
+        no GDAL). ``dtype`` picks the storage dtype from the reference's
+        GDAL dtype table (``pyramids_spark.dtypes``; reference
+        ``base/_utils.py:16-56``). Tiles build distributed, stream to the
+        one output file in order. Returns bytes written."""
         from dataclasses import replace as _replace
 
         from . import tiff as _tiff
+
+        from . import dtypes as _dtypes
 
         m = self.df.select(F.max("band").alias("m")).collect()[0]["m"]
         n_bands = int(m) + 1 if m is not None else 1
@@ -136,6 +143,11 @@ class SparkDataset:
             ov = _raster.overview_rollup(self.df, level=lv, stat="avg").select(
                 "band", "row", "col", "value"
             )
+            if not _dtypes.is_float(dtype):
+                # averaged overviews are fractional; integer stores round
+                # them (GDAL average-overview behavior) — base-level cells
+                # stay under the strict integral-value guard
+                ov = ov.withColumn("value", F.round("value", 0))
             g = _replace(
                 self.grid,
                 cell=self.grid.cell * lv,
@@ -143,7 +155,7 @@ class SparkDataset:
                 cols=(self.grid.cols + lv - 1) // lv,
             )
             per.append((ov, g))
-        return _tiff.write_geotiff(per, n_bands, path, tile, compress)
+        return _tiff.write_geotiff(per, n_bands, path, tile, compress, dtype)
 
     @classmethod
     def from_geotiff(

@@ -2,18 +2,19 @@
 
 Reference surface: ``Dataset.to_file`` / ``to_cog`` / ``read_file``
 (GDAL GTiff/COG drivers). Classic TIFF 6.0 + the GeoTIFF tag set are
-PUBLIC specs; the float64 tiled case (raw or DEFLATE via stdlib zlib)
-is directly writable:
+PUBLIC specs; the tiled case (raw or DEFLATE via stdlib zlib, any storage
+dtype from the shared table ``pyramids_spark.dtypes`` — uint8…float64,
+the reference's GDAL dtype table) is directly writable:
 
 - header ``II*\\0`` + first-IFD offset;
 - one IFD per (band, pyramid level): band 0 full-res first, then its
   overview IFDs (the COG-style embedded pyramid), then band 1, …;
 - per IFD: tiled layout tags (TileWidth/Length/Offsets/ByteCounts),
-  SampleFormat=IEEE-float, BitsPerSample=64, Compression none/DEFLATE,
-  plus the
+  SampleFormat/BitsPerSample per the storage dtype, Compression
+  none/DEFLATE, plus the
   GeoTIFF georeferencing tags (ModelPixelScale, ModelTiepoint,
   GeoKeyDirectory with the EPSG code) and GDAL's ASCII nodata tag;
-- tile payloads: raw little-endian float64, edge tiles padded with
+- tile payloads: raw little-endian storage-dtype bytes, edge tiles padded with
   nodata, ALL tiles materialized (no sparse offset-0 tiles — maximum
   reader compatibility).
 
@@ -42,7 +43,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import _blocks
+from . import _blocks, dtypes as _dt
 from .grid import Grid
 
 # TIFF tag ids
@@ -68,12 +69,12 @@ def _pack_tag(tag: int, typ: int, count: int, value_or_off: int) -> bytes:
 class _Ifd:
     """One IFD's layout: tags + external arrays + its tile data extent."""
 
-    def __init__(self, rows, cols, th, tw, is_overview: bool):
+    def __init__(self, rows, cols, th, tw, is_overview: bool, itemsize: int = 8):
         self.rows, self.cols, self.th, self.tw = rows, cols, th, tw
         self.is_overview = is_overview
         self.nty, self.ntx = _ntiles(rows, cols, th, tw)
         self.n_tiles = self.nty * self.ntx
-        self.tile_bytes = th * tw * 8
+        self.tile_bytes = th * tw * itemsize
 
 
 def write_geotiff(
@@ -82,23 +83,35 @@ def write_geotiff(
     path: str,
     tile: tuple[int, int] = (256, 256),
     compress: "int | None" = None,
+    dtype: str = "float64",
 ) -> int:
     """Write bands × pyramid levels as one tiled GeoTIFF. ``per_level`` is
     [(cells_df, grid)] — full resolution first, then each overview (all
     levels carry every band). ``compress`` = DEFLATE level 1-9
-    (Compression=8, stdlib zlib) or None for raw tiles. Raw tiles have a
-    constant size so every offset is precomputable; deflated tiles stream
-    sequentially and the offset/count arrays (whose POSITIONS are fixed
-    either way) are patched at the end. Returns total bytes written."""
+    (Compression=8, stdlib zlib) or None for raw tiles. ``dtype`` is the
+    STORAGE dtype (the reference's GDAL dtype table,
+    ``pyramids_spark.dtypes``) — cells stay float64 in the engine; integer
+    stores require a representable nodata and integral in-range values
+    (loud guards). Raw tiles have a constant size so every offset is
+    precomputable; deflated tiles stream sequentially and the offset/count
+    arrays (whose POSITIONS are fixed either way) are patched at the end.
+    Returns total bytes written."""
     th, tw = int(tile[0]), int(tile[1])
     base_grid = per_level[0][1]
     nodata = base_grid.nodata
-    fill = float("nan") if nodata is None else float(nodata)
+    dt_name = _dt.resolve(dtype)
+    np_dt, bits, sfmt = (
+        _dt.np_dtype(dt_name), _dt.TABLE[dt_name][1], _dt.TABLE[dt_name][2]
+    )
+    fill = _dt.check_fill(dt_name, nodata)
 
     ifds: list[_Ifd] = []
     for b in range(n_bands):
         for li, (_, g) in enumerate(per_level):
-            ifds.append(_Ifd(g.rows, g.cols, th, tw, is_overview=li > 0))
+            ifds.append(
+                _Ifd(g.rows, g.cols, th, tw, is_overview=li > 0,
+                     itemsize=np_dt.itemsize)
+            )
 
     # ---- layout: [header][IFD+arrays]*[tile data]* ------------------------
     pos = 8
@@ -159,7 +172,7 @@ def write_geotiff(
             tags += [
                 (_W, _T_LONG, 1, f_.cols),
                 (_H, _T_LONG, 1, f_.rows),
-                (_BITS, _T_SHORT, 1, 64),
+                (_BITS, _T_SHORT, 1, bits),
                 (_COMP, _T_SHORT, 1, 1 if compress is None else 8),
                 (_PHOTO, _T_SHORT, 1, 1),
                 (_SPP, _T_SHORT, 1, 1),
@@ -169,7 +182,7 @@ def write_geotiff(
                 # patched into the tag's value field after streaming
                 (_TOFF, _T_LONG, f_.n_tiles, 0 if f_.n_tiles == 1 else f_.off_arr_at),
                 (_TCNT, _T_LONG, f_.n_tiles, 0 if f_.n_tiles == 1 else f_.cnt_arr_at),
-                (_SFMT, _T_SHORT, 1, 3),
+                (_SFMT, _T_SHORT, 1, sfmt),
                 (_PIXSCALE, _T_DOUBLE, 3, f_.scale_at),
                 (_TIEPOINT, _T_DOUBLE, 6, f_.tie_at),
                 (_GEOKEYS, _T_SHORT, 16, f_.geo_at),  # 4-SHORT header + 3 keys
@@ -199,7 +212,9 @@ def write_geotiff(
         # ---- tile payloads: distributed block build, streamed in order ----
         import zlib
 
-        raw_fill = np.full((th, tw), fill, dtype="<f8").tobytes(order="C")
+        raw_fill = _dt.cast_block(
+            np.full((th, tw), fill, dtype="<f8"), dt_name
+        ).tobytes(order="C")
         fill_tile = raw_fill if compress is None else zlib.compress(raw_fill, compress)
         cur = data_start
         for li, (cdf, g) in enumerate(per_level):
@@ -220,7 +235,7 @@ def write_geotiff(
                         f"rows [{rr.min()},{rr.max()}] cols [{cc.min()},{cc.max()}]"
                     )
                 block = _blocks.dense_block(pdf, th, tw, ti * th, tj * tw, fill)
-                data = block.astype("<f8").tobytes(order="C")
+                data = _dt.cast_block(block, dt_name).tobytes(order="C")
                 if compress is not None:  # deflate in the EXECUTORS — the
                     import zlib  # driver only streams the ready bytes
 
@@ -338,12 +353,15 @@ def _read_ifds(path: str) -> list[dict]:
                 raise NotImplementedError("IFD has neither tile nor strip layout")
             d["comp"] = tags[_COMP][2] if _COMP in tags else 1
             bits = tags.get(_BITS, (0, 0, 0))[2]
-            sfmt = tags.get(_SFMT, (0, 0, 1))[2]
+            sfmt = tags.get(_SFMT, (0, 0, 1))[2]  # absent tag ≙ unsigned int
             spp = tags.get(_SPP, (0, 0, 1))[2]
-            if d["comp"] not in (1, 8) or bits != 64 or sfmt != 3 or spp != 1:
+            d["dtype"] = _dt.FROM_TIFF.get((bits, sfmt))
+            if d["comp"] not in (1, 8) or d["dtype"] is None or spp != 1:
                 raise NotImplementedError(
-                    "only raw/DEFLATE float64 single-sample-per-pixel rasters "
-                    "(multiband ≙ one IFD per band, not interleaved samples)"
+                    "only raw/DEFLATE single-sample-per-pixel rasters over "
+                    f"the {sorted(_dt.TABLE)} dtype table (multiband ≙ one "
+                    "IFD per band, not interleaved samples); got "
+                    f"comp={d['comp']} bits={bits} sfmt={sfmt} spp={spp}"
                 )
             if _GDAL_NODATA in tags:
                 typ, cnt, val = tags[_GDAL_NODATA]
@@ -371,8 +389,10 @@ def read_geotiff(
         raise ValueError(f"store has {n_levels} levels (asked for {overview})")
     picked = [ifds[b * n_levels + overview] for b in range(n_bands)]
     d0 = picked[0]
-    if any(d["comp"] != d0["comp"] for d in picked):
-        raise NotImplementedError("mixed per-band compression unsupported")
+    if any(
+        d["comp"] != d0["comp"] or d["dtype"] != d0["dtype"] for d in picked
+    ):
+        raise NotImplementedError("mixed per-band compression/dtype unsupported")
     gk = d0["geokeys"]
     epsg = 4326
     for i in range(4, len(gk) - 3, 4):  # entries follow the 4-SHORT header
@@ -393,6 +413,7 @@ def read_geotiff(
     th, tw, rows, cols = d0["th"], d0["tw"], d0["rows"], d0["cols"]
     fill = d0["nodata"]
     comp = d0["comp"]
+    np_dt_str = str(_dt.np_dtype(d0["dtype"]).str)
 
     def decode(batches):
         with open(path, "rb") as fh:
@@ -408,8 +429,13 @@ def read_geotiff(
 
                         raw = zlib.decompress(raw)
                     # reshape by actual length: tiles are full (th, tw);
-                    # a foreign file's LAST STRIP may be short
-                    block = np.frombuffer(raw, dtype="<f8").reshape(-1, tw)
+                    # a foreign file's LAST STRIP may be short. Decode in
+                    # the STORED dtype, widen to the engine's float64
+                    block = (
+                        np.frombuffer(raw, dtype=np_dt_str)
+                        .reshape(-1, tw)
+                        .astype("<f8")
+                    )
                     frames.append(
                         _blocks.sparse_cells(
                             block, int(b), int(ti) * th, int(tj) * tw, rows, cols, fill

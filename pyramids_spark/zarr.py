@@ -9,8 +9,10 @@ to implement directly for the raw/zlib case: a store directory holding
 - ``.zattrs``  — JSON user attributes (the Grid georeferencing rides here:
   x0/y0/cell/epsg/nodata — the same role as GDAL's _CRS attribute),
 - one file per chunk named ``b.i.j`` (3-D band/row/col chunk grid), raw
-  little-endian C-order float64 bytes, edge chunks padded to FULL chunk
-  shape with ``fill_value`` (per spec).
+  little-endian C-order bytes in any dtype from the shared storage table
+  (``pyramids_spark.dtypes`` — uint8…float64, the reference's GDAL dtype
+  table), edge chunks padded to FULL chunk shape with ``fill_value``
+  (per spec).
 
 Distributed shape: the WRITE groups cells by chunk id and each task
 serializes + writes its own chunk files (one shuffle on the chunk key —
@@ -33,28 +35,25 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import _blocks
+from . import _blocks, dtypes as _dt
 from .grid import Grid
-
-_DTYPE = "<f8"
-
-
-def _fill_of(grid: Grid) -> float:
-    return float("nan") if grid.nodata is None else float(grid.nodata)
 
 
 def write_zarr(
     cells_df: DataFrame, grid: Grid, path: str, chunks: tuple[int, int] = (256, 256),
-    compress: "int | None" = None,
+    compress: "int | None" = None, dtype: str = "float64",
 ) -> pd.DataFrame:
     """Write the cell table as a zarr v2 array ``[bands, rows, cols]``
     (band chunk size 1). ``compress`` = zlib level 1-9 (numcodecs ``zlib``
     compressor id — stdlib, no dependency) or None for raw chunks.
-    Returns the chunk manifest as pandas
-    ``(band, ci, cj, n_cells, n_bytes, file)``."""
+    ``dtype`` is the STORAGE dtype (``pyramids_spark.dtypes``; reference
+    GDAL table ``base/_utils.py:16-56``) — integer stores need a
+    representable nodata and integral in-range values. Returns the chunk
+    manifest as pandas ``(band, ci, cj, n_cells, n_bytes, file)``."""
     ch, cw = int(chunks[0]), int(chunks[1])
     rows, cols = grid.rows, grid.cols
-    fill = _fill_of(grid)
+    dt_name = _dt.resolve(dtype)
+    fill = _dt.check_fill(dt_name, grid.nodata)
     os.makedirs(path, exist_ok=True)
     n_bands_row = cells_df.select(F.max("band").alias("m")).collect()[0]
     n_bands = int(n_bands_row["m"]) + 1 if n_bands_row["m"] is not None else 1
@@ -62,9 +61,12 @@ def write_zarr(
         "zarr_format": 2,
         "shape": [n_bands, rows, cols],
         "chunks": [1, ch, cw],
-        "dtype": _DTYPE,
+        "dtype": _dt.TO_ZARR[dt_name],
         "compressor": None if compress is None else {"id": "zlib", "level": int(compress)},
-        "fill_value": "NaN" if math.isnan(fill) else fill,
+        "fill_value": (
+            "NaN" if math.isnan(fill)
+            else (fill if _dt.is_float(dt_name) else int(fill))
+        ),
         "order": "C",
         "filters": None,
     }
@@ -81,7 +83,7 @@ def write_zarr(
         b, ci, cj = int(key[0]), int(key[1]), int(key[2])
         block = _blocks.dense_block(pdf, ch, cw, ci * ch, cj * cw, fill)
         name = f"{b}.{ci}.{cj}"
-        data = block.astype("<f8").tobytes(order="C")
+        data = _dt.cast_block(block, dt_name).tobytes(order="C")
         if compress is not None:
             import zlib
 
@@ -112,24 +114,26 @@ def write_zarr(
 
 
 def read_zarr(spark: SparkSession, path: str) -> tuple[DataFrame, Grid]:
-    """Open a (this-module-shaped: float64, raw or zlib chunks, band-chunk 1)
+    """Open a (this-module-shaped: raw or zlib chunks, band-chunk 1)
     zarr v2 store → (cell table, Grid). Chunks are scanned with the
     ``binaryFile`` source — a distributed read, no driver loop; fill cells
     drop (absent-row nodata contract)."""
     with open(os.path.join(path, ".zarray")) as f:
         meta = json.load(f)
     comp = meta.get("compressor")
+    dt_name = _dt.FROM_ZARR.get(str(meta.get("dtype")))
     if (
         meta.get("zarr_format") != 2
         or (comp is not None and comp.get("id") != "zlib")
-        or meta.get("dtype") != _DTYPE
+        or dt_name is None
         or meta.get("order") != "C"
         or meta.get("chunks", [0])[0] != 1
     ):
         raise NotImplementedError(
-            "supported zarr stores: v2, raw or zlib chunks, <f8, C-order, "
-            f"band-chunk 1 (got {meta})"
+            "supported zarr stores: v2, raw or zlib chunks, little-endian "
+            f"{sorted(_dt.TABLE)} dtypes, C-order, band-chunk 1 (got {meta})"
         )
+    np_dt_str = str(_dt.np_dtype(dt_name).str)
     zlib_chunks = comp is not None
     _, rows, cols = meta["shape"]
     _, ch, cw = meta["chunks"]
@@ -156,7 +160,11 @@ def read_zarr(spark: SparkSession, path: str) -> tuple[DataFrame, Grid]:
                     import zlib
 
                     content = zlib.decompress(content)
-                block = np.frombuffer(content, dtype="<f8").reshape(ch, cw)
+                block = (
+                    np.frombuffer(content, dtype=np_dt_str)
+                    .reshape(ch, cw)
+                    .astype("<f8")  # widen stored dtype → engine float64
+                )
                 frames.append(
                     _blocks.sparse_cells(block, b, ci * ch, cj * cw, rows, cols, fill)
                 )

@@ -249,3 +249,104 @@ def test_geotiff_write_rejects_out_of_extent_cells(spark, tmp_path):
         ds = SparkDataset(base.unionByName(extra), g)
         with pytest.raises(Exception, match="outside grid extent|unconsumed"):
             ds.to_cog(str(tmp_path / "bad.tif"), levels=(), tile=(4, 4))
+
+
+def test_geotiff_dtype_roundtrips(spark, tmp_path):
+    """VERDICT r4 #2: multi-dtype stores. int16/uint8/float32/int32 COGs
+    (with an averaged+rounded overview for the int cases) round-trip the
+    COELLO generator exactly; BitsPerSample/SampleFormat tags match."""
+    from dataclasses import replace
+
+    cases = [
+        ("int16", COELLO, (3, 1, 16, 2)),      # (comp, _, bits, sfmt)
+        ("uint8", replace(COELLO, nodata=255.0), (None, 1, 8, 1)),
+        ("int32", COELLO, (6, 1, 32, 2)),
+        ("float32", COELLO, (6, 1, 32, 3)),
+    ]
+    for name, g, (compress, _, bits, sfmt) in cases:
+        p = str(tmp_path / f"{name}.tif")
+        ds = SparkDataset(grid_df(spark, g), g)
+        ds.to_cog(p, levels=(2,), tile=(8, 8), compress=compress, dtype=name)
+        raw = open(p, "rb").read()
+        _, _, ifd0 = struct.unpack_from("<2sHI", raw, 0)
+        (n_tags,) = struct.unpack_from("<H", raw, ifd0)
+        tags = {}
+        for i in range(n_tags):
+            t, typ, cnt, val = struct.unpack_from("<HHII", raw, ifd0 + 2 + 12 * i)
+            tags[t] = val
+        assert tags[258] == bits and tags[339] == sfmt
+        back = SparkDataset.from_geotiff(spark, p)
+        assert back.grid == g
+        a = {(r.band, r.row, r.col): r.value for r in ds.df.collect()}
+        b = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
+        assert a == b and len(a) == 182
+        # overview level decodes too (rounded average for int dtypes)
+        ov = SparkDataset.from_geotiff(spark, p, overview=1)
+        assert ov.df.count() > 0
+
+
+def test_geotiff_int_dtype_guards(spark, tmp_path):
+    """Integer stores fail LOUDLY on unrepresentable nodata or fractional
+    values — never wrap/truncate silently."""
+    from dataclasses import replace
+
+    g = COELLO
+    ds = SparkDataset(grid_df(spark, g), g)
+    with pytest.raises(ValueError, match="not exactly representable"):
+        ds.to_cog(str(tmp_path / "a.tif"), levels=(), dtype="uint8")  # -9999
+    g2 = replace(COELLO, nodata=None)
+    with pytest.raises(ValueError, match="explicit grid nodata"):
+        SparkDataset(grid_df(spark, g2), g2).to_cog(
+            str(tmp_path / "b.tif"), levels=(), dtype="int16"
+        )
+    frac = SparkDataset(
+        grid_df(spark, g, "CAST(row + 0.5 AS DOUBLE)"), g
+    )
+    with pytest.raises(Exception, match="not exactly representable"):
+        frac.to_cog(str(tmp_path / "c.tif"), levels=(), dtype="int16")
+    with pytest.raises(NotImplementedError, match="unsupported storage dtype"):
+        ds.to_cog(str(tmp_path / "d.tif"), levels=(), dtype="complex-float32")
+
+
+def test_geotiff_reads_foreign_uint8_strip_no_sampleformat(spark, tmp_path):
+    """A wild uint8 strip TIFF (no SampleFormat tag — absent ≙ unsigned
+    per TIFF 6.0, no nodata tag) decodes and widens to float64."""
+    rows, cols, rps = 5, 6, 2
+    vals = (np.arange(rows * cols, dtype="u1") * 7 % 251).reshape(rows, cols)
+    strips = [vals[s: s + rps].tobytes() for s in range(0, rows, rps)]
+    n_strips = len(strips)
+    n_tags = 9
+    ifd_at = 8
+    p_off = ifd_at + 2 + n_tags * 12 + 4
+    p_cnt = p_off + 4 * n_strips
+    p_scale = p_cnt + 4 * n_strips
+    data_at = p_scale + 24
+    offs, cur = [], data_at
+    for s in strips:
+        offs.append(cur)
+        cur += len(s)
+    tags = sorted([
+        (256, 4, 1, cols), (257, 4, 1, rows), (258, 3, 1, 8),
+        (259, 3, 1, 1), (262, 3, 1, 1),
+        (273, 4, n_strips, p_off), (278, 4, 1, rps),
+        (279, 4, n_strips, p_cnt),
+        (33550, 12, 3, p_scale),
+    ])
+    buf = bytearray(struct.pack("<2sHI", b"II", 42, ifd_at))
+    buf += struct.pack("<H", n_tags)
+    for t in tags:
+        buf += struct.pack("<HHII", *t)
+    buf += struct.pack("<I", 0)
+    buf += struct.pack(f"<{n_strips}I", *offs)
+    buf += struct.pack(f"<{n_strips}I", *[len(s) for s in strips])
+    buf += struct.pack("<3d", 0.5, 0.5, 0.0)
+    for s in strips:
+        buf += s
+    p = tmp_path / "u8_strip.tif"
+    p.write_bytes(bytes(buf))
+
+    back = SparkDataset.from_geotiff(spark, str(p))
+    assert back.grid.rows == rows and back.grid.cols == cols
+    got = {(r.row, r.col): r.value for r in back.df.collect()}
+    exp = {(r, c): float(vals[r, c]) for r in range(rows) for c in range(cols)}
+    assert got == exp

@@ -84,3 +84,47 @@ def test_zarr_zlib_compressed_roundtrip(spark, tmp_path):
          for r in ds.df.where(F.col("value").isNotNull()).collect()}
     b = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
     assert a == b and back.grid == g
+
+
+def test_zarr_dtype_roundtrips(spark, tmp_path):
+    """VERDICT r4 #2: float32/uint8/int16 zarr stores round-trip; .zarray
+    carries the right v2 dtype string and a JSON-number fill for ints."""
+    import json
+    from dataclasses import replace
+
+    from pyramids_spark.grid import COELLO
+
+    cases = [
+        ("float32", COELLO, "<f4", 1),
+        ("uint8", replace(COELLO, nodata=0.0), "|u1", None),
+        ("int16", COELLO, "<i2", 3),
+    ]
+    for name, g, zstr, compress in cases:
+        p = str(tmp_path / f"z_{name}")
+        ds = SparkDataset(grid_df(spark, g), g)
+        ds.to_zarr(p, chunks=(7, 9), compress=compress, dtype=name)
+        meta = json.load(open(f"{p}/.zarray"))
+        assert meta["dtype"] == zstr
+        if not name.startswith("float"):
+            assert isinstance(meta["fill_value"], int)
+        back = SparkDataset.from_zarr(spark, p)
+        assert back.grid == g
+        a = {(r.band, r.row, r.col): r.value for r in ds.df.collect()}
+        b = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
+        assert a == b and len(a) == 182
+
+
+def test_zarr_int_dtype_guards(spark, tmp_path):
+    from dataclasses import replace
+
+    from pyramids_spark.grid import COELLO
+
+    g = replace(COELLO, nodata=None)
+    with pytest.raises(ValueError, match="explicit grid nodata"):
+        SparkDataset(grid_df(spark, g), g).to_zarr(
+            str(tmp_path / "z1"), dtype="int16"
+        )
+    with pytest.raises(ValueError, match="not exactly representable"):
+        SparkDataset(grid_df(spark, COELLO), COELLO).to_zarr(
+            str(tmp_path / "z2"), dtype="uint16"  # nodata -9999 < 0
+        )
