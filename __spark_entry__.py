@@ -881,6 +881,44 @@ def sql_geotiff_roundtrip_i16():
     )
 
 
+def q_netcdf_roundtrip(spark, sf_dir):
+    """Container gate (VERDICT r4 #3): REAL classic NetCDF binary — two
+    record variables × three records (time coord + record interleaving +
+    int16 storage with _FillValue), written by parallel executor pwrite at
+    precomputed offsets, read back distributed by byte range. Oracle is
+    the grid generator (reference ``netcdf/netcdf.py:849-982``)."""
+    from pyramids_spark.api import SparkNetCDF
+
+    base = grid_df(spark, COELLO)
+    vt = spark.createDataFrame(
+        [(v, vi, t) for vi, v in enumerate(("precip", "temp"))
+         for t in range(3)],
+        "variable string, vi long, t long",
+    )
+    cells = base.crossJoin(F.broadcast(vt)).select(
+        "variable", "t", F.lit(0).cast("long").alias("band"), "row", "col",
+        (F.col("value") + F.col("vi") * 1000 + F.col("t") * 10).alias("value"),
+    )
+    SparkNetCDF(cells).to_netcdf(
+        COELLO, "/tmp/pyramids_q_nc.nc", times=[10.0, 20.0, 30.0],
+        dtype="int16",
+    )
+    back, _, _ = SparkNetCDF.read_file(spark, "/tmp/pyramids_q_nc.nc")
+    return back.df.select("variable", "t", "band", "row", "col", "value")
+
+
+def sql_netcdf_roundtrip():
+    return (
+        f"WITH g AS ({grid_sql(COELLO)}), "
+        "vt AS (SELECT v.variable, v.vi, t.t FROM "
+        "(VALUES ('precip', 0), ('temp', 1)) AS v(variable, vi) "
+        "CROSS JOIN (VALUES (0), (1), (2)) AS t(t)) "
+        "SELECT vt.variable, CAST(vt.t AS BIGINT) AS t, g.band, g.row, "
+        "g.col, g.value + vt.vi * 1000 + vt.t * 10 AS value "
+        "FROM g CROSS JOIN vt WHERE g.value IS NOT NULL"
+    )
+
+
 def q_zarr_roundtrip_u8(spark, sf_dir):
     """Container dtype gate: uint8 zarr v2 store (``|u1`` dtype string,
     integer JSON fill_value, zlib chunks) round-trips the generator."""
@@ -3322,6 +3360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 additions go here (inside the first-50 window) --
         "geotiff_roundtrip_i16": q_geotiff_roundtrip_i16,
         "zarr_roundtrip_u8": q_zarr_roundtrip_u8,
+        "netcdf_roundtrip": q_netcdf_roundtrip,
         # -- last validated r3 --
         "cell_encode": q_cell_encode,
         "pip_boxes": q_pip_boxes,
@@ -3458,6 +3497,7 @@ def oracle_sql() -> dict[str, str]:
         "zarr_roundtrip": sql_zarr_roundtrip(),
         "zarr_roundtrip_u8": sql_zarr_roundtrip_u8(),
         "geotiff_roundtrip_i16": sql_geotiff_roundtrip_i16(),
+        "netcdf_roundtrip": sql_netcdf_roundtrip(),
         "geotiff_roundtrip": sql_geotiff_roundtrip(),
         "wkt_roundtrip": sql_wkt_roundtrip(),
         "wkt_geometrycollection": sql_wkt_geometrycollection(),

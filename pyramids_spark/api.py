@@ -706,6 +706,38 @@ class SparkNetCDF:
             d = d.withColumn("time", _cf.decode_time_col(F.col("t"), time_units))
         return SparkDatasetCollection(d)
 
+    def to_netcdf(
+        self, grid, path: str, times: "list[float]", dtype: str = "float64",
+        version: int = 1,
+    ):
+        """Write a REAL classic NetCDF file (CDF-1/CDF-2 — pure
+        struct/numpy, ``pyramids_spark.netcdf``; reference
+        ``NetCDF.to_file`` via GDAL's netCDF driver). ``t`` in the cell
+        table is the record index into ``times``. Slabs land by parallel
+        executor ``pwrite`` at precomputed offsets (classic has no
+        compression, so the whole layout is plan-time-known). Returns the
+        slab manifest (lineage)."""
+        from . import netcdf as _nc
+
+        return _nc.write_netcdf(
+            self.df.select("variable", "t", "row", "col", "value"),
+            grid, path, times, dtype=dtype, version=version,
+        )
+
+    @classmethod
+    def read_file(
+        cls, spark: SparkSession, path: str
+    ) -> "tuple[SparkNetCDF, Grid, dict]":
+        """Open a classic NetCDF binary (reference
+        ``netcdf/netcdf.py:849-982`` ``read_file``): driver parses the
+        KB-scale header, executors decode record slabs by byte range.
+        Returns (surface, Grid, header meta — dims/attrs/vars for
+        ``decode_variable``)."""
+        from . import netcdf as _nc
+
+        df, grid, meta = _nc.read_netcdf(spark, path)
+        return cls(df), grid, meta
+
     @classmethod
     def open_mfdataset(cls, spark: SparkSession, paths: list[str]) -> "SparkNetCDF":
         """open_mfdataset ≙ one multi-path parquet scan (netcdf.py:934-982);
