@@ -919,6 +919,50 @@ def sql_netcdf_roundtrip():
     )
 
 
+def q_cog_mosaic_roundtrip(spark, sf_dir):
+    """Container gate (VERDICT r4 #4): the PARALLEL sharded COG sink —
+    one standalone part COG per aligned shard written executor-side (no
+    driver byte stream, no 4 GiB cap), read back via the mosaic manifest
+    with each part decoding inside one task. Oracle = the grid generator
+    (reference COG export ``dataset/ops/cog.py:65-238``)."""
+    from pyramids_spark.api import SparkDataset
+
+    ds = SparkDataset(grid_df(spark, COELLO), COELLO)
+    ds.to_cog_parts(
+        "/tmp/pyramids_q_cog_parts", shard=(8, 8), tile=(4, 4), compress=2
+    )
+    back = SparkDataset.from_geotiff_parts(spark, "/tmp/pyramids_q_cog_parts")
+    return back.df.select("band", "row", "col", "value")
+
+
+def sql_cog_mosaic_roundtrip():
+    return (
+        f"WITH g AS ({grid_sql(COELLO)}) "
+        "SELECT band, row, col, value FROM g WHERE value IS NOT NULL"
+    )
+
+
+def q_geotiff_bigtiff_roundtrip(spark, sf_dir):
+    """Container gate: BigTIFF (version 43, 8-byte offsets, LONG8 arrays)
+    single-file round trip vs the generator."""
+    from pyramids_spark.api import SparkDataset
+
+    ds = SparkDataset(grid_df(spark, COELLO), COELLO)
+    ds.to_cog(
+        "/tmp/pyramids_q_bigtiff.tif", levels=(), tile=(8, 8), compress=2,
+        bigtiff=True,
+    )
+    back = SparkDataset.from_geotiff(spark, "/tmp/pyramids_q_bigtiff.tif")
+    return back.df.select("band", "row", "col", "value")
+
+
+def sql_geotiff_bigtiff_roundtrip():
+    return (
+        f"WITH g AS ({grid_sql(COELLO)}) "
+        "SELECT band, row, col, value FROM g WHERE value IS NOT NULL"
+    )
+
+
 def q_zarr_roundtrip_u8(spark, sf_dir):
     """Container dtype gate: uint8 zarr v2 store (``|u1`` dtype string,
     integer JSON fill_value, zlib chunks) round-trips the generator."""
@@ -3361,6 +3405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotiff_roundtrip_i16": q_geotiff_roundtrip_i16,
         "zarr_roundtrip_u8": q_zarr_roundtrip_u8,
         "netcdf_roundtrip": q_netcdf_roundtrip,
+        "cog_mosaic_roundtrip": q_cog_mosaic_roundtrip,
+        "geotiff_bigtiff_roundtrip": q_geotiff_bigtiff_roundtrip,
         # -- last validated r3 --
         "cell_encode": q_cell_encode,
         "pip_boxes": q_pip_boxes,
@@ -3498,6 +3544,8 @@ def oracle_sql() -> dict[str, str]:
         "zarr_roundtrip_u8": sql_zarr_roundtrip_u8(),
         "geotiff_roundtrip_i16": sql_geotiff_roundtrip_i16(),
         "netcdf_roundtrip": sql_netcdf_roundtrip(),
+        "cog_mosaic_roundtrip": sql_cog_mosaic_roundtrip(),
+        "geotiff_bigtiff_roundtrip": sql_geotiff_bigtiff_roundtrip(),
         "geotiff_roundtrip": sql_geotiff_roundtrip(),
         "wkt_roundtrip": sql_wkt_roundtrip(),
         "wkt_geometrycollection": sql_wkt_geometrycollection(),

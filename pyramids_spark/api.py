@@ -122,7 +122,7 @@ class SparkDataset:
     def to_cog(
         self, path: str, levels: tuple[int, ...] = (2, 4),
         tile: tuple[int, int] = (256, 256), compress: "int | None" = None,
-        dtype: str = "float64",
+        dtype: str = "float64", bigtiff: "bool | None" = None,
     ) -> int:
         """Export a REAL tiled GeoTIFF with an embedded averaged overview
         pyramid (COG-shaped; ``pyramids_spark.tiff`` — pure struct/numpy,
@@ -155,7 +155,41 @@ class SparkDataset:
                 cols=(self.grid.cols + lv - 1) // lv,
             )
             per.append((ov, g))
-        return _tiff.write_geotiff(per, n_bands, path, tile, compress, dtype)
+        return _tiff.write_geotiff(
+            per, n_bands, path, tile, compress, dtype, bigtiff
+        )
+
+    def to_cog_parts(
+        self, out_dir: str, shard: tuple[int, int] = (4096, 4096),
+        tile: tuple[int, int] = (256, 256), levels: tuple[int, ...] = (),
+        compress: "int | None" = None, dtype: str = "float64",
+    ):
+        """The PARALLEL GeoTIFF sink (the scale path past the single-file
+        driver stream): one standalone COG per aligned super-tile shard,
+        written executor-side, plus a mosaic.json manifest
+        (``pyramids_spark.tiff.write_cog_parts``; reference COG export
+        ``dataset/ops/cog.py:65-238``). Returns the part manifest
+        (lineage)."""
+        from . import tiff as _tiff
+
+        m = self.df.select(F.max("band").alias("m")).collect()[0]["m"]
+        n_bands = int(m) + 1 if m is not None else 1
+        return _tiff.write_cog_parts(
+            self.df, self.grid, n_bands, out_dir, shard, tile, levels,
+            compress, dtype,
+        )
+
+    @classmethod
+    def from_geotiff_parts(
+        cls, spark: SparkSession, path: str, overview: int = 0
+    ) -> "SparkDataset":
+        """Open a :meth:`to_cog_parts` mosaic directory — each part
+        decodes wholly inside one executor task; the driver reads only
+        mosaic.json."""
+        from . import tiff as _tiff
+
+        df, grid, _ = _tiff.read_geotiff_parts(spark, path, overview)
+        return cls(df, grid)
 
     @classmethod
     def from_geotiff(

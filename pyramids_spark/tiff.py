@@ -1,41 +1,54 @@
 """Real tiled GeoTIFF I/O in pure struct + numpy — no GDAL/libtiff.
 
 Reference surface: ``Dataset.to_file`` / ``to_cog`` / ``read_file``
-(GDAL GTiff/COG drivers). Classic TIFF 6.0 + the GeoTIFF tag set are
-PUBLIC specs; the tiled case (raw or DEFLATE via stdlib zlib, any storage
-dtype from the shared table ``pyramids_spark.dtypes`` — uint8…float64,
-the reference's GDAL dtype table) is directly writable:
+(GDAL GTiff/COG drivers; COG path ``dataset/ops/cog.py:65-238``). Classic
+TIFF 6.0, BigTIFF and the GeoTIFF tag set are PUBLIC specs; the tiled
+case (raw or DEFLATE via stdlib zlib, any storage dtype from the shared
+table ``pyramids_spark.dtypes`` — uint8…float64, the reference's GDAL
+dtype table) is directly writable:
 
-- header ``II*\\0`` + first-IFD offset;
+- header ``II*\\0`` (classic) or ``II+\\0 8 0`` (BigTIFF: 8-byte offsets,
+  20-byte IFD entries, LONG8 offset arrays) + first-IFD offset;
 - one IFD per (band, pyramid level): band 0 full-res first, then its
   overview IFDs (the COG-style embedded pyramid), then band 1, …;
 - per IFD: tiled layout tags (TileWidth/Length/Offsets/ByteCounts),
   SampleFormat/BitsPerSample per the storage dtype, Compression
-  none/DEFLATE, plus the
-  GeoTIFF georeferencing tags (ModelPixelScale, ModelTiepoint,
-  GeoKeyDirectory with the EPSG code) and GDAL's ASCII nodata tag;
-- tile payloads: raw little-endian storage-dtype bytes, edge tiles padded with
-  nodata, ALL tiles materialized (no sparse offset-0 tiles — maximum
+  none/DEFLATE, plus the GeoTIFF georeferencing tags (ModelPixelScale,
+  ModelTiepoint, GeoKeyDirectory with the EPSG code) and GDAL's ASCII
+  nodata tag;
+- tile payloads: raw little-endian storage-dtype bytes, edge tiles padded
+  with nodata, ALL tiles materialized (no sparse offset-0 tiles — maximum
   reader compatibility).
 
-Tile blocks (and their optional deflation) are built DISTRIBUTED
-(groupBy tile + applyInPandas, same shape as the zarr chunk writer), then
-iterated to the driver in (band, level, tile) order via
-``toLocalIterator`` — O(tile) driver memory — and appended sequentially;
-the offset/count arrays live at layout-time-fixed positions and are
-patched once streaming ends. A single .tif is an EXPORT artifact (classic
-TIFF caps at 4 GiB; BigTIFF out of scope) — the 100-TB storage paths are
-the parquet/zarr cell tables; this exists for interop with the
-reference's GDAL world.
+Two write shapes:
 
-The reader parses the IFD chain driver-side (KBs), then ships the tile
-(offset, size) table to executors which re-open the file and decode their
-tiles in ``mapInPandas`` — a distributed scan of one file by byte range,
-the binaryFile-with-offsets pattern.
+1. **Single file** (``write_geotiff``): tile blocks (and their optional
+   deflation) build DISTRIBUTED (groupBy tile + applyInPandas, same shape
+   as the zarr chunk writer), then stream to the driver in (band, level,
+   tile) order via ``toLocalIterator`` — O(tile) driver memory — and
+   append sequentially; the offset/count arrays live at layout-time-fixed
+   positions and are patched once streaming ends. Rasters past the
+   classic 4 GiB cap auto-switch to BigTIFF. One .tif is an EXPORT
+   artifact; the serial driver stream is its inherent cost.
+2. **Sharded COG mosaic** (``write_cog_parts``): the scale path — the
+   grid splits into aligned super-tile shards, one task per shard
+   serializes a COMPLETE standalone COG (``serialize_geotiff``, the same
+   tag machinery run locally over its dense block) and writes
+   ``part-r{i}-c{j}.tif`` next to a JSON mosaic manifest. Executors write
+   in parallel, no driver byte stream, no 4 GiB ceiling — a GDAL user
+   reads the parts as a VRT-style mosaic; ``read_geotiff_parts`` re-opens
+   the manifest and decodes every part distributed.
+
+The single-file reader parses the IFD chain driver-side (KBs), then
+ships the tile (offset, size) table to executors which re-open the file
+and decode their tiles in ``mapInPandas`` — a distributed scan of one
+file by byte range, the binaryFile-with-offsets pattern.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import struct
 
 import numpy as np
@@ -56,14 +69,40 @@ _NEWSUBFILE = 254
 _PIXSCALE, _TIEPOINT, _GEOKEYS = 33550, 33922, 34735
 _GDAL_NODATA = 42113
 _T_SHORT, _T_LONG, _T_DOUBLE, _T_ASCII = 3, 4, 12, 2
+_T_LONG8 = 16  # BigTIFF
+
+
+class _Variant:
+    """Classic-vs-BigTIFF structural constants: entry/offset widths and
+    the offset-array element type. Everything else in the tag machinery
+    is shared."""
+
+    def __init__(self, big: bool):
+        self.big = big
+        self.entry = 20 if big else 12
+        self.entry_fmt = "<HHQQ" if big else "<HHII"
+        self.off_fmt = "<Q" if big else "<I"
+        self.off_len = 8 if big else 4
+        self.count_fmt = "<Q" if big else "<H"
+        self.count_len = 8 if big else 2
+        self.arr_type = _T_LONG8 if big else _T_LONG
+        self.inline = 8 if big else 4
+
+    def header(self, first_ifd: int) -> bytes:
+        if self.big:
+            return struct.pack("<2sHHHQ", b"II", 43, 8, 0, first_ifd)
+        return struct.pack("<2sHI", b"II", 42, first_ifd)
+
+    @property
+    def header_len(self) -> int:
+        return 16 if self.big else 8
+
+    def pack_tag(self, tag: int, typ: int, count: int, val: int) -> bytes:
+        return struct.pack(self.entry_fmt, tag, typ, count, val)
 
 
 def _ntiles(rows: int, cols: int, th: int, tw: int) -> tuple[int, int]:
     return (rows + th - 1) // th, (cols + tw - 1) // tw
-
-
-def _pack_tag(tag: int, typ: int, count: int, value_or_off: int) -> bytes:
-    return struct.pack("<HHII", tag, typ, count, value_or_off)
 
 
 class _Ifd:
@@ -77,6 +116,121 @@ class _Ifd:
         self.tile_bytes = th * tw * itemsize
 
 
+def _geokeys(epsg: int) -> bytes:
+    model = 2 if epsg == 4326 else 1  # geographic vs projected
+    keys = [(1024, 0, 1, model), (1025, 0, 1, 1)]
+    keys.append((2048 if model == 2 else 3072, 0, 1, epsg))
+    out = struct.pack("<4H", 1, 1, 0, len(keys))
+    for kk in keys:
+        out += struct.pack("<4H", *kk)
+    return out
+
+
+def _nodata_ascii(nodata: "float | None", inline: int) -> bytes:
+    s = (b"nan" if nodata is None else f"{nodata:g}".encode()) + b"\x00"
+    if len(s) <= inline:  # force the external-array path: short ASCII
+        s += b"\x00" * (inline + 1 - len(s))  # would inline in the value field
+    return s
+
+
+def _layout(ifds: "list[_Ifd]", nod_len: int, v: _Variant) -> "tuple[list[int], int]":
+    """Assign every IFD's header/array positions; return (ifd positions,
+    data start). Layout: [header][IFD + external arrays]*[tile data]."""
+    pos = v.header_len
+    ifd_pos: list[int] = []
+    for f_ in ifds:
+        n_tags = 15 + (1 if f_.is_overview else 0)
+        ifd_pos.append(pos)
+        pos += v.count_len + n_tags * v.entry + v.off_len
+        ext = 0
+        f_.off_arr_at = pos + ext
+        ext += v.off_len * f_.n_tiles if f_.n_tiles > 1 else 0
+        f_.cnt_arr_at = pos + ext
+        ext += v.off_len * f_.n_tiles if f_.n_tiles > 1 else 0
+        f_.scale_at = pos + ext
+        ext += 3 * 8
+        f_.tie_at = pos + ext
+        ext += 6 * 8
+        f_.geo_at = pos + ext
+        ext += 4 * 2 * 4  # header + 3 keys, SHORTs
+        f_.nod_at = pos + ext
+        ext += nod_len + (nod_len % 2)
+        pos += ext
+    return ifd_pos, pos + (pos % 2)
+
+
+def _write_ifd_headers(
+    fh, ifds, ifd_pos, per_level_grids, n_levels, v: _Variant,
+    bits, sfmt, compress, nod_ascii,
+):
+    """Emit every IFD's tag block + georeferencing arrays; record where
+    the offset/count fields live for post-stream patching."""
+    for k, f_ in enumerate(ifds):
+        li = k % n_levels
+        g = per_level_grids[li]
+        tags = []
+        if f_.is_overview:
+            tags.append((_NEWSUBFILE, _T_LONG, 1, 1))  # reduced-resolution
+        tags += [
+            (_W, _T_LONG, 1, f_.cols),
+            (_H, _T_LONG, 1, f_.rows),
+            (_BITS, _T_SHORT, 1, bits),
+            (_COMP, _T_SHORT, 1, 1 if compress is None else 8),
+            (_PHOTO, _T_SHORT, 1, 1),
+            (_SPP, _T_SHORT, 1, 1),
+            (_TW, _T_SHORT, 1, f_.tw),
+            (_TH, _T_SHORT, 1, f_.th),
+            # value 0 for single-tile IFDs: the real offset/count is
+            # patched into the tag's value field after streaming
+            (_TOFF, v.arr_type, f_.n_tiles,
+             0 if f_.n_tiles == 1 else f_.off_arr_at),
+            (_TCNT, v.arr_type, f_.n_tiles,
+             0 if f_.n_tiles == 1 else f_.cnt_arr_at),
+            (_SFMT, _T_SHORT, 1, sfmt),
+            (_PIXSCALE, _T_DOUBLE, 3, f_.scale_at),
+            (_TIEPOINT, _T_DOUBLE, 6, f_.tie_at),
+            (_GEOKEYS, _T_SHORT, 16, f_.geo_at),  # 4-SHORT header + 3 keys
+            (_GDAL_NODATA, _T_ASCII, len(nod_ascii), f_.nod_at),
+        ]
+        tags.sort(key=lambda t: t[0])
+        fh.seek(ifd_pos[k])
+        fh.write(struct.pack(v.count_fmt, len(tags)))
+        for idx, t in enumerate(tags):
+            at = ifd_pos[k] + v.count_len + idx * v.entry + (12 if v.big else 8)
+            if t[0] == _TOFF:
+                f_.toff_val_pos = at
+            if t[0] == _TCNT:
+                f_.tcnt_val_pos = at
+            fh.write(v.pack_tag(*t))
+        nxt = ifd_pos[k + 1] if k + 1 < len(ifds) else 0
+        fh.write(struct.pack(v.off_fmt, nxt))
+        f_.offs, f_.cnts = [], []
+        fh.seek(f_.scale_at)
+        fh.write(struct.pack("<3d", g.cell, g.cell, 0.0))
+        fh.seek(f_.tie_at)
+        fh.write(struct.pack("<6d", 0.0, 0.0, 0.0, g.x0, g.y0, 0.0))
+        fh.seek(f_.geo_at)
+        fh.write(_geokeys(g.epsg))
+        fh.seek(f_.nod_at)
+        fh.write(nod_ascii)
+
+
+def _patch_arrays(fh, ifds, v: _Variant):
+    for f_ in ifds:
+        if f_.n_tiles > 1:
+            fh.seek(f_.off_arr_at)
+            fh.write(struct.pack(f"{v.off_fmt[0]}{f_.n_tiles}{v.off_fmt[1]}",
+                                 *f_.offs))
+            fh.seek(f_.cnt_arr_at)
+            fh.write(struct.pack(f"{v.off_fmt[0]}{f_.n_tiles}{v.off_fmt[1]}",
+                                 *f_.cnts))
+        else:
+            fh.seek(f_.toff_val_pos)
+            fh.write(struct.pack(v.off_fmt, f_.offs[0]))
+            fh.seek(f_.tcnt_val_pos)
+            fh.write(struct.pack(v.off_fmt, f_.cnts[0]))
+
+
 def write_geotiff(
     per_level: "list[tuple[DataFrame, Grid]]",
     n_bands: int,
@@ -84,6 +238,7 @@ def write_geotiff(
     tile: tuple[int, int] = (256, 256),
     compress: "int | None" = None,
     dtype: str = "float64",
+    bigtiff: "bool | None" = None,
 ) -> int:
     """Write bands × pyramid levels as one tiled GeoTIFF. ``per_level`` is
     [(cells_df, grid)] — full resolution first, then each overview (all
@@ -92,7 +247,9 @@ def write_geotiff(
     STORAGE dtype (the reference's GDAL dtype table,
     ``pyramids_spark.dtypes``) — cells stay float64 in the engine; integer
     stores require a representable nodata and integral in-range values
-    (loud guards). Raw tiles have a constant size so every offset is
+    (loud guards). ``bigtiff`` True/False forces the variant; None
+    auto-switches to BigTIFF past the classic 4 GiB cap (GDAL's
+    BIGTIFF=IF_NEEDED). Raw tiles have a constant size so every offset is
     precomputable; deflated tiles stream sequentially and the offset/count
     arrays (whose POSITIONS are fixed either way) are patched at the end.
     Returns total bytes written."""
@@ -113,101 +270,32 @@ def write_geotiff(
                      itemsize=np_dt.itemsize)
             )
 
-    # ---- layout: [header][IFD+arrays]*[tile data]* ------------------------
-    pos = 8
-    ifd_pos: list[int] = []
-    # first pass sizes: per IFD, tags are fixed-count; external arrays are
-    # (tile offsets, tile counts, pixscale, tiepoint, geokeys, nodata ascii)
-    nod_ascii = (b"nan" if nodata is None else f"{nodata:g}".encode()) + b"\x00"
-    if len(nod_ascii) <= 4:  # force the external-array path: a <=4-byte
-        nod_ascii += b"\x00" * (5 - len(nod_ascii))  # ASCII would inline
-    for k, f_ in enumerate(ifds):
-        n_tags = 15 + (1 if f_.is_overview else 0)
-        ifd_pos.append(pos)
-        pos += 2 + n_tags * 12 + 4  # count + entries + next-IFD pointer
-        f_.ext_at = pos
-        ext = 0
-        f_.off_arr_at = pos + ext
-        ext += 4 * f_.n_tiles if f_.n_tiles > 1 else 0
-        f_.cnt_arr_at = pos + ext
-        ext += 4 * f_.n_tiles if f_.n_tiles > 1 else 0
-        f_.scale_at = pos + ext
-        ext += 3 * 8
-        f_.tie_at = pos + ext
-        ext += 6 * 8
-        f_.geo_at = pos + ext
-        ext += 4 * 2 * 4  # header + 3 keys, SHORTs
-        f_.nod_at = pos + ext
-        ext += len(nod_ascii) + (len(nod_ascii) % 2)
-        pos += ext
-    data_start = pos + (pos % 2)
-    bound = data_start + sum(f_.n_tiles * f_.tile_bytes for f_ in ifds)
-    if compress is not None:  # deflate worst case adds <0.1% on raw bytes
-        bound = int(bound * 1.01) + 4096
-    if bound > 2**32 - 1:
+    def bound_of(v: _Variant) -> int:
+        nod = len(_nodata_ascii(nodata, v.inline))
+        _, ds = _layout(ifds, nod, v)
+        b = ds + sum(f_.n_tiles * f_.tile_bytes for f_ in ifds)
+        if compress is not None:  # deflate worst case adds <0.1% on raw
+            b = int(b * 1.01) + 4096
+        return b
+
+    if bigtiff is None:
+        bigtiff = bound_of(_Variant(False)) > 2**32 - 1
+    v = _Variant(bool(bigtiff))
+    if not v.big and bound_of(v) > 2**32 - 1:
         raise ValueError(
-            f"raster needs up to {bound} bytes — classic TIFF caps at 4 GiB "
-            "(BigTIFF out of scope); use to_zarr/to_parquet for rasters "
-            "this size"
+            f"raster needs up to {bound_of(v)} bytes — classic TIFF caps at "
+            "4 GiB; pass bigtiff=True (or leave bigtiff=None to auto-switch)"
         )
 
-    def geokeys(epsg: int) -> bytes:
-        model = 2 if epsg == 4326 else 1  # geographic vs projected
-        keys = [(1024, 0, 1, model), (1025, 0, 1, 1)]
-        keys.append((2048 if model == 2 else 3072, 0, 1, epsg))
-        out = struct.pack("<4H", 1, 1, 0, len(keys))
-        for kk in keys:
-            out += struct.pack("<4H", *kk)
-        return out
+    nod_ascii = _nodata_ascii(nodata, v.inline)
+    ifd_pos, data_start = _layout(ifds, len(nod_ascii), v)
 
     with open(path, "wb") as fh:
-        fh.write(struct.pack("<2sHI", b"II", 42, ifd_pos[0]))
-        for k, f_ in enumerate(ifds):
-            b = k // len(per_level)
-            li = k % len(per_level)
-            g = per_level[li][1]
-            tags = []
-            if f_.is_overview:
-                tags.append((_NEWSUBFILE, _T_LONG, 1, 1))  # reduced-resolution
-            tags += [
-                (_W, _T_LONG, 1, f_.cols),
-                (_H, _T_LONG, 1, f_.rows),
-                (_BITS, _T_SHORT, 1, bits),
-                (_COMP, _T_SHORT, 1, 1 if compress is None else 8),
-                (_PHOTO, _T_SHORT, 1, 1),
-                (_SPP, _T_SHORT, 1, 1),
-                (_TW, _T_SHORT, 1, tw),
-                (_TH, _T_SHORT, 1, th),
-                # value 0 for single-tile IFDs: the real offset/count is
-                # patched into the tag's value field after streaming
-                (_TOFF, _T_LONG, f_.n_tiles, 0 if f_.n_tiles == 1 else f_.off_arr_at),
-                (_TCNT, _T_LONG, f_.n_tiles, 0 if f_.n_tiles == 1 else f_.cnt_arr_at),
-                (_SFMT, _T_SHORT, 1, sfmt),
-                (_PIXSCALE, _T_DOUBLE, 3, f_.scale_at),
-                (_TIEPOINT, _T_DOUBLE, 6, f_.tie_at),
-                (_GEOKEYS, _T_SHORT, 16, f_.geo_at),  # 4-SHORT header + 3 keys
-                (_GDAL_NODATA, _T_ASCII, len(nod_ascii), f_.nod_at),
-            ]
-            tags.sort(key=lambda t: t[0])
-            fh.seek(ifd_pos[k])
-            fh.write(struct.pack("<H", len(tags)))
-            for idx, t in enumerate(tags):
-                if t[0] == _TOFF:
-                    f_.toff_val_pos = ifd_pos[k] + 2 + idx * 12 + 8
-                if t[0] == _TCNT:
-                    f_.tcnt_val_pos = ifd_pos[k] + 2 + idx * 12 + 8
-                fh.write(_pack_tag(*t))
-            nxt = ifd_pos[k + 1] if k + 1 < len(ifds) else 0
-            fh.write(struct.pack("<I", nxt))
-            f_.offs, f_.cnts = [], []
-            fh.seek(f_.scale_at)
-            fh.write(struct.pack("<3d", g.cell, g.cell, 0.0))
-            fh.seek(f_.tie_at)
-            fh.write(struct.pack("<6d", 0.0, 0.0, 0.0, g.x0, g.y0, 0.0))
-            fh.seek(f_.geo_at)
-            fh.write(geokeys(g.epsg))
-            fh.seek(f_.nod_at)
-            fh.write(nod_ascii)
+        fh.write(v.header(ifd_pos[0]))
+        _write_ifd_headers(
+            fh, ifds, ifd_pos, [g for _, g in per_level], len(per_level), v,
+            bits, sfmt, compress, nod_ascii,
+        )
 
         # ---- tile payloads: distributed block build, streamed in order ----
         import zlib
@@ -282,49 +370,322 @@ def write_geotiff(
                     f"{li}: band={nxt_row['band']} ti={nxt_row['ti']} "
                     f"tj={nxt_row['tj']} (outside {n_bands}x{nty}x{ntx})"
                 )
-        # patch offset/count arrays (or single-tile tag value fields)
-        for f_ in ifds:
-            if f_.n_tiles > 1:
-                fh.seek(f_.off_arr_at)
-                fh.write(struct.pack(f"<{f_.n_tiles}I", *f_.offs))
-                fh.seek(f_.cnt_arr_at)
-                fh.write(struct.pack(f"<{f_.n_tiles}I", *f_.cnts))
-            else:
-                fh.seek(f_.toff_val_pos)
-                fh.write(struct.pack("<I", f_.offs[0]))
-                fh.seek(f_.tcnt_val_pos)
-                fh.write(struct.pack("<I", f_.cnts[0]))
+        _patch_arrays(fh, ifds, v)
         fh.truncate(cur)
     return cur
+
+
+def serialize_geotiff(
+    arrs: "list[np.ndarray]",
+    grids: "list[Grid]",
+    tile: tuple[int, int] = (256, 256),
+    compress: "int | None" = None,
+    dtype: str = "float64",
+    bigtiff: bool = False,
+) -> bytes:
+    """Serialize dense ``(bands, rows, cols)`` float64 arrays (one per
+    pyramid level, full-res first) into a complete in-memory GeoTIFF —
+    the same tag machinery as :func:`write_geotiff` run locally. This is
+    the per-shard kernel of :func:`write_cog_parts`; NaN cells become the
+    grid nodata fill."""
+    import zlib
+
+    th, tw = int(tile[0]), int(tile[1])
+    n_bands = arrs[0].shape[0]
+    base_grid = grids[0]
+    dt_name = _dt.resolve(dtype)
+    np_dt, bits, sfmt = (
+        _dt.np_dtype(dt_name), _dt.TABLE[dt_name][1], _dt.TABLE[dt_name][2]
+    )
+    fill = _dt.check_fill(dt_name, base_grid.nodata)
+    v = _Variant(bool(bigtiff))
+    ifds: list[_Ifd] = []
+    for b in range(n_bands):
+        for li, g in enumerate(grids):
+            ifds.append(
+                _Ifd(g.rows, g.cols, th, tw, is_overview=li > 0,
+                     itemsize=np_dt.itemsize)
+            )
+    nod_ascii = _nodata_ascii(base_grid.nodata, v.inline)
+    ifd_pos, data_start = _layout(ifds, len(nod_ascii), v)
+
+    import io
+
+    fh = io.BytesIO()
+    fh.write(v.header(ifd_pos[0]))
+    _write_ifd_headers(
+        fh, ifds, ifd_pos, grids, len(grids), v, bits, sfmt, compress,
+        nod_ascii,
+    )
+    cur = data_start
+    for b in range(n_bands):
+        for li, g in enumerate(grids):
+            f_ = ifds[b * len(grids) + li]
+            arr = arrs[li][b]
+            for t in range(f_.n_tiles):
+                ti, tj = t // f_.ntx, t % f_.ntx
+                block = np.full((th, tw), fill, dtype="<f8")
+                seg = arr[ti * th:(ti + 1) * th, tj * tw:(tj + 1) * tw]
+                block[: seg.shape[0], : seg.shape[1]] = seg
+                block[np.isnan(block)] = fill
+                data = _dt.cast_block(block, dt_name).tobytes(order="C")
+                if compress is not None:
+                    data = zlib.compress(data, compress)
+                fh.seek(cur)
+                fh.write(data)
+                f_.offs.append(cur)
+                f_.cnts.append(len(data))
+                cur += len(data)
+    _patch_arrays(fh, ifds, v)
+    fh.truncate(cur)
+    return fh.getvalue()
+
+
+def write_cog_parts(
+    cells_df: DataFrame,
+    grid: Grid,
+    n_bands: int,
+    out_dir: str,
+    shard: tuple[int, int] = (4096, 4096),
+    tile: tuple[int, int] = (256, 256),
+    levels: tuple[int, ...] = (),
+    compress: "int | None" = None,
+    dtype: str = "float64",
+) -> pd.DataFrame:
+    """The PARALLEL GeoTIFF sink: split the raster into aligned
+    ``shard``-cell super-tiles and write one complete standalone COG per
+    shard (``part-r{i}-c{j}.tif``) plus a ``mosaic.json`` manifest —
+    every executor serializes and writes its own shard, no driver byte
+    stream, no 4 GiB ceiling (reference COG export
+    ``dataset/ops/cog.py:65-238``; the part set is the GDAL-VRT mosaic
+    shape). Overview ``levels`` must divide the shard dims so per-shard
+    averaging equals global averaging. Returns the part manifest
+    ``(pi, pj, rows, cols, n_cells, n_bytes, file)``."""
+    sh, sw = int(shard[0]), int(shard[1])
+    for lv in levels:
+        if sh % lv or sw % lv:
+            raise ValueError(
+                f"overview level {lv} must divide shard dims {sh}x{sw} so "
+                "shard-local averaging equals global averaging"
+            )
+    dt_name = _dt.resolve(dtype)
+    fill = _dt.check_fill(dt_name, grid.nodata)
+    rows, cols = grid.rows, grid.cols
+    os.makedirs(out_dir, exist_ok=True)
+    npi, npj = _ntiles(rows, cols, sh, sw)
+    manifest_meta = {
+        "x0": grid.x0, "y0": grid.y0, "cell": grid.cell, "rows": rows,
+        "cols": cols, "epsg": grid.epsg, "nodata": grid.nodata,
+        "shard": [sh, sw], "parts": [npi, npj], "n_bands": n_bands,
+        "levels": list(levels), "dtype": dt_name,
+    }
+
+    lvls = list(levels)
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pi, pj = int(key[0]), int(key[1])
+        r0, c0 = pi * sh, pj * sw
+        prows, pcols = min(sh, rows - r0), min(sw, cols - c0)
+        pdf = pdf[pdf["value"].notna()]
+        if len(pdf):
+            rr, cc = pdf["row"].to_numpy(), pdf["col"].to_numpy()
+            if (rr.min() < 0 or rr.max() >= rows
+                    or cc.min() < 0 or cc.max() >= cols):
+                raise ValueError(
+                    f"cell outside grid extent ({rows}x{cols})"
+                )
+        dense = np.full((n_bands, prows, pcols), np.nan, dtype="<f8")
+        if len(pdf):
+            dense[
+                pdf["band"].to_numpy(np.int64),
+                pdf["row"].to_numpy(np.int64) - r0,
+                pdf["col"].to_numpy(np.int64) - c0,
+            ] = pdf["value"].to_numpy(np.float64)
+        pgrid = Grid(
+            x0=grid.x0 + c0 * grid.cell, y0=grid.y0 - r0 * grid.cell,
+            cell=grid.cell, rows=prows, cols=pcols, epsg=grid.epsg,
+            nodata=grid.nodata,
+        )
+        arrs, grids = [dense], [pgrid]
+        for lv in lvls:
+            orow, ocol = _ntiles(prows, pcols, lv, lv)
+            ov = np.full((n_bands, orow, ocol), np.nan, dtype="<f8")
+            for b in range(n_bands):
+                pad = np.full((orow * lv, ocol * lv), np.nan)
+                pad[:prows, :pcols] = dense[b]
+                with np.errstate(invalid="ignore"):
+                    ov[b] = np.nanmean(
+                        pad.reshape(orow, lv, ocol, lv).swapaxes(1, 2)
+                        .reshape(orow, ocol, lv * lv),
+                        axis=2,
+                    )
+            if not _dt.is_float(dt_name):
+                ov = np.where(np.isnan(ov), np.nan, np.round(ov))
+            arrs.append(ov)
+            grids.append(
+                Grid(x0=pgrid.x0, y0=pgrid.y0, cell=grid.cell * lv,
+                     rows=orow, cols=ocol, epsg=grid.epsg,
+                     nodata=grid.nodata)
+            )
+        data = serialize_geotiff(arrs, grids, tile, compress, dt_name)
+        name = f"part-r{pi}-c{pj}.tif"
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(data)
+        return pd.DataFrame(
+            {"pi": [pi], "pj": [pj], "rows": [prows], "cols": [pcols],
+             "n_cells": [len(pdf)], "n_bytes": [len(data)], "file": [name]}
+        )
+
+    spark = cells_df.sparkSession
+    keys = spark.createDataFrame(
+        [(i, j) for i in range(npi) for j in range(npj)], "_pi long, _pj long"
+    )
+    keyed = cells_df.where(F.col("value").isNotNull()).select(
+        "band", "row", "col", "value",
+        (F.col("row") / sh).cast("long").alias("_pi"),
+        (F.col("col") / sw).cast("long").alias("_pj"),
+    )
+    covered = keys.join(keyed, ["_pi", "_pj"], "left")
+    manifest = (
+        covered.groupBy("_pi", "_pj")
+        .applyInPandas(
+            build,
+            schema="pi long, pj long, rows long, cols long, n_cells long, "
+                   "n_bytes long, file string",
+        )
+        .toPandas()
+        .sort_values(["pi", "pj"])
+        .reset_index(drop=True)
+    )
+    with open(os.path.join(out_dir, "mosaic.json"), "w") as f:
+        json.dump(manifest_meta, f)
+    return manifest
+
+
+def _decode_ifd_tiles(fh, d: dict) -> "list[tuple[int, np.ndarray]]":
+    """Decode every tile of one parsed IFD dict → [(tile index, float64
+    block)] — the local (non-Spark) twin of the read_geotiff decode."""
+    import zlib
+
+    np_dt = str(_dt.np_dtype(d["dtype"]).str)
+    out = []
+    for t, (o, c) in enumerate(zip(d["offsets"], d["counts"])):
+        fh.seek(o)
+        raw = fh.read(c)
+        if d["comp"] == 8:
+            raw = zlib.decompress(raw)
+        out.append(
+            (t, np.frombuffer(raw, dtype=np_dt).reshape(-1, d["tw"]).astype("<f8"))
+        )
+    return out
+
+
+def read_geotiff_parts(
+    spark: SparkSession, path: str, overview: int = 0
+) -> tuple[DataFrame, Grid, int]:
+    """Open a :func:`write_cog_parts` mosaic directory → (cell table,
+    Grid, n_bands). Each PART decodes wholly inside one executor task
+    (driver reads only mosaic.json) — the part grid is the parallelism
+    unit, the inverse of the sharded write."""
+    with open(os.path.join(path, "mosaic.json")) as f:
+        m = json.load(f)
+    grid = Grid(
+        x0=m["x0"], y0=m["y0"], cell=m["cell"] * (1 if overview == 0 else
+                                                  m["levels"][overview - 1]),
+        rows=m["rows"], cols=m["cols"], epsg=m["epsg"], nodata=m["nodata"],
+    )
+    if overview > 0:
+        lv = m["levels"][overview - 1]
+        grid = Grid(
+            x0=m["x0"], y0=m["y0"], cell=m["cell"] * lv,
+            rows=(m["rows"] + lv - 1) // lv, cols=(m["cols"] + lv - 1) // lv,
+            epsg=m["epsg"], nodata=m["nodata"],
+        )
+    sh, sw = m["shard"]
+    npi, npj = m["parts"]
+    nodata = m["nodata"]
+    n_levels = 1 + len(m["levels"])
+    lv = 1 if overview == 0 else m["levels"][overview - 1]
+    parts = spark.createDataFrame(
+        [(i, j) for i in range(npi) for j in range(npj)], "pi long, pj long"
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            frames = []
+            for pi, pj in zip(pdf["pi"], pdf["pj"]):
+                p = os.path.join(path, f"part-r{int(pi)}-c{int(pj)}.tif")
+                ifds = _read_ifds(p)
+                n_bands = len(ifds) // n_levels
+                # part row/col origin at this overview level (shard dims
+                # divide every level, so the division is exact)
+                r_org, c_org = int(pi) * sh // lv, int(pj) * sw // lv
+                with open(p, "rb") as fh:
+                    for b in range(n_bands):
+                        d = ifds[b * n_levels + overview]
+                        ntx = (d["cols"] + d["tw"] - 1) // d["tw"]
+                        for t, block in _decode_ifd_tiles(fh, d):
+                            ti, tj = t // ntx, t % ntx
+                            frames.append(
+                                _blocks.sparse_cells(
+                                    block, b,
+                                    r_org + ti * d["th"], c_org + tj * d["tw"],
+                                    grid.rows, grid.cols, nodata,
+                                )
+                            )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cells = parts.mapInPandas(
+        decode, "band long, row long, col long, value double"
+    )
+    return cells, grid, int(m["n_bands"])
 
 
 def _read_ifds(path: str) -> list[dict]:
     with open(path, "rb") as fh:
         hdr = fh.read(8)
-        bo, magic, off = struct.unpack("<2sHI", hdr)
-        if bo != b"II" or magic != 42:
-            raise NotImplementedError("only little-endian classic TIFF")
+        bo, magic = struct.unpack("<2sH", hdr[:4])
+        if bo != b"II" or magic not in (42, 43):
+            raise NotImplementedError("only little-endian TIFF/BigTIFF")
+        if magic == 43:
+            bs, zero = struct.unpack("<HH", hdr[4:8])
+            if bs != 8 or zero != 0:
+                raise NotImplementedError("malformed BigTIFF header")
+            (off,) = struct.unpack("<Q", fh.read(8))
+        else:
+            (off,) = struct.unpack("<I", hdr[4:8])
+        v = _Variant(magic == 43)
         out = []
         while off:
             fh.seek(off)
-            (n,) = struct.unpack("<H", fh.read(2))
+            (n,) = struct.unpack(v.count_fmt, fh.read(v.count_len))
             tags = {}
             for _ in range(n):
-                tag, typ, cnt, val = struct.unpack("<HHII", fh.read(12))
+                tag, typ, cnt, val = struct.unpack(
+                    v.entry_fmt, fh.read(v.entry)
+                )
                 tags[tag] = (typ, cnt, val)
-            (off,) = struct.unpack("<I", fh.read(4))
+            (off,) = struct.unpack(v.off_fmt, fh.read(v.off_len))
 
             def arr(tag, fmt, per):
                 typ, cnt, val = tags[tag]
-                if fmt == "I" and typ == _T_SHORT:
-                    fmt, per = "H", 2  # old writers store strip arrays as SHORT
-                if cnt * per <= 4 and fmt in ("I", "H"):
-                    # TIFF 6.0: values totalling <= 4 bytes live IN the
-                    # value field (e.g. a 2-strip file with SHORT
-                    # StripByteCounts inlines both), not at an offset
+                if fmt in ("I", "Q"):
+                    # offset arrays may be SHORT/LONG/LONG8 on disk
+                    if typ == _T_SHORT:
+                        fmt, per = "H", 2
+                    elif typ == _T_LONG:
+                        fmt, per = "I", 4
+                    elif typ == _T_LONG8:
+                        fmt, per = "Q", 8
+                if cnt * per <= v.inline and fmt in ("I", "H", "Q"):
+                    # values totalling <= the value-field width live IN
+                    # the value field itself (e.g. a 2-strip classic file
+                    # with SHORT StripByteCounts), not at an offset
                     return list(
                         struct.unpack(
-                            f"<{cnt}{fmt}", struct.pack("<I", val)[: cnt * per]
+                            f"<{cnt}{fmt}",
+                            struct.pack(v.off_fmt, val)[: cnt * per],
                         )
                     )
                 cur = fh.tell()
@@ -342,13 +703,13 @@ def _read_ifds(path: str) -> list[dict]:
             }
             if _TW in tags:  # tiled layout (our writer; COGs)
                 d["tw"], d["th"] = tags[_TW][2], tags[_TH][2]
-                d["offsets"], d["counts"] = arr(_TOFF, "I", 4), arr(_TCNT, "I", 4)
+                d["offsets"], d["counts"] = arr(_TOFF, "Q", 8), arr(_TCNT, "Q", 8)
             elif _SOFF in tags:  # strip layout — how most GeoTIFFs in the
                 # wild are organized: strips ≙ full-width tiles (the last
                 # strip may be SHORT — decode reshapes by actual length)
                 d["tw"] = tags[_W][2]
                 d["th"] = tags[_RPS][2] if _RPS in tags else tags[_H][2]
-                d["offsets"], d["counts"] = arr(_SOFF, "I", 4), arr(_SCNT, "I", 4)
+                d["offsets"], d["counts"] = arr(_SOFF, "Q", 8), arr(_SCNT, "Q", 8)
             else:
                 raise NotImplementedError("IFD has neither tile nor strip layout")
             d["comp"] = tags[_COMP][2] if _COMP in tags else 1
@@ -365,8 +726,12 @@ def _read_ifds(path: str) -> list[dict]:
                 )
             if _GDAL_NODATA in tags:
                 typ, cnt, val = tags[_GDAL_NODATA]
-                fh.seek(val)
-                s = fh.read(cnt).rstrip(b"\x00").decode()
+                if cnt <= v.inline:  # short ASCII inlines in the value field
+                    s = struct.pack(v.off_fmt, val)[:cnt]
+                else:
+                    fh.seek(val)
+                    s = fh.read(cnt)
+                s = s.rstrip(b"\x00").decode()
                 d["nodata"] = None if s == "nan" else float(s)
             else:
                 d["nodata"] = None

@@ -350,3 +350,97 @@ def test_geotiff_reads_foreign_uint8_strip_no_sampleformat(spark, tmp_path):
     got = {(r.row, r.col): r.value for r in back.df.collect()}
     exp = {(r, c): float(vals[r, c]) for r in range(rows) for c in range(cols)}
     assert got == exp
+
+
+def test_bigtiff_roundtrip_and_golden_header(spark, tmp_path):
+    """VERDICT r4 #4: BigTIFF (version 43, 8-byte offsets, 20-byte IFD
+    entries, LONG8 offset arrays) round-trips; header golden bytes."""
+    p = str(tmp_path / "big.tif")
+    g = COELLO
+    ds = SparkDataset(grid_df(spark, g), g)
+    ds.to_cog(p, levels=(2,), tile=(8, 8), compress=4, bigtiff=True)
+    raw = open(p, "rb").read()
+    bo, magic, bs, zero, ifd0 = struct.unpack_from("<2sHHHQ", raw, 0)
+    assert bo == b"II" and magic == 43 and bs == 8 and zero == 0
+    (n_tags,) = struct.unpack_from("<Q", raw, ifd0)
+    tags = {}
+    for i in range(int(n_tags)):
+        t, typ, cnt, val = struct.unpack_from("<HHQQ", raw, ifd0 + 8 + 20 * i)
+        tags[t] = (typ, cnt, val)
+    assert tags[324][0] == 16 and tags[325][0] == 16  # LONG8 arrays
+    back = SparkDataset.from_geotiff(spark, p)
+    assert back.grid == g
+    a = {(r.band, r.row, r.col): r.value for r in ds.df.collect()}
+    b = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
+    assert a == b
+
+
+def test_bigtiff_auto_switch_layout_over_4gib(spark):
+    """bigtiff=None auto-switches past the classic cap: a synthetic
+    30000x30000 float64 layout (7.2 GB raw) must CHOOSE BigTIFF and place
+    its last tile offset past 2^32 — layout arithmetic only, nothing is
+    streamed (the classic path used to hard-fail here)."""
+    from pyramids_spark import tiff as _tiff
+
+    g = Grid(x0=0.0, y0=3e6, cell=100.0, rows=30000, cols=30000,
+             epsg=32618, nodata=-1.0)
+    ifds = [_tiff._Ifd(g.rows, g.cols, 256, 256, is_overview=False)]
+    v = _tiff._Variant(False)
+    nod = len(_tiff._nodata_ascii(g.nodata, v.inline))
+    _, ds_classic = _tiff._layout(ifds, nod, v)
+    raw_total = ds_classic + ifds[0].n_tiles * ifds[0].tile_bytes
+    assert raw_total > 2**32 - 1  # classic genuinely cannot hold it
+    vb = _tiff._Variant(True)
+    ifds2 = [_tiff._Ifd(g.rows, g.cols, 256, 256, is_overview=False)]
+    nod8 = len(_tiff._nodata_ascii(g.nodata, vb.inline))
+    ifd_pos, ds_big = _tiff._layout(ifds2, nod8, vb)
+    last_off = ds_big + (ifds2[0].n_tiles - 1) * ifds2[0].tile_bytes
+    assert last_off > 2**32 - 1  # needs LONG8 — and the variant has it
+    # and the single-file writer refuses classic loudly
+    src = SparkDataset.create(spark, g, "CAST(1 AS DOUBLE)")
+    with pytest.raises(ValueError, match="classic TIFF caps"):
+        _tiff.write_geotiff([(src.df, g)], 1, "/tmp/never.tif",
+                            bigtiff=False)
+
+
+def test_cog_parts_mosaic_equals_single_file(spark, tmp_path):
+    """VERDICT r4 #4: the sharded parallel sink — part mosaic read equals
+    the single-file read cell-for-cell (incl. the overview level), part
+    files are standalone COGs."""
+    g = Grid(x0=100.0, y0=964.0, cell=2.0, rows=27, cols=22, epsg=32618,
+             nodata=-5.0)
+    src = grid_df(spark, g, "CAST(row * 22 + col AS DOUBLE)", bands=2)
+    ds = SparkDataset(src, g)
+    single = str(tmp_path / "single.tif")
+    ds.to_cog(single, levels=(4,), tile=(8, 8), compress=2)
+    parts_dir = str(tmp_path / "parts")
+    man = ds.to_cog_parts(parts_dir, shard=(16, 8), tile=(8, 8),
+                          levels=(4,), compress=2)
+    assert len(man) == 2 * 3  # ceil(27/16) x ceil(22/8)
+    import os
+    for f in man.file:
+        assert os.path.exists(os.path.join(parts_dir, f))
+    # one part opens as a normal standalone GeoTIFF
+    part0 = SparkDataset.from_geotiff(
+        spark, os.path.join(parts_dir, "part-r0-c0.tif")
+    )
+    assert part0.grid.rows == 16 and part0.grid.cols == 8
+    a = {(r.band, r.row, r.col): r.value
+         for r in SparkDataset.from_geotiff(spark, single).df.collect()}
+    b = {(r.band, r.row, r.col): r.value
+         for r in SparkDataset.from_geotiff_parts(spark, parts_dir).df.collect()}
+    assert a == b and len(a) == 2 * 27 * 22
+    # overview: shard dims divide the level → per-shard averaging equals
+    # global averaging wherever the 4x4 window lies inside one shard;
+    # check full equality cell-for-cell
+    ov_a = {(r.band, r.row, r.col): r.value
+            for r in SparkDataset.from_geotiff(spark, single, overview=1).df.collect()}
+    ov_b = {(r.band, r.row, r.col): r.value
+            for r in SparkDataset.from_geotiff_parts(spark, parts_dir, overview=1).df.collect()}
+    assert ov_a == ov_b and len(ov_a) > 0
+
+
+def test_cog_parts_level_must_divide_shard(spark, tmp_path):
+    ds = SparkDataset(grid_df(spark, COELLO), COELLO)
+    with pytest.raises(ValueError, match="divide shard"):
+        ds.to_cog_parts(str(tmp_path / "p"), shard=(10, 10), levels=(4,))
