@@ -963,6 +963,31 @@ def sql_geotiff_bigtiff_roundtrip():
     )
 
 
+def q_geotiff_lzw_roundtrip(spark, sf_dir):
+    """Container gate (VERDICT r4 #5): TIFF-LZW (Compression=5, MSB-first
+    early-change codes) over uint8 storage — the most common wild-GeoTIFF
+    combination; oracle = the grid generator."""
+    from dataclasses import replace
+
+    from pyramids_spark.api import SparkDataset
+
+    g = replace(COELLO, nodata=255.0)
+    ds = SparkDataset(grid_df(spark, g), g)
+    ds.to_cog(
+        "/tmp/pyramids_q_lzw.tif", levels=(), tile=(8, 8), compress="lzw",
+        dtype="uint8",
+    )
+    back = SparkDataset.from_geotiff(spark, "/tmp/pyramids_q_lzw.tif")
+    return back.df.select("band", "row", "col", "value")
+
+
+def sql_geotiff_lzw_roundtrip():
+    return (
+        f"WITH g AS ({grid_sql(COELLO)}) "
+        "SELECT band, row, col, value FROM g WHERE value IS NOT NULL"
+    )
+
+
 def q_zarr_roundtrip_u8(spark, sf_dir):
     """Container dtype gate: uint8 zarr v2 store (``|u1`` dtype string,
     integer JSON fill_value, zlib chunks) round-trips the generator."""
@@ -3407,6 +3432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "netcdf_roundtrip": q_netcdf_roundtrip,
         "cog_mosaic_roundtrip": q_cog_mosaic_roundtrip,
         "geotiff_bigtiff_roundtrip": q_geotiff_bigtiff_roundtrip,
+        "geotiff_lzw_roundtrip": q_geotiff_lzw_roundtrip,
         # -- last validated r3 --
         "cell_encode": q_cell_encode,
         "pip_boxes": q_pip_boxes,
@@ -3546,6 +3572,7 @@ def oracle_sql() -> dict[str, str]:
         "netcdf_roundtrip": sql_netcdf_roundtrip(),
         "cog_mosaic_roundtrip": sql_cog_mosaic_roundtrip(),
         "geotiff_bigtiff_roundtrip": sql_geotiff_bigtiff_roundtrip(),
+        "geotiff_lzw_roundtrip": sql_geotiff_lzw_roundtrip(),
         "geotiff_roundtrip": sql_geotiff_roundtrip(),
         "wkt_roundtrip": sql_wkt_roundtrip(),
         "wkt_geometrycollection": sql_wkt_geometrycollection(),

@@ -68,6 +68,7 @@ _SOFF, _RPS, _SCNT = 273, 278, 279  # strip layout (read side only)
 _NEWSUBFILE = 254
 _PIXSCALE, _TIEPOINT, _GEOKEYS = 33550, 33922, 34735
 _GDAL_NODATA = 42113
+_PREDICTOR = 317
 _T_SHORT, _T_LONG, _T_DOUBLE, _T_ASCII = 3, 4, 12, 2
 _T_LONG8 = 16  # BigTIFF
 
@@ -133,6 +134,45 @@ def _nodata_ascii(nodata: "float | None", inline: int) -> bytes:
     return s
 
 
+def _compress(data: bytes, compress) -> bytes:
+    """Tile codec dispatch: None = raw, "lzw" = TIFF-LZW (Compression 5),
+    int 1-9 = DEFLATE level (Compression 8)."""
+    if compress is None:
+        return data
+    if compress == "lzw":
+        from . import lzw
+
+        return lzw.encode(data)
+    import zlib
+
+    return zlib.compress(data, compress)
+
+
+def _decompress(raw: bytes, comp: int) -> bytes:
+    if comp == 1:
+        return raw
+    if comp == 5:
+        from . import lzw
+
+        return lzw.decode(raw)
+    import zlib
+
+    return zlib.decompress(raw)
+
+
+def _comp_tag(compress) -> int:
+    return 1 if compress is None else (5 if compress == "lzw" else 8)
+
+
+def _unpredict2(block: "np.ndarray") -> "np.ndarray":
+    """Inverse of TIFF Predictor 2 (horizontal differencing): running sum
+    along each row, modulo the sample width (integer samples only)."""
+    u = block.view(f"<u{block.dtype.itemsize}") if block.dtype.kind == "i" \
+        else block
+    c = np.cumsum(u, axis=1, dtype=np.uint64).astype(u.dtype)
+    return c.view(block.dtype)
+
+
 def _layout(ifds: "list[_Ifd]", nod_len: int, v: _Variant) -> "tuple[list[int], int]":
     """Assign every IFD's header/array positions; return (ifd positions,
     data start). Layout: [header][IFD + external arrays]*[tile data]."""
@@ -175,7 +215,7 @@ def _write_ifd_headers(
             (_W, _T_LONG, 1, f_.cols),
             (_H, _T_LONG, 1, f_.rows),
             (_BITS, _T_SHORT, 1, bits),
-            (_COMP, _T_SHORT, 1, 1 if compress is None else 8),
+            (_COMP, _T_SHORT, 1, _comp_tag(compress)),
             (_PHOTO, _T_SHORT, 1, 1),
             (_SPP, _T_SHORT, 1, 1),
             (_TW, _T_SHORT, 1, f_.tw),
@@ -274,7 +314,9 @@ def write_geotiff(
         nod = len(_nodata_ascii(nodata, v.inline))
         _, ds = _layout(ifds, nod, v)
         b = ds + sum(f_.n_tiles * f_.tile_bytes for f_ in ifds)
-        if compress is not None:  # deflate worst case adds <0.1% on raw
+        if compress == "lzw":  # LZW worst case is 12-bit codes per byte
+            b = int(b * 1.51) + 4096
+        elif compress is not None:  # deflate worst case adds <0.1% on raw
             b = int(b * 1.01) + 4096
         return b
 
@@ -298,12 +340,10 @@ def write_geotiff(
         )
 
         # ---- tile payloads: distributed block build, streamed in order ----
-        import zlib
-
         raw_fill = _dt.cast_block(
             np.full((th, tw), fill, dtype="<f8"), dt_name
         ).tobytes(order="C")
-        fill_tile = raw_fill if compress is None else zlib.compress(raw_fill, compress)
+        fill_tile = _compress(raw_fill, compress)
         cur = data_start
         for li, (cdf, g) in enumerate(per_level):
             nty, ntx = _ntiles(g.rows, g.cols, th, tw)
@@ -323,11 +363,11 @@ def write_geotiff(
                         f"rows [{rr.min()},{rr.max()}] cols [{cc.min()},{cc.max()}]"
                     )
                 block = _blocks.dense_block(pdf, th, tw, ti * th, tj * tw, fill)
-                data = _dt.cast_block(block, dt_name).tobytes(order="C")
-                if compress is not None:  # deflate in the EXECUTORS — the
-                    import zlib  # driver only streams the ready bytes
-
-                    data = zlib.compress(data, compress)
+                # codec runs in the EXECUTORS — the driver only streams
+                # the ready bytes
+                data = _compress(
+                    _dt.cast_block(block, dt_name).tobytes(order="C"), compress
+                )
                 return pd.DataFrame(
                     {"band": [bb], "ti": [ti], "tj": [tj], "data": [data]}
                 )
@@ -388,8 +428,6 @@ def serialize_geotiff(
     the same tag machinery as :func:`write_geotiff` run locally. This is
     the per-shard kernel of :func:`write_cog_parts`; NaN cells become the
     grid nodata fill."""
-    import zlib
-
     th, tw = int(tile[0]), int(tile[1])
     n_bands = arrs[0].shape[0]
     base_grid = grids[0]
@@ -428,9 +466,9 @@ def serialize_geotiff(
                 seg = arr[ti * th:(ti + 1) * th, tj * tw:(tj + 1) * tw]
                 block[: seg.shape[0], : seg.shape[1]] = seg
                 block[np.isnan(block)] = fill
-                data = _dt.cast_block(block, dt_name).tobytes(order="C")
-                if compress is not None:
-                    data = zlib.compress(data, compress)
+                data = _compress(
+                    _dt.cast_block(block, dt_name).tobytes(order="C"), compress
+                )
                 fh.seek(cur)
                 fh.write(data)
                 f_.offs.append(cur)
@@ -565,18 +603,15 @@ def write_cog_parts(
 def _decode_ifd_tiles(fh, d: dict) -> "list[tuple[int, np.ndarray]]":
     """Decode every tile of one parsed IFD dict → [(tile index, float64
     block)] — the local (non-Spark) twin of the read_geotiff decode."""
-    import zlib
-
     np_dt = str(_dt.np_dtype(d["dtype"]).str)
     out = []
     for t, (o, c) in enumerate(zip(d["offsets"], d["counts"])):
         fh.seek(o)
-        raw = fh.read(c)
-        if d["comp"] == 8:
-            raw = zlib.decompress(raw)
-        out.append(
-            (t, np.frombuffer(raw, dtype=np_dt).reshape(-1, d["tw"]).astype("<f8"))
-        )
+        raw = _decompress(fh.read(c), d["comp"])
+        block = np.frombuffer(raw, dtype=np_dt).reshape(-1, d["tw"])
+        if d["pred"] == 2:
+            block = _unpredict2(block)
+        out.append((t, block.astype("<f8")))
     return out
 
 
@@ -713,16 +748,26 @@ def _read_ifds(path: str) -> list[dict]:
             else:
                 raise NotImplementedError("IFD has neither tile nor strip layout")
             d["comp"] = tags[_COMP][2] if _COMP in tags else 1
+            d["pred"] = tags.get(_PREDICTOR, (0, 0, 1))[2]
             bits = tags.get(_BITS, (0, 0, 0))[2]
             sfmt = tags.get(_SFMT, (0, 0, 1))[2]  # absent tag ≙ unsigned int
             spp = tags.get(_SPP, (0, 0, 1))[2]
             d["dtype"] = _dt.FROM_TIFF.get((bits, sfmt))
-            if d["comp"] not in (1, 8) or d["dtype"] is None or spp != 1:
+            if d["comp"] not in (1, 5, 8) or d["dtype"] is None or spp != 1:
                 raise NotImplementedError(
-                    "only raw/DEFLATE single-sample-per-pixel rasters over "
-                    f"the {sorted(_dt.TABLE)} dtype table (multiband ≙ one "
-                    "IFD per band, not interleaved samples); got "
+                    "only raw/LZW/DEFLATE single-sample-per-pixel rasters "
+                    f"over the {sorted(_dt.TABLE)} dtype table (multiband ≙ "
+                    "one IFD per band, not interleaved samples); got "
                     f"comp={d['comp']} bits={bits} sfmt={sfmt} spp={spp}"
+                )
+            if d["pred"] == 2 and d["dtype"].startswith("float"):
+                raise NotImplementedError(
+                    "Predictor 2 (horizontal differencing) is integer-only"
+                )
+            if d["pred"] not in (1, 2):
+                raise NotImplementedError(
+                    f"Predictor {d['pred']} unsupported (1 = none, 2 = "
+                    "horizontal differencing on integer samples)"
                 )
             if _GDAL_NODATA in tags:
                 typ, cnt, val = tags[_GDAL_NODATA]
@@ -755,9 +800,12 @@ def read_geotiff(
     picked = [ifds[b * n_levels + overview] for b in range(n_bands)]
     d0 = picked[0]
     if any(
-        d["comp"] != d0["comp"] or d["dtype"] != d0["dtype"] for d in picked
+        d["comp"] != d0["comp"] or d["dtype"] != d0["dtype"]
+        or d["pred"] != d0["pred"] for d in picked
     ):
-        raise NotImplementedError("mixed per-band compression/dtype unsupported")
+        raise NotImplementedError(
+            "mixed per-band compression/dtype/predictor unsupported"
+        )
     gk = d0["geokeys"]
     epsg = 4326
     for i in range(4, len(gk) - 3, 4):  # entries follow the 4-SHORT header
@@ -777,7 +825,7 @@ def read_geotiff(
     )
     th, tw, rows, cols = d0["th"], d0["tw"], d0["rows"], d0["cols"]
     fill = d0["nodata"]
-    comp = d0["comp"]
+    comp, pred = d0["comp"], d0["pred"]
     np_dt_str = str(_dt.np_dtype(d0["dtype"]).str)
 
     def decode(batches):
@@ -788,19 +836,14 @@ def read_geotiff(
                     pdf["band"], pdf["ti"], pdf["tj"], pdf["off"], pdf["cnt"]
                 ):
                     fh.seek(o)
-                    raw = fh.read(c)
-                    if comp == 8:
-                        import zlib
-
-                        raw = zlib.decompress(raw)
+                    raw = _decompress(fh.read(c), comp)
                     # reshape by actual length: tiles are full (th, tw);
                     # a foreign file's LAST STRIP may be short. Decode in
                     # the STORED dtype, widen to the engine's float64
-                    block = (
-                        np.frombuffer(raw, dtype=np_dt_str)
-                        .reshape(-1, tw)
-                        .astype("<f8")
-                    )
+                    block = np.frombuffer(raw, dtype=np_dt_str).reshape(-1, tw)
+                    if pred == 2:
+                        block = _unpredict2(block)
+                    block = block.astype("<f8")
                     frames.append(
                         _blocks.sparse_cells(
                             block, int(b), int(ti) * th, int(tj) * tw, rows, cols, fill

@@ -185,3 +185,27 @@ def test_band_metadata_names_and_colors(spark):
     assert ds2.get_band_by_color("alpha") is None
     # metadata is immutable plan-side state; the cell table is untouched
     assert ds2.df is ds.df
+
+
+def test_lzw_codec_properties():
+    """TIFF-LZW codec invariants: round trip across width changes (>510
+    entries), table resets (>4094), the KwKwK case, and high-compression
+    runs; corrupt stream rejects loudly."""
+    import numpy as np
+    import pytest
+
+    from pyramids_spark import lzw
+
+    rng = np.random.default_rng(11)
+    cases = [
+        b"", b"A", b"ababababab",  # KwKwK territory
+        bytes(rng.integers(0, 256, 262144, dtype=np.uint8)),  # resets
+        bytes(np.zeros(100000, np.uint8)),
+        np.arange(20000, dtype="<i2").tobytes(),
+    ]
+    for c in cases:
+        assert lzw.decode(lzw.encode(c)) == c
+    with pytest.raises(ValueError, match="corrupt"):
+        # 9-bit code 300 right after CLEAR: beyond the fresh table
+        bits = (256 << 9) | 300
+        lzw.decode(int.to_bytes(bits << 6, 3, "big"))

@@ -444,3 +444,89 @@ def test_cog_parts_level_must_divide_shard(spark, tmp_path):
     ds = SparkDataset(grid_df(spark, COELLO), COELLO)
     with pytest.raises(ValueError, match="divide shard"):
         ds.to_cog_parts(str(tmp_path / "p"), shard=(10, 10), levels=(4,))
+
+
+def test_geotiff_lzw_roundtrip_and_predictor2(spark, tmp_path):
+    """VERDICT r4 #5: LZW (Compression=5, MSB-first, early change) — write
+    with compress="lzw", read back equal; plus a foreign LZW strip file
+    with Predictor 2 (horizontal differencing) on int16 samples."""
+    p = str(tmp_path / "lzw.tif")
+    ds = SparkDataset(grid_df(spark, COELLO), COELLO)
+    ds.to_cog(p, levels=(2,), tile=(8, 8), compress="lzw")
+    raw = open(p, "rb").read()
+    _, _, ifd0 = struct.unpack_from("<2sHI", raw, 0)
+    (n_tags,) = struct.unpack_from("<H", raw, ifd0)
+    tags = {
+        struct.unpack_from("<HHII", raw, ifd0 + 2 + 12 * i)[0]:
+        struct.unpack_from("<HHII", raw, ifd0 + 2 + 12 * i)[3]
+        for i in range(n_tags)
+    }
+    assert tags[259] == 5  # Compression = LZW
+    back = SparkDataset.from_geotiff(spark, p)
+    a = {(r.band, r.row, r.col): r.value for r in ds.df.collect()}
+    b = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
+    assert a == b and back.grid == COELLO
+
+    # foreign strip file: int16, LZW, Predictor 2
+    from pyramids_spark import lzw
+
+    rows, cols, rps = 6, 5, 3
+    vals = (np.arange(rows * cols, dtype="<i2") * 13 % 997 - 200).reshape(
+        rows, cols
+    )
+    strips = []
+    for s0 in range(0, rows, rps):
+        seg = vals[s0: s0 + rps].astype("<i2")
+        diff = seg.copy()
+        diff[:, 1:] = (
+            seg.view("<u2")[:, 1:] - seg.view("<u2")[:, :-1]
+        ).astype("<u2").view("<i2")
+        strips.append(lzw.encode(diff.astype("<i2").tobytes()))  # II = LE
+    n_strips = len(strips)
+    n_tags2 = 11
+    ifd_at = 8
+    p_off = ifd_at + 2 + n_tags2 * 12 + 4
+    p_cnt = p_off + 4 * n_strips
+    p_scale = p_cnt + 4 * n_strips
+    data_at = p_scale + 24
+    offs, cur = [], data_at
+    for s in strips:
+        offs.append(cur)
+        cur += len(s)
+    tag_list = sorted([
+        (256, 4, 1, cols), (257, 4, 1, rows), (258, 3, 1, 16),
+        (259, 3, 1, 5), (262, 3, 1, 1),
+        (273, 4, n_strips, p_off), (278, 4, 1, rps),
+        (279, 4, n_strips, p_cnt), (317, 3, 1, 2), (339, 3, 1, 2),
+        (33550, 12, 3, p_scale),
+    ])
+    buf = bytearray(struct.pack("<2sHI", b"II", 42, ifd_at))
+    buf += struct.pack("<H", n_tags2)
+    for t in tag_list:
+        buf += struct.pack("<HHII", *t)
+    buf += struct.pack("<I", 0)
+    buf += struct.pack(f"<{n_strips}I", *offs)
+    buf += struct.pack(f"<{n_strips}I", *[len(s) for s in strips])
+    buf += struct.pack("<3d", 1.0, 1.0, 0.0)
+    for s in strips:
+        buf += s
+    fp = tmp_path / "lzw_pred2.tif"
+    fp.write_bytes(bytes(buf))
+    back2 = SparkDataset.from_geotiff(spark, str(fp))
+    got = {(r.row, r.col): r.value for r in back2.df.collect()}
+    exp = {(r, c): float(vals[r, c]) for r in range(rows) for c in range(cols)}
+    assert got == exp
+
+    # predictor 2 over float samples must reject loudly
+    buf2 = bytearray(buf)
+    # patch SampleFormat tag (339) value to 3 (IEEE float): find its entry
+    for i in range(n_tags2):
+        t = struct.unpack_from("<HHII", buf2, ifd_at + 2 + 12 * i)
+        if t[0] == 339:
+            struct.pack_into("<HHII", buf2, ifd_at + 2 + 12 * i, 339, 3, 1, 3)
+        if t[0] == 258:
+            struct.pack_into("<HHII", buf2, ifd_at + 2 + 12 * i, 258, 3, 1, 32)
+    fp2 = tmp_path / "bad_pred.tif"
+    fp2.write_bytes(bytes(buf2))
+    with pytest.raises(NotImplementedError, match="integer-only"):
+        SparkDataset.from_geotiff(spark, str(fp2))
