@@ -2786,8 +2786,9 @@ def sql_block_arrangement():
 
 def q_media_features(spark, sf_dir):
     """Multimodal pipeline: spans → media table with REAL container
-    payloads (PGM/WAV/PGM-stream video) → pure-numpy decode → histogram
-    features (rows-only: binary payloads have no SQL twin)."""
+    payloads (PGM + grayscale/RGB PNG images, WAV audio, PGM-stream
+    video) → pure-numpy decode → histogram features (rows-only: binary
+    payloads have no SQL twin)."""
     from pyramids_spark import media
 
     docs = synth.documents_spans(spark, 200)

@@ -1,12 +1,14 @@
-"""Pure-numpy media codecs: PGM/PPM images, 24-bit BMP, PCM16 WAV.
+"""Pure-numpy media codecs: PGM/PPM images, 24-bit BMP, PCM16 WAV, PNG.
 
 The container has no PIL/ffmpeg, but these container formats are simple
 enough to parse with ``np.frombuffer`` + header arithmetic — so the
 engine's media DECODE step (task brief: decode / feature-extract / resize
-/ frame-sample over binary columns) is REAL for them, not a stub. Formats
-needing entropy coding (JPEG/PNG/H.264) remain out of scope and raise
-(see :func:`sniff`); the reference reads media through GDAL/PIL-equivalent
-system libraries, which is exactly the seam these codecs replace.
+/ frame-sample over binary columns) is REAL for them, not a stub. PNG is
+stdlib zlib + the five scanline unfilters (no entropy coding of its own),
+so it is fully supported; formats needing a real entropy decoder
+(JPEG/H.264) remain out of scope and raise (see :func:`sniff`); the
+reference reads media through GDAL/PIL-equivalent system libraries, which
+is exactly the seam these codecs replace.
 
 All functions operate on ``bytes`` ↔ ``np.ndarray`` and run inside Arrow
 batches (mapInPandas) — one Python call per payload, vectorized numpy
@@ -144,14 +146,150 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     return s.reshape(-1, ch), int(rate)
 
 
+# --- PNG (8-bit gray/RGB/RGBA/palette, non-interlaced) ------------------------
+#
+# PNG is NOT entropy-blocked like JPEG/H.264: it is stdlib zlib over
+# byte-filtered scanlines (filters 0-4: None/Sub/Up/Average/Paeth) — the
+# same discipline as the DEFLATE GeoTIFF tiles. Sub/Up/Average unfilter
+# vectorized per row; Paeth is inherently sequential along the scanline
+# (each pixel needs the reconstructed left neighbour), so it loops pixels
+# within the row — fine for the thumbnail-scale payloads of the media
+# pipeline, and our own encoder emits filter 0 so engine round trips never
+# pay it.
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → PNG (filter 0, one IDAT)."""
+    import zlib
+
+    if img.ndim == 2:
+        ctype, bpp = 0, 1
+        raw = img.astype(np.uint8)[:, :, None]
+    else:
+        ctype, bpp = 2, 3
+        raw = img.astype(np.uint8)
+    h, w = raw.shape[:2]
+    lines = np.zeros((h, 1 + w * bpp), dtype=np.uint8)
+    lines[:, 1:] = raw.reshape(h, w * bpp)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(lines.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth_row(cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    out = cur.astype(np.int32)
+    for x in range(len(cur)):
+        a = out[x - bpp] if x >= bpp else 0
+        b = int(prev[x])
+        c = int(prev[x - bpp]) if x >= bpp else 0
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[x] = (out[x] + pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """PNG → (h, w) uint8 (gray) or (h, w, 3/4) uint8 (RGB/RGBA; palette
+    resolves through PLTE). 8-bit, non-interlaced only — Adam7 and 16-bit
+    reject loudly."""
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG stream")
+    i = 8
+    w = h = depth = ctype = interlace = None
+    idat = bytearray()
+    plte = None
+    while i + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, i)
+        tag = b[i + 4:i + 8]
+        body = b[i + 8:i + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + ln  # len + tag + body + crc
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG (depth={depth}, "
+            f"interlace={interlace}; Adam7/16-bit out of scope)"
+        )
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if bpp is None:
+        raise NotImplementedError(f"PNG color type {ctype} unsupported")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    stride = 1 + w * bpp
+    raw = raw[: h * stride].reshape(h, stride)
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for r in range(h):
+        f, cur = raw[r, 0], raw[r, 1:]
+        if f == 0:
+            line = cur.copy()
+        elif f == 1:  # Sub: cumulative sum over bpp-strided lanes
+            line = cur.copy()
+            lanes = line.reshape(w, bpp)
+            line = (
+                np.cumsum(lanes.astype(np.uint64), axis=0)
+                .astype(np.uint8).reshape(-1)
+            )
+        elif f == 2:  # Up
+            line = cur + prev
+        elif f == 3:  # Average: sequential in the left term
+            line = cur.copy()
+            lanes = line.reshape(w, bpp).astype(np.int32)
+            pl = prev.reshape(w, bpp).astype(np.int32)
+            acc = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                acc = (lanes[x] + (acc + pl[x]) // 2) & 0xFF
+                lanes[x] = acc
+            line = lanes.astype(np.uint8).reshape(-1)
+        elif f == 4:
+            line = _paeth_row(cur, prev, bpp)
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[r] = line
+        prev = line
+    img = out.reshape(h, w, bpp)
+    if ctype == 0:
+        return img[:, :, 0]
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[img[:, :, 0]]
+    if ctype == 4:  # gray + alpha → gray
+        return img[:, :, 0]
+    return img  # RGB / RGBA
+
+
 # --- sniffing ----------------------------------------------------------------
 
 
 def sniff(b: bytes) -> str:
-    """Payload magic → codec name ('pgm'|'ppm'|'bmp'|'wav'); raises
-    NotImplementedError for recognizable-but-unsupported formats (JPEG/PNG
-    need entropy decoders this environment cannot provide) and ValueError
-    for unknown bytes."""
+    """Payload magic → codec name ('pgm'|'ppm'|'bmp'|'wav'|'png'); raises
+    NotImplementedError for recognizable-but-unsupported formats (JPEG
+    needs an entropy decoder this environment cannot provide) and
+    ValueError for unknown bytes."""
     if b[:2] == b"P5":
         return "pgm"
     if b[:2] == b"P6":
@@ -160,8 +298,10 @@ def sniff(b: bytes) -> str:
         return "bmp"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
-    if b[:3] == b"\xff\xd8\xff" or b[:8] == b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError("JPEG/PNG decode needs libjpeg/libpng")
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if b[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError("JPEG decode needs an entropy decoder")
     raise ValueError("unrecognized media payload")
 
 
@@ -175,6 +315,11 @@ def decode_image(b: bytes) -> np.ndarray:
         rgb = decode_ppm(b)
     elif kind == "bmp":
         rgb = decode_bmp(b)
+    elif kind == "png":
+        rgb = decode_png(b)
+        if rgb.ndim == 2:
+            return rgb
+        rgb = rgb[:, :, :3]  # RGBA: alpha does not enter the luma
     else:
         raise ValueError("not an image payload")
     r = rgb[:, :, 0].astype(np.uint32)

@@ -5,9 +5,10 @@ implement decode / feature-extract / resize / frame-sample as pandas UDFs
 over ``mapInPandas``.
 
 The DECODE step is REAL for the container formats a pure-numpy parser can
-handle — PGM/PPM images, 24-bit BMP, PCM16 WAV, and a frame-concatenated
-PGM video stream (:mod:`pyramids_spark.codecs`). Entropy-coded formats
-(JPEG/PNG/H.264) still raise the documented ``NotImplementedError`` (no
+handle — PGM/PPM images, 24-bit BMP, PNG (zlib + the five scanline
+unfilters), PCM16 WAV, and a frame-concatenated PGM video stream
+(:mod:`pyramids_spark.codecs`). Entropy-coded formats (JPEG/H.264) still
+raise the documented ``NotImplementedError`` (no
 libjpeg/ffmpeg in this container); the legacy deterministic fake decode
 remains for payloads that are not parseable media (sniff fallback), so the
 plumbing accepts any bytes. Schemas, Arrow batch shapes, partitioning and
@@ -104,12 +105,30 @@ def synth_media(spark, docs: DataFrame, real_payloads: bool = True) -> DataFrame
                     ]
                     payloads.append(b"".join(frames))
                 else:
-                    payloads.append(
-                        codecs.encode_pgm(
-                            rng.integers(0, 256, size=(int(hh), int(w)),
-                                         dtype=np.int64).astype(np.uint8)
+                    # rotate real image containers by seed so the corpus
+                    # mixes PGM, grayscale PNG and RGB PNG payloads
+                    pick = int(seed) % 3
+                    if pick == 0:
+                        payloads.append(
+                            codecs.encode_pgm(
+                                rng.integers(0, 256, size=(int(hh), int(w)),
+                                             dtype=np.int64).astype(np.uint8)
+                            )
                         )
-                    )
+                    elif pick == 1:
+                        payloads.append(
+                            codecs.encode_png(
+                                rng.integers(0, 256, size=(int(hh), int(w)),
+                                             dtype=np.int64).astype(np.uint8)
+                            )
+                        )
+                    else:
+                        payloads.append(
+                            codecs.encode_png(
+                                rng.integers(0, 256, size=(int(hh), int(w), 3),
+                                             dtype=np.int64).astype(np.uint8)
+                            )
+                        )
             out = pdf.drop(columns=["_seed"]).copy()
             out["payload"] = payloads
             yield out
@@ -126,8 +145,9 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def _decode_any(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Real decode when the payload is a recognized container; tiled fake
-    for anything unrecognized (legacy blobs). JPEG/PNG raise."""
+    """Real decode when the payload is a recognized container (PGM/PPM/
+    BMP/PNG/WAV); tiled fake for anything unrecognized (legacy blobs).
+    JPEG raises (entropy decoder unavailable)."""
     try:
         kind = codecs.sniff(bytes(payload))
     except ValueError:
