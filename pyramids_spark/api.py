@@ -395,6 +395,118 @@ class SparkDataset:
     def to_xyz(self) -> DataFrame:
         return _raster.to_xyz(self.df, self.grid)
 
+    def to_ascii_grid(self, path: str) -> int:
+        """Esri ASCII grid (.asc) export — the last arm of the reference's
+        ``to_file`` driver dispatch (``dataset/ops/io.py:673-799``):
+        6-line header (ncols/nrows/xllcorner/yllcorner/cellsize/
+        NODATA_value — corner is the BOTTOM-left) + one text line per
+        raster row. Lines build in the executors (groupBy row), stream to
+        the driver top-to-bottom — O(row) driver memory; a .asc is a
+        small legacy interop artifact (single band; CRS travels in a
+        sidecar .prj in the wild, carried here by the read-side ``epsg``
+        parameter). Returns bytes written."""
+        g = self.grid
+        nod = -9999.0 if g.nodata is None else float(g.nodata)
+        if self.df.where(F.col("band") > 0).limit(1).count():
+            raise ValueError("ASCII grid is single-band (band 0 only)")
+
+        cols = g.cols
+
+        def build(key, pdf):
+            import numpy as np
+            import pandas as pd
+
+            r = int(key[0])
+            vals = np.full(cols, nod, dtype="<f8")
+            pdf = pdf[pdf["value"].notna()]
+            cc = pdf["col"].to_numpy(np.int64)
+            if len(cc) and (cc.min() < 0 or cc.max() >= cols):
+                raise ValueError(f"col outside grid extent ({cols})")
+            vals[cc] = pdf["value"].to_numpy(np.float64)
+            vals[np.isnan(vals)] = nod
+            return pd.DataFrame(
+                {"row": [r], "line": [" ".join(f"{v:.17g}" for v in vals)]}
+            )
+
+        lines = (
+            self.df.where(F.col("value").isNotNull())
+            .groupBy("row")
+            .applyInPandas(build, "row long, line string")
+            .orderBy("row")
+        )
+        # .17g = shortest exact double representation family: the header
+        # coordinates and cell values survive the text round trip bit-exact
+        hdr = (
+            f"ncols {g.cols}\nnrows {g.rows}\n"
+            f"xllcorner {g.x0:.17g}\nyllcorner {g.y0 - g.rows * g.cell:.17g}\n"
+            f"cellsize {g.cell:.17g}\nNODATA_value {nod:.17g}\n"
+        )
+        empty = " ".join(f"{nod:.17g}" for _ in range(g.cols))
+        n = 0
+        with open(path, "w") as fh:
+            fh.write(hdr)
+            n += len(hdr)
+            it = lines.toLocalIterator()
+            nxt = next(it, None)
+            for r in range(g.rows):
+                if nxt is not None and nxt["row"] == r:
+                    line = nxt["line"]
+                    nxt = next(it, None)
+                else:
+                    line = empty
+                fh.write(line + "\n")
+                n += len(line) + 1
+            if nxt is not None:
+                raise ValueError(
+                    f"row {nxt['row']} outside grid extent ({g.rows})"
+                )
+        return n
+
+    @classmethod
+    def from_ascii_grid(
+        cls, spark: SparkSession, path: str, epsg: int = 4326
+    ) -> "SparkDataset":
+        """Open an Esri ASCII grid. The 6-line header parses driver-side;
+        the body decodes in ONE executor task (binaryFile + mapInPandas —
+        whitespace-separated text has no random access, so a single-task
+        decode is inherent to the format; it exists for legacy interop,
+        not scale). Cells equal to NODATA_value drop."""
+        with open(path, "r") as fh:
+            hdr = {}
+            while len(hdr) < 6:
+                k, v = fh.readline().split()
+                hdr[k.lower()] = float(v)
+        rows, cols = int(hdr["nrows"]), int(hdr["ncols"])
+        cell = hdr["cellsize"]
+        nod = hdr.get("nodata_value", -9999.0)
+        grid = Grid(
+            x0=hdr["xllcorner"], y0=hdr["yllcorner"] + rows * cell,
+            cell=cell, rows=rows, cols=cols, epsg=epsg, nodata=nod,
+        )
+
+        def decode(batches):
+            import numpy as np
+
+            from . import _blocks
+
+            for pdf in batches:
+                for content in pdf["content"]:
+                    toks = bytes(content).decode().split()
+                    # skip the 12 header tokens (6 key/value pairs)
+                    vals = np.array(toks[12:], dtype="<f8")
+                    block = vals.reshape(rows, cols)
+                    yield _blocks.sparse_cells(
+                        block, 0, 0, 0, rows, cols, nod
+                    )
+
+        files = (
+            spark.read.format("binaryFile").load(path).select("content")
+        )
+        df = files.mapInPandas(
+            decode, "band long, row long, col long, value double"
+        )
+        return cls(df, grid)
+
     # --- §2.11 UDF surface (analysis.py:178 apply) ---------------------------
     def apply(self, value_expr) -> "SparkDataset":
         """Per-cell scalar map over domain cells; nodata preserved. Accepts a
@@ -443,6 +555,87 @@ class SparkFeatureCollection:
 
     def to_parquet(self, path: str) -> None:
         self.df.write.mode("overwrite").parquet(path)
+
+    # --- GeoJSON FeatureCollection FILE (collection.py:789-948 read_file,
+    # --- :1657-1811 to_file GeoJSON driver) --------------------------------
+    def to_geojson(self, path: str, geometry_col: str = "geometry") -> int:
+        """Write ONE GeoJSON FeatureCollection document: every non-geometry
+        column becomes a property (``to_json(struct(...))``, built in the
+        executors), features stream to the driver in deterministic
+        (sorted) order — O(feature) driver memory, the single-file-export
+        contract (a .geojson is one JSON document by spec; the distributed
+        sibling is newline-delimited :meth:`to_geojson_seq`). Returns the
+        feature count."""
+        props = [c for c in self.df.columns if c != geometry_col]
+        feat = F.concat(
+            F.lit('{"type": "Feature", "properties": '),
+            F.to_json(F.struct(*props)) if props else F.lit("{}"),
+            F.lit(', "geometry": '),
+            F.col(geometry_col),
+            F.lit("}"),
+        )
+        it = self.df.select(feat.alias("f")).orderBy("f").toLocalIterator()
+        n = 0
+        with open(path, "w") as fh:
+            fh.write('{"type": "FeatureCollection", "features": [')
+            for r in it:
+                fh.write(",\n" if n else "\n")
+                fh.write(r["f"])
+                n += 1
+            fh.write("\n]}\n")
+        return n
+
+    def to_geojson_seq(self, path: str, geometry_col: str = "geometry") -> None:
+        """Newline-delimited GeoJSON (GeoJSONSeq / GeoJSONL — the GDAL
+        driver the reference uses for large exports): one Feature per
+        line, written DISTRIBUTED via the text sink — the scale path."""
+        props = [c for c in self.df.columns if c != geometry_col]
+        feat = F.concat(
+            F.lit('{"type": "Feature", "properties": '),
+            F.to_json(F.struct(*props)) if props else F.lit("{}"),
+            F.lit(', "geometry": '),
+            F.col(geometry_col),
+            F.lit("}"),
+        )
+        self.df.select(feat.alias("value")).write.mode("overwrite").text(path)
+
+    @classmethod
+    def read_geojson(
+        cls, spark: SparkSession, path: str, epsg: int = 4326
+    ) -> "SparkFeatureCollection":
+        """Open a GeoJSON FeatureCollection document (or a GeoJSONSeq
+        directory of Feature lines) with Spark's JSON source — multiline
+        for the single document, line mode otherwise; geometry
+        re-serializes to a JSON string column ``geometry`` for the
+        existing geojson_* column parsers, properties flatten to columns.
+        Geometry types must be homogeneous per file (mixed nesting defeats
+        schema inference — loud error), matching the reference's
+        layer-per-geometry model."""
+        import os as _os
+
+        multiline = _os.path.isfile(path)
+        raw = spark.read.option("multiLine", str(multiline).lower()).json(path)
+        if "_corrupt_record" in raw.columns:
+            raise ValueError(
+                "GeoJSON schema inference failed (mixed geometry types in "
+                "one file?) — split layers per geometry type"
+            )
+        if "features" in raw.columns:
+            f = raw.select(F.explode("features").alias("f"))
+        elif "geometry" in raw.columns:  # GeoJSONSeq: one Feature per line
+            f = raw.select(F.struct(*raw.columns).alias("f"))
+        else:
+            raise ValueError(
+                f"{path!r} is not a GeoJSON FeatureCollection/GeoJSONSeq "
+                f"(got top-level fields {raw.columns})"
+            )
+        names = [fld.name for fld in f.schema["f"].dataType.fields]
+        if "geometry" not in names:
+            raise ValueError("features carry no geometry member")
+        cols = [F.to_json("f.geometry").alias("geometry")]
+        if "properties" in names:
+            cols.append("f.properties.*")
+        return cls(f.select(*cols), epsg)
 
     # --- catalog (collection.py:1240 list_layers, pyogrio engine) -----------
     @staticmethod

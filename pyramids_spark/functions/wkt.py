@@ -201,16 +201,17 @@ def geojson_type(s: Column) -> Column:
 
 
 def geojson_point_x(s: Column) -> Column:
-    """GeoJSON Point → x (NULL on non-point input)."""
+    """GeoJSON Point → x (NULL on non-point input). Separator-tolerant:
+    wild files (and Spark's to_json) emit no space after the comma."""
     return F.regexp_extract(
-        s, rf'"coordinates":\s*\[{_NUM}, {_NUM}\]', 1
+        s, rf'"coordinates":\s*\[{_NUM},\s*{_NUM}\]', 1
     ).try_cast("double")
 
 
 def geojson_point_y(s: Column) -> Column:
     """GeoJSON Point → y (NULL on non-point input)."""
     return F.regexp_extract(
-        s, rf'"coordinates":\s*\[{_NUM}, {_NUM}\]', 2
+        s, rf'"coordinates":\s*\[{_NUM},\s*{_NUM}\]', 2
     ).try_cast("double")
 
 
@@ -219,5 +220,5 @@ def geojson_ring_xs(s: Column) -> Column:
     body = F.regexp_extract(s, r"\[\[\[(.*?)\]\]", 1)
     return F.transform(
         F.split(body, r"\],\s*\["),
-        lambda p: F.element_at(F.split(p, ", "), 1).try_cast("double"),
+        lambda p: F.element_at(F.split(p, r",\s*"), 1).try_cast("double"),
     )
