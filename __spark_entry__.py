@@ -1052,6 +1052,139 @@ def sql_ascii_grid_roundtrip():
     )
 
 
+def q_wkb_roundtrip(spark, sf_dir):
+    """WKB codec gate (the reference round-trips geometries through OGR
+    WKB, ``dataset/ops/_zonal.py:88``; GPKG stores it natively): nation
+    points and 3-vertex rings encode to little-endian ISO WKB and decode
+    back — the binary path is IEEE-exact, so the oracle regenerates the
+    coordinates from the same expressions with no rounding."""
+    from pyramids_spark.functions import wkb as B
+
+    nat = _read(spark, sf_dir, "nation")
+    pts = nat.select(
+        F.col("n_nationkey").cast("long").alias("nid"),
+        (F.col("n_nationkey") * 7.25 - 80.0).alias("x"),
+        (F.col("n_regionkey") * 13.5 - 30.0).alias("y"),
+    )
+    enc = pts.select(
+        "nid",
+        B.point_wkb("x", "y").alias("g"),
+        B.polygon_wkb(
+            F.array(F.col("x"), F.col("x") + 1.0, F.col("x") + 1.0),
+            F.array(F.col("y"), F.col("y"), F.col("y") + 2.0),
+        ).alias("pg"),
+    )
+    return enc.select(
+        "nid",
+        B.wkb_geometry_type("g").alias("gtype"),
+        B.wkb_point_x("g").alias("x"),
+        B.wkb_point_y("g").alias("y"),
+        F.length("pg").cast("int").alias("pg_bytes"),
+        F.size(B.wkb_ring_xs("pg")).cast("int").alias("ring_n"),
+        F.element_at(B.wkb_ring_ys("pg"), 3).alias("ring_y3"),
+    )
+
+
+def sql_wkb_roundtrip():
+    # pg_bytes: 1 + type4 + nrings4 + npts4 + 16·(3 open vertices + close)
+    return (
+        "SELECT CAST(n_nationkey AS BIGINT) AS nid, 'Point' AS gtype, "
+        "n_nationkey * 7.25 - 80.0 AS x, "
+        "n_regionkey * 13.5 - 30.0 AS y, "
+        "CAST(77 AS INTEGER) AS pg_bytes, CAST(4 AS INTEGER) AS ring_n, "
+        "(n_regionkey * 13.5 - 30.0) + 2.0 AS ring_y3 FROM nation"
+    )
+
+
+def q_gpkg_roundtrip(spark, sf_dir):
+    """GeoPackage container gate (reference GPKG to_file driver + layer
+    catalog + pushdown, ``feature/collection.py:1657-1811``, ``:598-606``):
+    supplier points + attributes → SQLite container (stdlib sqlite3, GP
+    geometry blobs) → distributed fid-range read with a ``where`` that
+    SQLite evaluates inside the container. Coordinates are exact binary
+    fractions so every hop is bit-exact."""
+    import os as _os
+
+    from pyramids_spark.api import SparkFeatureCollection
+    from pyramids_spark.functions import wkb as B
+
+    sup = _read(spark, sf_dir, "supplier")
+    feat = sup.select(
+        B.point_wkb(
+            F.col("s_suppkey") * 0.125 - 60.0,
+            F.col("s_suppkey") * -0.0625 + 30.0,
+        ).alias("geometry"),
+        F.col("s_suppkey").cast("long").alias("skey"),
+        F.col("s_name").alias("name"),
+        (F.col("s_suppkey") * 0.015625).alias("bal"),
+    )
+    path = "/tmp/pyramids_q_fc.gpkg"
+    if _os.path.exists(path):
+        _os.remove(path)
+    SparkFeatureCollection(feat, 4326).to_gpkg(path, "suppliers")
+    back = SparkFeatureCollection.read_gpkg(
+        spark, path, "suppliers", where="skey % 4 <> 3"
+    )
+    return back.df.select(
+        "skey", "name", "bal",
+        B.wkb_point_x("geometry").alias("x"),
+        B.wkb_point_y("geometry").alias("y"),
+    )
+
+
+def sql_gpkg_roundtrip():
+    return (
+        "SELECT CAST(s_suppkey AS BIGINT) AS skey, s_name AS name, "
+        "s_suppkey * 0.015625 AS bal, "
+        "s_suppkey * 0.125 - 60.0 AS x, "
+        "s_suppkey * -0.0625 + 30.0 AS y "
+        "FROM supplier WHERE s_suppkey % 4 <> 3"
+    )
+
+
+def q_shapefile_roundtrip(spark, sf_dir):
+    """Shapefile container gate (the "ESRI Shapefile" to_file driver arm,
+    ``feature/collection.py:1657-1811``): supplier points + DBF attributes
+    (sized text, N 20.0 longs, N 24.11 doubles) → .shp/.shx/.dbf →
+    distributed .shx-sliced read. Geometry is binary-exact; the double
+    attribute is an exact binary fraction ≤6 decimals so the fixed-width
+    DBF text survives bit-for-bit."""
+    from pyramids_spark.api import SparkFeatureCollection
+    from pyramids_spark.functions import wkb as B
+
+    sup = _read(spark, sf_dir, "supplier")
+    feat = sup.select(
+        B.point_wkb(
+            F.col("s_suppkey") * 0.25 - 100.0,
+            F.col("s_suppkey") * -0.03125 + 40.0,
+        ).alias("geometry"),
+        F.col("s_suppkey").cast("long").alias("skey"),
+        F.col("s_name").alias("name"),
+        (F.col("s_suppkey") * 0.046875).alias("bal"),
+    )
+    SparkFeatureCollection(feat, 4326).to_shapefile(
+        "/tmp/pyramids_q_fc.shp", shape_type=1
+    )
+    back = SparkFeatureCollection.read_shapefile(
+        spark, "/tmp/pyramids_q_fc.shp"
+    )
+    return back.df.select(
+        "skey", "name", "bal",
+        B.wkb_point_x("geometry").alias("x"),
+        B.wkb_point_y("geometry").alias("y"),
+    )
+
+
+def sql_shapefile_roundtrip():
+    return (
+        "SELECT CAST(s_suppkey AS BIGINT) AS skey, s_name AS name, "
+        "s_suppkey * 0.046875 AS bal, "
+        "s_suppkey * 0.25 - 100.0 AS x, "
+        "s_suppkey * -0.03125 + 40.0 AS y "
+        "FROM supplier"
+    )
+
+
 def q_zarr_roundtrip_u8(spark, sf_dir):
     """Container dtype gate: uint8 zarr v2 store (``|u1`` dtype string,
     integer JSON fill_value, zlib chunks) round-trips the generator."""
@@ -3500,6 +3633,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotiff_lzw_roundtrip": q_geotiff_lzw_roundtrip,
         "geojson_file_roundtrip": q_geojson_file_roundtrip,
         "ascii_grid_roundtrip": q_ascii_grid_roundtrip,
+        "wkb_roundtrip": q_wkb_roundtrip,
+        "gpkg_roundtrip": q_gpkg_roundtrip,
+        "shapefile_roundtrip": q_shapefile_roundtrip,
         # -- last validated r3 --
         "cell_encode": q_cell_encode,
         "pip_boxes": q_pip_boxes,
@@ -3642,6 +3778,9 @@ def oracle_sql() -> dict[str, str]:
         "geotiff_lzw_roundtrip": sql_geotiff_lzw_roundtrip(),
         "geojson_file_roundtrip": sql_geojson_file_roundtrip(),
         "ascii_grid_roundtrip": sql_ascii_grid_roundtrip(),
+        "wkb_roundtrip": sql_wkb_roundtrip(),
+        "gpkg_roundtrip": sql_gpkg_roundtrip(),
+        "shapefile_roundtrip": sql_shapefile_roundtrip(),
         "geotiff_roundtrip": sql_geotiff_roundtrip(),
         "wkt_roundtrip": sql_wkt_roundtrip(),
         "wkt_geometrycollection": sql_wkt_geometrycollection(),

@@ -234,6 +234,27 @@ def main():
     # tile=256, 5.3 s at 512 — twelve 512² tasks starve the cores); halo
     # overhead at r=2 is still <2%
     bench("focal_tiles_r2", lambda: focal.focal_tiles(gdf, g, r=2, tile=128).count())
+
+    # the PARALLEL GeoTIFF sink at 4M cells: 16 standalone 512x512 COG
+    # shards written executor-side (deflate-1) + manifest — the scale path
+    # that replaces the single-file driver byte stream (tiff.write_geotiff)
+    import shutil as _sh
+
+    from pyramids_spark import tiff as _tiff
+
+    _mdir = "/tmp/pyramids_bench_mosaic"
+
+    def run_mosaic():
+        _sh.rmtree(_mdir, ignore_errors=True)
+        _tiff.write_cog_parts(
+            gdf, g, 1, _mdir, shard=(512, 512), tile=(256, 256), compress=1
+        )
+
+    run_mosaic()  # untimed warmup (codegen + Python-worker ramp)
+    bench("cog_mosaic_sink_4m", run_mosaic)
+    extra["cog_mosaic_bytes"] = sum(
+        os.path.getsize(os.path.join(_mdir, f_)) for f_ in os.listdir(_mdir)
+    )
     gdf.unpersist()
 
     # distributed connected components at a border set of ~10^5 cells

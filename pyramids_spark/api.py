@@ -637,6 +637,64 @@ class SparkFeatureCollection:
             cols.append("f.properties.*")
         return cls(f.select(*cols), epsg)
 
+    # --- GeoPackage container (collection.py:1657-1811 to_file GPKG driver,
+    # --- :1240 list_layers; pyramids_spark.gpkg builds the SQLite container
+    # --- directly on stdlib sqlite3) ----------------------------------------
+    def to_gpkg(
+        self, path: str, layer: str, geometry_col: str = "geometry",
+        geometry_type: str = "POINT",
+    ) -> int:
+        """Write this collection as one GeoPackage feature layer
+        (``geometry_col`` holds WKB from :mod:`pyramids_spark.functions.wkb`).
+        Single-file sink contract — blobs build executor-side, rows stream
+        through one sqlite3 connection. Returns the feature count."""
+        from . import gpkg as _gpkg
+
+        return _gpkg.write_gpkg(
+            self.df, path, layer, geometry_col, geometry_type, self.epsg
+        )
+
+    @classmethod
+    def read_gpkg(
+        cls, spark: SparkSession, path: str, layer: str,
+        columns: "list[str] | None" = None, where: "str | None" = None,
+    ) -> "SparkFeatureCollection":
+        """Open one GeoPackage layer as a distributed scan (disjoint fid
+        ranges per task; ``where``/``columns`` push into SQLite)."""
+        from . import gpkg as _gpkg
+
+        df, _, srs = _gpkg.read_gpkg(spark, path, layer, columns, where)
+        return cls(df, srs)
+
+    # --- ESRI Shapefile container (the "ESRI Shapefile" to_file driver arm,
+    # --- collection.py:1657-1811; struct+numpy, pyramids_spark.shp) ---------
+    def to_shapefile(
+        self, path: str, geometry_col: str = "geometry",
+        shape_type: int = 1,
+    ) -> int:
+        """Write .shp/.shx/.dbf — ``geometry_col`` holds WKB (the same
+        column feeds :meth:`to_gpkg`); records re-encode executor-side via
+        ``shp.record_from_wkb``. Driver-stream single-file sink, loud
+        2 GiB format guard."""
+        from . import shp as _shp
+
+        df = self.df.withColumn(
+            geometry_col, _shp.record_from_wkb(F.col(geometry_col))
+        )
+        return _shp.write_shapefile(df, path, geometry_col, shape_type)
+
+    @classmethod
+    def read_shapefile(
+        cls, spark: SparkSession, path: str, epsg: int = 4326
+    ) -> "SparkFeatureCollection":
+        """Distributed shapefile scan (per-task .shx slice + contiguous
+        .shp byte range + fixed-width .dbf records); geometry returns as
+        WKB, multi-part records explode one row per part."""
+        from . import shp as _shp
+
+        df, _ = _shp.read_shapefile(spark, path)
+        return cls(df, epsg)
+
     # --- catalog (collection.py:1240 list_layers, pyogrio engine) -----------
     @staticmethod
     def list_layer_names(path: str) -> list[str]:
