@@ -148,6 +148,26 @@ def _compress(data: bytes, compress) -> bytes:
     return zlib.compress(data, compress)
 
 
+def _packbits_decode(raw: bytes) -> bytes:
+    """PackBits (Compression 32773, read-only) — the Apple RLE scheme TIFF
+    6.0 §9 mandates every reader support: control byte n in 0..127 copies
+    the next n+1 literals, n in -127..-1 (two's complement) repeats the
+    next byte 1-n times, -128 is a no-op. The loop runs per run over one
+    tile/strip payload executor-side, same budget as the LZW codec."""
+    out = bytearray()
+    i, end = 0, len(raw)
+    while i < end:
+        n = raw[i] - 256 if raw[i] > 127 else raw[i]
+        i += 1
+        if n >= 0:
+            out += raw[i:i + n + 1]
+            i += n + 1
+        elif n != -128:
+            out += raw[i:i + 1] * (1 - n)
+            i += 1
+    return bytes(out)
+
+
 def _decompress(raw: bytes, comp: int) -> bytes:
     if comp == 1:
         return raw
@@ -155,6 +175,8 @@ def _decompress(raw: bytes, comp: int) -> bytes:
         from . import lzw
 
         return lzw.decode(raw)
+    if comp == 32773:
+        return _packbits_decode(raw)
     import zlib
 
     return zlib.decompress(raw)
@@ -753,9 +775,10 @@ def _read_ifds(path: str) -> list[dict]:
             sfmt = tags.get(_SFMT, (0, 0, 1))[2]  # absent tag ≙ unsigned int
             spp = tags.get(_SPP, (0, 0, 1))[2]
             d["dtype"] = _dt.FROM_TIFF.get((bits, sfmt))
-            if d["comp"] not in (1, 5, 8) or d["dtype"] is None or spp != 1:
+            if d["comp"] not in (1, 5, 8, 32773) or d["dtype"] is None \
+                    or spp != 1:
                 raise NotImplementedError(
-                    "only raw/LZW/DEFLATE single-sample-per-pixel rasters "
+                    "only raw/LZW/DEFLATE/PackBits single-sample rasters "
                     f"over the {sorted(_dt.TABLE)} dtype table (multiband ≙ "
                     "one IFD per band, not interleaved samples); got "
                     f"comp={d['comp']} bits={bits} sfmt={sfmt} spp={spp}"

@@ -530,3 +530,85 @@ def test_geotiff_lzw_roundtrip_and_predictor2(spark, tmp_path):
     fp2.write_bytes(bytes(buf2))
     with pytest.raises(NotImplementedError, match="integer-only"):
         SparkDataset.from_geotiff(spark, str(fp2))
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Test-only PackBits encoder: identical runs >= 3 become RLE pairs,
+    everything else literal runs (both capped at 128 per TIFF 6.0 S9)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i + 1
+        while j < n and data[j] == data[i] and j - i < 128:
+            j += 1
+        if j - i >= 3:
+            out.append((257 - (j - i)) & 0xFF)
+            out.append(data[i])
+            i = j
+            continue
+        k = i
+        while k < n and k - i < 128:
+            if k + 2 < n and data[k] == data[k + 1] == data[k + 2]:
+                break
+            k += 1
+        out.append(k - i - 1)
+        out += data[i:k]
+        i = k
+    return bytes(out)
+
+
+def test_packbits_decode_inverts_encoder():
+    from pyramids_spark.tiff import _packbits_decode
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        raw = bytes(rng.integers(0, 4, size=rng.integers(1, 700)).astype("u1"))
+        assert _packbits_decode(_packbits_encode(raw)) == raw
+    # no-op control byte (-128) is skipped by itself (no operand)
+    assert _packbits_decode(b"\x80\x02abc") == b"abc"
+
+
+def test_geotiff_reads_foreign_packbits_strips(spark, tmp_path):
+    """A wild uint8 strip TIFF with PackBits (Compression 32773) strips —
+    the TIFF-6.0-mandated RLE every baseline reader must accept."""
+    rows, cols, rps = 7, 4, 3
+    vals = np.arange(rows * cols, dtype="u1").reshape(rows, cols)
+    vals[2:5, :] = 9  # long identical run to exercise the RLE branch
+    strips = [_packbits_encode(vals[s: s + rps].tobytes())
+              for s in range(0, rows, rps)]
+    n_strips = len(strips)
+
+    n_tags = 9
+    ifd_at = 8
+    p_off = ifd_at + 2 + n_tags * 12 + 4
+    p_cnt = p_off + 4 * n_strips
+    p_scale = p_cnt + 4 * n_strips
+    data_at = p_scale + 24
+    offs, cur = [], data_at
+    for s in strips:
+        offs.append(cur)
+        cur += len(s)
+    tags = sorted([
+        (256, 4, 1, cols), (257, 4, 1, rows), (258, 3, 1, 8),
+        (259, 3, 1, 32773), (262, 3, 1, 1),
+        (273, 4, n_strips, p_off), (278, 4, 1, rps),
+        (279, 4, n_strips, p_cnt),
+        (33550, 12, 3, p_scale),
+    ])
+    buf = bytearray(struct.pack("<2sHI", b"II", 42, ifd_at))
+    buf += struct.pack("<H", n_tags)
+    for t in tags:
+        buf += struct.pack("<HHII", *t)
+    buf += struct.pack("<I", 0)
+    buf += struct.pack(f"<{n_strips}I", *offs)
+    buf += struct.pack(f"<{n_strips}I", *[len(s) for s in strips])
+    buf += struct.pack("<3d", 2.0, 2.0, 0.0)
+    for s in strips:
+        buf += s
+    p = tmp_path / "packbits.tif"
+    p.write_bytes(bytes(buf))
+
+    back = SparkDataset.from_geotiff(spark, str(p))
+    got = {(r.row, r.col): int(r.value) for r in back.df.collect()}
+    exp = {(r, c): int(vals[r, c]) for r in range(rows) for c in range(cols)}
+    assert got == exp
