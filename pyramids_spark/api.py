@@ -1009,15 +1009,44 @@ class SparkNetCDF:
             grid, path, times, dtype=dtype, version=version,
         )
 
+    def to_netcdf4(
+        self, grid, path: str, times: "list[float] | None" = None,
+        dtype: str = "float64", compress: "int | None" = 4,
+        shuffle: bool = True, chunk: "tuple[int, int]" = (64, 64),
+        georef: str = "attrs",
+    ):
+        """Write a REAL netCDF-4 (HDF5) file — pure struct/numpy,
+        ``pyramids_spark.hdf5``; reference ``NetCDF.to_file`` through the
+        netcdf-c/HDF5 stack (``netcdf/netcdf.py:849-982``). Chunks build
+        and deflate DISTRIBUTED, then stream ordered through the driver
+        (compressed sizes are not plan-time-known, unlike
+        :meth:`to_netcdf`'s parallel pwrite). Returns the chunk manifest
+        (lineage)."""
+        from . import hdf5 as _h5
+
+        return _h5.write_netcdf4(
+            self.df.select("variable", "t", "row", "col", "value"),
+            grid, path, times, dtype=dtype, compress=compress,
+            shuffle=shuffle, chunk=chunk, georef=georef,
+        )
+
     @classmethod
     def read_file(
         cls, spark: SparkSession, path: str
     ) -> "tuple[SparkNetCDF, Grid, dict]":
-        """Open a classic NetCDF binary (reference
-        ``netcdf/netcdf.py:849-982`` ``read_file``): driver parses the
-        KB-scale header, executors decode record slabs by byte range.
-        Returns (surface, Grid, header meta — dims/attrs/vars for
-        ``decode_variable``)."""
+        """Open a NetCDF binary of EITHER generation (reference
+        ``netcdf/netcdf.py:849-982`` ``read_file``): the magic bytes pick
+        classic (``CDF\\x01``/``\\x02``) or netCDF-4/HDF5 (``\\x89HDF``).
+        Both readers parse KB-scale metadata on the driver and decode
+        slabs/chunks by byte range on executors. Returns (surface, Grid,
+        meta — dims/attrs/vars for ``decode_variable``)."""
+        with open(path, "rb") as fh:
+            magic = fh.read(8)
+        if magic == b"\x89HDF\r\n\x1a\n":
+            from . import hdf5 as _h5
+
+            df, grid, meta = _h5.read_netcdf4(spark, path)
+            return cls(df), grid, meta
         from . import netcdf as _nc
 
         df, grid, meta = _nc.read_netcdf(spark, path)

@@ -1,0 +1,1165 @@
+"""netCDF-4 (HDF5 container) I/O in pure struct+numpy.
+
+Reference surface: ``NetCDF.read_file`` / ``to_file``
+(``/root/reference/src/pyramids/netcdf/netcdf.py:849-982`` — the
+reference opens netCDF-4 through the GDAL/netcdf-c stack; tests under
+``tests/netcdf/``). The HDF5 file format and the netCDF-4 mapping onto
+it are both PUBLIC specs (HDF5 File Format Specification v3; the
+netCDF-4 dimension-scale convention), so — like ``tiff.py``,
+``zarr.py`` and ``netcdf.py`` before it — the container is implemented
+directly, with no native library.
+
+Supported subset (what netcdf-c's DEFAULT settings actually write):
+
+- superblock version 0/1 (v2/v3 accepted too — they only move the root
+  object header address);
+- version-1 object headers with continuation blocks, plus version-2
+  (``OHDR``) headers with compact Link messages — the two layouts real
+  files use.  DENSE storage (fractal-heap groups or attributes) rejects
+  loudly: that layout only appears past netcdf-c's defaults;
+- old-style groups: v1 B-tree + local heap + ``SNOD`` symbol nodes;
+- datatypes: fixed-point and IEEE float in either byte order, fixed
+  strings, object references, and VLEN-of-reference (the
+  ``DIMENSION_LIST`` type, resolved through the global heap);
+- data layouts: contiguous and chunked (v1 B-tree chunk index, any
+  depth) with the shuffle and deflate filters honoring per-chunk filter
+  masks;
+- the netCDF-4 dimension-scale convention: dimensions are datasets
+  tagged ``CLASS="DIMENSION_SCALE"``; each data variable carries a
+  ``DIMENSION_LIST`` attribute of object references, which is how the
+  reader recovers (time, y, x) axes without guessing by shape.
+
+Distributed shape — identical to the GeoTIFF reader: the driver parses
+only the KB-scale metadata (superblock, headers, chunk B-trees) and
+ships a ``(variable, t, chunk, file offset, nbytes, filter mask)`` table
+to executors, which read byte ranges and decode (inflate → unshuffle →
+``frombuffer``) inside ``mapInPandas``. Absent chunks are fill by the
+HDF5 contract, which matches the engine's absent-row nodata contract,
+so they cost nothing.
+
+The WRITER exists for the same reason ``tiff.py`` writes GeoTIFFs: the
+engine's own export path plus the fixture generator for the reader
+(this container has no other in-sandbox producer). Compressed chunk
+sizes are unknowable at plan time, so — unlike the classic-NetCDF
+parallel ``pwrite`` sink — chunks build and deflate DISTRIBUTED, then
+stream ordered through the driver at O(chunk) memory while metadata
+(whose size is computed up front) is patched in afterwards; the chunk
+B-trees land after the data so nothing in the front region depends on
+compressed sizes. Scale story and caveat match the single-file GeoTIFF
+sink; the parquet/zarr cell tables remain the 100-TB storage paths.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import _blocks, dtypes as _dt
+from .grid import Grid
+from .netcdf import derive_grid
+
+UNDEF = 0xFFFFFFFFFFFFFFFF
+_SIG = b"\x89HDF\r\n\x1a\n"
+_LEAF_K, _INT_K = 4, 16  # group B-tree ranks (superblock fields)
+#: netcdf-c's NAME attribute for dimensions that have no coordinate var
+_PHONY = "This is a netCDF dimension but not a netCDF variable."
+
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 8)
+
+
+def _align8(n: int) -> int:
+    return (n + 7) // 8 * 8
+
+
+# ---------------------------------------------------------------------------
+# message builders (write side) — HDF5 spec section IV
+# ---------------------------------------------------------------------------
+
+def _msg(typ: int, body: bytes) -> bytes:
+    body = _pad8(body)
+    return struct.pack("<HHB3x", typ, len(body), 0) + body
+
+
+def _ohdr_v1(messages: "list[bytes]") -> bytes:
+    body = b"".join(messages)
+    return struct.pack("<BxHII4x", 1, len(messages), 1, len(body)) + body
+
+
+def _ds_msg(dims: "tuple[int, ...]", maxdims: "tuple[int, ...] | None" = None
+            ) -> bytes:
+    """Dataspace v1; scalar = dimensionality 0; maxdims UNDEF = unlimited."""
+    md = dims if maxdims is None else maxdims
+    b = struct.pack("<BBB5x", 1, len(dims), 1 if dims else 0)
+    b += b"".join(struct.pack("<Q", d) for d in dims)
+    b += b"".join(struct.pack("<Q", d) for d in (md if dims else ()))
+    return b
+
+
+def _dt_fixed(np_dt: np.dtype) -> bytes:
+    bits0 = (1 if np_dt.byteorder == ">" else 0) | (
+        8 if np_dt.kind == "i" else 0
+    )
+    return struct.pack(
+        "<BBBBIHH", 0x10, bits0, 0, 0, np_dt.itemsize, 0, np_dt.itemsize * 8
+    )
+
+
+def _dt_float(size: int, big_endian: bool = False) -> bytes:
+    # bitfield byte0: bit0 byte order, bits 4-5 = 2 (implied-MSB mantissa);
+    # byte1 = sign bit location. Properties follow IEEE 754.
+    head = struct.pack(
+        "<BBBBI", 0x11, 0x20 | (1 if big_endian else 0), size * 8 - 1, 0, size
+    )
+    if size == 8:
+        return head + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+    return head + struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+
+
+def _dt_of(np_dt: np.dtype) -> bytes:
+    if np_dt.kind == "f":
+        return _dt_float(np_dt.itemsize, np_dt.byteorder == ">")
+    return _dt_fixed(np_dt)
+
+
+def _dt_string(n: int) -> bytes:
+    return struct.pack("<BBBBI", 0x13, 0, 0, 0, n)  # null-terminated, ASCII
+
+
+def _dt_ref() -> bytes:
+    return struct.pack("<BBBBI", 0x17, 0, 0, 0, 8)  # object reference
+
+
+def _dt_vlen_ref() -> bytes:
+    return struct.pack("<BBBBI", 0x19, 0, 0, 0, 16) + _dt_ref()
+
+
+def _fill_msg(fill: bytes, chunked: bool) -> bytes:
+    return _msg(0x0005, struct.pack(
+        "<BBBBI", 2, 3 if chunked else 1, 0, 1, len(fill)) + fill)
+
+
+def _layout_contig(addr: int, size: int) -> bytes:
+    return _msg(0x0008, struct.pack("<BBQQ", 3, 1, addr, size))
+
+
+def _layout_chunked(btree_addr: int, chunk: "tuple[int, ...]", esize: int
+                    ) -> bytes:
+    b = struct.pack("<BBBQ", 3, 2, len(chunk) + 1, btree_addr)
+    b += b"".join(struct.pack("<I", d) for d in chunk)
+    return _msg(0x0008, b + struct.pack("<I", esize))
+
+
+def _filter_msg(shuffle_esize: int, deflate_level: "int | None") -> bytes:
+    filters = []
+    if shuffle_esize:
+        filters.append((2, shuffle_esize))
+    if deflate_level is not None:
+        filters.append((1, deflate_level))
+    b = struct.pack("<BB6x", 1, len(filters))
+    for fid, cval in filters:  # built-in ids carry no name; 1 client value
+        b += struct.pack("<HHHHI4x", fid, 0, 0, 1, cval)
+    return _msg(0x000B, b)
+
+
+def _attr_msg(name: str, dt: bytes, ds: bytes, value: bytes) -> bytes:
+    nb = name.encode() + b"\x00"
+    body = struct.pack("<BxHHH", 1, len(nb), len(dt), len(ds))
+    return _msg(0x000C, body + _pad8(nb) + _pad8(dt) + _pad8(ds) + value)
+
+
+def _str_attr(name: str, value: str) -> bytes:
+    vb = value.encode() + b"\x00"
+    return _attr_msg(name, _dt_string(len(vb)), _ds_msg(()), vb)
+
+
+def _scalar_attr(name: str, value) -> bytes:
+    if isinstance(value, str):
+        return _str_attr(name, value)
+    if isinstance(value, (np.generic,)):
+        a = np.asarray(value)
+        return _attr_msg(name, _dt_of(a.dtype), _ds_msg(()), a.tobytes())
+    if isinstance(value, int):
+        return _attr_msg(
+            name, _dt_fixed(np.dtype("<i4")), _ds_msg(()),
+            struct.pack("<i", value),
+        )
+    return _attr_msg(
+        name, _dt_float(8), _ds_msg(()), struct.pack("<d", float(value))
+    )
+
+
+def _symtab_msg(btree: int, heap: int) -> bytes:
+    return _msg(0x0011, struct.pack("<QQ", btree, heap))
+
+
+def _cont_msg(addr: int, size: int) -> bytes:
+    return _msg(0x0010, struct.pack("<QQ", addr, size))
+
+
+def _local_heap(names: "list[str]", data_addr: int
+                ) -> "tuple[bytes, bytes, dict[str, int]]":
+    """Local heap header + data block; offset 0 is the root's empty name."""
+    data, offs = bytearray(b"\x00" * 8), {}
+    for n in names:
+        offs[n] = len(data)
+        data += _pad8(n.encode() + b"\x00")
+    hdr = b"HEAP" + struct.pack("<B3xQQQ", 0, len(data), UNDEF, data_addr)
+    return hdr, bytes(data), offs
+
+
+def _snod(entries: "list[tuple[int, int]]") -> bytes:
+    """Symbol table node: (heap name offset, object header addr) rows,
+    pre-sorted by name."""
+    b = b"SNOD" + struct.pack("<BBH", 1, 0, len(entries))
+    for off, addr in entries:
+        b += struct.pack("<QQII16x", off, addr, 0, 0)
+    return b
+
+
+def _group_btree(snod_addrs: "list[int]", last_name_offs: "list[int]"
+                 ) -> bytes:
+    """Type-0 (group) v1 B-tree root over the SNOD leaves. Key i is the
+    heap offset of the highest name in child i-1 (key 0 = empty name)."""
+    n = len(snod_addrs)
+    b = b"TREE" + struct.pack("<BBHQQ", 0, 0, n, UNDEF, UNDEF)
+    b += struct.pack("<Q", 0)
+    for addr, off in zip(snod_addrs, last_name_offs):
+        b += struct.pack("<QQ", addr, off)
+    return b
+
+
+def _chunk_key(nbytes: int, mask: int, offs: "tuple[int, ...]") -> bytes:
+    return struct.pack("<II", nbytes, mask) + b"".join(
+        struct.pack("<Q", o) for o in offs
+    )
+
+
+def _chunk_btree(
+    entries: "list[tuple[tuple, int, int]]", max_offs: "tuple[int, ...]",
+    base_addr: int, cap: int = 64,
+) -> "tuple[int, bytes]":
+    """Type-1 (raw data chunk) v1 B-tree over ``(chunk element offsets,
+    data address, nbytes)`` entries, already sorted by offsets. Builds as
+    many levels as ``cap`` forces; returns (root address, blob laid out
+    from ``base_addr``)."""
+    keysz = 8 + 8 * len(max_offs)
+    maxkey = _chunk_key(0, 0, max_offs)
+
+    # nodes: {level, items: [(key_bytes, child_addr_or_node)], addr}
+    leaves = [
+        {"level": 0,
+         "items": [(_chunk_key(nb, 0, offs), addr)
+                   for offs, addr, nb in entries[i:i + cap]]}
+        for i in range(0, len(entries), cap)
+    ]
+    levels = [leaves]
+    while len(levels[-1]) > 1:
+        prev = levels[-1]
+        levels.append([
+            {"level": prev[0]["level"] + 1,
+             "items": [(nd["items"][0][0], nd) for nd in prev[i:i + cap]]}
+            for i in range(0, len(prev), cap)
+        ])
+    flat = [nd for lev in levels for nd in lev]
+    pos = base_addr
+    for nd in flat:
+        nd["addr"] = pos
+        pos += 24 + len(nd["items"]) * (keysz + 8) + keysz
+    blob = bytearray()
+    for lev in levels:
+        for i, nd in enumerate(lev):
+            left = lev[i - 1]["addr"] if i > 0 else UNDEF
+            right = lev[i + 1]["addr"] if i + 1 < len(lev) else UNDEF
+            b = b"TREE" + struct.pack(
+                "<BBHQQ", 1, nd["level"], len(nd["items"]), left, right
+            )
+            for key, child in nd["items"]:
+                caddr = child if isinstance(child, int) else child["addr"]
+                b += key + struct.pack("<Q", caddr)
+            # the final key bounds the node from above: next sibling's
+            # first key, or the synthetic past-the-end key
+            b += lev[i + 1]["items"][0][0] if i + 1 < len(lev) else maxkey
+            blob += b
+    return levels[-1][0]["addr"], bytes(blob)
+
+
+def _gheap(objs: "list[bytes]", addr: int
+           ) -> "tuple[bytes, list[tuple[int, int]]]":
+    """One global heap collection holding ``objs``; returns (bytes,
+    [(collection addr, object index)] aligned with ``objs``)."""
+    body, refs = bytearray(), []
+    for i, data in enumerate(objs, 1):
+        body += struct.pack("<HH4xQ", i, 1, len(data)) + _pad8(data)
+        refs.append((addr, i))
+    size = max(4096, _align8(16 + len(body) + 16))
+    free = size - 16 - len(body)
+    out = b"GCOL" + struct.pack("<B3xQ", 1, size) + body
+    out += struct.pack("<HH4xQ", 0, 0, free)
+    return out + b"\x00" * (size - len(out)), refs
+
+
+def _superblock(eof: int, root_ohdr: int, root_btree: int, root_heap: int
+                ) -> bytes:
+    b = _SIG + struct.pack(
+        "<8BHHI", 0, 0, 0, 0, 0, 8, 8, 0, _LEAF_K, _INT_K, 0
+    )
+    b += struct.pack("<QQQQ", 0, UNDEF, eof, UNDEF)
+    # root symbol table entry: name offset 0, cached btree+heap (type 1)
+    b += struct.pack("<QQII", 0, root_ohdr, 1, 0)
+    b += struct.pack("<QQ", root_btree, root_heap)
+    return b
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+def spark_of(df: DataFrame) -> SparkSession:
+    return df.sparkSession
+
+
+def write_netcdf4(
+    cells_df: DataFrame, grid: Grid, path: str,
+    times: "list[float] | None" = None,
+    variables: "list[str] | None" = None, dtype: str = "float64",
+    compress: "int | None" = 4, shuffle: bool = True,
+    chunk: "tuple[int, int]" = (64, 64), georef: str = "attrs",
+    btree_cap: int = 64,
+) -> pd.DataFrame:
+    """Write the long cell table ``(variable, t, row, col, value)`` as one
+    netCDF-4 (HDF5) file: dimension-scale datasets ``time``/``y``/``x``
+    (``time`` unlimited) and one chunked data variable per name, with
+    shuffle+deflate filters and ``DIMENSION_LIST`` wiring. ``times`` None
+    writes 2-D ``(y, x)`` variables. ``georef`` = ``"attrs"`` stores the
+    engine's x0/y0/cell global attrs; ``"coords"`` relies on the (CF)
+    coordinate variables alone; ``"coords-ascending"`` additionally flips
+    the y axis ascending — the layout wild CF files use. Returns the
+    chunk manifest (lineage). See the module docstring for the
+    distributed write shape."""
+    dt_name = _dt.resolve(dtype)
+    np_dt = _dt.np_dtype(dt_name)
+    esize = np_dt.itemsize
+    fill = _dt.check_fill(dt_name, grid.nodata)
+    rows, cols = grid.rows, grid.cols
+    nt = 1 if times is None else len(times)
+    three_d = times is not None
+    ch, cw = min(chunk[0], rows), min(chunk[1], cols)
+    flip_write = georef == "coords-ascending"
+    if variables is None:
+        variables = sorted(
+            r[0] for r in cells_df.select("variable").distinct().collect()
+        )
+
+    cell = grid.cell
+    xs = grid.x0 + cell / 2 + cell * np.arange(cols, dtype="<f8")
+    ys = grid.y0 - cell / 2 - cell * np.arange(rows, dtype="<f8")
+    if flip_write:
+        ys = ys[::-1].copy()
+    fill_store = _dt.cast_block(np.full(1, fill, "<f8"), dt_name)
+    fill_bytes = fill_store.tobytes()
+
+    dims = [("time", nt, np.asarray(
+                [0.0] if times is None else times, "<f8"), ("T",)),
+            ("y", rows, ys, ("Y",)), ("x", cols, xs, ("X",))]
+    if not three_d:
+        dims = dims[1:]
+    dim_names = [d[0] for d in dims]
+    names = sorted(dim_names + list(variables))
+
+    # ---- pass-independent structure --------------------------------------
+    heap_hdr0, heap_data, name_offs = _local_heap(names, 0)
+    snod_groups = [names[i:i + 2 * _LEAF_K]
+                   for i in range(0, len(names), 2 * _LEAF_K)]
+    n_gheap = len(variables) * len(dims)
+
+    def build(a: dict) -> "dict[str, bytes]":
+        """Render every front-region component against the address map
+        ``a`` (pass 1: zeros for sizing; pass 2: resolved)."""
+        out = {}
+        out["heap_hdr"], _, _ = _local_heap(names, a.get("heap_data", 0))
+        out["heap_data"] = heap_data
+        out["gbtree"] = _group_btree(
+            [a.get(f"snod{i}", 0) for i in range(len(snod_groups))],
+            [name_offs[g[-1]] for g in snod_groups],
+        )
+        for i, g in enumerate(snod_groups):
+            out[f"snod{i}"] = _snod(
+                [(name_offs[n], a.get(f"ohdr_{n}", 0)) for n in g]
+            )
+        gobjs = []
+        for v in variables:
+            for dn in dim_names:
+                gobjs.append(struct.pack("<Q", a.get(f"ohdr_{dn}", 0)))
+        out["gheap"], grefs = _gheap(gobjs, a.get("gheap", 0))
+        # root group header: symbol table + global attributes
+        gatts = [_str_attr("Conventions", "CF-1.6"),
+                 _str_attr("_NCProperties",
+                           "version=2,netcdf=pyramids-spark,hdf5=pure-numpy")]
+        if georef == "attrs":
+            gatts += [_scalar_attr("x0", grid.x0), _scalar_attr("y0", grid.y0),
+                      _scalar_attr("cell", grid.cell),
+                      _scalar_attr("epsg", int(grid.epsg))]
+            if grid.nodata is not None:
+                gatts.append(_scalar_attr("nodata", float(grid.nodata)))
+        out["ohdr_/"] = _ohdr_v1(
+            [_symtab_msg(a.get("gbtree", 0), a.get("heap_hdr", 0))] + gatts
+        )
+        for di, (dn, dsize, dvals, axes) in enumerate(dims):
+            out[f"coord_{dn}"] = dvals.tobytes()
+            maxd = (UNDEF,) if (dn == "time" and three_d) else (dsize,)
+            msgs = [
+                _msg(0x0001, _ds_msg((dsize,), maxd)),
+                _msg(0x0003, _dt_float(8)),
+                _fill_msg(struct.pack("<d", float("nan")), False),
+                _layout_contig(a.get(f"coord_{dn}", 0), dsize * 8),
+                _str_attr("CLASS", "DIMENSION_SCALE"),
+                _str_attr("NAME", dn),
+                _scalar_attr("_Netcdf4Dimid", di),
+                _str_attr("axis", axes[0]),
+            ]
+            out[f"ohdr_{dn}"] = _ohdr_v1(msgs)
+        for vi, v in enumerate(variables):
+            shape = (nt, rows, cols) if three_d else (rows, cols)
+            maxd = (UNDEF, rows, cols) if three_d else (rows, cols)
+            cdims = (1, ch, cw) if three_d else (ch, cw)
+            dl = b""
+            for k in range(len(dims)):
+                ga, gi = grefs[vi * len(dims) + k]
+                dl += struct.pack("<IQI", 1, ga, gi)
+            attr_msgs = [
+                _attr_msg("DIMENSION_LIST", _dt_vlen_ref(),
+                          _ds_msg((len(dims),)), dl),
+                _attr_msg("_FillValue", _dt_of(np_dt), _ds_msg(()),
+                          fill_bytes),
+            ]
+            head = [
+                _msg(0x0001, _ds_msg(shape, maxd)),
+                _msg(0x0003, _dt_of(np_dt)),
+                _fill_msg(fill_bytes, True),
+            ]
+            if shuffle or compress is not None:
+                head.append(_filter_msg(
+                    esize if shuffle else 0, compress))
+            head.append(_layout_chunked(
+                a.get(f"btree_{v}", UNDEF), cdims, esize))
+            # attributes live in a CONTINUATION block — the layout real
+            # libhdf5 headers routinely use, so every read exercises it
+            cont = b"".join(attr_msgs)
+            head.append(_cont_msg(a.get(f"cont_{v}", 0), len(cont)))
+            # message COUNT covers both blocks; hdrsize covers block 0 only
+            pre = struct.pack(
+                "<BxHII4x", 1, len(head) + len(attr_msgs), 1,
+                sum(len(m) for m in head),
+            )
+            out[f"ohdr_{v}"] = pre + b"".join(head)
+            out[f"cont_{v}"] = cont
+        return out
+
+    comp0 = build({})
+    order = (["heap_hdr", "heap_data", "gbtree"]
+             + [f"snod{i}" for i in range(len(snod_groups))] + ["gheap"]
+             + [f"coord_{d}" for d in dim_names] + ["ohdr_/"]
+             + [x for v in dim_names for x in (f"ohdr_{v}",)]
+             + [x for v in variables for x in (f"ohdr_{v}", f"cont_{v}")])
+    addrs, pos = {}, 96
+    for k in order:
+        addrs[k] = pos
+        pos += _align8(len(comp0[k]))
+    addrs["heap_data"] = addrs["heap_hdr"] + 32  # data follows its header
+    data_start = _align8(pos)
+
+    # ---- distributed chunk build, ordered driver stream -------------------
+    src = cells_df.select("variable", "t", "row", "col", "value")
+    if flip_write:
+        src = src.withColumn("row", F.lit(rows - 1) - F.col("row"))
+    keyed = src.withColumn("ci", F.floor(F.col("row") / ch)) \
+               .withColumn("cj", F.floor(F.col("col") / cw))
+
+    def build_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        _, _, ci, cj = key
+        block = np.full((ch, cw), fill, "<f8")
+        rr = pdf["row"].to_numpy(np.int64) - ci * ch
+        cc = pdf["col"].to_numpy(np.int64) - cj * cw
+        block[rr, cc] = pdf["value"].to_numpy(np.float64)
+        raw = _dt.cast_block(block, dt_name).tobytes()
+        if shuffle:
+            raw = np.frombuffer(raw, "u1").reshape(-1, esize).T.tobytes()
+        if compress is not None:
+            raw = zlib.compress(raw, compress)
+        return pd.DataFrame({
+            "variable": [key[0]], "t": [int(key[1])],
+            "ci": [int(ci)], "cj": [int(cj)], "data": [raw],
+        })
+
+    chunks = keyed.groupBy("variable", "t", "ci", "cj").applyInPandas(
+        build_chunk,
+        "variable string, t long, ci long, cj long, data binary",
+    ).orderBy("variable", "t", "ci", "cj")
+
+    entries: "dict[str, list]" = {v: [] for v in variables}
+    manifest = []
+    with open(path, "wb") as fh:
+        fh.seek(data_start)
+        cur = data_start
+        for r in chunks.toLocalIterator():
+            offs = ((r.t, r.ci * ch, r.cj * cw, 0) if three_d
+                    else (r.ci * ch, r.cj * cw, 0))
+            fh.write(r.data)
+            entries[r.variable].append((offs, cur, len(r.data)))
+            manifest.append((r.variable, r.t, r.ci, r.cj, cur, len(r.data)))
+            cur += len(r.data)
+        # ---- chunk B-trees after the data ---------------------------------
+        btree_base = _align8(cur)
+        max_offs = ((nt, -(-rows // ch) * ch, -(-cols // cw) * cw, 0)
+                    if three_d else (-(-rows // ch) * ch, -(-cols // cw) * cw,
+                                     0))
+        bblobs = []
+        pos = btree_base
+        for v in variables:
+            if not entries[v]:
+                addrs[f"btree_{v}"] = UNDEF
+                continue
+            root, blob = _chunk_btree(entries[v], max_offs, pos,
+                                      cap=btree_cap)
+            addrs[f"btree_{v}"] = root
+            bblobs.append((pos, blob))
+            pos += len(blob)
+        eof = pos
+        # ---- now every address is known: render + write front & B-trees ---
+        comp = build(addrs)
+        fh.seek(0)
+        fh.write(_superblock(eof, addrs["ohdr_/"], addrs["gbtree"],
+                             addrs["heap_hdr"]))
+        for k in order:
+            fh.seek(addrs["heap_hdr"] if k == "heap_hdr" else addrs[k])
+            fh.write(comp[k])
+        for at, blob in bblobs:
+            fh.seek(at)
+            fh.write(blob)
+        fh.truncate(eof)
+    return pd.DataFrame(
+        manifest, columns=["variable", "t", "ci", "cj", "addr", "nbytes"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# reader — driver-side metadata parse (KB-scale), executor byte-range decode
+# ---------------------------------------------------------------------------
+
+def _parse_dtype(buf: bytes):
+    """Datatype message → descriptor: ("np", dtype) | ("str", n) |
+    ("ref", n) | ("vlen", base) | ("vlenstr", n) | ("other", cls, n)."""
+    cls = buf[0] & 0x0F
+    size = struct.unpack_from("<I", buf, 4)[0]
+    b0 = buf[1]
+    order = ">" if b0 & 1 else "<"
+    if cls == 0:
+        kind = "i" if b0 & 8 else "u"
+        return ("np", np.dtype(f"{order}{kind}{size}"))
+    if cls == 1:
+        if size not in (4, 8):
+            raise NotImplementedError(f"{size}-byte IEEE float")
+        return ("np", np.dtype(f"{order}f{size}"))
+    if cls == 3:
+        return ("str", size)
+    if cls == 7:
+        return ("ref", size)
+    if cls == 9:
+        if b0 & 0x0F == 0:
+            return ("vlen", _parse_dtype(buf[8:]))
+        return ("vlenstr", size)
+    return ("other", cls, size)
+
+
+def _parse_dspace(buf: bytes) -> "tuple[list[int], list[int] | None]":
+    ver, nd, flags = buf[0], buf[1], buf[2]
+    p = 8 if ver == 1 else 4
+    dims = [struct.unpack_from("<Q", buf, p + 8 * i)[0] for i in range(nd)]
+    maxd = None
+    if flags & 1:
+        maxd = [struct.unpack_from("<Q", buf, p + 8 * (nd + i))[0]
+                for i in range(nd)]
+    return dims, maxd
+
+
+def _parse_fill(body: bytes) -> "bytes | None":
+    ver = body[0]
+    if ver in (1, 2):
+        if ver == 2 and not body[3]:
+            return None
+        size = struct.unpack_from("<I", body, 4)[0]
+        return body[8:8 + size] if size else None
+    if ver == 3:
+        if body[1] & 0x20:
+            size = struct.unpack_from("<I", body, 2)[0]
+            return body[6:6 + size]
+        return None
+    return None
+
+
+def _parse_layout(body: bytes):
+    ver = body[0]
+    if ver != 3:
+        raise NotImplementedError(
+            f"data layout message v{ver} (v3 = the libhdf5-1.8+ layout — "
+            "v4 chunk indexes only appear with the 'latest' format flag)"
+        )
+    cls = body[1]
+    if cls == 0:
+        size = struct.unpack_from("<H", body, 2)[0]
+        return ("compact", body[4:4 + size])
+    if cls == 1:
+        addr, size = struct.unpack_from("<QQ", body, 2)
+        return ("contig", addr, size)
+    nd = body[2]
+    bt = struct.unpack_from("<Q", body, 3)[0]
+    cdims = [struct.unpack_from("<I", body, 11 + 4 * i)[0] for i in range(nd)]
+    return ("chunked", bt, cdims[:-1], cdims[-1])
+
+
+def _parse_filters(body: bytes) -> "list[tuple[int, int, list[int]]]":
+    ver, nf = body[0], body[1]
+    p = 8 if ver == 1 else 2
+    out = []
+    for _ in range(nf):
+        fid = struct.unpack_from("<H", body, p)[0]
+        p += 2
+        nlen = 0
+        if ver == 1 or fid >= 256:
+            nlen = struct.unpack_from("<H", body, p)[0]
+            p += 2
+        flags, ncv = struct.unpack_from("<HH", body, p)
+        p += 4
+        if nlen:
+            p += _align8(nlen) if ver == 1 else nlen
+        cvals = [struct.unpack_from("<I", body, p + 4 * i)[0]
+                 for i in range(ncv)]
+        p += 4 * ncv
+        if ver == 1 and ncv % 2:
+            p += 4
+        out.append((fid, flags, cvals))
+    return out
+
+
+def _defilter(raw: bytes, ids: "list[int]", mask: int, esize: int) -> bytes:
+    """Undo the filter pipeline back-to-front, honoring the per-chunk
+    filter mask (bit i set = filter i was SKIPPED for this chunk)."""
+    for i in range(len(ids) - 1, -1, -1):
+        if mask & (1 << i):
+            continue
+        if ids[i] == 1:
+            raw = zlib.decompress(raw)
+        elif ids[i] == 2:
+            raw = np.frombuffer(raw, "u1").reshape(esize, -1).T.tobytes()
+        else:  # guarded at plan time; defensive here
+            raise NotImplementedError(f"HDF5 filter id {ids[i]}")
+    return raw
+
+
+class _H5Meta:
+    """Driver-side HDF5 metadata walker. Every read here is KB-scale
+    (superblock, object headers, B-tree nodes, local/global heaps); bulk
+    chunk payloads are read on executors only."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.fh = open(path, "rb")
+        if self.fh.read(8) != _SIG:
+            raise ValueError("not an HDF5 file")
+        ver = self.fh.read(1)[0]
+        if ver in (0, 1):
+            rest = self.fh.read(15)
+            szoff, szlen = rest[4], rest[5]
+            if ver == 1:
+                self.fh.read(4)  # indexed-storage K + reserved
+            self.fh.read(32)  # base/freespace/eof/driver addresses
+            ste = self.fh.read(40)
+            self.root = struct.unpack_from("<Q", ste, 8)[0]
+        elif ver in (2, 3):
+            szoff, szlen, _flags = struct.unpack("<BBB", self.fh.read(3))
+            _base, _ext, _eof, self.root = struct.unpack(
+                "<QQQQ", self.fh.read(32)
+            )
+        else:
+            raise NotImplementedError(f"HDF5 superblock version {ver}")
+        if (szoff, szlen) != (8, 8):
+            raise NotImplementedError(
+                f"offsets/lengths of {szoff}/{szlen} bytes (8/8 only — "
+                "every real-world producer uses 64-bit files)"
+            )
+
+    # -- object headers -----------------------------------------------------
+
+    def messages(self, addr: int) -> "list[tuple[int, bytes, int]]":
+        fh = self.fh
+        fh.seek(addr)
+        if fh.read(4) == b"OHDR":
+            return self._messages_v2()
+        fh.seek(addr)
+        ver, nmsgs, _rc, hsize = struct.unpack("<BxHII", fh.read(12))
+        if ver != 1:
+            raise NotImplementedError(f"object header version {ver}")
+        msgs, blocks = [], [(addr + 16, hsize)]
+        while blocks and len(msgs) < nmsgs:
+            a, sz = blocks.pop(0)
+            fh.seek(a)
+            buf = fh.read(sz)
+            p = 0
+            while p + 8 <= sz and len(msgs) < nmsgs:
+                t, s, fl = struct.unpack_from("<HHB", buf, p)
+                p += 8
+                body = buf[p:p + s]
+                p += s
+                if t == 0x0010:
+                    blocks.append(struct.unpack_from("<QQ", body))
+                msgs.append((t, body, fl))
+        return msgs
+
+    def _messages_v2(self) -> "list[tuple[int, bytes, int]]":
+        fh = self.fh
+        ver, flags = struct.unpack("<BB", fh.read(2))
+        if ver != 2:
+            raise NotImplementedError(f"OHDR version {ver}")
+        if flags & 0x20:
+            fh.read(16)  # access/mod/change/birth times
+        if flags & 0x10:
+            fh.read(4)  # max-compact / min-dense attr counts
+        chunk0 = int.from_bytes(fh.read(1 << (flags & 3)), "little")
+        track = bool(flags & 0x04)
+        msgs, blocks = [], [(fh.tell(), chunk0)]
+        while blocks:
+            a, sz = blocks.pop(0)
+            fh.seek(a)
+            buf = fh.read(sz)
+            p, hdr = 0, 4 + (2 if track else 0)
+            while p + hdr <= sz:
+                t, s, fl = buf[p], struct.unpack_from("<H", buf, p + 1)[0], \
+                    buf[p + 3]
+                p += hdr
+                if p + s > sz:
+                    break  # trailing gap (zeros smaller than a msg header)
+                body = buf[p:p + s]
+                p += s
+                if t == 0x10:
+                    ca, cs = struct.unpack_from("<QQ", body)
+                    blocks.append((ca + 4, cs - 8))  # skip OCHK sig+checksum
+                if t:
+                    msgs.append((t, body, fl))
+        return msgs
+
+    # -- groups ---------------------------------------------------------------
+
+    def group_links(self, msgs) -> "dict[str, int]":
+        links: "dict[str, int]" = {}
+        for t, body, _fl in msgs:
+            if t == 0x0011:
+                bt, hp = struct.unpack_from("<QQ", body)
+                links.update(self._symtab_links(bt, hp))
+            elif t == 0x0002:
+                p = 2 + (8 if body[1] & 1 else 0)
+                if struct.unpack_from("<Q", body, p)[0] != UNDEF:
+                    raise NotImplementedError(
+                        "dense (fractal-heap) group link storage — past "
+                        "netcdf-c defaults; re-export without the 'latest' "
+                        "libhdf5 format flag"
+                    )
+            elif t == 0x0006:
+                name, a = self._parse_link(body)
+                if a is not None:
+                    links[name] = a
+        return links
+
+    @staticmethod
+    def _parse_link(body: bytes) -> "tuple[str, int | None]":
+        flags = body[1]
+        p, ltype = 2, 0
+        if flags & 0x08:
+            ltype = body[p]
+            p += 1
+        if flags & 0x04:
+            p += 8  # creation order
+        if flags & 0x10:
+            p += 1  # charset
+        lsz = 1 << (flags & 3)
+        nlen = int.from_bytes(body[p:p + lsz], "little")
+        p += lsz
+        name = body[p:p + nlen].decode()
+        p += nlen
+        if ltype == 0:  # hard link → object header address
+            return name, struct.unpack_from("<Q", body, p)[0]
+        return name, None  # soft/external links carry no object
+
+    def _symtab_links(self, btree_addr: int, heap_addr: int
+                      ) -> "dict[str, int]":
+        fh = self.fh
+        fh.seek(heap_addr)
+        if fh.read(4) != b"HEAP":
+            raise ValueError("bad local heap signature")
+        fh.read(4)
+        dsize, _free, daddr = struct.unpack("<QQQ", fh.read(24))
+        fh.seek(daddr)
+        heap = fh.read(dsize)
+        out: "dict[str, int]" = {}
+
+        def walk(addr: int):
+            fh.seek(addr)
+            if fh.read(4) != b"TREE":
+                raise ValueError("bad group B-tree signature")
+            _typ, lev, n = struct.unpack("<BBH", fh.read(4))
+            fh.read(16)  # siblings
+            buf = fh.read((2 * n + 1) * 8)
+            kids = [struct.unpack_from("<Q", buf, (2 * i + 1) * 8)[0]
+                    for i in range(n)]
+            for c in kids:
+                if lev > 0:
+                    walk(c)
+                    continue
+                fh.seek(c)
+                if fh.read(4) != b"SNOD":
+                    raise ValueError("bad symbol node signature")
+                _v, ns = struct.unpack("<HH", fh.read(4))
+                ents = fh.read(40 * ns)
+                for i in range(ns):
+                    noff, oaddr = struct.unpack_from("<QQ", ents, 40 * i)
+                    nm = heap[noff:heap.index(b"\x00", noff)].decode()
+                    out[nm] = oaddr
+
+        walk(btree_addr)
+        return out
+
+    # -- attributes / heaps ---------------------------------------------------
+
+    def parse_attr(self, body: bytes):
+        ver = body[0]
+        if ver == 1:
+            nsz, dtsz, dssz = struct.unpack_from("<HHH", body, 2)
+            p = 8
+            name = body[p:p + nsz].split(b"\x00")[0].decode()
+            p += _align8(nsz)
+            dtb = body[p:p + dtsz]
+            p += _align8(dtsz)
+            dsb = body[p:p + dssz]
+            p += _align8(dssz)
+        elif ver in (2, 3):
+            flags = body[1]
+            nsz, dtsz, dssz = struct.unpack_from("<HHH", body, 2)
+            p = 9 if ver == 3 else 8
+            name = body[p:p + nsz].split(b"\x00")[0].decode()
+            p += nsz
+            if flags & 0x03:
+                return name, None  # shared datatype/dataspace — opaque
+            dtb = body[p:p + dtsz]
+            p += dtsz
+            dsb = body[p:p + dssz]
+            p += dssz
+        else:
+            return f"__attr_v{ver}", None
+        try:
+            desc = _parse_dtype(dtb)
+            dims, _ = _parse_dspace(dsb)
+        except Exception:
+            return name, None
+        return name, self._decode_value(desc, dims, body[p:])
+
+    def _decode_value(self, desc, dims, raw: bytes):
+        n = 1
+        for d in dims:
+            n *= d
+        if desc[0] == "np":
+            a = np.frombuffer(raw[:n * desc[1].itemsize], desc[1])
+            return a.copy() if dims else a[0]
+        if desc[0] == "str":
+            return raw[:desc[1]].split(b"\x00")[0].decode(errors="replace")
+        if desc[0] == "vlen" and desc[1][0] == "ref":
+            out = []
+            for i in range(n):
+                ln, ga, gi = struct.unpack_from("<IQI", raw, 16 * i)
+                data = self._gheap_obj(ga, gi)
+                out.append([struct.unpack_from("<Q", data, 8 * k)[0]
+                            for k in range(ln)])
+            return out
+        return None  # compound/other (e.g. REFERENCE_LIST) — unused
+
+    def _gheap_obj(self, addr: int, idx: int) -> bytes:
+        fh = self.fh
+        fh.seek(addr)
+        if fh.read(4) != b"GCOL":
+            raise ValueError("bad global heap signature")
+        fh.read(4)
+        size = struct.unpack("<Q", fh.read(8))[0]
+        buf = fh.read(size - 16)
+        p = 0
+        while p + 16 <= len(buf):
+            i, _rc, sz = struct.unpack_from("<HH4xQ", buf, p)
+            p += 16
+            if i == idx:
+                return buf[p:p + sz]
+            if i == 0:
+                break
+            p += _align8(sz)
+        raise KeyError(f"global heap object {idx} at {addr}")
+
+    # -- datasets ---------------------------------------------------------------
+
+    def dataset(self, addr: int, msgs=None) -> dict:
+        if msgs is None:
+            msgs = self.messages(addr)
+        d = {"addr": addr, "attrs": {}, "filters": [], "fill": None,
+             "shape": None, "maxshape": None, "dtype": None, "layout": None}
+        for t, body, fl in msgs:
+            if fl & 0x02 and t in (0x0001, 0x0003, 0x0005, 0x0008, 0x000B):
+                raise NotImplementedError("shared (committed) header message")
+            if t == 0x0001:
+                d["shape"], d["maxshape"] = _parse_dspace(body)
+            elif t == 0x0003:
+                d["dtype"] = _parse_dtype(body)
+            elif t == 0x0005:
+                d["fill"] = _parse_fill(body)
+            elif t == 0x0008:
+                d["layout"] = _parse_layout(body)
+            elif t == 0x000B:
+                d["filters"] = _parse_filters(body)
+            elif t == 0x000C:
+                nm, val = self.parse_attr(body)
+                d["attrs"][nm] = val
+            elif t == 0x0015:
+                p = 2 + (2 if body[1] & 1 else 0)
+                if struct.unpack_from("<Q", body, p)[0] != UNDEF:
+                    raise NotImplementedError("dense attribute storage")
+        return d
+
+    def iter_chunks(self, btree_addr: int, ndims_p1: int):
+        """Walk a v1 chunk B-tree (any depth) → (element offsets, data
+        address, stored nbytes, filter mask) per chunk."""
+        if btree_addr == UNDEF:
+            return
+        fh = self.fh
+        keysz = 8 + 8 * ndims_p1
+        stack = [btree_addr]
+        while stack:
+            fh.seek(stack.pop())
+            if fh.read(4) != b"TREE":
+                raise ValueError("bad chunk B-tree signature")
+            _typ, lev, n = struct.unpack("<BBH", fh.read(4))
+            fh.read(16)
+            buf = fh.read(n * (keysz + 8) + keysz)
+            for i in range(n):
+                off = i * (keysz + 8)
+                nbytes, mask = struct.unpack_from("<II", buf, off)
+                child = struct.unpack_from("<Q", buf, off + keysz)[0]
+                if lev > 0:
+                    stack.append(child)
+                else:
+                    offs = [struct.unpack_from("<Q", buf, off + 8 + 8 * k)[0]
+                            for k in range(ndims_p1)]
+                    yield tuple(offs[:-1]), child, nbytes, mask
+
+    def read_array(self, meta: dict) -> "np.ndarray | None":
+        """Driver-side full read of a SMALL dataset (coordinate vars)."""
+        desc = meta["dtype"]
+        if desc is None or desc[0] != "np" or meta["layout"] is None:
+            return None
+        dt = desc[1]
+        shape = tuple(meta["shape"] or ())
+        n = int(np.prod(shape)) if shape else 1
+        lay = meta["layout"]
+        fh = self.fh
+        if lay[0] == "compact":
+            return np.frombuffer(lay[1][:n * dt.itemsize], dt).reshape(shape)
+        if lay[0] == "contig":
+            if lay[1] == UNDEF:
+                return None
+            fh.seek(lay[1])
+            return np.frombuffer(fh.read(n * dt.itemsize), dt).reshape(shape)
+        _, bt, cdims, _esz = lay
+        ids = [f[0] for f in meta["filters"]]
+        out = np.zeros(shape, dt)
+        for offs, addr, nbytes, mask in self.iter_chunks(bt, len(cdims) + 1):
+            fh.seek(addr)
+            raw = _defilter(fh.read(nbytes), ids, mask, dt.itemsize)
+            arr = np.frombuffer(raw, dt).reshape(cdims)
+            sl = tuple(slice(o, min(o + c, s))
+                       for o, c, s in zip(offs, cdims, shape))
+            out[sl] = arr[tuple(slice(0, s.stop - s.start) for s in sl)]
+        return out
+
+
+def read_netcdf4(
+    spark: SparkSession, path: str, row_block: int = 256
+) -> "tuple[DataFrame, Grid, dict]":
+    """Open a netCDF-4 (HDF5) file → (long cell table ``(variable, t,
+    band, row, col, value)``, Grid, meta). Dimensions resolve through the
+    netCDF-4 dimension-scale convention (``DIMENSION_LIST`` object
+    references → ``CLASS="DIMENSION_SCALE"`` datasets), NOT by shape
+    matching. Georeferencing: this engine's global attrs when present,
+    else uniform 1-D coordinate variables (CF ascending-y files flip).
+    Cells equal to the variable's fill value (HDF5 fill message or
+    ``_FillValue`` attribute) drop; chunks absent from the B-tree are
+    all-fill and cost nothing. Reference behavior:
+    ``/root/reference/src/pyramids/netcdf/netcdf.py:849-982``."""
+    h5 = _H5Meta(path)
+    root_msgs = h5.messages(h5.root)
+    gatts = {}
+    for t, body, _fl in root_msgs:
+        if t == 0x000C:
+            nm, val = h5.parse_attr(body)
+            gatts[nm] = val
+
+    objs: "dict[str, dict]" = {}
+
+    def expand(prefix: str, msgs):
+        for nm, addr in h5.group_links(msgs).items():
+            m = h5.messages(addr)
+            meta = h5.dataset(addr, m)
+            if meta["shape"] is None and meta["layout"] is None:
+                expand(prefix + nm + "/", m)  # netCDF-4 subgroup
+            else:
+                objs[prefix + nm] = meta
+
+    expand("", root_msgs)
+
+    scales = {m["addr"]: nm for nm, m in objs.items()
+              if m["attrs"].get("CLASS") == "DIMENSION_SCALE"}
+    usable: "dict[str, tuple[dict, list[str]]]" = {}
+    for nm, m in objs.items():
+        dl = m["attrs"].get("DIMENSION_LIST")
+        if dl is None or m["addr"] in scales:
+            continue
+        try:
+            dnames = [scales[refs[0]] for refs in dl]
+        except (KeyError, IndexError):
+            continue
+        if len(dnames) in (2, 3) and m["dtype"] and m["dtype"][0] == "np":
+            usable[nm] = (m, dnames)
+    if not usable:
+        raise ValueError("no 2-D/3-D (y, x) data variables in file")
+    ydim, xdim = next(iter(usable.values()))[1][-2:]
+    for nm, (m, dn) in usable.items():
+        if dn[-2:] != [ydim, xdim]:
+            raise NotImplementedError("data variables disagree on (y, x) dims")
+    rows = int(objs[ydim]["shape"][0])
+    cols = int(objs[xdim]["shape"][0])
+
+    def coordvals(dim_nm: str) -> "np.ndarray | None":
+        m = objs[dim_nm]
+        name_attr = m["attrs"].get("NAME") or ""
+        if isinstance(name_attr, str) and name_attr.startswith(_PHONY):
+            return None  # anonymous dimension: no real coordinate values
+        arr = h5.read_array(m)
+        return None if arr is None else np.asarray(arr, "<f8").ravel()
+
+    grid, flip = derive_grid(gatts, coordvals(ydim), coordvals(xdim),
+                             rows, cols)
+    tdims = {dn[0] for _, dn in usable.values() if len(dn) == 3}
+    times = coordvals(sorted(tdims)[0]) if tdims else None
+
+    # --- slice table (variable × chunk) ------------------------------------
+    slices = []
+    for nm, (m, dn) in sorted(usable.items()):
+        dt = m["dtype"][1]
+        ids = [f[0] for f in m["filters"]]
+        bad = sorted(set(ids) - {1, 2})
+        if bad:
+            raise NotImplementedError(
+                f"variable {nm!r} uses HDF5 filter ids {bad} (deflate=1 and "
+                "shuffle=2 only — fletcher32/szip/nbit stay out of scope)"
+            )
+        fill = None
+        if m["fill"] is not None and len(m["fill"]) >= dt.itemsize:
+            fill = float(np.frombuffer(m["fill"][:dt.itemsize], dt)[0])
+        elif m["attrs"].get("_FillValue") is not None:
+            fill = float(np.asarray(m["attrs"]["_FillValue"]).ravel()[0])
+        three = len(dn) == 3
+        ntv = int(m["shape"][0]) if three else 1
+        fids = ",".join(map(str, ids))
+        lay = m["layout"]
+        if lay[0] == "chunked":
+            _, bt, cdims, _esz = lay
+            ct = int(cdims[0]) if three else 1
+            chh, cww = int(cdims[-2]), int(cdims[-1])
+            for offs, addr, nbytes, mask in h5.iter_chunks(
+                    bt, len(cdims) + 1):
+                t0 = int(offs[0]) if three else 0
+                slices.append((nm, t0, int(offs[-2]), int(offs[-1]), addr,
+                               nbytes, mask, ct, chh, cww, dt.str, fill,
+                               fids, ntv))
+        elif lay[0] == "contig":
+            if lay[1] == UNDEF:
+                continue  # never allocated: all fill
+            if ids:
+                raise ValueError("contiguous layout cannot carry filters")
+            esz = dt.itemsize
+            for t in range(ntv):
+                for r0 in range(0, rows, row_block):
+                    bh = min(row_block, rows - r0)
+                    addr = lay[1] + (t * rows + r0) * cols * esz
+                    slices.append((nm, t, r0, 0, addr, bh * cols * esz, 0,
+                                   1, bh, cols, dt.str, fill, "", ntv))
+        else:
+            raise NotImplementedError(
+                f"variable {nm!r} uses compact layout — no real netCDF-4 "
+                "producer emits compact data variables"
+            )
+
+    meta_df = spark.createDataFrame(
+        slices,
+        "variable string, t0 long, r0 long, c0 long, addr long, "
+        "nbytes long, mask long, ct long, ch long, cw long, np_dt string, "
+        "fill double, fids string, nt long",
+    )
+
+    def decode(batches):
+        with open(path, "rb") as fh:
+            for pdf in batches:
+                frames = []
+                for row in pdf.itertuples(index=False):
+                    fh.seek(int(row.addr))
+                    raw = fh.read(int(row.nbytes))
+                    ids = [int(x) for x in row.fids.split(",") if x]
+                    dt = np.dtype(row.np_dt)
+                    raw = _defilter(raw, ids, int(row.mask), dt.itemsize)
+                    ct, chh, cww = int(row.ct), int(row.ch), int(row.cw)
+                    arr = (np.frombuffer(raw, dt)
+                           .reshape(ct, chh, cww).astype("<f8"))
+                    fillv = None if pd.isna(row.fill) else float(row.fill)
+                    for dtk in range(ct):
+                        t = int(row.t0) + dtk
+                        if t >= int(row.nt):
+                            break  # chunk padding past the time extent
+                        r0 = int(row.r0)
+                        h = min(chh, rows - r0)
+                        if h <= 0:
+                            continue
+                        block = arr[dtk][:h]
+                        if flip:
+                            block = block[::-1]
+                            r0 = rows - r0 - h
+                        drop = fillv if fillv is not None else float("nan")
+                        f = _blocks.sparse_cells(
+                            block, 0, r0, int(row.c0), rows, cols, drop
+                        )
+                        f.insert(0, "variable", row.variable)
+                        f.insert(1, "t", t)
+                        frames.append(f)
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+    cells = meta_df.mapInPandas(
+        decode,
+        "variable string, t long, band long, row long, col long, "
+        "value double",
+    )
+    meta = {
+        "gatts": gatts,
+        "dims": {nm: int(objs[nm]["shape"][0]) for nm in scales.values()},
+        "vars": {nm: m["attrs"] for nm, (m, _) in usable.items()},
+        "times": None if times is None else list(map(float, times)),
+    }
+    return cells, grid, meta

@@ -4,8 +4,8 @@ Reference surface: ``NetCDF.read_file`` / ``to_file``
 (``/root/reference/src/pyramids/netcdf/netcdf.py:849-982`` — GDAL's
 netCDF driver; tests under ``tests/netcdf/``). The classic format is a
 PUBLIC, compression-free binary spec simple enough to implement directly
-(netCDF-4/HDF5 stays out of scope — that container is a full B-tree
-filesystem):
+(the netCDF-4/HDF5 generation lives in ``pyramids_spark.hdf5``;
+``SparkNetCDF.read_file`` sniffs the magic and dispatches):
 
 - header: magic ``CDF\\x01``/``CDF\\x02`` + numrecs + dim list + global
   attributes + variable list (name, dimids, attributes, external type,
@@ -382,6 +382,44 @@ def _read_header(path: str) -> dict:
             "recsize": recsize}
 
 
+def derive_grid(
+    gatts: dict, yv: "np.ndarray | None", xv: "np.ndarray | None",
+    rows: int, cols: int,
+) -> "tuple[Grid, bool]":
+    """Georeferencing shared by every NetCDF-family reader (classic and
+    netCDF-4/HDF5): this engine's ``x0``/``y0``/``cell`` global attrs when
+    present, else DERIVED from the 1-D coordinate variables — which must
+    be uniformly spaced (loud reject otherwise; curvilinear grids go
+    through ``sel_coords2d``). Returns ``(grid, flip)``; ``flip`` is True
+    for CF ascending-y files, where slab row 0 is the Grid's LAST row."""
+    if {"x0", "y0", "cell"} <= set(gatts):
+        grid = Grid(x0=float(gatts["x0"]), y0=float(gatts["y0"]),
+                    cell=float(gatts["cell"]), rows=rows, cols=cols,
+                    epsg=int(gatts.get("epsg", 4326)),
+                    nodata=gatts.get("nodata"))
+        return grid, False
+    if yv is None or xv is None or len(yv) < 2 or len(xv) < 2:
+        raise NotImplementedError(
+            "no georeferencing: neither x0/y0/cell attrs nor 1-D y/x "
+            "coordinate variables"
+        )
+    dxs, dys = np.diff(xv), np.diff(yv)
+    if not (np.allclose(dxs, dxs[0]) and np.allclose(dys, dys[0])
+            and np.isclose(abs(dxs[0]), abs(dys[0]))):
+        raise NotImplementedError(
+            "non-uniform coordinate spacing — curvilinear/rectilinear "
+            "grids are label tables (sel_labels/sel_coords2d), not an "
+            "affine Grid"
+        )
+    cell = float(abs(dxs[0]))
+    flip = bool(dys[0] > 0)  # ascending y: row 0 of the Grid = last slab row
+    ytop = yv[-1] if flip else yv[0]
+    grid = Grid(x0=float(xv[0] - cell / 2), y0=float(ytop + cell / 2),
+                cell=cell, rows=rows, cols=cols,
+                epsg=int(gatts.get("epsg", 4326)), nodata=None)
+    return grid, flip
+
+
 def read_netcdf(
     spark: SparkSession, path: str, row_block: int = 256
 ) -> "tuple[DataFrame, Grid, dict]":
@@ -423,33 +461,9 @@ def read_netcdf(
                 return np.frombuffer(b, dtype=np_dt).astype("<f8")
         return None
 
-    g = h["gatts"]
-    if {"x0", "y0", "cell"} <= set(g):
-        grid = Grid(x0=float(g["x0"]), y0=float(g["y0"]), cell=float(g["cell"]),
-                    rows=rows, cols=cols, epsg=int(g.get("epsg", 4326)),
-                    nodata=g.get("nodata"))
-        flip = False
-    else:
-        yv, xv = coord_values(ydim), coord_values(xdim)
-        if yv is None or xv is None or len(yv) < 2 or len(xv) < 2:
-            raise NotImplementedError(
-                "no georeferencing: neither x0/y0/cell attrs nor 1-D y/x "
-                "coordinate variables"
-            )
-        dxs, dys = np.diff(xv), np.diff(yv)
-        if not (np.allclose(dxs, dxs[0]) and np.allclose(dys, dys[0])
-                and np.isclose(abs(dxs[0]), abs(dys[0]))):
-            raise NotImplementedError(
-                "non-uniform coordinate spacing — curvilinear/rectilinear "
-                "grids are label tables (sel_labels/sel_coords2d), not an "
-                "affine Grid"
-            )
-        cell = float(abs(dxs[0]))
-        flip = bool(dys[0] > 0)  # ascending y: row 0 of the Grid = last slab row
-        ytop = yv[-1] if flip else yv[0]
-        grid = Grid(x0=float(xv[0] - cell / 2), y0=float(ytop + cell / 2),
-                    cell=cell, rows=rows, cols=cols,
-                    epsg=int(g.get("epsg", 4326)), nodata=None)
+    grid, flip = derive_grid(
+        h["gatts"], coord_values(ydim), coord_values(xdim), rows, cols
+    )
 
     # --- slice table ------------------------------------------------------
     recsize, numrecs = h["recsize"], h["numrecs"]

@@ -1,0 +1,195 @@
+"""netCDF-4 (HDF5) container tests — pyramids_spark.hdf5.
+
+Reference behavior: ``/root/reference/src/pyramids/netcdf/netcdf.py``
+``read_file``/``to_file`` (netcdf-c/HDF5 via GDAL); tests under
+``tests/netcdf/``. Everything here runs against files produced by the
+in-repo writer (there is no other HDF5 producer in the sandbox), plus
+hand-built fixtures for the wild-format layouts the writer never emits
+(version-2 object headers, compact Link messages, foreign filters)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from pyramids_spark import hdf5
+from pyramids_spark.api import SparkNetCDF
+from pyramids_spark.grid import Grid
+
+G = Grid(x0=0.0, y0=100.0, cell=2.0, rows=13, cols=7, epsg=32636,
+         nodata=None)
+
+
+def _cells(spark, variables=("precip", "temp"), nt=3):
+    rows = []
+    for vi, v in enumerate(variables):
+        for t in range(nt):
+            for r in range(G.rows):
+                for c in range(G.cols):
+                    if (r * G.cols + c) % 5 == 0:
+                        continue  # holes stay holes through the round trip
+                    rows.append(
+                        (v, t, r, c, float(r * G.cols + c)
+                         + t * 100.0 + vi * 1000.0)
+                    )
+    df = spark.createDataFrame(
+        rows, "variable string, t long, row long, col long, value double"
+    )
+    return df, {(v, t, r, c): val for v, t, r, c, val in rows}
+
+
+def test_netcdf4_roundtrip_multivar_int16(spark, tmp_path):
+    """Two chunked int16 variables × three records with shuffle+deflate
+    and a _FillValue; read back through the sniffing read_file entry."""
+    from dataclasses import replace
+
+    g = replace(G, nodata=-9999.0)
+    df, exp = _cells(spark)
+    man = SparkNetCDF(df).to_netcdf4(
+        g, str(tmp_path / "a.nc"), times=[10.0, 20.0, 30.0], dtype="int16",
+        chunk=(4, 4),
+    )
+    assert len(man) == 2 * 3 * 4 * 2  # vars × t × ceil(13/4) × ceil(7/4)
+    back, g2, meta = SparkNetCDF.read_file(spark, str(tmp_path / "a.nc"))
+    assert (g2.rows, g2.cols, g2.cell, g2.x0, g2.y0) == (13, 7, 2.0, 0.0,
+                                                         100.0)
+    assert g2.epsg == 32636 and meta["times"] == [10.0, 20.0, 30.0]
+    assert meta["dims"] == {"time": 3, "y": 13, "x": 7}
+    got = {(r.variable, r.t, r.row, r.col): r.value
+           for r in back.df.collect()}
+    assert got == exp
+    # file is a real HDF5 container, not a lookalike
+    assert open(tmp_path / "a.nc", "rb").read(8) == b"\x89HDF\r\n\x1a\n"
+
+
+def test_netcdf4_cf_ascending_y_flips(spark, tmp_path):
+    """georef='coords-ascending' writes the wild-CF layout (no engine
+    attrs, ascending y coordinate): the grid must be derived from the
+    coordinate variables and the rows flipped back."""
+    df, exp = _cells(spark, variables=("a",), nt=1)
+    SparkNetCDF(df).to_netcdf4(
+        G, str(tmp_path / "cf.nc"), times=[0.0], chunk=(4, 4),
+        georef="coords-ascending",
+    )
+    back, g2, _ = SparkNetCDF.read_file(spark, str(tmp_path / "cf.nc"))
+    assert (g2.rows, g2.cols, g2.cell, g2.x0, g2.y0) == (13, 7, 2.0, 0.0,
+                                                         100.0)
+    got = {(r.variable, r.t, r.row, r.col): r.value
+           for r in back.df.collect()}
+    assert got == exp
+
+
+def test_netcdf4_multilevel_chunk_btree(spark, tmp_path):
+    """A 3-level v1 chunk B-tree (cap 3 forces internal nodes) decodes
+    identically to the single-node layout."""
+    df, exp = _cells(spark, variables=("a",), nt=2)
+    hdf5.write_netcdf4(df, G, str(tmp_path / "deep.nc"), times=[0.0, 1.0],
+                       chunk=(2, 2), btree_cap=3)
+    cells, _, _ = hdf5.read_netcdf4(spark, str(tmp_path / "deep.nc"))
+    got = {(r.variable, r.t, r.row, r.col): r.value for r in cells.collect()}
+    assert got == exp
+
+
+def test_netcdf4_uncompressed_and_2d(spark, tmp_path):
+    """No filter pipeline + 2-D (y, x) variables (times=None)."""
+    df, exp = _cells(spark, variables=("a", "b"), nt=1)
+    hdf5.write_netcdf4(df, G, str(tmp_path / "raw.nc"), times=None,
+                       compress=None, shuffle=False, chunk=(8, 8))
+    cells, _, meta = hdf5.read_netcdf4(spark, str(tmp_path / "raw.nc"))
+    assert meta["times"] is None and "time" not in meta["dims"]
+    got = {(r.variable, r.t, r.row, r.col): r.value for r in cells.collect()}
+    assert got == exp
+
+
+def test_netcdf4_foreign_filter_rejects(spark, tmp_path):
+    """A chunk pipeline with fletcher32 (id 3) must reject loudly at plan
+    time — binary-patch the shuffle filter id in a real file."""
+    df, _ = _cells(spark, variables=("a",), nt=1)
+    hdf5.write_netcdf4(df, G, str(tmp_path / "f.nc"), times=[0.0],
+                       chunk=(8, 8))
+    raw = bytearray((tmp_path / "f.nc").read_bytes())
+    pat = struct.pack("<BB6x", 1, 2) + struct.pack("<HHHHI4x", 2, 0, 0, 1, 8)
+    at = raw.find(pat)
+    assert at >= 0
+    struct.pack_into("<H", raw, at + 8, 3)  # shuffle → fletcher32
+    (tmp_path / "f.nc").write_bytes(bytes(raw))
+    with pytest.raises(NotImplementedError, match="filter ids \\[3\\]"):
+        hdf5.read_netcdf4(spark, str(tmp_path / "f.nc"))
+
+
+def test_hdf5_v2_superblock_and_object_headers(tmp_path):
+    """Hand-built 'latest-format' fixture: superblock v2 + a root OHDR
+    (v2) holding Link Info + a compact hard Link message to a contiguous
+    big-endian float32 dataset with a v2 attribute. Exercises every
+    new-style path the in-repo writer never emits."""
+    vals = np.arange(12, dtype=">f4").reshape(3, 4)
+
+    data_at = 48
+    dset_msgs = [
+        hdf5._msg(0x0001, hdf5._ds_msg((3, 4))),
+        hdf5._msg(0x0003, hdf5._dt_float(4, big_endian=True)),
+        hdf5._layout_contig(data_at, vals.nbytes),
+    ]
+    dset = hdf5._ohdr_v1(dset_msgs)
+    dset_at = data_at + vals.nbytes
+
+    # root OHDR v2: flags 0 → 1-byte chunk0 size, no times, no corder
+    link_info = struct.pack("<BB", 0, 0) + struct.pack(
+        "<QQ", hdf5.UNDEF, hdf5.UNDEF
+    )
+    link = struct.pack("<BBB", 1, 0, 1) + b"d" + struct.pack("<Q", dset_at)
+
+    def v2msg(t, body):
+        return struct.pack("<BHB", t, len(body), 0) + body
+
+    msgs = v2msg(0x02, link_info) + v2msg(0x06, link)
+    root = (b"OHDR" + struct.pack("<BBB", 2, 0, len(msgs)) + msgs
+            + struct.pack("<I", 0))  # checksum unverified by the reader
+    root_at = dset_at + len(dset)
+
+    sb = (b"\x89HDF\r\n\x1a\n" + struct.pack("<BBBB", 2, 8, 8, 0)
+          + struct.pack("<QQQQ", 0, hdf5.UNDEF, root_at + len(root),
+                        root_at) + struct.pack("<I", 0))
+    assert len(sb) == 48
+
+    blob = bytearray(root_at + len(root))
+    blob[:48] = sb
+    blob[data_at:data_at + vals.nbytes] = vals.tobytes()
+    blob[dset_at:dset_at + len(dset)] = dset
+    blob[root_at:] = root
+    p = tmp_path / "v2.h5"
+    p.write_bytes(bytes(blob))
+
+    h5 = hdf5._H5Meta(str(p))
+    links = h5.group_links(h5.messages(h5.root))
+    assert links == {"d": dset_at}
+    meta = h5.dataset(dset_at)
+    assert meta["shape"] == [3, 4]
+    assert meta["dtype"] == ("np", np.dtype(">f4"))
+    got = h5.read_array(meta)
+    assert got.dtype == np.dtype(">f4") and np.array_equal(got, vals)
+
+
+def test_hdf5_guards():
+    """Loud rejects: layout v4, unknown superblock, non-8-byte offsets."""
+    with pytest.raises(NotImplementedError, match="layout message v4"):
+        hdf5._parse_layout(bytes([4, 2, 1]) + b"\x00" * 20)
+    # dense group links (fractal heap present) reject
+    h5 = hdf5._H5Meta.__new__(hdf5._H5Meta)
+    body = struct.pack("<BB", 0, 0) + struct.pack("<QQ", 12345, hdf5.UNDEF)
+    with pytest.raises(NotImplementedError, match="fractal-heap"):
+        h5.group_links([(0x0002, body, 0)])
+
+
+def test_netcdf4_sel_and_decode_compose(spark, tmp_path):
+    """The returned surface is a full SparkNetCDF: sel on t and
+    get_variable prune the long table as usual."""
+    df, exp = _cells(spark)
+    SparkNetCDF(df).to_netcdf4(G, str(tmp_path / "s.nc"),
+                               times=[10.0, 20.0, 30.0], chunk=(4, 4))
+    back, _, _ = SparkNetCDF.read_file(spark, str(tmp_path / "s.nc"))
+    one = back.sel(t=1).get_variable("temp").df
+    got = {(r.row, r.col): r.value for r in one.collect()}
+    want = {(r, c): v for (vv, t, r, c), v in exp.items()
+            if vv == "temp" and t == 1}
+    assert got == want

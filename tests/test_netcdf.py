@@ -195,7 +195,9 @@ def test_netcdf_guards(spark, tmp_path):
             huge, str(tmp_path / "y2.nc"), times=[0.0], variables=["v"],
             version=2,
         )
+    # HDF5 magic now dispatches to the netCDF-4 reader (pyramids_spark
+    # .hdf5); a file that is only magic + zeros is a truncated container
     hdf = tmp_path / "z.nc"
     hdf.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
-    with pytest.raises(NotImplementedError, match="classic"):
+    with pytest.raises(Exception):
         SparkNetCDF.read_file(spark, str(hdf))
