@@ -1,14 +1,15 @@
-"""Pure-numpy media codecs: PGM/PPM images, 24-bit BMP, PCM16 WAV, PNG.
+"""Pure-numpy media codecs: PGM/PPM images, 24-bit BMP, PCM16 WAV, PNG,
+and baseline JPEG (via :mod:`pyramids_spark.jpeg`).
 
 The container has no PIL/ffmpeg, but these container formats are simple
 enough to parse with ``np.frombuffer`` + header arithmetic — so the
 engine's media DECODE step (task brief: decode / feature-extract / resize
 / frame-sample over binary columns) is REAL for them, not a stub. PNG is
-stdlib zlib + the five scanline unfilters (no entropy coding of its own),
-so it is fully supported; formats needing a real entropy decoder
-(JPEG/H.264) remain out of scope and raise (see :func:`sniff`); the
-reference reads media through GDAL/PIL-equivalent system libraries, which
-is exactly the seam these codecs replace.
+stdlib zlib + the five scanline unfilters; baseline JPEG ships its own
+Huffman entropy decoder in ``jpeg.py``. Only H.264 (and progressive/
+arithmetic JPEG modes) stay out of scope and raise loudly; the reference
+reads media through GDAL/PIL-equivalent system libraries, which is
+exactly the seam these codecs replace.
 
 All functions operate on ``bytes`` ↔ ``np.ndarray`` and run inside Arrow
 batches (mapInPandas) — one Python call per payload, vectorized numpy
@@ -301,7 +302,7 @@ def sniff(b: bytes) -> str:
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if b[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("JPEG decode needs an entropy decoder")
+        return "jpeg"  # baseline Huffman decoder in pyramids_spark.jpeg
     raise ValueError("unrecognized media payload")
 
 
@@ -320,6 +321,12 @@ def decode_image(b: bytes) -> np.ndarray:
         if rgb.ndim == 2:
             return rgb
         rgb = rgb[:, :, :3]  # RGBA: alpha does not enter the luma
+    elif kind == "jpeg":
+        from .jpeg import decode_jpeg
+
+        rgb = decode_jpeg(b)
+        if rgb.ndim == 2:
+            return rgb
     else:
         raise ValueError("not an image payload")
     r = rgb[:, :, 0].astype(np.uint32)

@@ -6,13 +6,14 @@ over ``mapInPandas``.
 
 The DECODE step is REAL for the container formats a pure-numpy parser can
 handle — PGM/PPM images, 24-bit BMP, PNG (zlib + the five scanline
-unfilters), PCM16 WAV, and a frame-concatenated PGM video stream
-(:mod:`pyramids_spark.codecs`). Entropy-coded formats (JPEG/H.264) still
-raise the documented ``NotImplementedError`` (no
-libjpeg/ffmpeg in this container); the legacy deterministic fake decode
-remains for payloads that are not parseable media (sniff fallback), so the
-plumbing accepts any bytes. Schemas, Arrow batch shapes, partitioning and
-UDF signatures are identical for every path.
+unfilters), baseline JPEG (own Huffman entropy decoder,
+:mod:`pyramids_spark.jpeg`), PCM16 WAV, and a frame-concatenated PGM
+video stream (:mod:`pyramids_spark.codecs`). Only H.264 still raises the
+documented ``NotImplementedError`` (a motion-compensated video codec is
+out of scope); the legacy deterministic fake decode remains for payloads
+that are not parseable media (sniff fallback), so the plumbing accepts
+any bytes. Schemas, Arrow batch shapes, partitioning and UDF signatures
+are identical for every path.
 """
 
 from __future__ import annotations
@@ -106,9 +107,19 @@ def synth_media(spark, docs: DataFrame, real_payloads: bool = True) -> DataFrame
                     payloads.append(b"".join(frames))
                 else:
                     # rotate real image containers by seed so the corpus
-                    # mixes PGM, grayscale PNG and RGB PNG payloads
-                    pick = int(seed) % 3
-                    if pick == 0:
+                    # mixes PGM, grayscale/RGB PNG and baseline-JPEG payloads
+                    pick = int(seed) % 4
+                    if pick == 3:
+                        from . import jpeg as _jp
+
+                        payloads.append(
+                            _jp.encode_jpeg(
+                                rng.integers(0, 256, size=(int(hh), int(w), 3),
+                                             dtype=np.int64).astype(np.uint8),
+                                quality=90,
+                            )
+                        )
+                    elif pick == 0:
                         payloads.append(
                             codecs.encode_pgm(
                                 rng.integers(0, 256, size=(int(hh), int(w)),
@@ -146,8 +157,8 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
 
 def _decode_any(payload: bytes, width: int, height: int) -> np.ndarray:
     """Real decode when the payload is a recognized container (PGM/PPM/
-    BMP/PNG/WAV); tiled fake for anything unrecognized (legacy blobs).
-    JPEG raises (entropy decoder unavailable)."""
+    BMP/PNG/JPEG/WAV); tiled fake for anything unrecognized (legacy
+    blobs)."""
     try:
         kind = codecs.sniff(bytes(payload))
     except ValueError:
