@@ -255,6 +255,26 @@ def main():
     extra["cog_mosaic_bytes"] = sum(
         os.path.getsize(os.path.join(_mdir, f_)) for f_ in os.listdir(_mdir)
     )
+
+    # the netCDF-4/HDF5 sink at the same 4M cells: 64 shuffle+deflate
+    # chunks build DISTRIBUTED, stream ordered through the driver
+    # (compressed sizes are not plan-time-known — the single-file
+    # discipline), metadata + chunk B-tree patched after
+    from pyramids_spark import hdf5 as _h5
+
+    def run_nc4():
+        _h5.write_netcdf4(
+            gdf.select(
+                F.lit("v").alias("variable"),
+                F.lit(0).cast("long").alias("t"), "row", "col", "value",
+            ),
+            g, "/tmp/pyramids_bench_nc4.nc", times=None,
+            compress=1, shuffle=True, chunk=(256, 256),
+        )
+
+    run_nc4()  # untimed warmup
+    bench("netcdf4_sink_4m", run_nc4)
+    extra["netcdf4_bytes"] = os.path.getsize("/tmp/pyramids_bench_nc4.nc")
     gdf.unpersist()
 
     # distributed connected components at a border set of ~10^5 cells
