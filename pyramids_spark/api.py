@@ -471,16 +471,29 @@ class SparkDataset:
         whitespace-separated text has no random access, so a single-task
         decode is inherent to the format; it exists for legacy interop,
         not scale). Cells equal to NODATA_value drop."""
+        keys = {"ncols", "nrows", "xllcorner", "yllcorner", "xllcenter",
+                "yllcenter", "cellsize", "nodata_value"}
+        hdr = {}
         with open(path, "r") as fh:
-            hdr = {}
-            while len(hdr) < 6:
-                k, v = fh.readline().split()
-                hdr[k.lower()] = float(v)
+            # NODATA_value is optional and the ll keys may be corner- or
+            # center-referenced — stop at the first non-header line rather
+            # than demanding exactly 6 key/value pairs.
+            for line in fh:
+                parts = line.split()
+                if len(parts) == 2 and parts[0].lower() in keys:
+                    hdr[parts[0].lower()] = float(parts[1])
+                else:
+                    break
         rows, cols = int(hdr["nrows"]), int(hdr["ncols"])
         cell = hdr["cellsize"]
         nod = hdr.get("nodata_value", -9999.0)
+        x0 = (hdr["xllcorner"] if "xllcorner" in hdr
+              else hdr["xllcenter"] - cell / 2.0)
+        yll = (hdr["yllcorner"] if "yllcorner" in hdr
+               else hdr["yllcenter"] - cell / 2.0)
+        n_hdr_tok = 2 * len(hdr)
         grid = Grid(
-            x0=hdr["xllcorner"], y0=hdr["yllcorner"] + rows * cell,
+            x0=x0, y0=yll + rows * cell,
             cell=cell, rows=rows, cols=cols, epsg=epsg, nodata=nod,
         )
 
@@ -492,8 +505,8 @@ class SparkDataset:
             for pdf in batches:
                 for content in pdf["content"]:
                     toks = bytes(content).decode().split()
-                    # skip the 12 header tokens (6 key/value pairs)
-                    vals = np.array(toks[12:], dtype="<f8")
+                    # skip the header tokens (2 per parsed key/value pair)
+                    vals = np.array(toks[n_hdr_tok:], dtype="<f8")
                     block = vals.reshape(rows, cols)
                     yield _blocks.sparse_cells(
                         block, 0, 0, 0, rows, cols, nod

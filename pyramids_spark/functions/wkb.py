@@ -218,8 +218,23 @@ def _ring_coords(b: pd.Series) -> tuple[list, list]:
     if not np.isin(codes, (WKB_LINESTRING, WKB_POLYGON)).all():
         raise ValueError("wkb_ring_* expects LineString or Polygon blobs")
     is_poly = codes == WKB_POLYGON
+    # POLYGON EMPTY is 9 bytes with numRings==0: its first-ring count field
+    # does not exist, so reading offs+9 would hit the NEXT blob in the
+    # batch buffer. Read numRings first and give empty polys count 0 by
+    # pointing their count read at the (zero) numRings field itself.
+    nrings = _u32_read(buf, offs + 5)
+    empty_poly = is_poly & (nrings == 0)
     cstart = np.where(is_poly, offs + 13, offs + 9)
-    counts = _u32_read(buf, np.where(is_poly, offs + 9, offs + 5))
+    counts = _u32_read(
+        buf, np.where(is_poly & ~empty_poly, offs + 9, offs + 5)
+    )
+    counts = np.where(empty_poly, 0, counts)
+    ends = cstart.astype(np.int64) + 16 * counts.astype(np.int64)
+    over = (counts > 0) & (
+        ends > offs.astype(np.int64) + lens.astype(np.int64)
+    )
+    if over.any():
+        raise ValueError("WKB vertex run exceeds blob length")
     xs, ys = [], []
     for s, c in zip(cstart, counts):
         pts = np.ascontiguousarray(

@@ -299,15 +299,18 @@ def read_gpkg(
     con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
     try:
         meta = con.execute(
-            "SELECT geometry_type_name, srs_id FROM gpkg_geometry_columns "
-            "WHERE table_name = ?", (layer,)
+            "SELECT column_name, geometry_type_name, srs_id "
+            "FROM gpkg_geometry_columns WHERE table_name = ?", (layer,)
         ).fetchone()
         if meta is None:
             raise ValueError(f"no layer {layer!r} in {path}")
-        gtype, srs_id = meta[0], int(meta[1])
-        info = con.execute(f"PRAGMA table_info({layer})").fetchall()
+        geom_col, gtype, srs_id = meta[0], meta[1], int(meta[2])
+        info = con.execute(f'PRAGMA table_info("{layer}")').fetchall()
+        # the spec allows any pk / geometry column name — take the declared
+        # INTEGER PRIMARY KEY, not a hardcoded "fid"
+        fid_col = next((r[1] for r in info if r[5]), "fid")
         span = con.execute(
-            f"SELECT min(fid), max(fid) FROM {layer}"
+            f'SELECT min("{fid_col}"), max("{fid_col}") FROM "{layer}"'
         ).fetchone()
     finally:
         con.close()
@@ -321,7 +324,7 @@ def read_gpkg(
     attrs = [
         (name, decl_to_spark.get(decl.upper(), T.StringType()))
         for _, name, decl, *_ in info
-        if name not in ("fid", "geom")
+        if name not in (fid_col, geom_col)
     ]
     if columns is not None:
         missing = set(columns) - {a for a, _ in attrs}
@@ -345,7 +348,8 @@ def read_gpkg(
              for i in range(n_tasks) if bounds[i] < bounds[i + 1]],
             "lo long, hi long",
         ).repartition(n_tasks, "lo")
-    sel = ", ".join(["fid", "geom"] + [a for a, _ in attrs])
+    sel = ", ".join(f'"{c}"' for c in [fid_col, geom_col]
+                    + [a for a, _ in attrs])
     cond = f" AND ({where})" if where else ""
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -354,8 +358,8 @@ def read_gpkg(
             for b in batches:
                 for lo_, hi_ in zip(b["lo"], b["hi"]):
                     cur = c.execute(
-                        f"SELECT {sel} FROM {layer} "
-                        f"WHERE fid >= ? AND fid < ?{cond}",
+                        f'SELECT {sel} FROM "{layer}" '
+                        f'WHERE "{fid_col}" >= ? AND "{fid_col}" < ?{cond}',
                         (int(lo_), int(hi_)),
                     )
                     rows = cur.fetchall()

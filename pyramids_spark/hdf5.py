@@ -321,10 +321,6 @@ def _superblock(eof: int, root_ohdr: int, root_btree: int, root_heap: int
 # writer
 # ---------------------------------------------------------------------------
 
-def spark_of(df: DataFrame) -> SparkSession:
-    return df.sparkSession
-
-
 def write_netcdf4(
     cells_df: DataFrame, grid: Grid, path: str,
     times: "list[float] | None" = None,
@@ -482,8 +478,23 @@ def write_netcdf4(
     keyed = src.withColumn("ci", F.floor(F.col("row") / ch)) \
                .withColumn("cj", F.floor(F.col("col") / cw))
 
+    var_set = frozenset(variables)
+
     def build_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        _, _, ci, cj = key
+        v, t, ci, cj = str(key[0]), int(key[1]), key[2], key[3]
+        rr_abs = pdf["row"].to_numpy(np.int64)
+        cc_abs = pdf["col"].to_numpy(np.int64)
+        # loud extent guard, like the TIFF / classic-NetCDF sinks: an
+        # out-of-extent cell would otherwise become a B-tree key outside
+        # the dataspace; t >= nt (e.g. a 3-D table written times=None)
+        # would collapse distinct records onto duplicate chunk keys.
+        if (v not in var_set or not 0 <= t < nt
+                or rr_abs.min() < 0 or rr_abs.max() >= rows
+                or cc_abs.min() < 0 or cc_abs.max() >= cols):
+            raise ValueError(
+                f"cell outside file dimensions in {v!r}: t={t} "
+                f"(nt={nt}), grid {rows}x{cols}"
+            )
         block = np.full((ch, cw), fill, "<f8")
         rr = pdf["row"].to_numpy(np.int64) - ci * ch
         cc = pdf["col"].to_numpy(np.int64) - cj * cw

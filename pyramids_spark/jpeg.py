@@ -337,6 +337,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             i += 1
             continue
         marker = b[i + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: optional fill bytes before a marker
+            i += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue

@@ -241,10 +241,18 @@ def write_netcdf(
         "variable", "t", "row", "col", "value",
         (F.col("row") / row_block).cast("long").alias("_rb"),
     ).where(F.col("value").isNotNull())
-    covered = keys.join(keyed, ["variable", "t", "_rb"], "left")
+    # full outer: cells whose (variable, t) match no key — e.g. t outside
+    # range(n_t) — form their own groups and fail loudly in build, instead
+    # of silently vanishing from the file (code-review r5 finding).
+    covered = keys.join(keyed, ["variable", "t", "_rb"], "full_outer")
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         v, t, rb = str(key[0]), int(key[1]), int(key[2])
+        if v not in begins or not (0 <= t < n_t) or not (0 <= rb < n_blocks):
+            raise ValueError(
+                f"cell with variable={v!r}, t={t} outside file dimensions "
+                f"(variables={sorted(begins)}, n_t={n_t})"
+            )
         pdf = pdf[pdf["value"].notna()]
         if len(pdf):
             rr, cc = pdf["row"].to_numpy(), pdf["col"].to_numpy()

@@ -18,9 +18,12 @@ tie-break. Distributed designs (both exact):
    Chebyshev ring around each query, ring radius grown until ≥k found AND
    the guarantee radius (kth candidate distance) is fully covered. Wins when
    Q is large and targets are cell-partitioned (partition pruning kicks in).
-   Fully distributed: ring cells are exploded per query, the guarantee is
-   evaluated as a groupBy, finished queries leave via anti-join — nothing
-   round-trips through the driver (VERDICT r1 #3).
+   Ring cells are exploded per query and the candidate scan + ranked
+   top-k run distributed; the per-round guarantee check collects the
+   ranked Q×k rows (driver memory O(Q·k), one action per round) and the
+   next round's still-unresolved query set is re-sent from the driver.
+   Rounds are bounded (radius doubles); for a DataFrame-scale query side
+   use :func:`knn_join_df` instead.
 
 Ties broken by (distance², key) everywhere. The numpy kernel keeps, per
 query and batch, EVERY row whose distance ≤ the k-th smallest distance in

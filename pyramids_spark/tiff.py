@@ -580,7 +580,15 @@ def write_cog_parts(
                         axis=2,
                     )
             if not _dt.is_float(dt_name):
-                ov = np.where(np.isnan(ov), np.nan, np.round(ov))
+                # HALF_UP (away from zero), matching to_cog's F.round so
+                # both sinks produce identical overview pixels at .5 ties
+                # (np.round is banker's — code-review r5 finding)
+                with np.errstate(invalid="ignore"):
+                    ov = np.where(
+                        np.isnan(ov), np.nan,
+                        np.where(ov >= 0, np.floor(ov + 0.5),
+                                 np.ceil(ov - 0.5)),
+                    )
             arrs.append(ov)
             grids.append(
                 Grid(x0=pgrid.x0, y0=pgrid.y0, cell=grid.cell * lv,
@@ -647,8 +655,7 @@ def read_geotiff_parts(
     with open(os.path.join(path, "mosaic.json")) as f:
         m = json.load(f)
     grid = Grid(
-        x0=m["x0"], y0=m["y0"], cell=m["cell"] * (1 if overview == 0 else
-                                                  m["levels"][overview - 1]),
+        x0=m["x0"], y0=m["y0"], cell=m["cell"],
         rows=m["rows"], cols=m["cols"], epsg=m["epsg"], nodata=m["nodata"],
     )
     if overview > 0:

@@ -193,3 +193,18 @@ def test_netcdf4_sel_and_decode_compose(spark, tmp_path):
     want = {(r, c): v for (vv, t, r, c), v in exp.items()
             if vv == "temp" and t == 1}
     assert got == want
+
+
+def test_netcdf4_extent_and_t_guards(spark, tmp_path):
+    """Loud extent guard, like the TIFF / classic-NetCDF sinks
+    (code-review r5): out-of-extent rows and a 3-D table written
+    times=None (duplicate chunk keys) both reject."""
+    from pyspark.sql import functions as F
+
+    df, _ = _cells(spark, ("v",), 1)
+    bad = df.withColumn("row", F.col("row") + G.rows)
+    with pytest.raises(Exception, match="outside file dimensions"):
+        hdf5.write_netcdf4(bad, G, str(tmp_path / "b.nc"), times=[0.0])
+    df3, _ = _cells(spark, ("v",), 2)
+    with pytest.raises(Exception, match="outside file dimensions"):
+        hdf5.write_netcdf4(df3, G, str(tmp_path / "c.nc"), times=None)

@@ -119,3 +119,14 @@ def test_media_corpus_contains_real_jpegs(spark):
             np.testing.assert_allclose(
                 np.asarray(feats[r.media_ref]), hist / img.size, rtol=1e-6
             )
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker;
+    the parser must skip them instead of reading a garbage segment length
+    (code-review r5 finding)."""
+    g = (np.add.outer(np.arange(16), np.arange(16)) % 256).astype(np.uint8)
+    enc = jpeg.encode_jpeg(g, quality=90, subsample=False)
+    i = enc.index(b"\xff\xdb")  # first DQT
+    padded = enc[:i] + b"\xff\xff\xff" + enc[i:]
+    assert np.array_equal(jpeg.decode_jpeg(padded), jpeg.decode_jpeg(enc))

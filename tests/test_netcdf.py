@@ -201,3 +201,15 @@ def test_netcdf_guards(spark, tmp_path):
     hdf.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
     with pytest.raises(Exception):
         SparkNetCDF.read_file(spark, str(hdf))
+
+
+def test_netcdf_t_outside_times_rejects(spark, tmp_path):
+    """A cell whose t index is outside range(len(times)) must fail loudly
+    instead of silently vanishing from the file (code-review r5: the slab
+    join was LEFT, so unmatched cells never reached a build group)."""
+    cells = _long_cells(spark, COELLO, ["v"], 2)
+    with pytest.raises(Exception, match="outside file dimensions"):
+        nc.write_netcdf(
+            cells.select("variable", "t", "row", "col", "value"),
+            COELLO, str(tmp_path / "t.nc"), times=[0.0], variables=["v"],
+        )

@@ -612,3 +612,33 @@ def test_geotiff_reads_foreign_packbits_strips(spark, tmp_path):
     got = {(r.row, r.col): int(r.value) for r in back.df.collect()}
     exp = {(r, c): int(vals[r, c]) for r in range(rows) for c in range(cols)}
     assert got == exp
+
+
+def test_int_overview_tie_rounding_matches_across_sinks(spark, tmp_path):
+    """Integer overviews at .5-average ties must round identically in
+    to_cog (Spark F.round, HALF_UP) and to_cog_parts (numpy kernel) —
+    code-review r5 found the parts sink used banker's rounding."""
+    g = Grid(x0=0.0, y0=8.0, cell=1.0, rows=8, cols=8, epsg=32618,
+             nodata=-1.0)
+    # every 2x2 window averages to k + 0.5: values alternate k, k+1
+    src = grid_df(
+        spark, g,
+        "CAST(pmod(row + col, 2) + 2 * CAST(row / 4 AS INT) AS DOUBLE)",
+    )
+    ds = SparkDataset(src, g)
+    single = str(tmp_path / "s.tif")
+    parts = str(tmp_path / "p")
+    ds.to_cog(single, levels=(2,), tile=(4, 4), dtype="int16")
+    ds.to_cog_parts(parts, shard=(4, 4), tile=(4, 4), levels=(2,),
+                    dtype="int16")
+    a = {(r.row, r.col): r.value
+         for r in SparkDataset.from_geotiff(spark, single,
+                                            overview=1).df.collect()}
+    b = {(r.row, r.col): r.value
+         for r in SparkDataset.from_geotiff_parts(spark, parts,
+                                                  overview=1).df.collect()}
+    assert a == b and len(a) == 16
+    # rows 0-3 average 0.5 → 1, rows 4-7 average 2.5 → 3 under HALF_UP
+    # (banker's would yield {0, 2})
+    assert {v for (r, c), v in a.items() if r < 2} == {1.0}
+    assert {v for (r, c), v in a.items() if r >= 2} == {3.0}

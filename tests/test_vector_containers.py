@@ -327,3 +327,69 @@ def test_fc_api_wiring(spark, tmp_path):
     s = str(tmp_path / "api.shp")
     assert fc.to_shapefile(s, shape_type=shp.SHP_POINT) == 12
     assert SparkFeatureCollection.read_shapefile(spark, s).df.count() == 12
+
+
+def test_wkb_empty_polygon_and_truncation_guard(spark):
+    """POLYGON EMPTY (numRings=0, 9 bytes) decodes to empty rings instead
+    of reading the next blob's bytes; a vertex count pointing past the
+    blob rejects loudly (code-review r5 findings)."""
+    empty = struct.pack("<BII", 1, 3, 0)
+    pts = [(0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (0.0, 0.0)]
+    valid = (struct.pack("<BII", 1, 3, 1) + struct.pack("<I", len(pts))
+             + b"".join(struct.pack("<dd", x, y) for x, y in pts))
+    df = spark.createDataFrame(
+        [(0, empty), (1, valid)], "i long, g binary"
+    )
+    rows = (
+        df.select("i", B.wkb_ring_xs("g").alias("xs"),
+                  B.wkb_ring_ys("g").alias("ys"))
+        .orderBy("i").collect()
+    )
+    assert list(rows[0].xs) == [] and list(rows[0].ys) == []
+    assert list(rows[1].xs) == [0.0, 4.0, 4.0, 0.0]
+    assert list(rows[1].ys) == [0.0, 0.0, 2.0, 0.0]
+    # declared 10 vertices, payload holds 4 → loud reject
+    trunc = (struct.pack("<BII", 1, 3, 1) + struct.pack("<I", 10)
+             + b"".join(struct.pack("<dd", x, y) for x, y in pts))
+    bad = spark.createDataFrame([(trunc,)], "g binary")
+    with pytest.raises(Exception, match="exceeds blob length"):
+        bad.select(B.wkb_ring_xs("g")).collect()
+
+
+def test_gpkg_foreign_column_names(spark, tmp_path):
+    """The spec allows any pk / geometry column name; the reader must take
+    them from gpkg_geometry_columns.column_name and the table's declared
+    INTEGER PRIMARY KEY, not hardcode fid/geom (code-review r5 finding)."""
+    p = str(tmp_path / "foreign.gpkg")
+    con = sqlite3.connect(p)
+    con.execute(
+        "CREATE TABLE gpkg_geometry_columns (table_name TEXT, "
+        "column_name TEXT, geometry_type_name TEXT, srs_id INTEGER, "
+        "z TINYINT, m TINYINT)"
+    )
+    con.execute(
+        "INSERT INTO gpkg_geometry_columns VALUES "
+        "('pts', 'shape', 'POINT', 4326, 0, 0)"
+    )
+    con.execute(
+        "CREATE TABLE pts (objectid INTEGER PRIMARY KEY, shape BLOB, "
+        "name TEXT)"
+    )
+    for i in range(5):
+        wkb = struct.pack("<BIdd", 1, 1, float(i), float(-i))
+        blob = (b"GP" + bytes([0, 0b0000_0001])
+                + struct.pack("<i", 4326) + wkb)
+        con.execute("INSERT INTO pts VALUES (?, ?, ?)",
+                    (i + 1, blob, f"n{i}"))
+    con.commit()
+    con.close()
+    df, gtype, srs = gpkg.read_gpkg(spark, p, "pts")
+    assert gtype == "POINT" and srs == 4326
+    rows = df.select(
+        "fid", B.wkb_point_x("geometry").alias("x"),
+        B.wkb_point_y("geometry").alias("y"), "name",
+    ).orderBy("fid").collect()
+    assert [r.fid for r in rows] == [1, 2, 3, 4, 5]
+    assert [r.x for r in rows] == [0.0, 1.0, 2.0, 3.0, 4.0]
+    assert [r.y for r in rows] == [0.0, -1.0, -2.0, -3.0, -4.0]
+    assert [r.name for r in rows] == [f"n{i}" for i in range(5)]
