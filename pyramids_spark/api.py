@@ -584,7 +584,10 @@ class SparkFeatureCollection:
             F.lit('{"type": "Feature", "properties": '),
             F.to_json(F.struct(*props)) if props else F.lit("{}"),
             F.lit(', "geometry": '),
-            F.col(geometry_col),
+            # RFC 7946 allows "geometry": null; without the coalesce a NULL
+            # row null-propagates the whole concat (write(None) crash here,
+            # silently dropped line in to_geojson_seq)
+            F.coalesce(F.col(geometry_col), F.lit("null")),
             F.lit("}"),
         )
         it = self.df.select(feat.alias("f")).orderBy("f").toLocalIterator()
@@ -607,7 +610,7 @@ class SparkFeatureCollection:
             F.lit('{"type": "Feature", "properties": '),
             F.to_json(F.struct(*props)) if props else F.lit("{}"),
             F.lit(', "geometry": '),
-            F.col(geometry_col),
+            F.coalesce(F.col(geometry_col), F.lit("null")),
             F.lit("}"),
         )
         self.df.select(feat.alias("value")).write.mode("overwrite").text(path)
@@ -624,9 +627,27 @@ class SparkFeatureCollection:
         Geometry types must be homogeneous per file (mixed nesting defeats
         schema inference — loud error), matching the reference's
         layer-per-geometry model."""
+        import json as _json
         import os as _os
 
-        multiline = _os.path.isfile(path)
+        # A single FILE is not necessarily one multi-line document: a
+        # .geojsonl/GeoJSONSeq file is one complete JSON value per line,
+        # and multiLine=true would silently read only its first record
+        # (Spark's one-record-per-file semantics). Sniff the first
+        # non-blank line: complete JSON → line mode (also fine for a
+        # whole document on one line); a fragment → multiline document.
+        multiline = False
+        if _os.path.isfile(path):
+            first = ""
+            with open(path, "r") as fh:
+                for line in fh:
+                    if line.strip():
+                        first = line
+                        break
+            try:
+                _json.loads(first)
+            except ValueError:
+                multiline = True
         raw = spark.read.option("multiLine", str(multiline).lower()).json(path)
         if "_corrupt_record" in raw.columns:
             raise ValueError(

@@ -202,9 +202,9 @@ def _paeth_row(cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
 
 
 def decode_png(b: bytes) -> np.ndarray:
-    """PNG → (h, w) uint8 (gray) or (h, w, 3/4) uint8 (RGB/RGBA; palette
-    resolves through PLTE). 8-bit, non-interlaced only — Adam7 and 16-bit
-    reject loudly."""
+    """PNG → (h, w) uint8 (gray; gray+alpha drops its alpha) or
+    (h, w, 3/4) uint8 (RGB/RGBA; palette resolves through PLTE). 8-bit,
+    non-interlaced only — Adam7 and 16-bit reject loudly."""
     import zlib
 
     if b[:8] != b"\x89PNG\r\n\x1a\n":
@@ -287,10 +287,9 @@ def decode_png(b: bytes) -> np.ndarray:
 
 
 def sniff(b: bytes) -> str:
-    """Payload magic → codec name ('pgm'|'ppm'|'bmp'|'wav'|'png'); raises
-    NotImplementedError for recognizable-but-unsupported formats (JPEG
-    needs an entropy decoder this environment cannot provide) and
-    ValueError for unknown bytes."""
+    """Payload magic → codec name
+    ('pgm'|'ppm'|'bmp'|'wav'|'png'|'jpeg'); raises ValueError for
+    unknown bytes."""
     if b[:2] == b"P5":
         return "pgm"
     if b[:2] == b"P6":

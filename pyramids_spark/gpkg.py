@@ -136,6 +136,13 @@ def gpkg_wkb(blob: Column) -> Column:
     return strip(blob)
 
 
+def _qi(name: str) -> str:
+    """Quote an SQL identifier for SQLite (embedded quotes doubled) — the
+    write path must accept the same arbitrary column names the quoted read
+    path already does ('order', 'group', names with spaces…)."""
+    return '"' + name.replace('"', '""') + '"'
+
+
 def _attr_cols(df: DataFrame, geometry_col: str) -> list[tuple[str, str]]:
     cols = []
     for f in df.schema.fields:
@@ -214,7 +221,7 @@ def write_gpkg(
     con = sqlite3.connect(path)
     try:
         _init_gpkg(con, srs_id)
-        adef = "".join(f", {a} {t}" for a, t in attrs)
+        adef = "".join(f", {_qi(a)} {t}" for a, t in attrs)
         con.execute(
             f"CREATE TABLE {layer} (fid INTEGER PRIMARY KEY AUTOINCREMENT, "
             f"geom BLOB{adef})"
@@ -224,7 +231,8 @@ def write_gpkg(
             (layer, geometry_type.upper(), srs_id),
         )
         ins = (
-            f"INSERT INTO {layer} (geom{''.join(', ' + a for a, _ in attrs)})"
+            f"INSERT INTO {layer} "
+            f"(geom{''.join(', ' + _qi(a) for a, _ in attrs)})"
             f" VALUES (?{', ?' * len(attrs)})"
         )
         n = 0

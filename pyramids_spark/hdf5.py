@@ -472,7 +472,11 @@ def write_netcdf4(
     data_start = _align8(pos)
 
     # ---- distributed chunk build, ordered driver stream -------------------
-    src = cells_df.select("variable", "t", "row", "col", "value")
+    # NULL cells are absent rows (nodata contract shared with the TIFF /
+    # zarr / classic-NetCDF sinks): they stay at the fill value instead of
+    # becoming NaN (float) or crashing the integer cast (int dtypes).
+    src = cells_df.where(F.col("value").isNotNull()).select(
+        "variable", "t", "row", "col", "value")
     if flip_write:
         src = src.withColumn("row", F.lit(rows - 1) - F.col("row"))
     keyed = src.withColumn("ci", F.floor(F.col("row") / ch)) \
@@ -682,29 +686,37 @@ class _H5Meta:
     def __init__(self, path: str):
         self.path = path
         self.fh = open(path, "rb")
-        if self.fh.read(8) != _SIG:
-            raise ValueError("not an HDF5 file")
-        ver = self.fh.read(1)[0]
-        if ver in (0, 1):
-            rest = self.fh.read(15)
-            szoff, szlen = rest[4], rest[5]
-            if ver == 1:
-                self.fh.read(4)  # indexed-storage K + reserved
-            self.fh.read(32)  # base/freespace/eof/driver addresses
-            ste = self.fh.read(40)
-            self.root = struct.unpack_from("<Q", ste, 8)[0]
-        elif ver in (2, 3):
-            szoff, szlen, _flags = struct.unpack("<BBB", self.fh.read(3))
-            _base, _ext, _eof, self.root = struct.unpack(
-                "<QQQQ", self.fh.read(32)
-            )
-        else:
-            raise NotImplementedError(f"HDF5 superblock version {ver}")
-        if (szoff, szlen) != (8, 8):
-            raise NotImplementedError(
-                f"offsets/lengths of {szoff}/{szlen} bytes (8/8 only — "
-                "every real-world producer uses 64-bit files)"
-            )
+        try:
+            if self.fh.read(8) != _SIG:
+                raise ValueError("not an HDF5 file")
+            ver = self.fh.read(1)[0]
+            if ver in (0, 1):
+                rest = self.fh.read(15)
+                szoff, szlen = rest[4], rest[5]
+                if ver == 1:
+                    self.fh.read(4)  # indexed-storage K + reserved
+                self.fh.read(32)  # base/freespace/eof/driver addresses
+                ste = self.fh.read(40)
+                self.root = struct.unpack_from("<Q", ste, 8)[0]
+            elif ver in (2, 3):
+                szoff, szlen, _flags = struct.unpack(
+                    "<BBB", self.fh.read(3))
+                _base, _ext, _eof, self.root = struct.unpack(
+                    "<QQQQ", self.fh.read(32)
+                )
+            else:
+                raise NotImplementedError(f"HDF5 superblock version {ver}")
+            if (szoff, szlen) != (8, 8):
+                raise NotImplementedError(
+                    f"offsets/lengths of {szoff}/{szlen} bytes (8/8 only — "
+                    "every real-world producer uses 64-bit files)"
+                )
+        except Exception:
+            self.fh.close()
+            raise
+
+    def close(self) -> None:
+        self.fh.close()
 
     # -- object headers -----------------------------------------------------
 
@@ -1118,6 +1130,8 @@ def read_netcdf4(
                 f"variable {nm!r} uses compact layout — no real netCDF-4 "
                 "producer emits compact data variables"
             )
+
+    h5.close()  # metadata walk done; executors reopen the path themselves
 
     meta_df = spark.createDataFrame(
         slices,

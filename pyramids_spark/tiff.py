@@ -549,10 +549,13 @@ def write_cog_parts(
         pdf = pdf[pdf["value"].notna()]
         if len(pdf):
             rr, cc = pdf["row"].to_numpy(), pdf["col"].to_numpy()
+            bb = pdf["band"].to_numpy(np.int64)
             if (rr.min() < 0 or rr.max() >= rows
-                    or cc.min() < 0 or cc.max() >= cols):
+                    or cc.min() < 0 or cc.max() >= cols
+                    or bb.min() < 0 or bb.max() >= n_bands):
                 raise ValueError(
-                    f"cell outside grid extent ({rows}x{cols})"
+                    f"cell outside grid extent ({n_bands} bands, "
+                    f"{rows}x{cols})"
                 )
         dense = np.full((n_bands, prows, pcols), np.nan, dtype="<f8")
         if len(pdf):

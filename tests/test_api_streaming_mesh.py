@@ -646,3 +646,58 @@ def test_streaming_pip_join_df_matches_batch(spark, tmp_path):
     want = {(r["pid"], r["zone_id"]) for r in pip.pip_join_df(batch, zdf, zoom=6).collect()}
     assert got == want and len(want) > 0
     assert any(z == 2 for _, z in want)  # concave zone exercised
+
+
+def test_geojson_null_geometry_and_seq_file(spark, tmp_path):
+    """code-review r5 pass 2: RFC 7946 allows "geometry": null — a NULL
+    geometry row must not crash to_geojson mid-stream (write(None)) nor
+    silently vanish from to_geojson_seq; and read_geojson must read a
+    single-FILE GeoJSONSeq (.geojsonl) completely instead of truncating
+    it to its first feature under multiLine=true."""
+    import json
+    import os
+
+    from pyramids_spark.functions import wkt as W
+
+    df = spark.createDataFrame(
+        [(1, '{"type": "Point", "coordinates": [3.0, 4.0]}'), (2, None)],
+        "fid long, geometry string",
+    )
+    fc = SparkFeatureCollection(df, 4326)
+
+    # single-document sink: null geometry serializes as null
+    doc = str(tmp_path / "fc.geojson")
+    assert fc.to_geojson(doc) == 2
+    parsed = json.load(open(doc))
+    geoms = {f["properties"]["fid"]: f["geometry"]
+             for f in parsed["features"]}
+    assert geoms[2] is None and geoms[1]["coordinates"] == [3.0, 4.0]
+    back = SparkFeatureCollection.read_geojson(spark, doc)
+    assert back.df.count() == 2
+
+    # distributed seq sink: the null-geometry line is present, not dropped
+    seq_dir = str(tmp_path / "fc_seq")
+    fc.to_geojson_seq(seq_dir)
+    lines = []
+    for name in os.listdir(seq_dir):
+        if name.startswith("part-"):
+            lines += [ln for ln in open(os.path.join(seq_dir, name))
+                      if ln.strip()]
+    assert len(lines) == 2
+    assert any(json.loads(ln)["geometry"] is None for ln in lines)
+
+    # single-file .geojsonl: all features read, none truncated away
+    jl = str(tmp_path / "pts.geojsonl")
+    with open(jl, "w") as fh:
+        for i in range(5):
+            fh.write(json.dumps({
+                "type": "Feature", "properties": {"fid": i},
+                "geometry": {"type": "Point",
+                             "coordinates": [float(i), float(-i)]},
+            }) + "\n")
+    got = SparkFeatureCollection.read_geojson(spark, jl)
+    rows = got.df.select(
+        "fid", W.geojson_point_x(F.col("geometry")).alias("x")
+    ).orderBy("fid").collect()
+    assert [r.fid for r in rows] == [0, 1, 2, 3, 4]
+    assert [r.x for r in rows] == [0.0, 1.0, 2.0, 3.0, 4.0]

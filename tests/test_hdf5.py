@@ -208,3 +208,27 @@ def test_netcdf4_extent_and_t_guards(spark, tmp_path):
     df3, _ = _cells(spark, ("v",), 2)
     with pytest.raises(Exception, match="outside file dimensions"):
         hdf5.write_netcdf4(df3, G, str(tmp_path / "c.nc"), times=None)
+
+
+def test_netcdf4_null_cells_are_absent_rows(spark, tmp_path):
+    """NULL-valued cells follow the absent-row nodata contract every
+    sibling sink enforces (code-review r5 pass 2): they stay at the fill
+    value instead of round-tripping as NaN rows (float64) or crashing
+    the integer cast (int16)."""
+    from dataclasses import replace
+
+    g = replace(G, rows=8, cols=8, nodata=-9999.0)
+    rows = [("v", 0, r, c, float(r * 8 + c + 1))
+            for r in range(8) for c in range(8)]
+    rows[0] = ("v", 0, 0, 0, None)  # NULL cell
+    df = spark.createDataFrame(
+        rows, "variable string, t long, row long, col long, value double"
+    )
+    for dtype in ("float64", "int16"):
+        p = str(tmp_path / f"null_{dtype}.nc")
+        hdf5.write_netcdf4(df, g, p, times=[0.0], dtype=dtype,
+                           chunk=(4, 4))
+        back, _, _ = SparkNetCDF.read_file(spark, p)
+        got = {(r.row, r.col): r.value for r in back.df.collect()}
+        assert (0, 0) not in got, dtype
+        assert len(got) == 63 and got[(0, 1)] == 2.0, dtype

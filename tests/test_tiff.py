@@ -642,3 +642,20 @@ def test_int_overview_tie_rounding_matches_across_sinks(spark, tmp_path):
     # (banker's would yield {0, 2})
     assert {v for (r, c), v in a.items() if r < 2} == {1.0}
     assert {v for (r, c), v in a.items() if r >= 2} == {3.0}
+
+
+def test_cog_parts_rejects_out_of_extent_band(spark, tmp_path):
+    """code-review r5 pass 2: a negative band index must fail loudly in
+    the sharded sink too (numpy fancy indexing would silently wrap it
+    into the last band), matching the single-file writer's behavior."""
+    g = Grid(x0=0.0, y0=8.0, cell=1.0, rows=8, cols=8, epsg=4326,
+             nodata=-9.0)
+    base = grid_df(spark, g, bands=2)
+    extra = spark.createDataFrame(
+        [(-1, 3, 3, 7777.0)],
+        "band long, row long, col long, value double",
+    )
+    ds = SparkDataset(base.unionByName(extra), g)
+    with pytest.raises(Exception, match="outside grid extent"):
+        ds.to_cog_parts(str(tmp_path / "p"), shard=(8, 8), tile=(4, 4),
+                        levels=())

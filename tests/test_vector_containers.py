@@ -393,3 +393,21 @@ def test_gpkg_foreign_column_names(spark, tmp_path):
     assert [r.x for r in rows] == [0.0, 1.0, 2.0, 3.0, 4.0]
     assert [r.y for r in rows] == [0.0, -1.0, -2.0, -3.0, -4.0]
     assert [r.name for r in rows] == [f"n{i}" for i in range(5)]
+
+
+def test_gpkg_write_quotes_attribute_names(spark, tmp_path):
+    """code-review r5 pass 2: the write path must accept the same
+    arbitrary attribute names the quoted read path already does —
+    SQL keywords and names with spaces."""
+    p = str(tmp_path / "kw.gpkg")
+    df = _pts(spark, 4).select(
+        B.point_wkb("x", "y").alias("geometry"),
+        F.col("id").alias("order"),
+        (F.col("id") * 2).alias("group by"),
+    )
+    n = gpkg.write_gpkg(df, p, "kw")
+    assert n == 4
+    back, gtype, srs = gpkg.read_gpkg(spark, p, "kw")
+    rows = back.select("order", "`group by`").orderBy("order").collect()
+    assert [r["order"] for r in rows] == [0, 1, 2, 3]
+    assert [r["group by"] for r in rows] == [0, 2, 4, 6]
