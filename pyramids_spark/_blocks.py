@@ -32,7 +32,9 @@ def sparse_cells(
     if fill is None or math.isnan(fill):
         rr, cc = np.nonzero(~np.isnan(block))
     else:
-        rr, cc = np.nonzero(block != fill)
+        # NaN cells drop alongside fill-valued ones: NaN != fill is True,
+        # and a NaN "value" row would violate the absent-row contract
+        rr, cc = np.nonzero((block != fill) & ~np.isnan(block))
     return pd.DataFrame(
         {
             "band": np.int64(band),

@@ -65,6 +65,8 @@ def _split(buf: np.ndarray, offs: np.ndarray) -> pd.Series:
 
 def _grouped_arange(counts: np.ndarray) -> np.ndarray:
     """[3, 2] → [0, 1, 2, 0, 1] (vectorized within-group index)."""
+    if counts.size == 0:  # np.repeat((1,), (0,)) broadcast-errors on empty
+        return np.zeros(0, dtype=np.int64)
     total = int(counts.sum())
     starts = np.concatenate([[0], counts.cumsum()[:-1]])
     return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)

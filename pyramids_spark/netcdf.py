@@ -157,7 +157,10 @@ def write_netcdf(
          for v in variables]
     rec_vars = [v for v in vars_ if v.dimids and v.dimids[0] == 0]
     if len(rec_vars) == 1:  # spec special case: single record var unpadded
-        rec_vars[0].vsize = slab
+        # only `time` can be alone (every data variable is a record var
+        # too), and its unpadded per-record size is one double — NOT the
+        # data slab (code-review r5 pass 3)
+        rec_vars[0].vsize = 8
     recsize = sum(v.vsize for v in rec_vars)
 
     # size caps BEFORE serialization (struct would overflow first): the
@@ -418,6 +421,11 @@ def derive_grid(
             "non-uniform coordinate spacing — curvilinear/rectilinear "
             "grids are label tables (sel_labels/sel_coords2d), not an "
             "affine Grid"
+        )
+    if dxs[0] < 0:
+        raise NotImplementedError(
+            "descending x coordinate — the reader has no column flip, so "
+            "accepting it would silently mirror the raster in x"
         )
     cell = float(abs(dxs[0]))
     flip = bool(dys[0] > 0)  # ascending y: row 0 of the Grid = last slab row

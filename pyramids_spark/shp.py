@@ -237,8 +237,6 @@ def _dbf_value(v, t: str, w: int, d: int) -> bytes:
         s = f"{int(v):>{w}d}"
     elif t == "N":
         s = f"{float(v):>{w}.{d}f}"
-        if len(s) > w:  # magnitude overflow → loud, not truncated-silent
-            raise ValueError(f"numeric {v!r} does not fit N {w}.{d}")
     else:
         b = str(v).encode("utf-8")
         if len(b) > w:
@@ -271,59 +269,69 @@ def write_shapefile(
     shape). Returns the feature count; raises loudly at the format's
     2 GiB cap."""
     base = path[:-4] if path.lower().endswith(".shp") else path
-    fields = _dbf_fields(df, geometry_col)
-    attrs = [n for n, *_ in fields]
-    it = df.select(
-        F.col(geometry_col).alias("__g"), *attrs
-    ).toLocalIterator()
-    bbox = [np.inf, np.inf, -np.inf, -np.inf]
-    n = 0
-    with open(base + ".shp", "wb") as shp, \
-            open(base + ".shx", "wb") as shx, \
-            open(base + ".dbf", "wb") as dbf:
-        shp.write(b"\x00" * 100)
-        shx.write(b"\x00" * 100)
-        dbf.write(_dbf_header(fields, 0))
-        off = 100
-        for r in it:
-            g = r["__g"]
-            stype = struct.unpack("<i", g[:4])[0]
-            if stype != shape_type:
-                raise ValueError(
-                    f"record {n + 1} is shape type {stype}, file is "
-                    f"{shape_type} — one shape type per shapefile"
-                )
-            if stype == SHP_POINT:
-                x, y = struct.unpack("<2d", g[4:20])
-                bbox = [min(bbox[0], x), min(bbox[1], y),
-                        max(bbox[2], x), max(bbox[3], y)]
-            else:
-                bx0, by0, bx1, by1 = struct.unpack("<4d", g[4:36])
-                bbox = [min(bbox[0], bx0), min(bbox[1], by0),
-                        max(bbox[2], bx1), max(bbox[3], by1)]
-            if off + 8 + len(g) > _MAX_FILE:
-                raise ValueError(
-                    "shapefile exceeds the format's 2 GiB cap — write "
-                    "GPKG or parquet instead"
-                )
-            shp.write(struct.pack(">ii", n + 1, len(g) // 2))
-            shp.write(g)
-            shx.write(struct.pack(">ii", off // 2, len(g) // 2))
-            off += 8 + len(g)
-            dbf.write(b" ")  # not-deleted flag
-            for (name, t, w, d) in fields:
-                dbf.write(_dbf_value(r[name], t, w, d))
-            n += 1
-        dbf.write(b"\x1a")
-        if not n:
-            bbox = [0.0, 0.0, 0.0, 0.0]
-        shp.seek(0)
-        shp.write(_main_header(shape_type, off, bbox))
-        shx.seek(0)
-        shx.write(_main_header(shape_type, 100 + 8 * n, bbox))
-        dbf.seek(0)
-        dbf.write(_dbf_header(fields, n))
-    return n
+    # _dbf_fields runs a width aggregation and toLocalIterator streams the
+    # records — persist so the upstream lineage computes once, not twice
+    # (and the two passes cannot disagree under nondeterministic lineage)
+    df = df.persist()
+    try:
+        fields = _dbf_fields(df, geometry_col)
+        attrs = [n for n, *_ in fields]
+        it = df.select(
+            F.col(geometry_col).alias("__g"), *attrs
+        ).toLocalIterator()
+        rec_size = 1 + sum(w for _, _, w, _ in fields)
+        dbf_hdr = 32 + 32 * len(fields) + 1
+        bbox = [np.inf, np.inf, -np.inf, -np.inf]
+        n = 0
+        with open(base + ".shp", "wb") as shp, \
+                open(base + ".shx", "wb") as shx, \
+                open(base + ".dbf", "wb") as dbf:
+            shp.write(b"\x00" * 100)
+            shx.write(b"\x00" * 100)
+            dbf.write(_dbf_header(fields, 0))
+            off = 100
+            for r in it:
+                g = r["__g"]
+                stype = struct.unpack("<i", g[:4])[0]
+                if stype != shape_type:
+                    raise ValueError(
+                        f"record {n + 1} is shape type {stype}, file is "
+                        f"{shape_type} — one shape type per shapefile"
+                    )
+                if stype == SHP_POINT:
+                    x, y = struct.unpack("<2d", g[4:20])
+                    bbox = [min(bbox[0], x), min(bbox[1], y),
+                            max(bbox[2], x), max(bbox[3], y)]
+                else:
+                    bx0, by0, bx1, by1 = struct.unpack("<4d", g[4:36])
+                    bbox = [min(bbox[0], bx0), min(bbox[1], by0),
+                            max(bbox[2], bx1), max(bbox[3], by1)]
+                if (off + 8 + len(g) > _MAX_FILE
+                        or dbf_hdr + (n + 1) * rec_size + 1 > _MAX_FILE):
+                    raise ValueError(
+                        "shapefile exceeds the format's 2 GiB cap (.shp or "
+                        ".dbf stream) — write GPKG or parquet instead"
+                    )
+                shp.write(struct.pack(">ii", n + 1, len(g) // 2))
+                shp.write(g)
+                shx.write(struct.pack(">ii", off // 2, len(g) // 2))
+                off += 8 + len(g)
+                dbf.write(b" ")  # not-deleted flag
+                for (name, t, w, d) in fields:
+                    dbf.write(_dbf_value(r[name], t, w, d))
+                n += 1
+            dbf.write(b"\x1a")
+            if not n:
+                bbox = [0.0, 0.0, 0.0, 0.0]
+            shp.seek(0)
+            shp.write(_main_header(shape_type, off, bbox))
+            shx.seek(0)
+            shx.write(_main_header(shape_type, 100 + 8 * n, bbox))
+            dbf.seek(0)
+            dbf.write(_dbf_header(fields, n))
+        return n
+    finally:
+        df.unpersist()
 
 
 # --------------------------------------------------------------------------
@@ -445,22 +453,34 @@ def _decode_range(
     then re-encode as WKB through the shared batch encoder."""
     k = len(starts)
     fid = np.arange(rec0 + 1, rec0 + k + 1, dtype=np.int64)
+    # the spec allows null-shape (type 0, 4-byte content) records in any
+    # file — they decode as features with NULL geometry, keeping the
+    # positional DBF join aligned (code-review r5 pass 3)
+    null = lens == 4
     if shape_type == SHP_POINT:
-        if k and not (lens == 20).all():
+        if k and not ((lens == 20) | null).all():
             raise ValueError("malformed Point records")
-        body = np.stack([blob[s:s + 20] for s in starts]) if k else \
-            np.zeros((0, 20), np.uint8)
+        live = np.nonzero(~null)[0]
+        body = np.stack([blob[s:s + 20] for s in starts[live]]) \
+            if len(live) else np.zeros((0, 20), np.uint8)
         xy = np.ascontiguousarray(body[:, 4:20]).view("<f8").reshape(-1, 2)
-        geom = _wkb._split(
-            _point_wkb_np(xy), np.arange(k + 1, dtype=np.int64) * 21
+        gl = _wkb._split(
+            _point_wkb_np(xy),
+            np.arange(len(live) + 1, dtype=np.int64) * 21,
         )
+        geom = np.full(k, None, dtype=object)
+        geom[live] = gl.to_numpy(dtype=object)
         out = pd.DataFrame({
             "fid": fid, "part": np.zeros(k, np.int32), "geometry": geom,
         })
     else:
         rows_fid, rows_part, rx, ry = [], [], [], []
+        null_fid = []
         for i, (s, ln) in enumerate(zip(starts, lens)):
             rec = blob[s:s + ln]
+            if null[i]:
+                null_fid.append(fid[i])
+                continue
             n_parts = int(_wkb._u32_read(rec, np.array([36]))[0])
             n_pts = int(_wkb._u32_read(rec, np.array([40]))[0])
             parts = np.ascontiguousarray(
@@ -483,14 +503,26 @@ def _decode_range(
         out = pd.DataFrame({
             "fid": np.asarray(rows_fid, np.int64),
             "part": np.asarray(rows_part, np.int32),
-            "geometry": geom,
+            "geometry": geom.to_numpy(dtype=object)
+            if len(geom) else np.empty(0, dtype=object),
         })
+        if null_fid:
+            out = pd.concat(
+                [out, pd.DataFrame({
+                    "fid": np.asarray(null_fid, np.int64),
+                    "part": np.zeros(len(null_fid), np.int32),
+                    "geometry": np.full(len(null_fid), None, dtype=object),
+                })],
+                ignore_index=True,
+            ).sort_values(["fid", "part"], ignore_index=True)
     # DBF attributes (joined positionally; poly parts repeat their record)
     take = (out["fid"].to_numpy() - rec0 - 1).astype(np.int64)
     for name, t, off, w, dec in fields:
         col = dbf_recs[:, off:off + w]
         sv = col.reshape(-1).view(f"S{w}").reshape(-1)
-        txt = np.char.strip(sv)
+        # numeric fields are right-justified (strip both sides); C text is
+        # left-justified with right padding only — leading spaces are data
+        txt = np.char.strip(sv) if t in ("N", "F") else np.char.rstrip(sv)
         if t in ("N", "F"):
             blank = txt == b""
             if dec == 0 and t == "N":

@@ -213,3 +213,34 @@ def test_netcdf_t_outside_times_rejects(spark, tmp_path):
             cells.select("variable", "t", "row", "col", "value"),
             COELLO, str(tmp_path / "t.nc"), times=[0.0], variables=["v"],
         )
+
+
+def test_netcdf_time_only_single_recvar(spark, tmp_path):
+    """Zero data variables → `time` is the ONLY record variable, hitting
+    the spec's single-record-var special case: its on-disk stride is the
+    unpadded per-record size (8 bytes, one double), NOT the data slab.
+    Regression: the writer used to stamp the slab size here, exploding the
+    file to rows*cols*8 per record."""
+    p = str(tmp_path / "tonly.nc")
+    empty = spark.createDataFrame(
+        [], "variable string, t long, row long, col long, value double"
+    )
+    nc.write_netcdf(empty, COELLO, p, times=[1.0, 2.5, 4.0], variables=[])
+    h = nc._read_header(p)
+    assert h["numrecs"] == 3 and h["recsize"] == 8
+    tv = next(v for v in h["vars"] if v["name"] == "time")
+    assert tv["vsize"] == 8
+    raw = open(p, "rb").read()
+    got = np.frombuffer(raw[tv["begin"]:tv["begin"] + 24], ">f8").tolist()
+    assert got == [1.0, 2.5, 4.0]
+    # the whole file is header + y + x + 3 records of one double
+    assert len(raw) == tv["begin"] + 24
+
+
+def test_netcdf_derive_grid_rejects_descending_x():
+    """Descending x coordinates would silently mirror the raster (the
+    reader has no column flip) — must reject loudly, not misregister."""
+    yv = np.array([3.5, 2.5, 1.5])
+    xv = np.array([5.0, 4.0, 3.0])
+    with pytest.raises(NotImplementedError, match="descending x"):
+        nc.derive_grid({}, yv, xv, 3, 3)

@@ -411,3 +411,92 @@ def test_gpkg_write_quotes_attribute_names(spark, tmp_path):
     rows = back.select("order", "`group by`").orderBy("order").collect()
     assert [r["order"] for r in rows] == [0, 1, 2, 3]
     assert [r["group by"] for r in rows] == [0, 2, 4, 6]
+
+
+def _craft_shp(tmp_path, shape_type, contents, ids):
+    """Hand-assemble a minimal .shp/.shx/.dbf triple from raw record
+    contents (the writer never emits null shapes, so the wild-file read
+    path needs crafted bytes)."""
+    base = str(tmp_path / "crafted.shp")[:-4]
+    fields = [("id", "N", 20, 0)]
+    shp_body, shx_body = b"", b""
+    off = 100
+    for i, c in enumerate(contents):
+        shp_body += struct.pack(">ii", i + 1, len(c) // 2) + c
+        shx_body += struct.pack(">ii", off // 2, len(c) // 2)
+        off += 8 + len(c)
+    bbox = [0.0, 0.0, 9.0, 9.0]
+    with open(base + ".shp", "wb") as fh:
+        fh.write(shp._main_header(shape_type, off, bbox) + shp_body)
+    with open(base + ".shx", "wb") as fh:
+        fh.write(
+            shp._main_header(shape_type, 100 + 8 * len(contents), bbox)
+            + shx_body
+        )
+    with open(base + ".dbf", "wb") as fh:
+        fh.write(shp._dbf_header(fields, len(contents)))
+        for v in ids:
+            fh.write(b" " + shp._dbf_value(v, "N", 20, 0))
+        fh.write(b"\x1a")
+    return base + ".shp"
+
+
+def test_shp_null_shape_point_records(spark, tmp_path):
+    """The spec allows null-shape (type 0) records interleaved in any
+    file; they must decode as NULL-geometry features that keep the
+    positional DBF join aligned — not crash or shift attributes."""
+    recs = [
+        struct.pack("<i2d", shp.SHP_POINT, 1.0, 2.0),
+        struct.pack("<i", 0),  # null shape
+        struct.pack("<i2d", shp.SHP_POINT, 3.0, 4.0),
+    ]
+    p = _craft_shp(tmp_path, shp.SHP_POINT, recs, [10, 20, 30])
+    back, st = shp.read_shapefile(spark, p)
+    assert st == shp.SHP_POINT
+    rows = back.orderBy("fid").collect()
+    assert [r["fid"] for r in rows] == [1, 2, 3]
+    assert [r["id"] for r in rows] == [10, 20, 30]
+    assert rows[1]["geometry"] is None
+    live = back.filter(F.col("geometry").isNotNull()).select(
+        "fid", B.wkb_point_x("geometry").alias("bx"),
+        B.wkb_point_y("geometry").alias("by"),
+    ).orderBy("fid").collect()
+    assert [(r["bx"], r["by"]) for r in live] == [(1.0, 2.0), (3.0, 4.0)]
+
+
+def test_shp_null_shape_polyline_record(spark, tmp_path):
+    """Null shapes in a PolyLine file take the variable-length decode
+    branch: one NULL-geometry row (part 0), attributes still aligned."""
+    def line(x0, y0, x1, y1):
+        return (
+            struct.pack("<i4d", shp.SHP_POLYLINE, min(x0, x1), min(y0, y1),
+                        max(x0, x1), max(y0, y1))
+            + struct.pack("<2i", 1, 2)
+            + struct.pack("<i", 0)
+            + struct.pack("<4d", x0, y0, x1, y1)
+        )
+    recs = [line(0.0, 0.0, 1.0, 1.0), struct.pack("<i", 0),
+            line(2.0, 2.0, 3.0, 3.0)]
+    p = _craft_shp(tmp_path, shp.SHP_POLYLINE, recs, [7, 8, 9])
+    back, st = shp.read_shapefile(spark, p)
+    assert st == shp.SHP_POLYLINE
+    rows = back.orderBy("fid").collect()
+    assert [(r["fid"], r["part"], r["id"]) for r in rows] == [
+        (1, 0, 7), (2, 0, 8), (3, 0, 9)
+    ]
+    assert rows[1]["geometry"] is None
+    assert rows[0]["geometry"] is not None and rows[2]["geometry"] is not None
+
+
+def test_shp_dbf_leading_spaces_preserved(spark, tmp_path):
+    """C fields are left-justified with right padding ONLY — leading
+    spaces are data. Regression: the reader used to strip() both sides."""
+    base = str(tmp_path / "lead.shp")
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0, "  two-lead"), (2, 1.0, 1.0, "plain")],
+        "id long, x double, y double, name string",
+    ).select(shp.point_record("x", "y").alias("geometry"), "id", "name")
+    shp.write_shapefile(df, base, shape_type=shp.SHP_POINT)
+    back, _ = shp.read_shapefile(spark, base)
+    got = {r["id"]: r["name"] for r in back.collect()}
+    assert got == {1: "  two-lead", 2: "plain"}

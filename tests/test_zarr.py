@@ -128,3 +128,16 @@ def test_zarr_int_dtype_guards(spark, tmp_path):
         SparkDataset(grid_df(spark, COELLO), COELLO).to_zarr(
             str(tmp_path / "z2"), dtype="uint16"  # nodata -9999 < 0
         )
+
+
+def test_sparse_cells_nan_drops_under_explicit_fill():
+    """A NaN cell in a block with a NON-NaN fill sentinel must still drop:
+    NaN != fill is True elementwise, so without the explicit isnan mask a
+    NaN "value" row would leak through and violate the absent-row nodata
+    contract every sink relies on."""
+    from pyramids_spark import _blocks
+
+    block = np.array([[1.0, 5.0], [np.nan, 2.0]])
+    out = _blocks.sparse_cells(block, 0, 0, 0, 2, 2, fill=5.0)
+    got = sorted(zip(out["row"], out["col"], out["value"]))
+    assert got == [(0, 0, 1.0), (1, 1, 2.0)]
