@@ -147,7 +147,7 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     return s.reshape(-1, ch), int(rate)
 
 
-# --- PNG (8-bit gray/RGB/RGBA/palette, non-interlaced) ------------------------
+# --- PNG (gray/RGB/RGBA/palette; depths 1/2/4/8/16; Adam7) --------------------
 #
 # PNG is NOT entropy-blocked like JPEG/H.264: it is stdlib zlib over
 # byte-filtered scanlines (filters 0-4: None/Sub/Up/Average/Paeth) — the
@@ -156,7 +156,8 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
 # (each pixel needs the reconstructed left neighbour), so it loops pixels
 # within the row — fine for the thumbnail-scale payloads of the media
 # pipeline, and our own encoder emits filter 0 so engine round trips never
-# pay it.
+# pay it. Adam7 decodes as 7 independent filtered sub-images scattered by
+# the spec's fixed (x0, y0, dx, dy) lattice.
 
 
 def encode_png(img: np.ndarray) -> bytes:
@@ -201,10 +202,85 @@ def _paeth_row(cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+def _unfilter(raw: np.ndarray, bpp: int) -> np.ndarray:
+    """(h, 1 + row_bytes) filtered scanlines → (h, row_bytes) recon bytes.
+    ``bpp`` is the spec's filter unit: the number of BYTES per pixel
+    (max(1, channels * depth // 8) — sub-byte depths filter bytewise)."""
+    h, row_bytes = raw.shape[0], raw.shape[1] - 1
+    out = np.zeros((h, row_bytes), dtype=np.uint8)
+    prev = np.zeros(row_bytes, dtype=np.uint8)
+    for r in range(h):
+        f, cur = raw[r, 0], raw[r, 1:]
+        if f == 0:
+            line = cur.copy()
+        elif f == 1:  # Sub: cumulative sum over bpp-strided lanes
+            lanes = cur.copy().reshape(-1, bpp)
+            line = (
+                np.cumsum(lanes.astype(np.uint64), axis=0)
+                .astype(np.uint8).reshape(-1)
+            )
+        elif f == 2:  # Up
+            line = cur + prev
+        elif f == 3:  # Average: sequential in the left term
+            lanes = cur.copy().reshape(-1, bpp).astype(np.int32)
+            pl = prev.reshape(-1, bpp).astype(np.int32)
+            acc = np.zeros(bpp, dtype=np.int32)
+            for x in range(lanes.shape[0]):
+                acc = (lanes[x] + (acc + pl[x]) // 2) & 0xFF
+                lanes[x] = acc
+            line = lanes.astype(np.uint8).reshape(-1)
+        elif f == 4:
+            line = _paeth_row(cur, prev, bpp)
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[r] = line
+        prev = line
+    return out
+
+
+def _png_subimage(
+    raw: np.ndarray, off: int, sw: int, sh: int, channels: int, depth: int,
+) -> "tuple[np.ndarray, int]":
+    """Decode one filtered sub-image (the whole image, or one Adam7 pass)
+    starting at byte ``off`` of the decompressed stream → ((sh, sw,
+    channels) uint8/uint16 samples, bytes consumed). Each scanline packs
+    samples MSB-first to a byte boundary (sub-byte depths pad per row)."""
+    row_bytes = (sw * channels * depth + 7) // 8
+    stride = 1 + row_bytes
+    if off + sh * stride > raw.size:
+        raise ValueError("truncated PNG pixel stream")
+    block = raw[off:off + sh * stride].reshape(sh, stride)
+    un = _unfilter(block, max(1, channels * depth // 8))
+    if depth == 8:
+        sub = un.reshape(sh, sw, channels)
+    elif depth == 16:
+        sub = (
+            np.ascontiguousarray(un).view(">u2").astype(np.uint16)
+            .reshape(sh, sw, channels)
+        )
+    else:  # 1/2/4-bit (gray or palette index; channels == 1 per spec)
+        bits = np.unpackbits(un, axis=1)[:, :sw * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        sub = (
+            (bits.reshape(sh, sw, depth) * weights)
+            .sum(axis=2).astype(np.uint8)[:, :, None]
+        )
+    return sub, sh * stride
+
+
+# Adam7 pass lattice: (x0, y0, dx, dy) per the spec's 8×8 pattern.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def decode_png(b: bytes) -> np.ndarray:
-    """PNG → (h, w) uint8 (gray; gray+alpha drops its alpha) or
-    (h, w, 3/4) uint8 (RGB/RGBA; palette resolves through PLTE). 8-bit,
-    non-interlaced only — Adam7 and 16-bit reject loudly."""
+    """PNG → (h, w) gray (gray+alpha drops its alpha) or (h, w, 3/4)
+    RGB/RGBA; palette resolves through PLTE to (h, w, 3) uint8. Depths
+    1/2/4/8 return uint8 (sub-byte gray rescales to full range, e.g.
+    1-bit → {0, 255}); depth 16 returns uint16. Interlace: none or
+    Adam7."""
     import zlib
 
     if b[:8] != b"\x89PNG\r\n\x1a\n":
@@ -230,55 +306,40 @@ def decode_png(b: bytes) -> np.ndarray:
         i += 12 + ln  # len + tag + body + crc
     if w is None:
         raise ValueError("PNG without IHDR")
-    if depth != 8 or interlace != 0:
-        raise NotImplementedError(
-            f"only 8-bit non-interlaced PNG (depth={depth}, "
-            f"interlace={interlace}; Adam7/16-bit out of scope)"
-        )
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if bpp is None:
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
         raise NotImplementedError(f"PNG color type {ctype} unsupported")
+    valid = (1, 2, 4, 8, 16) if ctype in (0, 3) else (8, 16)
+    if ctype == 3:
+        valid = (1, 2, 4, 8)  # palette indices cap at 8 bits
+    if depth not in valid or interlace not in (0, 1):
+        raise ValueError(
+            f"invalid PNG depth/interlace for color type {ctype} "
+            f"(depth={depth}, interlace={interlace})"
+        )
     raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
-    stride = 1 + w * bpp
-    raw = raw[: h * stride].reshape(h, stride)
-    out = np.zeros((h, w * bpp), dtype=np.uint8)
-    prev = np.zeros(w * bpp, dtype=np.uint8)
-    for r in range(h):
-        f, cur = raw[r, 0], raw[r, 1:]
-        if f == 0:
-            line = cur.copy()
-        elif f == 1:  # Sub: cumulative sum over bpp-strided lanes
-            line = cur.copy()
-            lanes = line.reshape(w, bpp)
-            line = (
-                np.cumsum(lanes.astype(np.uint64), axis=0)
-                .astype(np.uint8).reshape(-1)
-            )
-        elif f == 2:  # Up
-            line = cur + prev
-        elif f == 3:  # Average: sequential in the left term
-            line = cur.copy()
-            lanes = line.reshape(w, bpp).astype(np.int32)
-            pl = prev.reshape(w, bpp).astype(np.int32)
-            acc = np.zeros(bpp, dtype=np.int32)
-            for x in range(w):
-                acc = (lanes[x] + (acc + pl[x]) // 2) & 0xFF
-                lanes[x] = acc
-            line = lanes.astype(np.uint8).reshape(-1)
-        elif f == 4:
-            line = _paeth_row(cur, prev, bpp)
-        else:
-            raise ValueError(f"bad PNG filter {f}")
-        out[r] = line
-        prev = line
-    img = out.reshape(h, w, bpp)
-    if ctype == 0:
-        return img[:, :, 0]
+    if interlace == 0:
+        img, _ = _png_subimage(raw, 0, w, h, channels, depth)
+    else:  # Adam7: 7 filtered sub-images, scattered onto the pass lattice
+        img = np.zeros(
+            (h, w, channels), np.uint16 if depth == 16 else np.uint8
+        )
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            sw = (w - x0 + dx - 1) // dx
+            sh = (h - y0 + dy - 1) // dy
+            if sw <= 0 or sh <= 0:  # pass is empty for tiny images
+                continue
+            sub, used = _png_subimage(raw, off, sw, sh, channels, depth)
+            img[y0::dy, x0::dx] = sub
+            off += used
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
         return plte[img[:, :, 0]]
-    if ctype == 4:  # gray + alpha → gray
+    if depth < 8:  # gray: rescale to full 8-bit range (255 % (2^d-1) == 0)
+        img = (img * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    if ctype in (0, 4):  # gray / gray+alpha → gray
         return img[:, :, 0]
     return img  # RGB / RGBA
 
@@ -317,6 +378,8 @@ def decode_image(b: bytes) -> np.ndarray:
         rgb = decode_bmp(b)
     elif kind == "png":
         rgb = decode_png(b)
+        if rgb.dtype == np.uint16:  # 16-bit → high byte (65535 → 255)
+            rgb = (rgb >> 8).astype(np.uint8)
         if rgb.ndim == 2:
             return rgb
         rgb = rgb[:, :, :3]  # RGBA: alpha does not enter the luma

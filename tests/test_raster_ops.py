@@ -642,14 +642,18 @@ def test_png_codec_roundtrip_filters_and_media_corpus(spark):
            + chunk(b"IEND", b""))
     assert np.array_equal(C.decode_png(png), img)
 
-    # 16-bit depth rejects loudly
+    # 16-bit gray decodes to uint16; decode_image reduces to the high byte
+    v16 = np.array([[1000, 2000], [40000, 65535]], dtype=np.uint16)
+    lines16 = b"".join(
+        b"\x00" + v16[r].astype(">u2").tobytes() for r in range(2)
+    )
     png16 = (b"\x89PNG\r\n\x1a\n"
              + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+             + chunk(b"IDAT", _zlib.compress(lines16))
              + chunk(b"IEND", b""))
-    import pytest as _pytest
-
-    with _pytest.raises(NotImplementedError, match="non-interlaced"):
-        C.decode_png(png16)
+    got16 = C.decode_png(png16)
+    assert got16.dtype == np.uint16 and np.array_equal(got16, v16)
+    assert np.array_equal(C.decode_image(png16), (v16 >> 8).astype(np.uint8))
 
     # the synthesized corpus contains real PNGs and features decode
     docs = synth.documents_spans(spark, 120)
@@ -691,3 +695,99 @@ def test_ascii_grid_roundtrip_and_guards(spark, tmp_path):
     two_band = SparkDataset(grid_df(spark, COELLO, bands=2), COELLO)
     with pytest.raises(ValueError, match="single-band"):
         two_band.to_ascii_grid(str(tmp_path / "b.asc"))
+
+
+def _png_file(w, h, depth, ctype, interlace, idat, plte=None):
+    import struct as _struct
+    import zlib as _zlib
+
+    def chunk(tag, body):
+        return (_struct.pack(">I", len(body)) + tag + body
+                + _struct.pack(">I", _zlib.crc32(tag + body)))
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", _struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    )
+    if plte is not None:
+        out += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    return out + chunk(b"IDAT", _zlib.compress(idat)) + chunk(b"IEND", b"")
+
+
+def _png_scanlines(img, depth):
+    """(h, w, c) samples → filter-0 scanlines, MSB-first packed per row."""
+    h = img.shape[0]
+    out = bytearray()
+    for r in range(h):
+        if depth == 8:
+            rb = img[r].astype(np.uint8).tobytes()
+        elif depth == 16:
+            rb = img[r].astype(">u2").tobytes()
+        else:  # sub-byte: pack `depth` LSBs of each sample, MSB-first
+            s = img[r].reshape(-1).astype(np.uint8)
+            bits = np.unpackbits(s[:, None], axis=1)[:, 8 - depth:]
+            rb = np.packbits(bits.reshape(-1)).tobytes()
+        out += b"\x00" + rb
+    return bytes(out)
+
+
+def test_png_adam7_interlace():
+    """Adam7 = 7 independently filtered sub-images on the spec's 8×8
+    lattice; decode must reassemble the original exactly (sizes chosen so
+    some passes are empty and sub-rows hit per-pass byte padding)."""
+    from pyramids_spark import codecs as C
+
+    rng = np.random.default_rng(11)
+    for shape, ctype in [((10, 11, 3), 2), ((9, 5, 1), 0), ((3, 2, 1), 0)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        passes = bytearray()
+        for x0, y0, dx, dy in C._ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.size:
+                passes += _png_scanlines(sub, 8)
+        png = _png_file(shape[1], shape[0], 8, ctype, 1, bytes(passes))
+        want = img[:, :, 0] if ctype == 0 else img
+        assert np.array_equal(C.decode_png(png), want)
+
+
+def test_png_subbyte_depths_and_palette():
+    from pyramids_spark import codecs as C
+
+    rng = np.random.default_rng(12)
+    # 4-bit gray: samples 0..15 rescale ×17 to the full 8-bit range
+    g4 = rng.integers(0, 16, (7, 5), dtype=np.uint8)
+    png = _png_file(5, 7, 4, 0, 0, _png_scanlines(g4[:, :, None], 4))
+    assert np.array_equal(C.decode_png(png), g4 * 17)
+    # 1-bit gray → {0, 255}
+    g1 = rng.integers(0, 2, (4, 11), dtype=np.uint8)
+    png = _png_file(11, 4, 1, 0, 0, _png_scanlines(g1[:, :, None], 1))
+    assert np.array_equal(C.decode_png(png), g1 * 255)
+    # 2-bit palette: indices resolve through PLTE, no gray rescale
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+                    dtype=np.uint8)
+    idx = rng.integers(0, 4, (6, 9), dtype=np.uint8)
+    png = _png_file(9, 6, 2, 3, 0, _png_scanlines(idx[:, :, None], 2),
+                    plte=plte)
+    assert np.array_equal(C.decode_png(png), plte[idx])
+    # invalid: sub-byte RGB is not a legal PNG combination
+    import pytest as _pytest
+
+    bad = _png_file(2, 2, 4, 2, 0, b"\x00\x00\x00")
+    with _pytest.raises(ValueError, match="invalid PNG depth"):
+        C.decode_png(bad)
+
+
+def test_png_adam7_16bit_rgb():
+    """16-bit + Adam7 together: the filter unit is 6 bytes/pixel and every
+    pass carries big-endian u16 samples."""
+    from pyramids_spark import codecs as C
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 65536, (6, 7, 3), dtype=np.uint16)
+    passes = bytearray()
+    for x0, y0, dx, dy in C._ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size:
+            passes += _png_scanlines(sub, 16)
+    png = _png_file(7, 6, 16, 2, 1, bytes(passes))
+    got = C.decode_png(png)
+    assert got.dtype == np.uint16 and np.array_equal(got, img)
