@@ -923,7 +923,7 @@ def q_netcdf4_roundtrip(spark, sf_dir):
     """Container gate (round 5): REAL netCDF-4/HDF5 binary — superblock,
     symbol-table group, dimension-scale datasets, DIMENSION_LIST object
     references through the global heap, chunked int16 variables with
-    shuffle+deflate filters and a v1 chunk B-tree. Chunks build and
+    shuffle+deflate+fletcher32 filters and a v1 chunk B-tree. Chunks build and
     deflate distributed, stream ordered through the driver; the read
     decodes chunks by byte range in executors. Oracle is the grid
     generator (reference ``netcdf/netcdf.py:849-982`` via netcdf-c)."""
@@ -941,7 +941,8 @@ def q_netcdf4_roundtrip(spark, sf_dir):
     )
     SparkNetCDF(cells).to_netcdf4(
         COELLO, "/tmp/pyramids_q_nc4.nc", times=[10.0, 20.0, 30.0],
-        dtype="int16", compress=4, shuffle=True, chunk=(8, 8),
+        dtype="int16", compress=4, shuffle=True, fletcher32=True,
+        chunk=(8, 8),
     )
     back, _, _ = SparkNetCDF.read_file(spark, "/tmp/pyramids_q_nc4.nc")
     return back.df.select("variable", "t", "band", "row", "col", "value")

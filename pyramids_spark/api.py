@@ -1046,8 +1046,8 @@ class SparkNetCDF:
     def to_netcdf4(
         self, grid, path: str, times: "list[float] | None" = None,
         dtype: str = "float64", compress: "int | None" = 4,
-        shuffle: bool = True, chunk: "tuple[int, int]" = (64, 64),
-        georef: str = "attrs",
+        shuffle: bool = True, fletcher32: bool = False,
+        chunk: "tuple[int, int]" = (64, 64), georef: str = "attrs",
     ):
         """Write a REAL netCDF-4 (HDF5) file — pure struct/numpy,
         ``pyramids_spark.hdf5``; reference ``NetCDF.to_file`` through the
@@ -1061,7 +1061,8 @@ class SparkNetCDF:
         return _h5.write_netcdf4(
             self.df.select("variable", "t", "row", "col", "value"),
             grid, path, times, dtype=dtype, compress=compress,
-            shuffle=shuffle, chunk=chunk, georef=georef,
+            shuffle=shuffle, fletcher32=fletcher32, chunk=chunk,
+            georef=georef,
         )
 
     @classmethod

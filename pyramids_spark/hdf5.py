@@ -156,15 +156,20 @@ def _layout_chunked(btree_addr: int, chunk: "tuple[int, ...]", esize: int
     return _msg(0x0008, b + struct.pack("<I", esize))
 
 
-def _filter_msg(shuffle_esize: int, deflate_level: "int | None") -> bytes:
+def _filter_msg(
+    shuffle_esize: int, deflate_level: "int | None", fletcher32: bool = False,
+) -> bytes:
     filters = []
     if shuffle_esize:
         filters.append((2, shuffle_esize))
     if deflate_level is not None:
         filters.append((1, deflate_level))
-    b = struct.pack("<BB6x", 1, len(filters))
+    n = len(filters) + (1 if fletcher32 else 0)
+    b = struct.pack("<BB6x", 1, n)
     for fid, cval in filters:  # built-in ids carry no name; 1 client value
         b += struct.pack("<HHHHI4x", fid, 0, 0, 1, cval)
+    if fletcher32:  # LAST: checksum covers the post-deflate stream
+        b += struct.pack("<HHHH", 3, 0, 0, 0)
     return _msg(0x000B, b)
 
 
@@ -326,6 +331,7 @@ def write_netcdf4(
     times: "list[float] | None" = None,
     variables: "list[str] | None" = None, dtype: str = "float64",
     compress: "int | None" = 4, shuffle: bool = True,
+    fletcher32: bool = False,
     chunk: "tuple[int, int]" = (64, 64), georef: str = "attrs",
     btree_cap: int = 64,
 ) -> pd.DataFrame:
@@ -440,9 +446,9 @@ def write_netcdf4(
                 _msg(0x0003, _dt_of(np_dt)),
                 _fill_msg(fill_bytes, True),
             ]
-            if shuffle or compress is not None:
+            if shuffle or compress is not None or fletcher32:
                 head.append(_filter_msg(
-                    esize if shuffle else 0, compress))
+                    esize if shuffle else 0, compress, fletcher32))
             head.append(_layout_chunked(
                 a.get(f"btree_{v}", UNDEF), cdims, esize))
             # attributes live in a CONTINUATION block — the layout real
@@ -508,6 +514,8 @@ def write_netcdf4(
             raw = np.frombuffer(raw, "u1").reshape(-1, esize).T.tobytes()
         if compress is not None:
             raw = zlib.compress(raw, compress)
+        if fletcher32:
+            raw += struct.pack("<I", _fletcher32(raw))
         return pd.DataFrame({
             "variable": [key[0]], "t": [int(key[1])],
             "ci": [int(ci)], "cj": [int(cj)], "data": [raw],
@@ -663,6 +671,33 @@ def _parse_filters(body: bytes) -> "list[tuple[int, int, list[int]]]":
     return out
 
 
+def _fletcher32(data: bytes) -> int:
+    """HDF5's Fletcher-32 (``H5_checksum_fletcher32``): big-endian 16-bit
+    words, an odd trailing byte high-padded, each sum reduced mod 65535
+    with the 0xffff representative for nonzero multiples — bit-equal to
+    the reference's fold arithmetic. Vectorized: S1 = Σ w_j, S2 = Σ w_j ·
+    (n − j) (each ``sum2 += sum1`` step adds w_j once per later step);
+    segmented so uint64 partials cannot overflow on huge chunks."""
+    w = np.frombuffer(data[: len(data) & ~1], ">u2")
+    odd = len(data) & 1
+    n = len(w) + odd
+    s1 = s2 = 0
+    step = 1 << 20
+    for k in range(0, len(w), step):
+        seg = w[k:k + step].astype(np.uint64)
+        mult = np.arange(n - k, n - k - len(seg), -1, dtype=np.uint64)
+        s1 += int(seg.sum())
+        s2 += int((seg * mult).sum())
+    if odd:
+        s1 += data[-1] << 8
+        s2 += data[-1] << 8  # the pad word's remaining-steps multiplier is 1
+
+    def canon(x: int) -> int:
+        return 0xFFFF if x and x % 65535 == 0 else x % 65535
+
+    return (canon(s2) << 16) | canon(s1)
+
+
 def _defilter(raw: bytes, ids: "list[int]", mask: int, esize: int) -> bytes:
     """Undo the filter pipeline back-to-front, honoring the per-chunk
     filter mask (bit i set = filter i was SKIPPED for this chunk)."""
@@ -673,6 +708,15 @@ def _defilter(raw: bytes, ids: "list[int]", mask: int, esize: int) -> bytes:
             raw = zlib.decompress(raw)
         elif ids[i] == 2:
             raw = np.frombuffer(raw, "u1").reshape(esize, -1).T.tobytes()
+        elif ids[i] == 3:  # fletcher32: verify, strip the trailing checksum
+            data = raw[:-4]
+            (stored,) = struct.unpack("<I", bytes(raw[-4:]))
+            # pre-1.6.3 libhdf5 stored the two 16-bit halves swapped;
+            # accept both, like H5Z__filter_fletcher32 does
+            legacy = ((stored & 0xFFFF) << 16) | (stored >> 16)
+            if _fletcher32(data) not in (stored, legacy):
+                raise ValueError("fletcher32 checksum mismatch in HDF5 chunk")
+            raw = data
         else:  # guarded at plan time; defensive here
             raise NotImplementedError(f"HDF5 filter id {ids[i]}")
     return raw
@@ -1088,11 +1132,11 @@ def read_netcdf4(
     for nm, (m, dn) in sorted(usable.items()):
         dt = m["dtype"][1]
         ids = [f[0] for f in m["filters"]]
-        bad = sorted(set(ids) - {1, 2})
+        bad = sorted(set(ids) - {1, 2, 3})
         if bad:
             raise NotImplementedError(
-                f"variable {nm!r} uses HDF5 filter ids {bad} (deflate=1 and "
-                "shuffle=2 only — fletcher32/szip/nbit stay out of scope)"
+                f"variable {nm!r} uses HDF5 filter ids {bad} (deflate=1, "
+                "shuffle=2, fletcher32=3 only — szip/nbit stay out of scope)"
             )
         fill = None
         if m["fill"] is not None and len(m["fill"]) >= dt.itemsize:

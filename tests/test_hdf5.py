@@ -102,7 +102,7 @@ def test_netcdf4_uncompressed_and_2d(spark, tmp_path):
 
 
 def test_netcdf4_foreign_filter_rejects(spark, tmp_path):
-    """A chunk pipeline with fletcher32 (id 3) must reject loudly at plan
+    """A chunk pipeline with szip (id 4) must reject loudly at plan
     time — binary-patch the shuffle filter id in a real file."""
     df, _ = _cells(spark, variables=("a",), nt=1)
     hdf5.write_netcdf4(df, G, str(tmp_path / "f.nc"), times=[0.0],
@@ -111,9 +111,9 @@ def test_netcdf4_foreign_filter_rejects(spark, tmp_path):
     pat = struct.pack("<BB6x", 1, 2) + struct.pack("<HHHHI4x", 2, 0, 0, 1, 8)
     at = raw.find(pat)
     assert at >= 0
-    struct.pack_into("<H", raw, at + 8, 3)  # shuffle → fletcher32
+    struct.pack_into("<H", raw, at + 8, 4)  # shuffle → szip
     (tmp_path / "f.nc").write_bytes(bytes(raw))
-    with pytest.raises(NotImplementedError, match="filter ids \\[3\\]"):
+    with pytest.raises(NotImplementedError, match="filter ids \\[4\\]"):
         hdf5.read_netcdf4(spark, str(tmp_path / "f.nc"))
 
 
@@ -232,3 +232,66 @@ def test_netcdf4_null_cells_are_absent_rows(spark, tmp_path):
         got = {(r.row, r.col): r.value for r in back.df.collect()}
         assert (0, 0) not in got, dtype
         assert len(got) == 63 and got[(0, 1)] == 2.0, dtype
+
+
+def test_fletcher32_matches_reference_loop():
+    """hdf5._fletcher32 (vectorized) vs a straight transliteration of
+    HDF5's H5_checksum_fletcher32 (360-word blocks + intermediate folds),
+    across even/odd lengths, block boundaries, zeros, and the nonzero
+    ≡ 0 mod 65535 case where the fold representative is 0xffff."""
+
+    def ref(data):
+        half = len(data) // 2
+        i = s1 = s2 = 0
+        while half:
+            tlen = min(half, 360)
+            half -= tlen
+            for _ in range(tlen):
+                s1 += (data[i] << 8) | data[i + 1]
+                i += 2
+                s2 += s1
+            s1 = (s1 & 0xFFFF) + (s1 >> 16)
+            s2 = (s2 & 0xFFFF) + (s2 >> 16)
+        if len(data) & 1:
+            s1 += data[-1] << 8
+            s2 += s1
+            s1 = (s1 & 0xFFFF) + (s1 >> 16)
+            s2 = (s2 & 0xFFFF) + (s2 >> 16)
+        s1 = (s1 & 0xFFFF) + (s1 >> 16)
+        s2 = (s2 & 0xFFFF) + (s2 >> 16)
+        return (s2 << 16) | s1
+
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 2, 3, 719, 720, 721, 1447, 5000):
+        b = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert hdf5._fletcher32(b) == ref(b), n
+    assert hdf5._fletcher32(b"\x00" * 100) == ref(b"\x00" * 100) == 0
+    assert hdf5._fletcher32(b"\xff\xff") == ref(b"\xff\xff")
+    assert hdf5._fletcher32(b"\xff\xff\xff\xff") == ref(b"\xff\xff\xff\xff")
+
+
+def test_netcdf4_fletcher32_roundtrip_and_corruption(spark, tmp_path):
+    """fletcher32 as the LAST pipeline stage: round trips under
+    shuffle+deflate and checksum-only; a flipped payload byte fails loudly
+    on read instead of decoding garbage."""
+    df, exp = _cells(spark, variables=("a",), nt=2)
+    p = str(tmp_path / "fl.nc")
+    hdf5.write_netcdf4(df, G, p, times=[0.0, 1.0], chunk=(8, 8),
+                       fletcher32=True)
+    back, _, _ = SparkNetCDF.read_file(spark, p)
+    got = {(r.variable, r.t, r.row, r.col): r.value
+           for r in back.df.collect()}
+    assert got == exp
+    # checksum-only pipeline: stored chunk = raw payload + 4 bytes
+    p2 = str(tmp_path / "fl2.nc")
+    man2 = hdf5.write_netcdf4(df, G, p2, times=[0.0, 1.0], chunk=(8, 8),
+                              compress=None, shuffle=False, fletcher32=True)
+    assert set(man2.nbytes) == {8 * 7 * 8 + 4}  # (8, min(8, cols=7)) chunks
+    back2, _, _ = SparkNetCDF.read_file(spark, p2)
+    assert {(r.variable, r.t, r.row, r.col): r.value
+            for r in back2.df.collect()} == exp
+    raw = bytearray(open(p2, "rb").read())
+    raw[int(man2.addr.iloc[0]) + 5] ^= 0xFF
+    open(p2, "wb").write(bytes(raw))
+    with pytest.raises(Exception, match="fletcher32 checksum mismatch"):
+        SparkNetCDF.read_file(spark, p2)[0].df.collect()
