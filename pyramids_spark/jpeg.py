@@ -1,6 +1,6 @@
-"""Baseline JPEG (ITU-T T.81 sequential DCT, Huffman) in pure
-Python/numpy — the codec that carries essentially every wild image
-corpus, previously the engine's biggest excluded media format.
+"""JPEG (ITU-T T.81 DCT, Huffman) in pure Python/numpy — the codec
+that carries essentially every wild image corpus, previously the
+engine's biggest excluded media format.
 
 What makes this tractable without a native library: baseline JPEG is
 8×8 block DCT + scalar quantization + canonical Huffman coding — the
@@ -11,14 +11,17 @@ batches across all blocks of an image in one einsum. The reference
 decodes JPEG through GDAL/PIL system libraries; this module replaces
 that seam the same way ``codecs.py`` did for PNG/BMP/WAV.
 
-Supported: SOF0/SOF1 (baseline + extended sequential, Huffman),
-grayscale, 4:4:4 and 4:2:0 YCbCr, restart markers, multiple DQT/DHT
-segments. Loud rejects: progressive (SOF2), arithmetic coding (SOF9+),
+Supported: SOF0/SOF1 (baseline + extended sequential, Huffman) AND
+SOF2 (progressive: spectral selection + successive approximation,
+multi-scan, EOBn run codes, per-scan table redefinition), grayscale,
+4:4:4 and 4:2:0 YCbCr, restart markers, multiple DQT/DHT segments.
+Loud rejects: arithmetic coding (SOF9+), hierarchical, lossless,
 12-bit precision, other subsampling grids. The ENCODER (JFIF output;
-quality knob with the libjpeg scaling law) exists as the engine's
-export path and the fixture generator — tables are written into the
-stream (DQT/DHT), so decoder interop never depends on them matching
-any other encoder's defaults.
+quality knob with the libjpeg scaling law; ``progressive=True`` emits
+spectral-selection scans) exists as the engine's export path and the
+fixture generator — tables are written into the stream (DQT/DHT), so
+decoder interop never depends on them matching any other encoder's
+defaults.
 """
 
 from __future__ import annotations
@@ -163,11 +166,21 @@ def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 85,
-                subsample: bool = True, restart: int = 0) -> bytes:
-    """(h, w) gray or (h, w, 3) RGB uint8 → baseline JFIF bytes. Color
-    uses 4:2:0 when ``subsample`` (the wild-file default), else 4:4:4.
-    ``restart`` > 0 emits a DRI segment and RST markers every that many
-    MCUs — the error-resilience layout many wild files carry."""
+                subsample: bool = True, restart: int = 0,
+                progressive: bool = False) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → JFIF bytes. Color uses 4:2:0
+    when ``subsample`` (the wild-file default), else 4:4:4. ``restart``
+    > 0 emits a DRI segment and RST markers every that many MCUs — the
+    error-resilience layout many wild files carry. ``progressive`` emits
+    SOF2 with spectral-selection scans (one interleaved DC scan, then one
+    full-band AC scan per component, Ah=Al=0) — per-block EOB codes, so
+    the standard K.3 tables suffice (EOBn run codes would need optimized
+    tables, as libjpeg's mandatory two-pass does)."""
+    if progressive and restart:
+        raise NotImplementedError(
+            "restart markers with progressive encode (decode supports "
+            "both; pick one on write)"
+        )
     img = np.asarray(img, np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -217,49 +230,97 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
 
     dc_codes = _huff_codes(_DC_COUNTS, _DC_SYMS)
     ac_codes = _huff_codes(_AC_COUNTS, _AC_SYMS)
-    bwt = _BitWriter()
-    pred = [0] * len(planes)
-    mcu_n = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart and mcu_n and mcu_n % restart == 0:
-                bwt.restart(mcu_n // restart - 1)
-                pred = [0] * len(planes)
-            mcu_n += 1
-            for ci in range(len(planes)):
-                sh, sv = samp[ci]
-                for by in range(sv):
-                    for bx in range(sh):
-                        bi = (my * sv + by) * comp_bw[ci] + mx * sh + bx
-                        zz = comp_coef[ci][bi]
-                        diff = int(zz[0]) - pred[ci]
-                        pred[ci] = int(zz[0])
-                        size, bits = _mag(diff)
-                        c, ln = dc_codes[size]
-                        bwt.put(c, ln)
-                        if size:
-                            bwt.put(bits, size)
-                        run = 0
-                        nz = np.nonzero(zz[1:])[0]
-                        last = nz[-1] + 1 if len(nz) else 0
-                        for k in range(1, last + 1):
-                            v = int(zz[k])
-                            if v == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                c, ln = ac_codes[0xF0]
-                                bwt.put(c, ln)
-                                run -= 16
-                            size, bits = _mag(v)
-                            c, ln = ac_codes[(run << 4) | size]
-                            bwt.put(c, ln)
-                            bwt.put(bits, size)
-                            run = 0
-                        if last < 63:
-                            c, ln = ac_codes[0x00]
-                            bwt.put(c, ln)
-    bwt.flush()
+
+    def put_dc(bwt, zz, pred, ci):
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        size, bits = _mag(diff)
+        c, ln = dc_codes[size]
+        bwt.put(c, ln)
+        if size:
+            bwt.put(bits, size)
+
+    def put_ac(bwt, zz):
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]
+                bwt.put(c, ln)
+                run -= 16
+            size, bits = _mag(v)
+            c, ln = ac_codes[(run << 4) | size]
+            bwt.put(c, ln)
+            bwt.put(bits, size)
+            run = 0
+        if last < 63:
+            c, ln = ac_codes[0x00]
+            bwt.put(c, ln)
+
+    # entropy scans: [(sos_body, entropy_bytes)]
+    scans = []
+    if not progressive:
+        bwt = _BitWriter()
+        pred = [0] * len(planes)
+        mcu_n = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart and mcu_n and mcu_n % restart == 0:
+                    bwt.restart(mcu_n // restart - 1)
+                    pred = [0] * len(planes)
+                mcu_n += 1
+                for ci in range(len(planes)):
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            bi = (my * sv + by) * comp_bw[ci] + mx * sh + bx
+                            zz = comp_coef[ci][bi]
+                            put_dc(bwt, zz, pred, ci)
+                            put_ac(bwt, zz)
+        bwt.flush()
+        sos = bytes([len(planes)])
+        for ci in range(len(planes)):
+            sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0 for all
+        sos += b"\x00\x3f\x00"
+        scans.append((sos, bytes(bwt.buf)))
+    else:
+        # scan 1: interleaved DC, all components (Ss=Se=0, Ah=Al=0)
+        bwt = _BitWriter()
+        pred = [0] * len(planes)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(len(planes)):
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            bi = (my * sv + by) * comp_bw[ci] + mx * sh + bx
+                            put_dc(bwt, comp_coef[ci][bi], pred, ci)
+        bwt.flush()
+        sos = bytes([len(planes)])
+        for ci in range(len(planes)):
+            sos += bytes([ci + 1, 0x00])
+        scans.append((sos + b"\x00\x00\x00", bytes(bwt.buf)))
+        # one full-band AC scan per component, non-interleaved raster
+        # over the component's NON-padded block grid
+        for ci in range(len(planes)):
+            sh, sv = samp[ci]
+            bwp = comp_bw[ci]
+            cpw = -(-(w * sh) // hmax)  # component pixel dims (ceil)
+            cph = -(-(h * sv) // vmax)
+            nbw, nbh = -(-cpw // 8), -(-cph // 8)
+            bwt = _BitWriter()
+            for r in range(nbh):
+                for c in range(nbw):
+                    put_ac(bwt, comp_coef[ci][r * bwp + c])
+            bwt.flush()
+            scans.append((
+                bytes([1, ci + 1, 0x00]) + b"\x01\x3f\x00", bytes(bwt.buf)
+            ))
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -274,17 +335,14 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     sof = struct.pack(">BHHB", 8, h, w, len(planes))
     for ci in range(len(planes)):
         sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]])
-    out += seg(0xFFC0, sof)
+    out += seg(0xFFC2 if progressive else 0xFFC0, sof)
     out += seg(0xFFC4, b"\x00" + bytes(_DC_COUNTS) + bytes(_DC_SYMS))
     out += seg(0xFFC4, b"\x10" + bytes(_AC_COUNTS) + bytes(_AC_SYMS))
     if restart:
         out += seg(0xFFDD, struct.pack(">H", restart))
-    sos = bytes([len(planes)])
-    for ci in range(len(planes)):
-        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0 for all
-    sos += b"\x00\x3f\x00"
-    out += seg(0xFFDA, sos)
-    out += bwt.buf
+    for sos, entropy in scans:
+        out += seg(0xFFDA, sos)
+        out += entropy
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -320,90 +378,9 @@ def _dec_sym(br: _BitReader, table: dict) -> int:
     raise ValueError("invalid Huffman code in JPEG scan")
 
 
-def decode_jpeg(b: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (h, w) uint8 gray or (h, w, 3) uint8 RGB."""
-    if b[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG stream")
-    i = 2
-    qt: "dict[int, np.ndarray]" = {}
-    huff: "dict[tuple[int, int], dict]" = {}
-    comps = None
-    h = w = None
-    dri = 0
-    scan = None
-    scomp = None
-    while i + 4 <= len(b):
-        if b[i] != 0xFF:
-            i += 1
-            continue
-        marker = b[i + 1]
-        if marker == 0xFF:  # T.81 B.1.1.2: optional fill bytes before a marker
-            i += 1
-            continue
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            i += 2
-            continue
-        (ln,) = struct.unpack_from(">H", b, i + 2)
-        body = b[i + 4:i + 2 + ln]
-        i += 2 + ln
-        if marker == 0xDB:  # DQT (possibly several tables per segment)
-            p = 0
-            while p < len(body):
-                pq, tq = body[p] >> 4, body[p] & 15
-                if pq:
-                    raise NotImplementedError("16-bit quant tables")
-                t = np.zeros(64, np.int32)
-                t[_ZZ] = np.frombuffer(body, np.uint8, 64, p + 1)
-                qt[tq] = t.reshape(8, 8)
-                p += 65
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
-            prec, h, w, nc = struct.unpack_from(">BHHB", body)
-            if prec != 8:
-                raise NotImplementedError(f"{prec}-bit JPEG precision")
-            comps = []
-            for k in range(nc):
-                cid, sampb, tq = body[6 + 3 * k:9 + 3 * k]
-                comps.append({"id": cid, "h": sampb >> 4, "v": sampb & 15,
-                              "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                "progressive/arithmetic/hierarchical JPEG (baseline "
-                "sequential Huffman only)"
-            )
-        elif marker == 0xC4:  # DHT
-            p = 0
-            while p < len(body):
-                tc, th = body[p] >> 4, body[p] & 15
-                counts = list(body[p + 1:p + 17])
-                nsym = sum(counts)
-                syms = list(body[p + 17:p + 17 + nsym])
-                codes = _huff_codes(counts, syms)
-                huff[(tc, th)] = {(lnn, c): s
-                                  for s, (c, lnn) in codes.items()}
-                p += 17 + nsym
-        elif marker == 0xDD:
-            (dri,) = struct.unpack_from(">H", body)
-        elif marker == 0xDA:  # SOS: entropy data follows
-            ns = body[0]
-            scomp = []
-            for k in range(ns):
-                cid, tabs = body[1 + 2 * k:3 + 2 * k]
-                scomp.append((cid, tabs >> 4, tabs & 15))
-            # scan ends at the first marker that is not RST/stuffing
-            j = i
-            while j + 1 < len(b):
-                if b[j] == 0xFF and b[j + 1] != 0 and not \
-                        (0xD0 <= b[j + 1] <= 0xD7):
-                    break
-                j += 1
-            scan = b[i:j]
-            break
-        # other APPn/COM segments: skipped
-    if comps is None or scan is None:
-        raise ValueError("JPEG without SOF/SOS")
-
-    # split scan at restart markers, unstuff each segment
+def _split_rst(scan: bytes) -> "list[bytes]":
+    """Split one scan's entropy bytes at restart markers, unstuffing
+    0xFF00 in each segment."""
     segs, cur = [], bytearray()
     j = 0
     while j < len(scan):
@@ -422,41 +399,28 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         cur.append(scan[j])
         j += 1
     segs.append(bytes(cur))
+    return segs
 
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    sampling = tuple((c["h"], c["v"]) for c in comps)
-    if len(comps) == 1:
-        hmax = vmax = 1
-        sampling = ((1, 1),)
-    elif sampling not in (((1, 1), (1, 1), (1, 1)),
-                          ((2, 2), (1, 1), (1, 1))):
-        raise NotImplementedError(
-            f"sampling grid {sampling} (4:4:4 and 4:2:0 only)"
-        )
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    by_id = {sc[0]: (sc[1], sc[2]) for sc in (scomp or [])}
-    ncomp = len(comps)
-    cw = [mcus_x * c["h"] for c in comps] if ncomp > 1 else [mcus_x]
-    chh = [mcus_y * c["v"] for c in comps] if ncomp > 1 else [mcus_y]
-    coef = [np.zeros((chh[ci] * cw[ci], 64), np.int32)
-            for ci in range(ncomp)]
 
+def _scan_sequential(sc, comps, samp, coef, cw, mcus_x, mcus_y) -> None:
+    """One full interleaved sequential scan (Ss=0, Se=63): the baseline /
+    extended-sequential entropy layout."""
+    segs, huff, dri = sc["segs"], sc["huff"], sc["dri"]
+    tabs = {m[0]: (m[1], m[2]) for m in sc["members"]}
     br = _BitReader(segs[0])
     seg_i = 0
-    pred = [0] * ncomp
+    pred = {ci: 0 for ci in tabs}
     mcu_n = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if dri and mcu_n and mcu_n % dri == 0:
                 seg_i += 1
                 br = _BitReader(segs[seg_i])
-                pred = [0] * ncomp
-            for ci, c in enumerate(comps):
-                dct = huff[(0, by_id[c["id"]][0])]
-                act = huff[(1, by_id[c["id"]][1])]
-                sh, sv = (c["h"], c["v"]) if ncomp > 1 else (1, 1)
+                pred = {ci: 0 for ci in tabs}
+            for ci, _, _ in sc["members"]:
+                dct = huff[(0, tabs[ci][0])]
+                act = huff[(1, tabs[ci][1])]
+                sh, sv = samp[ci]
                 for by in range(sv):
                     for bx in range(sh):
                         s = _dec_sym(br, dct)
@@ -477,6 +441,270 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                             blk[k] = _extend(br.read(s), s)
                             k += 1
             mcu_n += 1
+
+
+def _scan_dc(sc, comps, samp, coef, cw, bw, bh, mcus_x, mcus_y) -> None:
+    """Progressive DC scan (Ss=Se=0): first pass (Ah=0) decodes shifted
+    DC differences; refinement (Ah>0) appends one bit per block.
+    Interleaved MCU order when the scan holds >1 component, the
+    component's own (non-padded) block raster otherwise."""
+    segs, huff, dri = sc["segs"], sc["huff"], sc["dri"]
+    ah, al = sc["ah"], sc["al"]
+    first = ah == 0
+    br = _BitReader(segs[0])
+    seg_i = 0
+    pred = {m[0]: 0 for m in sc["members"]}
+
+    def unit(ci, bi, dct):
+        blk = coef[ci][bi]
+        if first:
+            s = _dec_sym(br, dct)
+            pred[ci] += _extend(br.read(s), s)
+            blk[0] = pred[ci] << al
+        elif br.read1():
+            blk[0] |= 1 << al
+
+    n = 0
+    if len(sc["members"]) == 1:
+        ci, dtab, _ = sc["members"][0]
+        dct = huff.get((0, dtab))
+        for r in range(bh[ci]):
+            for c in range(bw[ci]):
+                if dri and n and n % dri == 0:
+                    seg_i += 1
+                    br = _BitReader(segs[seg_i])
+                    pred = {ci: 0}
+                unit(ci, r * cw[ci] + c, dct)
+                n += 1
+        return
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and n and n % dri == 0:
+                seg_i += 1
+                br = _BitReader(segs[seg_i])
+                pred = {m[0]: 0 for m in sc["members"]}
+            for ci, dtab, _ in sc["members"]:
+                dct = huff.get((0, dtab))
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        unit(ci, (my * sv + by) * cw[ci] + mx * sh + bx,
+                             dct)
+            n += 1
+
+
+def _scan_ac(sc, coef, cw, bw, bh) -> None:
+    """Progressive AC scan (Ss>0; single component, non-interleaved).
+    First pass (Ah=0) decodes shifted coefficients with EOBn run codes;
+    refinement (Ah>0) follows T.81 G.1.2.3 / libjpeg
+    ``decode_mcu_AC_refine``: ±1<<Al for newly nonzero positions,
+    correction bits for already-nonzero ones. Coefficients stay in
+    zigzag index order (dezigzag happens at reconstruction)."""
+    segs, huff, dri = sc["segs"], sc["huff"], sc["dri"]
+    ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+    ci, _, atab = sc["members"][0]
+    act = huff[(1, atab)]
+    br = _BitReader(segs[0])
+    seg_i = 0
+    eobrun = 0
+    p1 = 1 << al
+    n = 0
+    for row in range(bh[ci]):
+        for col in range(bw[ci]):
+            if dri and n and n % dri == 0:
+                seg_i += 1
+                br = _BitReader(segs[seg_i])
+                eobrun = 0
+            n += 1
+            blk = coef[ci][row * cw[ci] + col]
+            if ah == 0:  # first pass
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _dec_sym(br, act)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read(r)
+                        break
+                    k += r
+                    blk[k] = _extend(br.read(s), s) << al
+                    k += 1
+                continue
+            # refinement pass
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _dec_sym(br, act)
+                    r, s = rs >> 4, rs & 15
+                    if s:
+                        s = p1 if br.read1() else -p1
+                    elif r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read(r)
+                        break
+                    # advance over r zero-history positions, emitting
+                    # correction bits for every nonzero one passed
+                    while k <= se:
+                        v = int(blk[k])
+                        if v != 0:
+                            if br.read1() and (v & p1) == 0:
+                                blk[k] = v + (p1 if v >= 0 else -p1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s and k <= se:
+                        blk[k] = s
+                    k += 1
+            if eobrun > 0:  # tail: correction bits only
+                while k <= se:
+                    v = int(blk[k])
+                    if v != 0 and br.read1() and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else -p1)
+                    k += 1
+                eobrun -= 1
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """JFIF bytes → (h, w) uint8 gray or (h, w, 3) uint8 RGB. Baseline /
+    extended sequential AND progressive (SOF2: spectral selection +
+    successive approximation, multi-scan) Huffman streams; arithmetic
+    coding, hierarchical, and lossless stay loud rejects."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    i = 2
+    qt: "dict[int, np.ndarray]" = {}
+    huff: "dict[tuple[int, int], dict]" = {}
+    comps = None
+    h = w = None
+    dri = 0
+    scans: "list[dict]" = []
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: optional fill bytes before a marker
+            i += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (ln,) = struct.unpack_from(">H", b, i + 2)
+        body = b[i + 4:i + 2 + ln]
+        i += 2 + ln
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 15
+                if pq:
+                    raise NotImplementedError("16-bit quant tables")
+                t = np.zeros(64, np.int32)
+                t[_ZZ] = np.frombuffer(body, np.uint8, 64, p + 1)
+                qt[tq] = t.reshape(8, 8)
+                p += 65
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+            prec, h, w, nc = struct.unpack_from(">BHHB", body)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG precision")
+            comps = []
+            for k in range(nc):
+                cid, sampb, tq = body[6 + 3 * k:9 + 3 * k]
+                comps.append({"id": cid, "h": sampb >> 4, "v": sampb & 15,
+                              "tq": tq})
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "arithmetic/hierarchical/lossless JPEG (sequential and "
+                "progressive Huffman only)"
+            )
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 15
+                counts = list(body[p + 1:p + 17])
+                nsym = sum(counts)
+                syms = list(body[p + 17:p + 17 + nsym])
+                codes = _huff_codes(counts, syms)
+                huff[(tc, th)] = {(lnn, c): s
+                                  for s, (c, lnn) in codes.items()}
+                p += 17 + nsym
+        elif marker == 0xDD:
+            (dri,) = struct.unpack_from(">H", body)
+        elif marker == 0xDA:  # SOS: entropy data follows
+            ns = body[0]
+            scomp = []
+            for k in range(ns):
+                cid, tabs = body[1 + 2 * k:3 + 2 * k]
+                scomp.append((cid, tabs >> 4, tabs & 15))
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            # scan ends at the first marker that is not RST/stuffing
+            j = i
+            while j + 1 < len(b):
+                if b[j] == 0xFF and b[j + 1] != 0 and not \
+                        (0xD0 <= b[j + 1] <= 0xD7):
+                    break
+                j += 1
+            scans.append({
+                "comps": scomp, "ss": ss, "se": se,
+                "ah": ahal >> 4, "al": ahal & 15,
+                "segs": _split_rst(b[i:j]),
+                "huff": dict(huff), "dri": dri,  # tables as of THIS scan
+            })
+            i = j
+        # other APPn/COM segments: skipped
+    if comps is None or not scans:
+        raise ValueError("JPEG without SOF/SOS")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    sampling = tuple((c["h"], c["v"]) for c in comps)
+    if len(comps) == 1:
+        hmax = vmax = 1
+        sampling = ((1, 1),)
+    elif sampling not in (((1, 1), (1, 1), (1, 1)),
+                          ((2, 2), (1, 1), (1, 1))):
+        raise NotImplementedError(
+            f"sampling grid {sampling} (4:4:4 and 4:2:0 only)"
+        )
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    ncomp = len(comps)
+    samp = [sampling[ci] for ci in range(ncomp)]
+    cw = [mcus_x * s[0] for s in samp]
+    chh = [mcus_y * s[1] for s in samp]
+    # non-padded block grid per component (progressive non-interleaved
+    # scans cover exactly these blocks; MCU padding blocks stay zero)
+    def cdiv(a, d):
+        return -(-a // d)
+
+    bw = [cdiv(cdiv(w * s[0], hmax), 8) for s in samp]
+    bh = [cdiv(cdiv(h * s[1], vmax), 8) for s in samp]
+    coef = [np.zeros((chh[ci] * cw[ci], 64), np.int32)
+            for ci in range(ncomp)]
+    idmap = {c["id"]: ci for ci, c in enumerate(comps)}
+
+    for sc in scans:
+        sc["members"] = [(idmap[cid], dt, at) for cid, dt, at in sc["comps"]]
+        if sc["ss"] == 0 and sc["se"] == 63:
+            _scan_sequential(sc, comps, samp, coef, cw, mcus_x, mcus_y)
+        elif sc["ss"] == 0:
+            _scan_dc(sc, comps, samp, coef, cw, bw, bh, mcus_x, mcus_y)
+        else:
+            if len(sc["members"]) != 1:
+                raise ValueError("progressive AC scan with >1 component")
+            _scan_ac(sc, coef, cw, bw, bh)
 
     planes = []
     for ci, c in enumerate(comps):

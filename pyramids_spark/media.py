@@ -107,7 +107,8 @@ def synth_media(spark, docs: DataFrame, real_payloads: bool = True) -> DataFrame
                     payloads.append(b"".join(frames))
                 else:
                     # rotate real image containers by seed so the corpus
-                    # mixes PGM, grayscale/RGB PNG and baseline-JPEG payloads
+                    # mixes PGM, grayscale/RGB PNG and baseline/progressive
+                    # JPEG payloads
                     pick = int(seed) % 4
                     if pick == 3:
                         from . import jpeg as _jp
@@ -117,6 +118,7 @@ def synth_media(spark, docs: DataFrame, real_payloads: bool = True) -> DataFrame
                                 rng.integers(0, 256, size=(int(hh), int(w), 3),
                                              dtype=np.int64).astype(np.uint8),
                                 quality=90,
+                                progressive=bool(int(seed) % 8 == 7),
                             )
                         )
                     elif pick == 0:

@@ -62,12 +62,111 @@ def test_jpeg_quality_monotone_and_size():
     assert ehi < elo
 
 
-def test_jpeg_progressive_rejects():
+def test_jpeg_arithmetic_rejects():
     enc = bytearray(jpeg.encode_jpeg(np.zeros((8, 8), np.uint8)))
     at = enc.find(b"\xff\xc0")
-    enc[at + 1] = 0xC2  # SOF0 → SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    enc[at + 1] = 0xC9  # SOF0 → SOF9 (arithmetic sequential)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         jpeg.decode_jpeg(bytes(enc))
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """Spectral-selection progressive (our encoder's layout: interleaved
+    DC scan + one full-band AC scan per component) decodes to EXACTLY the
+    baseline pixels — same coefficients, different entropy layout."""
+    rng = np.random.default_rng(21)
+    for shape, kw in [((16, 24), {}), ((21, 13, 3), {"subsample": False}),
+                      ((21, 13, 3), {"subsample": True}),
+                      ((32, 32, 3), {"subsample": True})]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90, **kw))
+        pb = jpeg.encode_jpeg(img, quality=90, progressive=True, **kw)
+        assert b"\xff\xc2" in pb  # really SOF2
+        assert pb.count(b"\xff\xda") == (2 if img.ndim == 2 else 4)
+        assert np.array_equal(jpeg.decode_jpeg(pb), base)
+    assert codecs.sniff(pb) == "jpeg"
+    with pytest.raises(NotImplementedError, match="restart"):
+        jpeg.encode_jpeg(img, progressive=True, restart=2)
+
+
+def test_jpeg_progressive_successive_approximation():
+    """Hand-built 4-scan stream over two 8×8 gray blocks exercising every
+    refine path: DC first/refine at Al=1/0, AC first with an EOBn run
+    (EOB1 spanning both blocks), AC refine with tail correction bits and
+    a newly-nonzero coefficient after a zero-run. Expected pixels come
+    from the module's own IDCT on the intended final coefficients —
+    the test isolates the progressive ENTROPY decode."""
+    import struct
+
+    dc_counts = [0] * 16
+    dc_counts[0] = 1
+    dc_counts[1] = 1
+    dc_syms = [2, 3]
+    ac_counts = [0] * 16
+    ac_counts[2] = 5
+    ac_syms = [0x01, 0x31, 0x10, 0x00, 0x11]
+    dcc = jpeg._huff_codes(dc_counts, dc_syms)
+    acc = jpeg._huff_codes(ac_counts, ac_syms)
+
+    def wput(bwt, sym, tab):
+        c, ln = tab[sym]
+        bwt.put(c, ln)
+
+    # A: DC=6, zz1=-3, zz5=2 ; B: DC=-5, zz2=1
+    b1 = jpeg._BitWriter()  # DC first, Al=1: diffs of coef>>1 = 3, -6
+    for d in (3, -6):
+        s, bits = jpeg._mag(d)
+        wput(b1, s, dcc)
+        b1.put(bits, s)
+    b1.flush()
+    b2 = jpeg._BitWriter()  # AC first, Al=1: A gets -1@zz1, 1@zz5
+    wput(b2, 0x01, acc)
+    b2.put(jpeg._mag(-1)[1], 1)
+    wput(b2, 0x31, acc)
+    b2.put(jpeg._mag(1)[1], 1)
+    wput(b2, 0x10, acc)  # EOB1: eobrun = 2 covers rest of A + all of B
+    b2.put(0, 1)
+    b2.flush()
+    b3 = jpeg._BitWriter()  # DC refine: A bit 0 (6 stays), B bit 1 (-6→-5)
+    b3.put(0, 1)
+    b3.put(1, 1)
+    b3.flush()
+    b4 = jpeg._BitWriter()  # AC refine, Al=0
+    wput(b4, 0x00, acc)  # A: EOB → tail corrections
+    b4.put(1, 1)  # zz1: -2 → -3
+    b4.put(0, 1)  # zz5: stays 2
+    wput(b4, 0x11, acc)  # B: skip 1 zero, new +1 at zz2
+    b4.put(1, 1)
+    wput(b4, 0x00, acc)  # B: EOB (no corrections past k)
+    b4.flush()
+
+    def seg(m, body):
+        return struct.pack(">HH", m, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, b"\x00" + bytes(np.ones(64, np.uint8)))
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xFFC4, b"\x00" + bytes(dc_counts) + bytes(dc_syms))
+    out += seg(0xFFC4, b"\x10" + bytes(ac_counts) + bytes(ac_syms))
+    for (ss, se, ah, al), ent in [((0, 0, 0, 1), b1), ((1, 63, 0, 1), b2),
+                                  ((0, 0, 1, 0), b3), ((1, 63, 1, 0), b4)]:
+        out += seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += ent.buf
+    out += b"\xff\xd9"
+
+    got = jpeg.decode_jpeg(bytes(out))
+    zzA = np.zeros(64, np.int32)
+    zzA[0], zzA[1], zzA[5] = 6, -3, 2
+    zzB = np.zeros(64, np.int32)
+    zzB[0], zzB[2] = -5, 1
+    exp = []
+    for zz in (zzA, zzB):
+        d = np.zeros(64, np.int32)
+        d[jpeg._ZZ] = zz
+        px = np.einsum("ji,jk,kl->il", jpeg._M,
+                       d.reshape(8, 8).astype(float), jpeg._M) + 128.0
+        exp.append(np.clip(np.rint(px), 0, 255).astype(np.uint8))
+    assert np.array_equal(got, np.concatenate(exp, axis=1))
 
 
 def test_jpeg_through_codec_dispatch():
