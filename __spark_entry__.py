@@ -1239,6 +1239,28 @@ def sql_zarr_roundtrip_u8():
     )
 
 
+def q_zarr_v3_roundtrip(spark, sf_dir):
+    """Container gate (round 5): REAL zarr v3 store — one zarr.json
+    (node_type array, regular chunk grid, bytes+gzip codec pipeline,
+    default c/b/i/j chunk keys), float32 storage — written and read back
+    distributed; the oracle is the grid generator, as for the v2 twin."""
+    from pyramids_spark.api import SparkDataset
+
+    ds = SparkDataset(grid_df(spark, COELLO), COELLO)
+    ds.to_zarr("/tmp/pyramids_q_zarr3", chunks=(7, 9), compress=4,
+               dtype="float32", zarr_format=3)
+    back = SparkDataset.from_zarr(spark, "/tmp/pyramids_q_zarr3")
+    return back.df.select("band", "row", "col", "value")
+
+
+def sql_zarr_v3_roundtrip():
+    return (
+        f"WITH g AS ({grid_sql(COELLO)}) "
+        "SELECT band, row, col, CAST(CAST(value AS FLOAT) AS DOUBLE) "
+        "AS value FROM g WHERE value IS NOT NULL"
+    )
+
+
 def q_list_layers(spark, sf_dir):
     """``FeatureCollection.list_layers`` (``feature/collection.py:1240``,
     pyogrio multi-layer listing ≙ parquet datasets in a container dir) +
@@ -3660,6 +3682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 additions go here (inside the first-50 window) --
         "geotiff_roundtrip_i16": q_geotiff_roundtrip_i16,
         "zarr_roundtrip_u8": q_zarr_roundtrip_u8,
+        "zarr_v3_roundtrip": q_zarr_v3_roundtrip,
         "netcdf_roundtrip": q_netcdf_roundtrip,
         "netcdf4_roundtrip": q_netcdf4_roundtrip,
         "cog_mosaic_roundtrip": q_cog_mosaic_roundtrip,
@@ -3805,6 +3828,7 @@ def oracle_sql() -> dict[str, str]:
         "list_layers": sql_list_layers(),
         "zarr_roundtrip": sql_zarr_roundtrip(),
         "zarr_roundtrip_u8": sql_zarr_roundtrip_u8(),
+        "zarr_v3_roundtrip": sql_zarr_v3_roundtrip(),
         "geotiff_roundtrip_i16": sql_geotiff_roundtrip_i16(),
         "netcdf_roundtrip": sql_netcdf_roundtrip(),
         "netcdf4_roundtrip": sql_netcdf4_roundtrip(),

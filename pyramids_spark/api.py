@@ -99,21 +99,23 @@ class SparkDataset:
     def to_zarr(
         self, path: str, chunks: tuple[int, int] = (256, 256),
         compress: "int | None" = None, dtype: str = "float64",
+        zarr_format: int = 2,
     ):
-        """Write a REAL zarr v2 store (raw or zlib-compressed chunks +
-        .zarray/.zattrs JSON — ``pyramids_spark.zarr``; reference
-        ``to_zarr`` wraps GDAL's Zarr driver). ``dtype`` picks the storage
-        dtype from the reference's GDAL dtype table
-        (``pyramids_spark.dtypes``). Returns the per-chunk manifest
-        (lineage)."""
+        """Write a REAL zarr store (``zarr_format`` 2: raw/zlib chunks +
+        .zarray/.zattrs JSON; 3: zarr.json + bytes/gzip codec pipeline —
+        ``pyramids_spark.zarr``; reference ``to_zarr`` wraps GDAL's Zarr
+        driver). ``dtype`` picks the storage dtype from the reference's
+        GDAL dtype table (``pyramids_spark.dtypes``). Returns the
+        per-chunk manifest (lineage)."""
         from . import zarr as _zarr
 
-        return _zarr.write_zarr(self.df, self.grid, path, chunks, compress, dtype)
+        return _zarr.write_zarr(self.df, self.grid, path, chunks, compress,
+                                dtype, zarr_format)
 
     @classmethod
     def from_zarr(cls, spark: SparkSession, path: str) -> "SparkDataset":
-        """Open a zarr v2 store written by :meth:`to_zarr` (distributed
-        binaryFile chunk scan; georeferencing from .zattrs)."""
+        """Open a zarr v2 or v3 store (distributed binaryFile chunk scan;
+        georeferencing from .zattrs / zarr.json attributes)."""
         from . import zarr as _zarr
 
         df, grid = _zarr.read_zarr(spark, path)

@@ -1,8 +1,11 @@
-"""Real Zarr v2 container I/O in pure numpy + json — no zarr library.
+"""Real Zarr v2 AND v3 container I/O in pure numpy + json — no zarr
+library.
 
 Reference surface: ``Dataset.to_zarr`` / zarr ingest (the reference wraps
-GDAL's Zarr driver). The v2 on-disk format is a PUBLIC spec simple enough
-to implement directly for the raw/zlib case: a store directory holding
+GDAL's Zarr driver). Both on-disk formats are PUBLIC specs simple enough
+to implement directly for the raw/zlib/gzip case.
+
+v2: a store directory holding
 
 - ``.zarray``  — JSON array metadata (shape, chunks, dtype, fill_value,
   ``compressor: null`` = raw chunks, ``order: "C"``),
@@ -13,6 +16,16 @@ to implement directly for the raw/zlib case: a store directory holding
   (``pyramids_spark.dtypes`` — uint8…float64, the reference's GDAL dtype
   table), edge chunks padded to FULL chunk shape with ``fill_value``
   (per spec).
+
+v3 (zarr-python 3's default): one ``zarr.json`` document (node_type
+"array") carrying shape, ``data_type`` (plain names — endianness moved
+into the ``bytes`` codec), a regular ``chunk_grid``, a
+``chunk_key_encoding`` ("default" → ``c/b/i/j`` nested keys, or "v2" →
+flat ``b.i.j``), a codec pipeline (``bytes`` + optional ``gzip`` —
+stdlib; blosc/zstd/sharding reject loudly), ``fill_value`` ("NaN"
+spelled as a string for floats), and user ``attributes`` inline. The
+read side handles both separators of both encodings by parsing the
+trailing numeric path tokens.
 
 Distributed shape: the WRITE groups cells by chunk id and each task
 serializes + writes its own chunk files (one shuffle on the chunk key —
@@ -42,14 +55,19 @@ from .grid import Grid
 def write_zarr(
     cells_df: DataFrame, grid: Grid, path: str, chunks: tuple[int, int] = (256, 256),
     compress: "int | None" = None, dtype: str = "float64",
+    zarr_format: int = 2,
 ) -> pd.DataFrame:
-    """Write the cell table as a zarr v2 array ``[bands, rows, cols]``
-    (band chunk size 1). ``compress`` = zlib level 1-9 (numcodecs ``zlib``
-    compressor id — stdlib, no dependency) or None for raw chunks.
+    """Write the cell table as a zarr array ``[bands, rows, cols]`` (band
+    chunk size 1). ``zarr_format`` 2 writes ``.zarray``/``.zattrs`` +
+    flat ``b.i.j`` chunks; 3 writes ``zarr.json`` + nested ``c/b/i/j``
+    chunks. ``compress`` = level 1-9 (v2: numcodecs ``zlib``; v3: the
+    ``gzip`` codec — both stdlib, no dependency) or None for raw chunks.
     ``dtype`` is the STORAGE dtype (``pyramids_spark.dtypes``; reference
     GDAL table ``base/_utils.py:16-56``) — integer stores need a
     representable nodata and integral in-range values. Returns the chunk
     manifest as pandas ``(band, ci, cj, n_cells, n_bytes, file)``."""
+    if zarr_format not in (2, 3):
+        raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format}")
     ch, cw = int(chunks[0]), int(chunks[1])
     rows, cols = grid.rows, grid.cols
     dt_name = _dt.resolve(dtype)
@@ -57,37 +75,67 @@ def write_zarr(
     os.makedirs(path, exist_ok=True)
     n_bands_row = cells_df.select(F.max("band").alias("m")).collect()[0]
     n_bands = int(n_bands_row["m"]) + 1 if n_bands_row["m"] is not None else 1
-    meta = {
-        "zarr_format": 2,
-        "shape": [n_bands, rows, cols],
-        "chunks": [1, ch, cw],
-        "dtype": _dt.TO_ZARR[dt_name],
-        "compressor": None if compress is None else {"id": "zlib", "level": int(compress)},
-        "fill_value": (
-            "NaN" if math.isnan(fill)
-            else (fill if _dt.is_float(dt_name) else int(fill))
-        ),
-        "order": "C",
-        "filters": None,
-    }
-    with open(os.path.join(path, ".zarray"), "w") as f:
-        json.dump(meta, f)
-    with open(os.path.join(path, ".zattrs"), "w") as f:
-        json.dump(
-            {"x0": grid.x0, "y0": grid.y0, "cell": grid.cell,
-             "epsg": grid.epsg, "nodata": grid.nodata},
-            f,
-        )
+    fill_json = (
+        "NaN" if math.isnan(fill)
+        else (fill if _dt.is_float(dt_name) else int(fill))
+    )
+    attrs = {"x0": grid.x0, "y0": grid.y0, "cell": grid.cell,
+             "epsg": grid.epsg, "nodata": grid.nodata}
+    if zarr_format == 2:
+        meta = {
+            "zarr_format": 2,
+            "shape": [n_bands, rows, cols],
+            "chunks": [1, ch, cw],
+            "dtype": _dt.TO_ZARR[dt_name],
+            "compressor": None if compress is None else {"id": "zlib", "level": int(compress)},
+            "fill_value": fill_json,
+            "order": "C",
+            "filters": None,
+        }
+        with open(os.path.join(path, ".zarray"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(path, ".zattrs"), "w") as f:
+            json.dump(attrs, f)
+    else:
+        codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+        if compress is not None:
+            codecs.append(
+                {"name": "gzip", "configuration": {"level": int(compress)}}
+            )
+        meta = {
+            "zarr_format": 3,
+            "node_type": "array",
+            "shape": [n_bands, rows, cols],
+            "data_type": dt_name,
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": [1, ch, cw]}},
+            "chunk_key_encoding": {"name": "default",
+                                   "configuration": {"separator": "/"}},
+            "fill_value": fill_json,
+            "codecs": codecs,
+            "attributes": attrs,
+            "dimension_names": ["band", "y", "x"],
+        }
+        with open(os.path.join(path, "zarr.json"), "w") as f:
+            json.dump(meta, f)
 
     def write_chunks(key, pdf: pd.DataFrame) -> pd.DataFrame:
         b, ci, cj = int(key[0]), int(key[1]), int(key[2])
         block = _blocks.dense_block(pdf, ch, cw, ci * ch, cj * cw, fill)
-        name = f"{b}.{ci}.{cj}"
         data = _dt.cast_block(block, dt_name).tobytes(order="C")
-        if compress is not None:
-            import zlib
+        if zarr_format == 2:
+            name = f"{b}.{ci}.{cj}"
+            if compress is not None:
+                import zlib
 
-            data = zlib.compress(data, int(compress))
+                data = zlib.compress(data, int(compress))
+        else:
+            name = f"c/{b}/{ci}/{cj}"
+            os.makedirs(os.path.join(path, f"c/{b}/{ci}"), exist_ok=True)
+            if compress is not None:
+                import gzip
+
+                data = gzip.compress(data, compresslevel=int(compress))
         with open(os.path.join(path, name), "wb") as f:
             f.write(data)
         return pd.DataFrame(
@@ -114,10 +162,13 @@ def write_zarr(
 
 
 def read_zarr(spark: SparkSession, path: str) -> tuple[DataFrame, Grid]:
-    """Open a (this-module-shaped: raw or zlib chunks, band-chunk 1)
-    zarr v2 store → (cell table, Grid). Chunks are scanned with the
-    ``binaryFile`` source — a distributed read, no driver loop; fill cells
-    drop (absent-row nodata contract)."""
+    """Open a zarr store → (cell table, Grid): v3 when ``zarr.json`` is
+    present, else v2 via ``.zarray``. Supported chunks: raw / zlib (v2) /
+    gzip (v3), band-chunk 1. Chunks are scanned with the ``binaryFile``
+    source — a distributed read, no driver loop; fill cells drop
+    (absent-row nodata contract)."""
+    if os.path.exists(os.path.join(path, "zarr.json")):
+        return _read_zarr_v3(spark, path)
     with open(os.path.join(path, ".zarray")) as f:
         meta = json.load(f)
     comp = meta.get("compressor")
@@ -178,3 +229,85 @@ def read_zarr(spark: SparkSession, path: str) -> tuple[DataFrame, Grid]:
         .select("path", "content")
     )
     return files.mapInPandas(decode, "band long, row long, col long, value double"), grid
+
+
+def _read_zarr_v3(spark: SparkSession, path: str) -> tuple[DataFrame, Grid]:
+    """v3 array store: ``zarr.json`` metadata, ``bytes`` (+ optional
+    ``gzip``) codec pipeline, "default" or "v2" chunk key encoding with
+    either separator — indices parse from the trailing numeric path
+    tokens, which covers all four layouts uniformly."""
+    import re
+
+    with open(os.path.join(path, "zarr.json")) as f:
+        meta = json.load(f)
+    cg = meta.get("chunk_grid") or {}
+    cshape = (cg.get("configuration") or {}).get("chunk_shape", [])
+    codecs = meta.get("codecs") or []
+    names = [c.get("name") for c in codecs]
+    dt = str(meta.get("data_type"))
+    ok = (
+        meta.get("zarr_format") == 3
+        and meta.get("node_type") == "array"
+        and cg.get("name") == "regular"
+        and len(meta.get("shape", [])) == 3
+        and len(cshape) == 3 and cshape[0] == 1
+        and dt in _dt.TABLE
+        and names[:1] == ["bytes"] and names[1:] in ([], ["gzip"])
+        and (meta.get("chunk_key_encoding") or {}).get("name")
+        in (None, "default", "v2")
+    )
+    if not ok:
+        raise NotImplementedError(
+            "supported zarr v3 stores: array node, regular 3-D chunk grid "
+            "with band-chunk 1, bytes [+ gzip] codecs (blosc/zstd/sharding "
+            f"out of scope), {sorted(_dt.TABLE)} dtypes, default/v2 chunk "
+            f"keys (got {meta})"
+        )
+    endian = (codecs[0].get("configuration") or {}).get("endian", "little")
+    np_dt_str = ("<" if endian == "little" else ">") + _dt.TABLE[dt][0].lstrip("<|")
+    gz = len(names) == 2
+    _, rows, cols = meta["shape"]
+    _, ch, cw = cshape
+    fv = meta.get("fill_value")
+    # JSON floats plus the spec's "NaN"/"Infinity"/"-Infinity" strings
+    fill = float("nan") if fv is None else float(fv)
+    attrs = meta.get("attributes") or {}
+    grid = Grid(
+        x0=float(attrs.get("x0", 0.0)), y0=float(attrs.get("y0", 0.0)),
+        cell=float(attrs.get("cell", 1.0)), rows=rows, cols=cols,
+        epsg=int(attrs.get("epsg", 4326)), nodata=attrs.get("nodata"),
+    )
+
+    def decode(batches):
+        import gzip as _gzip
+
+        for pdf in batches:
+            frames = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                toks = re.split(r"[/.]", p)
+                b, ci, cj = (int(t) for t in toks[-3:])
+                if gz:
+                    content = _gzip.decompress(content)
+                block = (
+                    np.frombuffer(content, dtype=np_dt_str)
+                    .reshape(ch, cw)
+                    .astype("<f8")
+                )
+                frames.append(
+                    _blocks.sparse_cells(block, b, ci * ch, cj * cw, rows,
+                                         cols, fill)
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "[0-9c]*")  # chunk leaves; not zarr.json
+        .load(path)
+        .select("path", "content")
+    )
+    return (
+        files.mapInPandas(decode, "band long, row long, col long, value double"),
+        grid,
+    )

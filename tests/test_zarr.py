@@ -141,3 +141,73 @@ def test_sparse_cells_nan_drops_under_explicit_fill():
     out = _blocks.sparse_cells(block, 0, 0, 0, 2, 2, fill=5.0)
     got = sorted(zip(out["row"], out["col"], out["value"]))
     assert got == [(0, 0, 1.0), (1, 1, 2.0)]
+
+
+def test_zarr_v3_roundtrip_and_chunk_bytes(spark, tmp_path):
+    """v3 store: zarr.json metadata, nested c/b/i/j gzip chunks; byte-level
+    chunk oracle; round trip equals the source cell set."""
+    import gzip as _gz
+
+    store = str(tmp_path / "z3")
+    g = COELLO
+    ds = SparkDataset(grid_df(spark, g), g)
+    man = ds.to_zarr(store, chunks=(5, 4), compress=6, zarr_format=3)
+    meta = json.load(open(os.path.join(store, "zarr.json")))
+    assert meta["zarr_format"] == 3 and meta["node_type"] == "array"
+    assert meta["shape"] == [1, g.rows, g.cols]
+    assert meta["chunk_grid"]["configuration"]["chunk_shape"] == [1, 5, 4]
+    assert [c["name"] for c in meta["codecs"]] == ["bytes", "gzip"]
+    assert meta["data_type"] == "float64"
+    assert meta["attributes"]["epsg"] == g.epsg
+    # byte-level oracle on chunk (0,0,0): gzip of the fill-padded block
+    src = ds.df.toPandas()
+    blk = np.full((5, 4), g.nodata, dtype=np.float64)
+    sel = src[(src.row < 5) & (src.col < 4) & src.value.notna()]
+    blk[sel.row.to_numpy(), sel.col.to_numpy()] = sel.value.to_numpy()
+    raw = _gz.decompress(open(os.path.join(store, "c/0/0/0"), "rb").read())
+    np.testing.assert_array_equal(np.frombuffer(raw, "<f8").reshape(5, 4), blk)
+    assert (man["file"].str.startswith("c/")).all()
+    back = SparkDataset.from_zarr(spark, store)
+    assert back.grid == g
+    a = {(r.band, r.row, r.col): r.value
+         for r in ds.df.where(F.col("value").isNotNull()).collect()}
+    b = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_zarr_v3_foreign_layouts_and_rejects(spark, tmp_path):
+    """Wild v3 layouts: "v2" chunk-key encoding with "." separator and a
+    raw bytes-only pipeline read identically; blosc and sharding reject
+    loudly; uint16 dtype honors the bytes-codec endian."""
+    import shutil
+
+    g = Grid(x0=0.0, y0=8.0, cell=1.0, rows=8, cols=8, epsg=4326,
+             nodata=9999.0)
+    ds = SparkDataset.create(spark, g, "CAST(row * 8 + col AS DOUBLE)")
+    store = str(tmp_path / "zv3")
+    ds.to_zarr(store, chunks=(4, 4), dtype="uint16", zarr_format=3)
+    meta = json.load(open(os.path.join(store, "zarr.json")))
+    assert meta["data_type"] == "uint16" and meta["fill_value"] == 9999
+    # rewrite as flat "v2"-encoded "." keys — same chunk bytes
+    flat = tmp_path / "zflat"
+    flat.mkdir()
+    meta["chunk_key_encoding"] = {"name": "v2",
+                                  "configuration": {"separator": "."}}
+    (flat / "zarr.json").write_text(json.dumps(meta))
+    for b in (0,):
+        for ci in range(2):
+            for cj in range(2):
+                shutil.copyfile(
+                    os.path.join(store, f"c/{b}/{ci}/{cj}"),
+                    str(flat / f"{b}.{ci}.{cj}"),
+                )
+    a = {(r.band, r.row, r.col): r.value
+         for r in SparkDataset.from_zarr(spark, store).df.collect()}
+    b2 = {(r.band, r.row, r.col): r.value
+          for r in SparkDataset.from_zarr(spark, str(flat)).df.collect()}
+    assert a == b2 and len(a) == 64
+    # foreign codec pipelines reject
+    meta["codecs"] = [{"name": "bytes"}, {"name": "blosc"}]
+    (flat / "zarr.json").write_text(json.dumps(meta))
+    with pytest.raises(NotImplementedError, match="zarr v3"):
+        SparkDataset.from_zarr(spark, str(flat))
