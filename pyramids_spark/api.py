@@ -125,6 +125,7 @@ class SparkDataset:
         self, path: str, levels: tuple[int, ...] = (2, 4),
         tile: tuple[int, int] = (256, 256), compress: "int | None" = None,
         dtype: str = "float64", bigtiff: "bool | None" = None,
+        predictor: int = 1,
     ) -> int:
         """Export a REAL tiled GeoTIFF with an embedded averaged overview
         pyramid (COG-shaped; ``pyramids_spark.tiff`` — pure struct/numpy,
@@ -158,13 +159,14 @@ class SparkDataset:
             )
             per.append((ov, g))
         return _tiff.write_geotiff(
-            per, n_bands, path, tile, compress, dtype, bigtiff
+            per, n_bands, path, tile, compress, dtype, bigtiff, predictor
         )
 
     def to_cog_parts(
         self, out_dir: str, shard: tuple[int, int] = (4096, 4096),
         tile: tuple[int, int] = (256, 256), levels: tuple[int, ...] = (),
         compress: "int | None" = None, dtype: str = "float64",
+        predictor: int = 1,
     ):
         """The PARALLEL GeoTIFF sink (the scale path past the single-file
         driver stream): one standalone COG per aligned super-tile shard,
@@ -178,7 +180,7 @@ class SparkDataset:
         n_bands = int(m) + 1 if m is not None else 1
         return _tiff.write_cog_parts(
             self.df, self.grid, n_bands, out_dir, shard, tile, levels,
-            compress, dtype,
+            compress, dtype, predictor,
         )
 
     @classmethod

@@ -195,13 +195,47 @@ def _unpredict2(block: "np.ndarray") -> "np.ndarray":
     return c.view(block.dtype)
 
 
-def _layout(ifds: "list[_Ifd]", nod_len: int, v: _Variant) -> "tuple[list[int], int]":
+def _predict2(block: "np.ndarray") -> "np.ndarray":
+    """TIFF Predictor 2 forward transform: per-row horizontal differencing
+    in the sample's unsigned view — the exact inverse of ``_unpredict2``.
+    Smooth rasters difference into near-zero runs, which is what makes
+    LZW/DEFLATE earn their keep on continental exports."""
+    u = block.view(f"<u{block.dtype.itemsize}") if block.dtype.kind == "i" \
+        else block
+    d = u.copy()
+    d[:, 1:] -= u[:, :-1]
+    return d.view(block.dtype)
+
+
+def _check_predictor(predictor: int, dt_name: str) -> None:
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor must be 1 or 2, got {predictor}")
+    if predictor == 2 and _dt.is_float(dt_name):
+        raise NotImplementedError(
+            "Predictor 2 (horizontal differencing) is integer-only; the "
+            "floating-point predictor (3) is out of scope"
+        )
+
+
+def _encode_tile(arr: "np.ndarray", compress, predictor: int) -> bytes:
+    """Storage-dtype tile block → on-disk bytes (predictor, then codec)."""
+    if predictor == 2:
+        arr = _predict2(arr)
+    return _compress(arr.tobytes(order="C"), compress)
+
+
+def _layout(
+    ifds: "list[_Ifd]", nod_len: int, v: _Variant, extra_tags: int = 0,
+) -> "tuple[list[int], int]":
     """Assign every IFD's header/array positions; return (ifd positions,
-    data start). Layout: [header][IFD + external arrays]*[tile data]."""
+    data start). Layout: [header][IFD + external arrays]*[tile data].
+    ``extra_tags`` = optional inline tags beyond the fixed 15 (e.g.
+    Predictor) — MUST match what ``_write_ifd_headers`` emits, or every
+    external-array offset shifts."""
     pos = v.header_len
     ifd_pos: list[int] = []
     for f_ in ifds:
-        n_tags = 15 + (1 if f_.is_overview else 0)
+        n_tags = 15 + extra_tags + (1 if f_.is_overview else 0)
         ifd_pos.append(pos)
         pos += v.count_len + n_tags * v.entry + v.off_len
         ext = 0
@@ -223,7 +257,7 @@ def _layout(ifds: "list[_Ifd]", nod_len: int, v: _Variant) -> "tuple[list[int], 
 
 def _write_ifd_headers(
     fh, ifds, ifd_pos, per_level_grids, n_levels, v: _Variant,
-    bits, sfmt, compress, nod_ascii,
+    bits, sfmt, compress, nod_ascii, predictor: int = 1,
 ):
     """Emit every IFD's tag block + georeferencing arrays; record where
     the offset/count fields live for post-stream patching."""
@@ -254,6 +288,8 @@ def _write_ifd_headers(
             (_GEOKEYS, _T_SHORT, 16, f_.geo_at),  # 4-SHORT header + 3 keys
             (_GDAL_NODATA, _T_ASCII, len(nod_ascii), f_.nod_at),
         ]
+        if predictor == 2:
+            tags.append((_PREDICTOR, _T_SHORT, 1, 2))
         tags.sort(key=lambda t: t[0])
         fh.seek(ifd_pos[k])
         fh.write(struct.pack(v.count_fmt, len(tags)))
@@ -301,6 +337,7 @@ def write_geotiff(
     compress: "int | None" = None,
     dtype: str = "float64",
     bigtiff: "bool | None" = None,
+    predictor: int = 1,
 ) -> int:
     """Write bands × pyramid levels as one tiled GeoTIFF. ``per_level`` is
     [(cells_df, grid)] — full resolution first, then each overview (all
@@ -322,6 +359,7 @@ def write_geotiff(
     np_dt, bits, sfmt = (
         _dt.np_dtype(dt_name), _dt.TABLE[dt_name][1], _dt.TABLE[dt_name][2]
     )
+    _check_predictor(predictor, dt_name)
     fill = _dt.check_fill(dt_name, nodata)
 
     ifds: list[_Ifd] = []
@@ -334,7 +372,8 @@ def write_geotiff(
 
     def bound_of(v: _Variant) -> int:
         nod = len(_nodata_ascii(nodata, v.inline))
-        _, ds = _layout(ifds, nod, v)
+        _, ds = _layout(ifds, nod, v,
+                        extra_tags=1 if predictor == 2 else 0)
         b = ds + sum(f_.n_tiles * f_.tile_bytes for f_ in ifds)
         if compress == "lzw":  # LZW worst case is 12-bit codes per byte
             b = int(b * 1.51) + 4096
@@ -352,20 +391,21 @@ def write_geotiff(
         )
 
     nod_ascii = _nodata_ascii(nodata, v.inline)
-    ifd_pos, data_start = _layout(ifds, len(nod_ascii), v)
+    ifd_pos, data_start = _layout(ifds, len(nod_ascii), v,
+                              extra_tags=1 if predictor == 2 else 0)
 
     with open(path, "wb") as fh:
         fh.write(v.header(ifd_pos[0]))
         _write_ifd_headers(
             fh, ifds, ifd_pos, [g for _, g in per_level], len(per_level), v,
-            bits, sfmt, compress, nod_ascii,
+            bits, sfmt, compress, nod_ascii, predictor,
         )
 
         # ---- tile payloads: distributed block build, streamed in order ----
-        raw_fill = _dt.cast_block(
-            np.full((th, tw), fill, dtype="<f8"), dt_name
-        ).tobytes(order="C")
-        fill_tile = _compress(raw_fill, compress)
+        fill_tile = _encode_tile(
+            _dt.cast_block(np.full((th, tw), fill, dtype="<f8"), dt_name),
+            compress, predictor,
+        )
         cur = data_start
         for li, (cdf, g) in enumerate(per_level):
             nty, ntx = _ntiles(g.rows, g.cols, th, tw)
@@ -387,8 +427,8 @@ def write_geotiff(
                 block = _blocks.dense_block(pdf, th, tw, ti * th, tj * tw, fill)
                 # codec runs in the EXECUTORS — the driver only streams
                 # the ready bytes
-                data = _compress(
-                    _dt.cast_block(block, dt_name).tobytes(order="C"), compress
+                data = _encode_tile(
+                    _dt.cast_block(block, dt_name), compress, predictor
                 )
                 return pd.DataFrame(
                     {"band": [bb], "ti": [ti], "tj": [tj], "data": [data]}
@@ -444,6 +484,7 @@ def serialize_geotiff(
     compress: "int | None" = None,
     dtype: str = "float64",
     bigtiff: bool = False,
+    predictor: int = 1,
 ) -> bytes:
     """Serialize dense ``(bands, rows, cols)`` float64 arrays (one per
     pyramid level, full-res first) into a complete in-memory GeoTIFF —
@@ -457,6 +498,7 @@ def serialize_geotiff(
     np_dt, bits, sfmt = (
         _dt.np_dtype(dt_name), _dt.TABLE[dt_name][1], _dt.TABLE[dt_name][2]
     )
+    _check_predictor(predictor, dt_name)
     fill = _dt.check_fill(dt_name, base_grid.nodata)
     v = _Variant(bool(bigtiff))
     ifds: list[_Ifd] = []
@@ -467,7 +509,8 @@ def serialize_geotiff(
                      itemsize=np_dt.itemsize)
             )
     nod_ascii = _nodata_ascii(base_grid.nodata, v.inline)
-    ifd_pos, data_start = _layout(ifds, len(nod_ascii), v)
+    ifd_pos, data_start = _layout(ifds, len(nod_ascii), v,
+                              extra_tags=1 if predictor == 2 else 0)
 
     import io
 
@@ -475,7 +518,7 @@ def serialize_geotiff(
     fh.write(v.header(ifd_pos[0]))
     _write_ifd_headers(
         fh, ifds, ifd_pos, grids, len(grids), v, bits, sfmt, compress,
-        nod_ascii,
+        nod_ascii, predictor,
     )
     cur = data_start
     for b in range(n_bands):
@@ -488,8 +531,8 @@ def serialize_geotiff(
                 seg = arr[ti * th:(ti + 1) * th, tj * tw:(tj + 1) * tw]
                 block[: seg.shape[0], : seg.shape[1]] = seg
                 block[np.isnan(block)] = fill
-                data = _compress(
-                    _dt.cast_block(block, dt_name).tobytes(order="C"), compress
+                data = _encode_tile(
+                    _dt.cast_block(block, dt_name), compress, predictor
                 )
                 fh.seek(cur)
                 fh.write(data)
@@ -511,6 +554,7 @@ def write_cog_parts(
     levels: tuple[int, ...] = (),
     compress: "int | None" = None,
     dtype: str = "float64",
+    predictor: int = 1,
 ) -> pd.DataFrame:
     """The PARALLEL GeoTIFF sink: split the raster into aligned
     ``shard``-cell super-tiles and write one complete standalone COG per
@@ -598,7 +642,8 @@ def write_cog_parts(
                      rows=orow, cols=ocol, epsg=grid.epsg,
                      nodata=grid.nodata)
             )
-        data = serialize_geotiff(arrs, grids, tile, compress, dt_name)
+        data = serialize_geotiff(arrs, grids, tile, compress, dt_name,
+                                 predictor=predictor)
         name = f"part-r{pi}-c{pj}.tif"
         with open(os.path.join(out_dir, name), "wb") as f:
             f.write(data)

@@ -659,3 +659,57 @@ def test_cog_parts_rejects_out_of_extent_band(spark, tmp_path):
     with pytest.raises(Exception, match="outside grid extent"):
         ds.to_cog_parts(str(tmp_path / "p"), shard=(8, 8), tile=(4, 4),
                         levels=())
+
+
+def test_geotiff_write_predictor2(spark, tmp_path):
+    """predictor=2 on WRITE: Predictor tag lands in every IFD, round trip
+    is exact under both LZW and DEFLATE, a smooth gradient compresses
+    smaller than without the predictor, floats reject, and the sharded
+    COG-parts sink carries it too."""
+    import os
+    from dataclasses import replace
+
+    import pytest as _pytest
+
+    g = replace(Grid(x0=0.0, y0=64.0, cell=1.0, rows=64, cols=64,
+                     epsg=32636), nodata=-9999.0)
+    # smooth gradient: horizontal differencing turns rows into constants
+    ds = SparkDataset.create(spark, g, "CAST(row + col * 3 AS DOUBLE)")
+    sizes = {}
+    for pred in (1, 2):
+        p = str(tmp_path / f"p{pred}.tif")
+        ds.to_cog(p, levels=(), tile=(16, 16), compress="lzw",
+                  dtype="int16", predictor=pred)
+        sizes[pred] = os.path.getsize(p)
+        raw = open(p, "rb").read()
+        _, _, ifd0 = struct.unpack_from("<2sHI", raw, 0)
+        (n_tags,) = struct.unpack_from("<H", raw, ifd0)
+        tags = {
+            struct.unpack_from("<HHII", raw, ifd0 + 2 + 12 * i)[0]:
+            struct.unpack_from("<HHII", raw, ifd0 + 2 + 12 * i)[3]
+            for i in range(n_tags)
+        }
+        assert tags.get(317, 1) == pred or (pred == 1 and 317 not in tags)
+        back = SparkDataset.from_geotiff(spark, p)
+        a = {(r.band, r.row, r.col): r.value for r in ds.df.collect()}
+        b = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
+        assert a == b
+    assert sizes[2] < sizes[1]
+    # DEFLATE + predictor round trip
+    p = str(tmp_path / "pd.tif")
+    ds.to_cog(p, levels=(2,), tile=(16, 16), compress=6, dtype="int32",
+              predictor=2)
+    back = SparkDataset.from_geotiff(spark, p)
+    a = {(r.band, r.row, r.col): r.value for r in ds.df.collect()}
+    b = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
+    assert a == b
+    # floats reject (Predictor 3 is out of scope)
+    with _pytest.raises(NotImplementedError, match="integer-only"):
+        ds.to_cog(str(tmp_path / "bad.tif"), levels=(), predictor=2)
+    # sharded parallel sink carries the predictor per part
+    out = str(tmp_path / "parts")
+    ds.to_cog_parts(out, shard=(32, 32), tile=(16, 16), compress="lzw",
+                    dtype="int16", predictor=2)
+    back = SparkDataset.from_geotiff_parts(spark, out)
+    b = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
+    assert a == b
