@@ -65,6 +65,7 @@ _BITS, _COMP, _PHOTO = 258, 259, 262
 _SPP, _SFMT = 277, 339
 _TW, _TH, _TOFF, _TCNT = 322, 323, 324, 325
 _SOFF, _RPS, _SCNT = 273, 278, 279  # strip layout (read side only)
+_PLANAR = 284  # PlanarConfiguration (read side: chunky=1 only)
 _NEWSUBFILE = 254
 _PIXSCALE, _TIEPOINT, _GEOKEYS = 33550, 33922, 34735
 _GDAL_NODATA = 42113
@@ -186,11 +187,18 @@ def _comp_tag(compress) -> int:
     return 1 if compress is None else (5 if compress == "lzw" else 8)
 
 
-def _unpredict2(block: "np.ndarray") -> "np.ndarray":
+def _unpredict2(block: "np.ndarray", spp: int = 1) -> "np.ndarray":
     """Inverse of TIFF Predictor 2 (horizontal differencing): running sum
-    along each row, modulo the sample width (integer samples only)."""
+    along each row, modulo the sample width (integer samples only). With
+    chunky interleaved samples (``spp`` > 1) the spec differences each
+    sample lane separately — cumsum runs per pixel column, stride spp."""
     u = block.view(f"<u{block.dtype.itemsize}") if block.dtype.kind == "i" \
         else block
+    if spp > 1:
+        h = u.shape[0]
+        u3 = u.reshape(h, -1, spp)
+        c = np.cumsum(u3, axis=1, dtype=np.uint64).astype(u.dtype)
+        return c.reshape(h, -1).view(block.dtype)
     c = np.cumsum(u, axis=1, dtype=np.uint64).astype(u.dtype)
     return c.view(block.dtype)
 
@@ -826,17 +834,33 @@ def _read_ifds(path: str) -> list[dict]:
                 raise NotImplementedError("IFD has neither tile nor strip layout")
             d["comp"] = tags[_COMP][2] if _COMP in tags else 1
             d["pred"] = tags.get(_PREDICTOR, (0, 0, 1))[2]
-            bits = tags.get(_BITS, (0, 0, 0))[2]
-            sfmt = tags.get(_SFMT, (0, 0, 1))[2]  # absent tag ≙ unsigned int
             spp = tags.get(_SPP, (0, 0, 1))[2]
+            if tags.get(_BITS, (0, 1, 0))[1] > 1:
+                # spp > 1: BitsPerSample is an array of spp SHORTs —
+                # uniform depth required (mixed-depth samples are exotic)
+                bits_arr = arr(_BITS, "H", 2)
+                if len(set(bits_arr)) != 1:
+                    raise NotImplementedError(
+                        f"mixed per-sample bit depths {bits_arr}"
+                    )
+                bits = bits_arr[0]
+            else:
+                bits = tags.get(_BITS, (0, 0, 0))[2]
+            sfmt = tags.get(_SFMT, (0, 0, 1))[2]  # absent tag ≙ unsigned int
+            planar = tags.get(_PLANAR, (0, 0, 1))[2]
             d["dtype"] = _dt.FROM_TIFF.get((bits, sfmt))
+            d["spp"] = spp
             if d["comp"] not in (1, 5, 8, 32773) or d["dtype"] is None \
-                    or spp != 1:
+                    or spp < 1:
                 raise NotImplementedError(
-                    "only raw/LZW/DEFLATE/PackBits single-sample rasters "
-                    f"over the {sorted(_dt.TABLE)} dtype table (multiband ≙ "
-                    "one IFD per band, not interleaved samples); got "
+                    "only raw/LZW/DEFLATE/PackBits rasters over the "
+                    f"{sorted(_dt.TABLE)} dtype table; got "
                     f"comp={d['comp']} bits={bits} sfmt={sfmt} spp={spp}"
+                )
+            if spp > 1 and planar != 1:
+                raise NotImplementedError(
+                    "PlanarConfiguration 2 (separate sample planes) "
+                    "unsupported — chunky interleaved (1) only"
                 )
             if d["pred"] == 2 and d["dtype"].startswith("float"):
                 raise NotImplementedError(
@@ -879,10 +903,10 @@ def read_geotiff(
     d0 = picked[0]
     if any(
         d["comp"] != d0["comp"] or d["dtype"] != d0["dtype"]
-        or d["pred"] != d0["pred"] for d in picked
+        or d["pred"] != d0["pred"] or d["spp"] != d0["spp"] for d in picked
     ):
         raise NotImplementedError(
-            "mixed per-band compression/dtype/predictor unsupported"
+            "mixed per-band compression/dtype/predictor/spp unsupported"
         )
     gk = d0["geokeys"]
     epsg = 4326
@@ -903,7 +927,7 @@ def read_geotiff(
     )
     th, tw, rows, cols = d0["th"], d0["tw"], d0["rows"], d0["cols"]
     fill = d0["nodata"]
-    comp, pred = d0["comp"], d0["pred"]
+    comp, pred, spp = d0["comp"], d0["pred"], d0["spp"]
     np_dt_str = str(_dt.np_dtype(d0["dtype"]).str)
 
     def decode(batches):
@@ -918,17 +942,33 @@ def read_geotiff(
                     # reshape by actual length: tiles are full (th, tw);
                     # a foreign file's LAST STRIP may be short. Decode in
                     # the STORED dtype, widen to the engine's float64
-                    block = np.frombuffer(raw, dtype=np_dt_str).reshape(-1, tw)
-                    if pred == 2:
-                        block = _unpredict2(block)
-                    block = block.astype("<f8")
-                    frames.append(
-                        _blocks.sparse_cells(
-                            block, int(b), int(ti) * th, int(tj) * tw, rows, cols, fill
-                        )
+                    block = np.frombuffer(raw, dtype=np_dt_str).reshape(
+                        -1, tw * spp
                     )
+                    if pred == 2:
+                        block = _unpredict2(block, spp)
+                    if spp == 1:
+                        frames.append(
+                            _blocks.sparse_cells(
+                                block.astype("<f8"), int(b), int(ti) * th,
+                                int(tj) * tw, rows, cols, fill
+                            )
+                        )
+                        continue
+                    # chunky interleaved: one IFD carries spp samples —
+                    # sample s becomes engine band ifd*spp + s
+                    cube = block.reshape(block.shape[0], tw, spp)
+                    for s in range(spp):
+                        frames.append(
+                            _blocks.sparse_cells(
+                                np.ascontiguousarray(cube[:, :, s])
+                                .astype("<f8"),
+                                int(b) * spp + s, int(ti) * th,
+                                int(tj) * tw, rows, cols, fill
+                            )
+                        )
                 if frames:
                     yield pd.concat(frames, ignore_index=True)
 
     cells = meta_df.mapInPandas(decode, "band long, row long, col long, value double")
-    return cells, grid, n_bands
+    return cells, grid, n_bands * spp

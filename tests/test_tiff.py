@@ -84,24 +84,76 @@ def test_geotiff_multiband_nan_nodata(spark, tmp_path):
     assert a == b and len({k[0] for k in b}) == 3
 
 
-def test_geotiff_reader_rejects_interleaved_samples(tmp_path, spark):
-    """SamplesPerPixel>1 (interleaved RGB-style) files must reject loudly,
-    not decode garbage."""
-    rows = cols = 2
-    buf = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+def _chunky_rgb_fixture(tmp_path, planar=1, bits=(8, 8, 8), name="rgb.tif"):
+    """Hand-build a chunky interleaved uint8 RGB strip TIFF: LZW strips
+    with Predictor 2 (per-sample-lane differencing), BitsPerSample as an
+    external 3-SHORT array. Returns (path, (rows, cols, 3) image)."""
+    from pyramids_spark import lzw
+
+    rows, cols, rps, spp = 5, 4, 2, 3
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (rows, cols, spp), dtype=np.uint8)
+    strips = []
+    for s0 in range(0, rows, rps):
+        seg = img[s0:s0 + rps]
+        d = seg.copy()
+        d[:, 1:, :] -= seg[:, :-1, :]  # Predictor 2, lane-wise (uint8 wrap)
+        strips.append(lzw.encode(d.reshape(d.shape[0], -1).tobytes()))
+    n_strips = len(strips)
+    n_tags = 12
+    ifd_at = 8
+    p_bits = ifd_at + 2 + n_tags * 12 + 4
+    p_off = p_bits + 6
+    p_cnt = p_off + 4 * n_strips
+    data_at = p_cnt + 4 * n_strips
+    offs, cur = [], data_at
+    for s in strips:
+        offs.append(cur)
+        cur += len(s)
     tags = sorted([
-        (256, 4, 1, cols), (257, 4, 1, rows), (258, 3, 1, 64), (259, 3, 1, 1),
-        (273, 4, 1, 200), (277, 3, 1, 3), (278, 4, 1, rows),
-        (279, 4, 1, rows * cols * 3 * 8), (339, 3, 1, 3),
+        (256, 4, 1, cols), (257, 4, 1, rows), (258, 3, 3, p_bits),
+        (259, 3, 1, 5), (262, 3, 1, 2),
+        (273, 4, n_strips, p_off), (277, 3, 1, spp), (278, 4, 1, rps),
+        (279, 4, n_strips, p_cnt), (284, 3, 1, planar), (317, 3, 1, 2),
+        (339, 3, 1, 1),
     ])
-    buf += struct.pack("<H", len(tags))
+    buf = bytearray(struct.pack("<2sHI", b"II", 42, ifd_at))
+    buf += struct.pack("<H", n_tags)
     for t in tags:
         buf += struct.pack("<HHII", *t)
     buf += struct.pack("<I", 0)
-    p = tmp_path / "ileave.tif"
+    buf += struct.pack("<3H", *bits)
+    buf += struct.pack(f"<{n_strips}I", *offs)
+    buf += struct.pack(f"<{n_strips}I", *[len(s) for s in strips])
+    for s in strips:
+        buf += s
+    p = tmp_path / name
     p.write_bytes(bytes(buf))
-    with pytest.raises(NotImplementedError):
-        SparkDataset.from_geotiff(spark, str(p))
+    return str(p), img
+
+
+def test_geotiff_reads_chunky_interleaved_rgb(spark, tmp_path):
+    """SamplesPerPixel=3 chunky interleaved (the wild RGB-imagery layout):
+    one IFD fans out into 3 engine bands; LZW + Predictor 2 difference
+    per sample LANE, short last strip included."""
+    p, img = _chunky_rgb_fixture(tmp_path)
+    back = SparkDataset.from_geotiff(spark, p)
+    assert back.grid.rows == 5 and back.grid.cols == 4
+    got = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
+    exp = {(s, r, c): float(img[r, c, s])
+           for s in range(3) for r in range(5) for c in range(4)}
+    assert got == exp
+
+
+def test_geotiff_interleaved_rejects(spark, tmp_path):
+    """Planar (separate-plane) organization and mixed per-sample depths
+    stay loud rejects."""
+    p, _ = _chunky_rgb_fixture(tmp_path, planar=2, name="pl2.tif")
+    with pytest.raises(NotImplementedError, match="PlanarConfiguration 2"):
+        SparkDataset.from_geotiff(spark, p)
+    p, _ = _chunky_rgb_fixture(tmp_path, bits=(8, 8, 16), name="mix.tif")
+    with pytest.raises(NotImplementedError, match="mixed per-sample"):
+        SparkDataset.from_geotiff(spark, p)
 
 
 def test_geotiff_reader_rejects_foreign(tmp_path, spark):
