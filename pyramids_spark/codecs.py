@@ -123,27 +123,53 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     """→ (samples (n, channels) int16, sample_rate). Chunk-walk parser —
-    tolerates extra chunks (LIST/fact) like real encoders emit."""
+    tolerates extra chunks (LIST/fact) like real encoders emit. Sample
+    formats: PCM 8 (unsigned)/16/24/32-bit and IEEE float 32/64-bit, plus
+    WAVE_FORMAT_EXTENSIBLE wrapping either — everything normalizes to the
+    engine's int16 (wider PCM keeps the top 16 bits; float scales by
+    32767 with clipping)."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     i = 12
-    ch = rate = None
+    ch = rate = fmtc = bits = None
     data = None
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         sz = struct.unpack_from("<I", b, i + 4)[0]
         body = b[i + 8 : i + 8 + sz]
         if cid == b"fmt ":
-            audio_fmt, ch, rate = struct.unpack_from("<HHI", body, 0)
+            fmtc, ch, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
-            if audio_fmt != 1 or bits != 16:
-                raise NotImplementedError("only PCM16 WAV")
+            if fmtc == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+                if len(body) < 26:
+                    raise ValueError("truncated extensible fmt chunk")
+                # the real format is the SubFormat GUID's first 2 bytes
+                fmtc = struct.unpack_from("<H", body, 24)[0]
         elif cid == b"data":
             data = body
         i += 8 + sz + (sz & 1)  # chunks are word-aligned
     if ch is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    s = np.frombuffer(data, dtype="<i2")
+    if fmtc == 1 and bits == 16:
+        s = np.frombuffer(data, dtype="<i2")
+    elif fmtc == 1 and bits == 8:  # 8-bit PCM is UNSIGNED per the spec
+        s = ((np.frombuffer(data, "u1").astype(np.int16) - 128) << 8)
+    elif fmtc == 1 and bits == 24:
+        u = np.frombuffer(data, "u1")[: len(data) // 3 * 3].reshape(-1, 3)
+        v = (u[:, 0].astype(np.int32) | (u[:, 1].astype(np.int32) << 8)
+             | (u[:, 2].astype(np.int32) << 16))
+        v[v >= 1 << 23] -= 1 << 24  # sign-extend
+        s = (v >> 8).astype(np.int16)
+    elif fmtc == 1 and bits == 32:
+        s = (np.frombuffer(data, "<i4") >> 16).astype(np.int16)
+    elif fmtc == 3 and bits in (32, 64):
+        f = np.frombuffer(data, "<f4" if bits == 32 else "<f8")
+        s = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int16)
+    else:
+        raise NotImplementedError(
+            f"WAV format {fmtc}/{bits}-bit (PCM 8/16/24/32 and IEEE float "
+            "32/64 only; ADPCM/µ-law out of scope)"
+        )
     return s.reshape(-1, ch), int(rate)
 
 

@@ -791,3 +791,52 @@ def test_png_adam7_16bit_rgb():
     png = _png_file(7, 6, 16, 2, 1, bytes(passes))
     got = C.decode_png(png)
     assert got.dtype == np.uint16 and np.array_equal(got, img)
+
+
+def test_wav_wild_sample_formats():
+    """PCM 8/24/32, IEEE float32/64, and WAVE_FORMAT_EXTENSIBLE all
+    normalize to the engine's (n, ch) int16 contract."""
+    import struct as _struct
+
+    from pyramids_spark import codecs as C
+
+    def wav(fmtc, bits, payload, ch=1, rate=8000, extensible=False):
+        if extensible:
+            sub = _struct.pack("<H", fmtc) + b"\x00\x00" + b"\x10\x00\x80" \
+                + b"\x00\x00\xaa\x00\x38\x9b\x71"
+            fmt = _struct.pack("<HHIIHHHHI", 0xFFFE, ch, rate,
+                               rate * ch * bits // 8, ch * bits // 8, bits,
+                               22, bits, 0) + sub
+        else:
+            fmt = _struct.pack("<HHIIHH", fmtc, ch, rate,
+                               rate * ch * bits // 8, ch * bits // 8, bits)
+        body = (b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                + (b"\x00" if len(fmt) % 2 else b"")
+                + b"data" + _struct.pack("<I", len(payload)) + payload)
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    # 8-bit unsigned PCM: 128 → 0, 255 → 32512, 0 → -32768
+    s, r = C.decode_wav(wav(1, 8, bytes([128, 255, 0])))
+    assert r == 8000 and s[:, 0].tolist() == [0, (255 - 128) << 8, -32768]
+    # 24-bit PCM: top 16 bits, sign-extended
+    pay = b"".join(_struct.pack("<i", v)[:3] for v in
+                   [0x123456, -0x123456, 0x7FFFFF, -0x800000])
+    s, _ = C.decode_wav(wav(1, 24, pay))
+    assert s[:, 0].tolist() == [0x1234, -0x123456 >> 8, 0x7FFF, -0x8000]
+    # 32-bit PCM
+    s, _ = C.decode_wav(wav(1, 32, _struct.pack("<2i", 1 << 30, -(1 << 30))))
+    assert s[:, 0].tolist() == [1 << 14, -(1 << 14)]
+    # float32 stereo, clipped
+    f = np.array([0.5, -0.5, 1.5, -1.5], "<f4")
+    s, _ = C.decode_wav(wav(3, 32, f.tobytes(), ch=2))
+    assert s.shape == (2, 2)
+    assert s.reshape(-1).tolist() == [16384, -16384, 32767, -32768]
+    # float64 via EXTENSIBLE wrapper
+    f = np.array([0.25], "<f8")
+    s, _ = C.decode_wav(wav(3, 64, f.tobytes(), extensible=True))
+    assert s[0, 0] == 8192
+    # ADPCM rejects
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="WAV format"):
+        C.decode_wav(wav(2, 4, b"\x00\x00"))
