@@ -86,19 +86,39 @@ def encode_bmp(img: np.ndarray) -> bytes:
 
 
 def decode_bmp(b: bytes) -> np.ndarray:
+    """BMP → (h, w, 3) uint8 RGB. Wild variants covered: 24-bit BI_RGB,
+    32-bit BI_RGB/BI_BITFIELDS (alpha dropped; BITFIELDS only with the
+    standard BGRA masks), 8-bit palette. RLE and 16-bit stay loud
+    rejects."""
     if b[:2] != b"BM":
         raise ValueError("not a BMP stream")
     off = struct.unpack_from("<I", b, 10)[0]
     hdr_sz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
-    if bpp != 24 or comp != 0:
-        raise NotImplementedError(f"only 24-bit BI_RGB BMP (got bpp={bpp}, comp={comp})")
-    stride = (w * 3 + 3) & ~3
+    if comp == 3 and bpp == 32:
+        rm, gm, bm = struct.unpack_from("<3I", b, 14 + 40)
+        if (rm, gm, bm) != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise NotImplementedError(
+                f"BI_BITFIELDS masks {(rm, gm, bm)} (standard BGRA only)"
+            )
+    elif comp != 0:
+        raise NotImplementedError(f"BMP compression {comp} (BI_RGB only)")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP (8/24/32 only)")
     flip = h > 0
     h = abs(h)
-    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off).reshape(
-        h, stride
-    )
-    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    stride = (w * (bpp // 8) + 3) & ~3
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", b, 46)[0] or 256
+        pal = np.frombuffer(
+            b, np.uint8, count=n_colors * 4, offset=14 + hdr_sz
+        ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRX → RGB
+        img = pal[rows[:, :w]]
+    else:
+        px = rows[:, : w * (bpp // 8)].reshape(h, w, bpp // 8)
+        img = px[:, :, 2::-1]  # BGR(A) → RGB, alpha dropped
     return img[::-1] if flip else img
 
 

@@ -840,3 +840,46 @@ def test_wav_wild_sample_formats():
 
     with _pytest.raises(NotImplementedError, match="WAV format"):
         C.decode_wav(wav(2, 4, b"\x00\x00"))
+
+
+def test_bmp_wild_variants():
+    """8-bit palette, 32-bit BI_RGB/BI_BITFIELDS (alpha dropped), and
+    top-down (negative height) BMPs decode; RLE8 rejects."""
+    import struct as _struct
+
+    from pyramids_spark import codecs as C
+
+    rng = np.random.default_rng(9)
+
+    def bmp(w, h, bpp, pixel_rows, comp=0, palette=b"", masks=b""):
+        hdr_sz = 40
+        off = 14 + hdr_sz + len(masks) + len(palette)
+        body = b"".join(pixel_rows)
+        head = (b"BM" + _struct.pack("<IHHI", off + len(body), 0, 0, off)
+                + _struct.pack("<IiiHHI", hdr_sz, w, h, 1, bpp, comp)
+                + _struct.pack("<IIIII", len(body), 0, 0,
+                               len(palette) // 4, 0))
+        return head + masks + palette + body
+
+    # 8-bit palette, bottom-up, stride padding (w=5 → stride 8)
+    idx = rng.integers(0, 4, (3, 5), dtype=np.uint8)
+    pal_rgb = np.array([[10, 20, 30], [200, 0, 0], [0, 200, 0], [7, 8, 9]],
+                       np.uint8)
+    palette = b"".join(bytes([b_, g, r, 0]) for r, g, b_ in pal_rgb)
+    prows = [idx[r].tobytes() + b"\x00" * 3 for r in range(2, -1, -1)]
+    got = C.decode_bmp(bmp(5, 3, 8, prows, palette=palette))
+    np.testing.assert_array_equal(got, pal_rgb[idx])
+    # 32-bit BI_RGB top-down (negative h): BGRA in, alpha dropped
+    rgba = rng.integers(0, 256, (2, 3, 4), dtype=np.uint8)
+    prows = [rgba[r, :, [2, 1, 0, 3]].T.tobytes() for r in range(2)]
+    got = C.decode_bmp(bmp(3, -2, 32, prows))
+    np.testing.assert_array_equal(got, rgba[:, :, :3])
+    # 32-bit BI_BITFIELDS with the standard masks
+    masks = _struct.pack("<3I", 0x00FF0000, 0x0000FF00, 0x000000FF)
+    got = C.decode_bmp(bmp(3, -2, 32, prows, comp=3, masks=masks))
+    np.testing.assert_array_equal(got, rgba[:, :, :3])
+    # RLE8 rejects
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="compression"):
+        C.decode_bmp(bmp(2, 2, 8, [b"\x00" * 4], comp=1))
