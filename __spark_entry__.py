@@ -1241,14 +1241,15 @@ def sql_zarr_roundtrip_u8():
 
 def q_zarr_v3_roundtrip(spark, sf_dir):
     """Container gate (round 5): REAL zarr v3 store — one zarr.json
-    (node_type array, regular chunk grid, bytes+gzip codec pipeline,
-    default c/b/i/j chunk keys), float32 storage — written and read back
+    (node_type array, regular chunk grid, sharding_indexed codec wrapping
+    bytes+gzip inner chunks with a crc32c-checked uint64 index, default
+    c/b/i/j chunk keys), float32 storage — written and read back
     distributed; the oracle is the grid generator, as for the v2 twin."""
     from pyramids_spark.api import SparkDataset
 
     ds = SparkDataset(grid_df(spark, COELLO), COELLO)
     ds.to_zarr("/tmp/pyramids_q_zarr3", chunks=(7, 9), compress=4,
-               dtype="float32", zarr_format=3)
+               dtype="float32", zarr_format=3, shards=(14, 18))
     back = SparkDataset.from_zarr(spark, "/tmp/pyramids_q_zarr3")
     return back.df.select("band", "row", "col", "value")
 

@@ -99,10 +99,11 @@ class SparkDataset:
     def to_zarr(
         self, path: str, chunks: tuple[int, int] = (256, 256),
         compress: "int | None" = None, dtype: str = "float64",
-        zarr_format: int = 2,
+        zarr_format: int = 2, shards: "tuple[int, int] | None" = None,
     ):
         """Write a REAL zarr store (``zarr_format`` 2: raw/zlib chunks +
-        .zarray/.zattrs JSON; 3: zarr.json + bytes/gzip codec pipeline —
+        .zarray/.zattrs JSON; 3: zarr.json + bytes/gzip codec pipeline,
+        optionally ``shards`` → the sharding_indexed object-store layout —
         ``pyramids_spark.zarr``; reference ``to_zarr`` wraps GDAL's Zarr
         driver). ``dtype`` picks the storage dtype from the reference's
         GDAL dtype table (``pyramids_spark.dtypes``). Returns the
@@ -110,7 +111,7 @@ class SparkDataset:
         from . import zarr as _zarr
 
         return _zarr.write_zarr(self.df, self.grid, path, chunks, compress,
-                                dtype, zarr_format)
+                                dtype, zarr_format, shards)
 
     @classmethod
     def from_zarr(cls, spark: SparkSession, path: str) -> "SparkDataset":

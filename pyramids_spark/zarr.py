@@ -51,24 +51,64 @@ from pyspark.sql import functions as F
 from . import _blocks, dtypes as _dt
 from .grid import Grid
 
+_UNDEF64 = (1 << 64) - 1  # sharding index sentinel: inner chunk missing
+
+
+def _crc32c_table() -> np.ndarray:
+    t = np.zeros(256, np.uint32)
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+        t[i] = c
+    return t
+
+
+_CRC32C = _crc32c_table()
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, reflected) — the zarr v3 ``crc32c`` codec.
+    Sequential per byte, but it only ever runs over shard INDEX footers
+    (16 bytes per inner chunk), never chunk payloads."""
+    crc = 0xFFFFFFFF
+    for byte in data:
+        crc = (crc >> 8) ^ int(_CRC32C[(crc ^ byte) & 0xFF])
+    return crc ^ 0xFFFFFFFF
+
 
 def write_zarr(
     cells_df: DataFrame, grid: Grid, path: str, chunks: tuple[int, int] = (256, 256),
     compress: "int | None" = None, dtype: str = "float64",
-    zarr_format: int = 2,
+    zarr_format: int = 2, shards: "tuple[int, int] | None" = None,
 ) -> pd.DataFrame:
     """Write the cell table as a zarr array ``[bands, rows, cols]`` (band
     chunk size 1). ``zarr_format`` 2 writes ``.zarray``/``.zattrs`` +
     flat ``b.i.j`` chunks; 3 writes ``zarr.json`` + nested ``c/b/i/j``
     chunks. ``compress`` = level 1-9 (v2: numcodecs ``zlib``; v3: the
     ``gzip`` codec — both stdlib, no dependency) or None for raw chunks.
-    ``dtype`` is the STORAGE dtype (``pyramids_spark.dtypes``; reference
-    GDAL table ``base/_utils.py:16-56``) — integer stores need a
-    representable nodata and integral in-range values. Returns the chunk
-    manifest as pandas ``(band, ci, cj, n_cells, n_bytes, file)``."""
+    ``shards`` (v3 only) wraps chunks in the ``sharding_indexed`` codec:
+    one FILE per shard holding the inner chunks plus an end-located
+    (offset, nbytes) uint64 index with a crc32c footer — the
+    object-store-friendly layout (file count drops by the shard/chunk
+    ratio; absent inner chunks store the missing sentinel). ``dtype`` is
+    the STORAGE dtype (``pyramids_spark.dtypes``; reference GDAL table
+    ``base/_utils.py:16-56``) — integer stores need a representable
+    nodata and integral in-range values. Returns the chunk manifest as
+    pandas ``(band, ci, cj, n_cells, n_bytes, file)`` (shard ids when
+    sharded)."""
     if zarr_format not in (2, 3):
         raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format}")
     ch, cw = int(chunks[0]), int(chunks[1])
+    if shards is not None:
+        sh, sw = int(shards[0]), int(shards[1])
+        if zarr_format != 3:
+            raise ValueError("shards requires zarr_format=3")
+        if sh % ch or sw % cw:
+            raise ValueError(
+                f"shard shape {(sh, sw)} must be a multiple of the chunk "
+                f"shape {(ch, cw)}"
+            )
     rows, cols = grid.rows, grid.cols
     dt_name = _dt.resolve(dtype)
     fill = _dt.check_fill(dt_name, grid.nodata)
@@ -102,13 +142,28 @@ def write_zarr(
             codecs.append(
                 {"name": "gzip", "configuration": {"level": int(compress)}}
             )
+        if shards is not None:
+            codecs = [{
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": [1, ch, cw],
+                    "codecs": codecs,
+                    "index_codecs": [
+                        {"name": "bytes",
+                         "configuration": {"endian": "little"}},
+                        {"name": "crc32c"},
+                    ],
+                    "index_location": "end",
+                },
+            }]
+        grid_chunk = [1, ch, cw] if shards is None else [1, sh, sw]
         meta = {
             "zarr_format": 3,
             "node_type": "array",
             "shape": [n_bands, rows, cols],
             "data_type": dt_name,
             "chunk_grid": {"name": "regular",
-                           "configuration": {"chunk_shape": [1, ch, cw]}},
+                           "configuration": {"chunk_shape": grid_chunk}},
             "chunk_key_encoding": {"name": "default",
                                    "configuration": {"separator": "/"}},
             "fill_value": fill_json,
@@ -143,15 +198,50 @@ def write_zarr(
              "n_bytes": [len(data)], "file": [name]}
         )
 
+    def write_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import struct
+
+        b, si, sj = int(key[0]), int(key[1]), int(key[2])
+        niy, nix = sh // ch, sw // cw
+        index = np.full((niy * nix, 2), _UNDEF64, np.uint64)
+        blobs, cur = [], 0
+        r0, c0 = si * sh, sj * sw
+        grp = pdf.groupby(
+            [(pdf["row"] - r0) // ch, (pdf["col"] - c0) // cw], sort=True
+        )
+        for (ici, icj), sub in grp:
+            block = _blocks.dense_block(
+                sub, ch, cw, r0 + int(ici) * ch, c0 + int(icj) * cw, fill
+            )
+            data = _dt.cast_block(block, dt_name).tobytes(order="C")
+            if compress is not None:
+                import gzip
+
+                data = gzip.compress(data, compresslevel=int(compress))
+            index[int(ici) * nix + int(icj)] = (cur, len(data))
+            blobs.append(data)
+            cur += len(data)
+        ib = index.astype("<u8").tobytes()
+        body = b"".join(blobs) + ib + struct.pack("<I", _crc32c(ib))
+        name = f"c/{b}/{si}/{sj}"
+        os.makedirs(os.path.join(path, f"c/{b}/{si}"), exist_ok=True)
+        with open(os.path.join(path, name), "wb") as f:
+            f.write(body)
+        return pd.DataFrame(
+            {"band": [b], "ci": [si], "cj": [sj], "n_cells": [len(pdf)],
+             "n_bytes": [len(body)], "file": [name]}
+        )
+
+    div_r, div_c = (ch, cw) if shards is None else (sh, sw)
     keyed = cells_df.where(F.col("value").isNotNull()).select(
         "band", "row", "col", "value",
-        (F.col("row") / ch).cast("long").alias("_ci"),
-        (F.col("col") / cw).cast("long").alias("_cj"),
+        (F.col("row") / div_r).cast("long").alias("_ci"),
+        (F.col("col") / div_c).cast("long").alias("_cj"),
     )
     manifest = (
         keyed.groupBy("band", "_ci", "_cj")
         .applyInPandas(
-            write_chunks,
+            write_chunks if shards is None else write_shard,
             schema="band long, ci long, cj long, n_cells long, n_bytes long, file string",
         )
         .toPandas()
@@ -245,6 +335,24 @@ def _read_zarr_v3(spark: SparkSession, path: str) -> tuple[DataFrame, Grid]:
     codecs = meta.get("codecs") or []
     names = [c.get("name") for c in codecs]
     dt = str(meta.get("data_type"))
+    shard = None  # (inner_ch, inner_cw, index_has_crc, index_at_end)
+    if names[:1] == ["sharding_indexed"] and len(names) == 1:
+        cfg = codecs[0].get("configuration") or {}
+        inner = cfg.get("chunk_shape", [])
+        idx_names = [c.get("name") for c in cfg.get("index_codecs") or []]
+        payload = cfg.get("codecs") or []
+        names = [c.get("name") for c in payload]
+        shard_ok = (
+            len(inner) == 3 and inner[0] == 1
+            and len(cshape) == 3
+            and cshape[1] % inner[1] == 0 and cshape[2] % inner[2] == 0
+            and idx_names in (["bytes"], ["bytes", "crc32c"])
+            and cfg.get("index_location", "end") in ("end", "start")
+        )
+        if shard_ok:
+            shard = (inner[1], inner[2], idx_names == ["bytes", "crc32c"],
+                     cfg.get("index_location", "end") == "end")
+            codecs = payload  # endian resolves from the inner bytes codec
     ok = (
         meta.get("zarr_format") == 3
         and meta.get("node_type") == "array"
@@ -259,9 +367,10 @@ def _read_zarr_v3(spark: SparkSession, path: str) -> tuple[DataFrame, Grid]:
     if not ok:
         raise NotImplementedError(
             "supported zarr v3 stores: array node, regular 3-D chunk grid "
-            "with band-chunk 1, bytes [+ gzip] codecs (blosc/zstd/sharding "
-            f"out of scope), {sorted(_dt.TABLE)} dtypes, default/v2 chunk "
-            f"keys (got {meta})"
+            "with band-chunk 1, bytes [+ gzip] codecs — directly or inside "
+            "sharding_indexed with a bytes[+crc32c] index (blosc/zstd out "
+            f"of scope), {sorted(_dt.TABLE)} dtypes, default/v2 chunk keys "
+            f"(got {meta})"
         )
     endian = (codecs[0].get("configuration") or {}).get("endian", "little")
     np_dt_str = ("<" if endian == "little" else ">") + _dt.TABLE[dt][0].lstrip("<|")
@@ -278,25 +387,56 @@ def _read_zarr_v3(spark: SparkSession, path: str) -> tuple[DataFrame, Grid]:
         epsg=int(attrs.get("epsg", 4326)), nodata=attrs.get("nodata"),
     )
 
-    def decode(batches):
+    def unchunk(content, dims):
         import gzip as _gzip
+
+        if gz:
+            content = _gzip.decompress(content)
+        return (
+            np.frombuffer(content, dtype=np_dt_str)
+            .reshape(dims)
+            .astype("<f8")
+        )
+
+    def decode(batches):
+        import struct
 
         for pdf in batches:
             frames = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 toks = re.split(r"[/.]", p)
                 b, ci, cj = (int(t) for t in toks[-3:])
-                if gz:
-                    content = _gzip.decompress(content)
-                block = (
-                    np.frombuffer(content, dtype=np_dt_str)
-                    .reshape(ch, cw)
-                    .astype("<f8")
-                )
-                frames.append(
-                    _blocks.sparse_cells(block, b, ci * ch, cj * cw, rows,
-                                         cols, fill)
-                )
+                if shard is None:
+                    frames.append(
+                        _blocks.sparse_cells(
+                            unchunk(content, (ch, cw)), b, ci * ch,
+                            cj * cw, rows, cols, fill
+                        )
+                    )
+                    continue
+                ich, icw, crc, at_end = shard
+                niy, nix = ch // ich, cw // icw
+                ilen = 16 * niy * nix + (4 if crc else 0)
+                ib = content[-ilen:] if at_end else content[:ilen]
+                if crc:
+                    (stored,) = struct.unpack("<I", ib[-4:])
+                    ib = ib[:-4]
+                    if _crc32c(ib) != stored:
+                        raise ValueError(
+                            "crc32c mismatch in zarr shard index"
+                        )
+                index = np.frombuffer(ib, "<u8").reshape(-1, 2)
+                for k in range(niy * nix):
+                    off, nb = int(index[k, 0]), int(index[k, 1])
+                    if off == _UNDEF64:  # missing inner chunk = all fill
+                        continue
+                    frames.append(
+                        _blocks.sparse_cells(
+                            unchunk(content[off:off + nb], (ich, icw)), b,
+                            ci * ch + (k // nix) * ich,
+                            cj * cw + (k % nix) * icw, rows, cols, fill
+                        )
+                    )
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 

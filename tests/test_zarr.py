@@ -211,3 +211,55 @@ def test_zarr_v3_foreign_layouts_and_rejects(spark, tmp_path):
     (flat / "zarr.json").write_text(json.dumps(meta))
     with pytest.raises(NotImplementedError, match="zarr v3"):
         SparkDataset.from_zarr(spark, str(flat))
+
+
+def test_zarr_v3_sharded_roundtrip_and_index(spark, tmp_path):
+    """sharding_indexed: one file per shard holding gzip inner chunks +
+    an end-located uint64 (offset, nbytes) index with a crc32c footer;
+    a fully-NULL inner chunk stores the missing sentinel and reads back
+    as fill; a corrupted index fails loudly."""
+    import struct
+
+    from pyramids_spark import zarr as Z
+
+    g = Grid(x0=0.0, y0=10.0, cell=1.0, rows=10, cols=12, epsg=32636,
+             nodata=None)
+    ds = SparkDataset.create(spark, g, "CAST(row * 12 + col AS DOUBLE)",
+                             bands=2)
+    # punch out ALL of inner chunk (rows 0-3, cols 4-7) in band 0
+    d = ds.df.where(
+        ~((F.col("band") == 0) & (F.col("row") < 4)
+          & (F.col("col") >= 4) & (F.col("col") < 8))
+    )
+    store = str(tmp_path / "zs")
+    man = SparkDataset(d, g).to_zarr(
+        store, chunks=(4, 4), compress=5, zarr_format=3, shards=(8, 8)
+    )
+    assert set(man["file"].str.count("/")) == {3}  # c/b/si/sj keys
+    assert len(man) == 2 * 2 * 2  # bands × shard grid 2×2
+    meta = json.load(open(os.path.join(store, "zarr.json")))
+    assert meta["codecs"][0]["name"] == "sharding_indexed"
+    assert meta["chunk_grid"]["configuration"]["chunk_shape"] == [1, 8, 8]
+    # shard (0,0,0): 2x2 inner chunks; slot (0,1) is the punched one
+    raw = open(os.path.join(store, "c/0/0/0"), "rb").read()
+    ib = raw[-(16 * 4 + 4):]
+    (stored,) = struct.unpack("<I", ib[-4:])
+    assert Z._crc32c(ib[:-4]) == stored
+    index = np.frombuffer(ib[:-4], "<u8").reshape(4, 2)
+    assert index[1, 0] == Z._UNDEF64 and index[1, 1] == Z._UNDEF64
+    assert (index[[0, 2, 3], 0] != Z._UNDEF64).all()
+    back = SparkDataset.from_zarr(spark, store)
+    assert back.grid == g
+    a = {(r.band, r.row, r.col): r.value for r in d.collect()}
+    b = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
+    assert a == b and len(a) == 2 * 120 - 16
+    # corrupt one index byte → loud crc failure on read
+    blob = bytearray(raw)
+    blob[-10] ^= 0xFF
+    open(os.path.join(store, "c/0/0/0"), "wb").write(bytes(blob))
+    with pytest.raises(Exception, match="crc32c mismatch"):
+        SparkDataset.from_zarr(spark, store).df.collect()
+    # shard shape must tile the chunk shape
+    with pytest.raises(ValueError, match="multiple of the chunk"):
+        SparkDataset(d, g).to_zarr(str(tmp_path / "zb"), chunks=(4, 4),
+                                   zarr_format=3, shards=(10, 8))
