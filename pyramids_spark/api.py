@@ -681,7 +681,7 @@ class SparkFeatureCollection:
     # --- directly on stdlib sqlite3) ----------------------------------------
     def to_gpkg(
         self, path: str, layer: str, geometry_col: str = "geometry",
-        geometry_type: str = "POINT",
+        geometry_type: str = "POINT", spatial_index: bool = False,
     ) -> int:
         """Write this collection as one GeoPackage feature layer
         (``geometry_col`` holds WKB from :mod:`pyramids_spark.functions.wkb`).
@@ -690,19 +690,23 @@ class SparkFeatureCollection:
         from . import gpkg as _gpkg
 
         return _gpkg.write_gpkg(
-            self.df, path, layer, geometry_col, geometry_type, self.epsg
+            self.df, path, layer, geometry_col, geometry_type, self.epsg,
+            spatial_index=spatial_index,
         )
 
     @classmethod
     def read_gpkg(
         cls, spark: SparkSession, path: str, layer: str,
         columns: "list[str] | None" = None, where: "str | None" = None,
+        bbox: "tuple[float, float, float, float] | None" = None,
     ) -> "SparkFeatureCollection":
         """Open one GeoPackage layer as a distributed scan (disjoint fid
-        ranges per task; ``where``/``columns`` push into SQLite)."""
+        ranges per task; ``where``/``columns``/``bbox`` push into SQLite —
+        bbox probes the gpkg_rtree_index extension)."""
         from . import gpkg as _gpkg
 
-        df, _, srs = _gpkg.read_gpkg(spark, path, layer, columns, where)
+        df, _, srs = _gpkg.read_gpkg(spark, path, layer, columns, where,
+                                     bbox)
         return cls(df, srs)
 
     # --- ESRI Shapefile container (the "ESRI Shapefile" to_file driver arm,

@@ -207,12 +207,17 @@ def write_gpkg(
     geometry_type: str = "POINT",
     srs_id: int = 4326,
     batch: int = 4096,
+    spatial_index: bool = False,
 ) -> int:
     """Write one feature layer into ``path`` (creating the GeoPackage or
     appending a new layer — the reference's canonical multi-layer write,
     ``collection.py:1681-1693``). ``geometry_col`` must already hold WKB
     (``functions.wkb`` encoders); rows stream through the driver in
-    ``batch``-row inserts. Returns the feature count."""
+    ``batch``-row inserts. ``spatial_index`` builds the spec's
+    ``gpkg_rtree_index`` extension (an SQLite R*-tree over the feature
+    envelopes, registered in ``gpkg_extensions``) — what makes
+    ``read_gpkg(bbox=...)`` pushdown possible. Returns the feature
+    count."""
     if not layer.isidentifier():
         raise ValueError(f"layer name {layer!r} must be an identifier")
     attrs = _attr_cols(df, geometry_col)
@@ -238,6 +243,7 @@ def write_gpkg(
         n = 0
         bbox = [np.inf, np.inf, -np.inf, -np.inf]
         rows: list[tuple] = []
+        envs: list[tuple] = []
         for r in proj.toLocalIterator():
             g = r["__geom"]
             rows.append((g, *[r[a] for a, _ in attrs]))
@@ -246,13 +252,15 @@ def write_gpkg(
             flags = g[3]
             if (flags >> 1) & 0b111:
                 e = np.frombuffer(g[8:40], "<f8")
-                bbox = [min(bbox[0], e[0]), min(bbox[1], e[2]),
-                        max(bbox[2], e[1]), max(bbox[3], e[3])]
+                env = (e[0], e[1], e[2], e[3])  # minx, maxx, miny, maxy
             else:
                 x, y = np.frombuffer(g[13:29], "<f8")
-                bbox = [min(bbox[0], x), min(bbox[1], y),
-                        max(bbox[2], x), max(bbox[3], y)]
+                env = (x, x, y, y)
+            bbox = [min(bbox[0], env[0]), min(bbox[1], env[2]),
+                    max(bbox[2], env[1]), max(bbox[3], env[3])]
             n += 1
+            if spatial_index:  # fresh AUTOINCREMENT table → fid = 1..n
+                envs.append((n, *env))
             if len(rows) >= batch:
                 con.executemany(ins, rows)
                 rows = []
@@ -266,6 +274,27 @@ def write_gpkg(
             " VALUES (?, 'features', ?, ?, ?, ?, ?, ?)",
             (layer, layer, *bbox, srs_id),
         )
+        if spatial_index:
+            rt = _qi(f"rtree_{layer}_geom")
+            con.execute(
+                f"CREATE VIRTUAL TABLE {rt} USING rtree"
+                "(id, minx, maxx, miny, maxy)"
+            )
+            con.executemany(
+                f"INSERT INTO {rt} VALUES (?, ?, ?, ?, ?)", envs
+            )
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS gpkg_extensions ("
+                "table_name TEXT, column_name TEXT, extension_name TEXT "
+                "NOT NULL, definition TEXT NOT NULL, scope TEXT NOT NULL)"
+            )
+            con.execute(
+                "INSERT INTO gpkg_extensions VALUES (?, 'geom', "
+                "'gpkg_rtree_index', "
+                "'http://www.geopackage.org/spec120/#extension_rtree', "
+                "'write-only')",
+                (layer,),
+            )
         con.commit()
     finally:
         con.close()
@@ -294,15 +323,19 @@ def read_gpkg(
     layer: str,
     columns: "list[str] | None" = None,
     where: "str | None" = None,
+    bbox: "tuple[float, float, float, float] | None" = None,
     n_tasks: int = 32,
 ) -> tuple[DataFrame, str, int]:
     """Distributed GeoPackage layer scan. Returns ``(df, geometry_type,
     srs_id)``; ``df`` carries ``fid``, ``geometry`` (WKB) and the attribute
-    columns. ``where``/``columns`` push into the per-task SQLite query —
-    filtered rows never leave the container (reference pushdown contract,
-    ``collection.py:598-606``). Each task opens the file immutable
-    read-only and scans a disjoint ``fid`` range, so a 1000-executor
-    cluster splits one file without coordination."""
+    columns. ``where``/``columns``/``bbox`` push into the per-task SQLite
+    query — filtered rows never leave the container (reference pushdown
+    contract, ``collection.py:598-606``). ``bbox`` (xmin, ymin, xmax,
+    ymax) probes the layer's ``gpkg_rtree_index`` R*-tree (envelope
+    INTERSECTION — the reference/OGR semantics) and requires the layer to
+    carry one. Each task opens the file immutable read-only and scans a
+    disjoint ``fid`` range, so a 1000-executor cluster splits one file
+    without coordination."""
     path = os.path.abspath(path)
     con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
     try:
@@ -320,6 +353,15 @@ def read_gpkg(
         span = con.execute(
             f'SELECT min("{fid_col}"), max("{fid_col}") FROM "{layer}"'
         ).fetchone()
+        rtree = f"rtree_{layer}_{geom_col}"
+        if bbox is not None and con.execute(
+            "SELECT 1 FROM sqlite_master WHERE type = 'table' AND name = ?",
+            (rtree,),
+        ).fetchone() is None:
+            raise ValueError(
+                f"layer {layer!r} has no {rtree!r} spatial index — write "
+                "with spatial_index=True (or filter after the scan)"
+            )
     finally:
         con.close()
     decl_to_spark = {
@@ -359,6 +401,17 @@ def read_gpkg(
     sel = ", ".join(f'"{c}"' for c in [fid_col, geom_col]
                     + [a for a, _ in attrs])
     cond = f" AND ({where})" if where else ""
+    args: tuple = ()
+    if bbox is not None:
+        # rtree columns are (id, minx, maxx, miny, maxy); intersection =
+        # NOT disjoint. The subquery stays inside SQLite, so only index
+        # hits are fetched.
+        cond += (
+            f' AND "{fid_col}" IN (SELECT id FROM "{rtree}" '
+            "WHERE maxx >= ? AND minx <= ? AND maxy >= ? AND miny <= ?)"
+        )
+        args = (float(bbox[0]), float(bbox[2]), float(bbox[1]),
+                float(bbox[3]))
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c = sqlite3.connect(f"file:{path}?mode=ro&immutable=1", uri=True)
@@ -368,7 +421,7 @@ def read_gpkg(
                     cur = c.execute(
                         f'SELECT {sel} FROM "{layer}" '
                         f'WHERE "{fid_col}" >= ? AND "{fid_col}" < ?{cond}',
-                        (int(lo_), int(hi_)),
+                        (int(lo_), int(hi_)) + args,
                     )
                     rows = cur.fetchall()
                     yield pd.DataFrame(

@@ -500,3 +500,42 @@ def test_shp_dbf_leading_spaces_preserved(spark, tmp_path):
     back, _ = shp.read_shapefile(spark, base)
     got = {r["id"]: r["name"] for r in back.collect()}
     assert got == {1: "  two-lead", 2: "plain"}
+
+
+def test_gpkg_spatial_index_and_bbox_pushdown(spark, tmp_path):
+    """spatial_index=True builds the spec's gpkg_rtree_index (R*-tree +
+    gpkg_extensions row); read_gpkg(bbox=...) probes it inside SQLite —
+    result equals the brute-force envelope filter; bbox without an index
+    rejects loudly."""
+    import sqlite3 as _sql
+
+    p = str(tmp_path / "si.gpkg")
+    df = _pts(spark, 60).select(
+        B.point_wkb("x", "y").alias("geometry"), "id"
+    )
+    n = gpkg.write_gpkg(df, p, "pts", spatial_index=True)
+    assert n == 60
+    con = _sql.connect(p)
+    assert con.execute("SELECT count(*) FROM rtree_pts_geom").fetchone()[0] == 60
+    ext = con.execute(
+        "SELECT extension_name FROM gpkg_extensions WHERE table_name='pts'"
+    ).fetchone()
+    con.close()
+    assert ext == ("gpkg_rtree_index",)
+    # x = id*1.5-2, y = id*-0.25+1 → pick a window and compare to brute force
+    bb = (10.0, -10.0, 40.0, 0.0)
+    got, _, _ = gpkg.read_gpkg(spark, p, "pts", bbox=bb)
+    ids = sorted(r["id"] for r in got.collect())
+    exp = sorted(
+        i for i in range(60)
+        if bb[0] <= i * 1.5 - 2.0 <= bb[2] and bb[1] <= i * -0.25 + 1.0 <= bb[3]
+    )
+    assert ids == exp and len(ids) > 0
+    # bbox composes with where= pushdown
+    got, _, _ = gpkg.read_gpkg(spark, p, "pts", where="id % 2 = 0", bbox=bb)
+    assert sorted(r["id"] for r in got.collect()) == [i for i in exp if i % 2 == 0]
+    # no index → loud
+    p2 = str(tmp_path / "noidx.gpkg")
+    gpkg.write_gpkg(df, p2, "pts")
+    with pytest.raises(ValueError, match="no 'rtree_pts_geom' spatial index"):
+        gpkg.read_gpkg(spark, p2, "pts", bbox=bb)
