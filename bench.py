@@ -275,6 +275,24 @@ def main():
     run_nc4()  # untimed warmup
     bench("netcdf4_sink_4m", run_nc4)
     extra["netcdf4_bytes"] = os.path.getsize("/tmp/pyramids_bench_nc4.nc")
+
+    # the zarr v3 SHARDED sink at the same 4M cells: 16 shard files
+    # (512x512, gzip-1 inner 256x256 chunks + crc32c'd uint64 index)
+    # written FULLY parallel, one task per shard — the object-store path
+    # with no driver byte stream at all
+    from pyramids_spark import zarr as _zarr
+
+    _zdir = "/tmp/pyramids_bench_zarr3"
+
+    def run_zarr3():
+        _sh.rmtree(_zdir, ignore_errors=True)
+        _zarr.write_zarr(
+            gdf, g, _zdir, chunks=(256, 256), compress=1, zarr_format=3,
+            shards=(512, 512),
+        )
+
+    run_zarr3()  # untimed warmup
+    bench("zarr_v3_sharded_sink_4m", run_zarr3)
     gdf.unpersist()
 
     # distributed connected components at a border set of ~10^5 cells
