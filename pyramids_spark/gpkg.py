@@ -143,6 +143,17 @@ def _qi(name: str) -> str:
     return '"' + name.replace('"', '""') + '"'
 
 
+
+def _env_of(g: bytes) -> "tuple[float, float, float, float]":
+    """GP blob → exact (minx, maxx, miny, maxy) from the header bytes:
+    the stored envelope when present, else the point's coordinates."""
+    if (g[3] >> 1) & 0b111:
+        e = np.frombuffer(g[8:40], "<f8")
+        return float(e[0]), float(e[1]), float(e[2]), float(e[3])
+    x, y = np.frombuffer(g[13:29], "<f8")
+    return float(x), float(x), float(y), float(y)
+
+
 def _attr_cols(df: DataFrame, geometry_col: str) -> list[tuple[str, str]]:
     cols = []
     for f in df.schema.fields:
@@ -240,6 +251,13 @@ def write_gpkg(
             f"(geom{''.join(', ' + _qi(a) for a, _ in attrs)})"
             f" VALUES (?{', ?' * len(attrs)})"
         )
+        rt = _qi(f"rtree_{layer}_geom")
+        if spatial_index:
+            con.execute(
+                f"CREATE VIRTUAL TABLE {rt} USING rtree"
+                "(id, minx, maxx, miny, maxy)"
+            )
+        rt_ins = f"INSERT INTO {rt} VALUES (?, ?, ?, ?, ?)"
         n = 0
         bbox = [np.inf, np.inf, -np.inf, -np.inf]
         rows: list[tuple] = []
@@ -249,13 +267,7 @@ def write_gpkg(
             rows.append((g, *[r[a] for a, _ in attrs]))
             # envelope / point coords sit at fixed offsets — maintain the
             # layer bbox from the header bytes alone
-            flags = g[3]
-            if (flags >> 1) & 0b111:
-                e = np.frombuffer(g[8:40], "<f8")
-                env = (e[0], e[1], e[2], e[3])  # minx, maxx, miny, maxy
-            else:
-                x, y = np.frombuffer(g[13:29], "<f8")
-                env = (x, x, y, y)
+            env = _env_of(g)
             bbox = [min(bbox[0], env[0]), min(bbox[1], env[2]),
                     max(bbox[2], env[1]), max(bbox[3], env[3])]
             n += 1
@@ -264,8 +276,13 @@ def write_gpkg(
             if len(rows) >= batch:
                 con.executemany(ins, rows)
                 rows = []
+                if envs:  # index rows flush with the batch: O(batch) driver
+                    con.executemany(rt_ins, envs)
+                    envs = []
         if rows:
             con.executemany(ins, rows)
+        if envs:
+            con.executemany(rt_ins, envs)
         if not n:
             bbox = [None, None, None, None]
         con.execute(
@@ -275,14 +292,6 @@ def write_gpkg(
             (layer, layer, *bbox, srs_id),
         )
         if spatial_index:
-            rt = _qi(f"rtree_{layer}_geom")
-            con.execute(
-                f"CREATE VIRTUAL TABLE {rt} USING rtree"
-                "(id, minx, maxx, miny, maxy)"
-            )
-            con.executemany(
-                f"INSERT INTO {rt} VALUES (?, ?, ?, ?, ?)", envs
-            )
             con.execute(
                 "CREATE TABLE IF NOT EXISTS gpkg_extensions ("
                 "table_name TEXT, column_name TEXT, extension_name TEXT "
@@ -424,6 +433,16 @@ def read_gpkg(
                         (int(lo_), int(hi_)) + args,
                     )
                     rows = cur.fetchall()
+                    if bbox is not None:
+                        # the R*-tree stores float32 bounds (rounded
+                        # outward) — re-check against the exact envelope
+                        # in the GP header, like OGR does
+                        rows = [
+                            r for r in rows
+                            if (e := _env_of(r[1]))[0] <= bbox[2]
+                            and e[1] >= bbox[0]
+                            and e[2] <= bbox[3] and e[3] >= bbox[1]
+                        ]
                     yield pd.DataFrame(
                         rows, columns=["fid", "__blob"] + [a for a, _ in attrs]
                     ) if rows else pd.DataFrame(

@@ -682,7 +682,9 @@ def _fletcher32(data: bytes) -> int:
     odd = len(data) & 1
     n = len(w) + odd
     s1 = s2 = 0
-    step = 1 << 20
+    # segment bound: each partial is ≤ 65535 · n · step, so cap step to
+    # keep partials under 2^62 even for multi-GiB chunks (n up to 2^31)
+    step = min(1 << 20, max(1, (1 << 62) // (65535 * max(n, 1))))
     for k in range(0, len(w), step):
         seg = w[k:k + step].astype(np.uint64)
         mult = np.arange(n - k, n - k - len(seg), -1, dtype=np.uint64)

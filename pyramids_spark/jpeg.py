@@ -402,45 +402,62 @@ def _split_rst(scan: bytes) -> "list[bytes]":
     return segs
 
 
-def _scan_sequential(sc, comps, samp, coef, cw, mcus_x, mcus_y) -> None:
-    """One full interleaved sequential scan (Ss=0, Se=63): the baseline /
-    extended-sequential entropy layout."""
+def _scan_sequential(sc, comps, samp, coef, cw, bw, bh,
+                     mcus_x, mcus_y) -> None:
+    """One sequential scan (Ss=0, Se=63): interleaved MCU order when the
+    scan holds >1 component (the baseline layout); a single-component
+    scan of a multi-component frame is NON-interleaved — one block per
+    MCU over the component's own (non-padded) raster, per T.81 A.2."""
     segs, huff, dri = sc["segs"], sc["huff"], sc["dri"]
     tabs = {m[0]: (m[1], m[2]) for m in sc["members"]}
     br = _BitReader(segs[0])
     seg_i = 0
     pred = {ci: 0 for ci in tabs}
-    mcu_n = 0
+
+    def block(ci, bi):
+        dct = huff[(0, tabs[ci][0])]
+        act = huff[(1, tabs[ci][1])]
+        s = _dec_sym(br, dct)
+        pred[ci] += _extend(br.read(s), s)
+        blk = coef[ci][bi]
+        blk[0] = pred[ci]
+        k = 1
+        while k < 64:
+            rs = _dec_sym(br, act)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break
+            k += r
+            blk[k] = _extend(br.read(s), s)
+            k += 1
+
+    n = 0
+    if len(sc["members"]) == 1 and len(comps) > 1:
+        ci = sc["members"][0][0]
+        for r in range(bh[ci]):
+            for c in range(bw[ci]):
+                if dri and n and n % dri == 0:
+                    seg_i += 1
+                    br = _BitReader(segs[seg_i])
+                    pred = {ci: 0}
+                block(ci, r * cw[ci] + c)
+                n += 1
+        return
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            if dri and mcu_n and mcu_n % dri == 0:
+            if dri and n and n % dri == 0:
                 seg_i += 1
                 br = _BitReader(segs[seg_i])
                 pred = {ci: 0 for ci in tabs}
             for ci, _, _ in sc["members"]:
-                dct = huff[(0, tabs[ci][0])]
-                act = huff[(1, tabs[ci][1])]
                 sh, sv = samp[ci]
                 for by in range(sv):
                     for bx in range(sh):
-                        s = _dec_sym(br, dct)
-                        pred[ci] += _extend(br.read(s), s)
-                        blk = coef[ci][(my * sv + by) * cw[ci]
-                                       + mx * sh + bx]
-                        blk[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _dec_sym(br, act)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break
-                            k += r
-                            blk[k] = _extend(br.read(s), s)
-                            k += 1
-            mcu_n += 1
+                        block(ci, (my * sv + by) * cw[ci] + mx * sh + bx)
+            n += 1
 
 
 def _scan_dc(sc, comps, samp, coef, cw, bw, bh, mcus_x, mcus_y) -> None:
@@ -698,7 +715,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     for sc in scans:
         sc["members"] = [(idmap[cid], dt, at) for cid, dt, at in sc["comps"]]
         if sc["ss"] == 0 and sc["se"] == 63:
-            _scan_sequential(sc, comps, samp, coef, cw, mcus_x, mcus_y)
+            _scan_sequential(sc, comps, samp, coef, cw, bw, bh,
+                             mcus_x, mcus_y)
         elif sc["ss"] == 0:
             _scan_dc(sc, comps, samp, coef, cw, bw, bh, mcus_x, mcus_y)
         else:

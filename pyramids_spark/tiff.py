@@ -232,18 +232,22 @@ def _encode_tile(arr: "np.ndarray", compress, predictor: int) -> bytes:
     return _compress(arr.tobytes(order="C"), compress)
 
 
+def _ifd_tag_count(is_overview: bool, predictor: int) -> int:
+    """The ONE place that knows how many tags an IFD carries — layout
+    sizing and the tag emitter both use it (a mismatch would shift every
+    external-array offset), and the emitter asserts against it."""
+    return 15 + (1 if is_overview else 0) + (1 if predictor == 2 else 0)
+
+
 def _layout(
-    ifds: "list[_Ifd]", nod_len: int, v: _Variant, extra_tags: int = 0,
+    ifds: "list[_Ifd]", nod_len: int, v: _Variant, predictor: int = 1,
 ) -> "tuple[list[int], int]":
     """Assign every IFD's header/array positions; return (ifd positions,
-    data start). Layout: [header][IFD + external arrays]*[tile data].
-    ``extra_tags`` = optional inline tags beyond the fixed 15 (e.g.
-    Predictor) — MUST match what ``_write_ifd_headers`` emits, or every
-    external-array offset shifts."""
+    data start). Layout: [header][IFD + external arrays]*[tile data]."""
     pos = v.header_len
     ifd_pos: list[int] = []
     for f_ in ifds:
-        n_tags = 15 + extra_tags + (1 if f_.is_overview else 0)
+        n_tags = _ifd_tag_count(f_.is_overview, predictor)
         ifd_pos.append(pos)
         pos += v.count_len + n_tags * v.entry + v.off_len
         ext = 0
@@ -298,6 +302,7 @@ def _write_ifd_headers(
         ]
         if predictor == 2:
             tags.append((_PREDICTOR, _T_SHORT, 1, 2))
+        assert len(tags) == _ifd_tag_count(f_.is_overview, predictor)
         tags.sort(key=lambda t: t[0])
         fh.seek(ifd_pos[k])
         fh.write(struct.pack(v.count_fmt, len(tags)))
@@ -380,8 +385,7 @@ def write_geotiff(
 
     def bound_of(v: _Variant) -> int:
         nod = len(_nodata_ascii(nodata, v.inline))
-        _, ds = _layout(ifds, nod, v,
-                        extra_tags=1 if predictor == 2 else 0)
+        _, ds = _layout(ifds, nod, v, predictor)
         b = ds + sum(f_.n_tiles * f_.tile_bytes for f_ in ifds)
         if compress == "lzw":  # LZW worst case is 12-bit codes per byte
             b = int(b * 1.51) + 4096
@@ -399,8 +403,7 @@ def write_geotiff(
         )
 
     nod_ascii = _nodata_ascii(nodata, v.inline)
-    ifd_pos, data_start = _layout(ifds, len(nod_ascii), v,
-                              extra_tags=1 if predictor == 2 else 0)
+    ifd_pos, data_start = _layout(ifds, len(nod_ascii), v, predictor)
 
     with open(path, "wb") as fh:
         fh.write(v.header(ifd_pos[0]))
@@ -517,8 +520,7 @@ def serialize_geotiff(
                      itemsize=np_dt.itemsize)
             )
     nod_ascii = _nodata_ascii(base_grid.nodata, v.inline)
-    ifd_pos, data_start = _layout(ifds, len(nod_ascii), v,
-                              extra_tags=1 if predictor == 2 else 0)
+    ifd_pos, data_start = _layout(ifds, len(nod_ascii), v, predictor)
 
     import io
 

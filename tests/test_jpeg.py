@@ -229,3 +229,60 @@ def test_jpeg_fill_bytes_before_marker():
     i = enc.index(b"\xff\xdb")  # first DQT
     padded = enc[:i] + b"\xff\xff\xff" + enc[i:]
     assert np.array_equal(jpeg.decode_jpeg(padded), jpeg.decode_jpeg(enc))
+
+
+def test_jpeg_noninterleaved_sequential_scans():
+    """T.81 allows SEQUENTIAL scans holding one component each: the MCU is
+    then a single data unit over the component's own non-padded raster
+    (NOT the interleaved padded-MCU walk). 4:2:0 frame 10×20 → luma raster
+    2×3 blocks inside a 2×4 padded grid, so any layout confusion shifts
+    every block. Chroma stays at DC 0 (=128) so expected RGB = luma."""
+    import struct
+
+    h, w = 10, 20
+    dcc = jpeg._huff_codes(jpeg._DC_COUNTS, jpeg._DC_SYMS)
+    acc = jpeg._huff_codes(jpeg._AC_COUNTS, jpeg._AC_SYMS)
+    luma_dc = [[-80, 200, 404], [96, -320, 8]]  # per block, raster order
+
+    def scan_bits(dcs):
+        bwt = jpeg._BitWriter()
+        pred = 0
+        for v in dcs:
+            s, bits = jpeg._mag(v - pred)
+            pred = v
+            c, ln = dcc[s]
+            bwt.put(c, ln)
+            if s:
+                bwt.put(bits, s)
+            c, ln = acc[0x00]  # EOB: DC-only block
+            bwt.put(c, ln)
+        bwt.flush()
+        return bytes(bwt.buf)
+
+    def seg(m, body):
+        return struct.pack(">HH", m, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, b"\x00" + bytes(np.ones(64, np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    out += seg(0xFFC0, sof)
+    out += seg(0xFFC4, b"\x00" + bytes(jpeg._DC_COUNTS) + bytes(jpeg._DC_SYMS))
+    out += seg(0xFFC4, b"\x10" + bytes(jpeg._AC_COUNTS) + bytes(jpeg._AC_SYMS))
+    # one sequential scan PER component (Ss=0, Se=63)
+    flat = [v for row in luma_dc for v in row]
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0])) + scan_bits(flat)
+    out += seg(0xFFDA, bytes([1, 2, 0x00, 0, 63, 0])) + scan_bits([0, 0])
+    out += seg(0xFFDA, bytes([1, 3, 0x00, 0, 63, 0])) + scan_bits([0, 0])
+    out += b"\xff\xd9"
+
+    got = jpeg.decode_jpeg(bytes(out))
+    assert got.shape == (h, w, 3)
+    for br in range(2):
+        for bc in range(3):
+            d = np.zeros((8, 8))
+            d[0, 0] = luma_dc[br][bc]
+            px = np.einsum("ji,jk,kl->il", jpeg._M, d, jpeg._M) + 128.0
+            want = int(np.clip(np.rint(px[0, 0]), 0, 255))
+            blockpx = got[br * 8:(br + 1) * 8, bc * 8:min((bc + 1) * 8, w)]
+            assert (blockpx == want).all(), (br, bc, want, blockpx[0, 0])

@@ -539,3 +539,19 @@ def test_gpkg_spatial_index_and_bbox_pushdown(spark, tmp_path):
     gpkg.write_gpkg(df, p2, "pts")
     with pytest.raises(ValueError, match="no 'rtree_pts_geom' spatial index"):
         gpkg.read_gpkg(spark, p2, "pts", bbox=bb)
+
+
+def test_gpkg_bbox_exact_recheck_beats_rtree_rounding(spark, tmp_path):
+    """SQLite R*-trees store float32 bounds rounded OUTWARD: a point at
+    2^24+1 (not float32-representable) gets minx rounded down to 2^24, so
+    a bbox ending between them hits the index but not the true envelope.
+    The exact GP-header re-check must drop it."""
+    p = str(tmp_path / "f32.gpkg")
+    df = spark.createDataFrame(
+        [(1, 16777217.0, 0.0), (2, 16777210.0, 0.0)],
+        "id long, x double, y double",
+    ).select(B.point_wkb("x", "y").alias("geometry"), "id")
+    gpkg.write_gpkg(df, p, "pts", spatial_index=True)
+    bb = (16777200.0, -1.0, 16777216.5, 1.0)  # excludes 2^24+1 exactly
+    got, _, _ = gpkg.read_gpkg(spark, p, "pts", bbox=bb)
+    assert [r["id"] for r in got.collect()] == [2]
