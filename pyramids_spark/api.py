@@ -114,12 +114,16 @@ class SparkDataset:
                                 dtype, zarr_format, shards)
 
     @classmethod
-    def from_zarr(cls, spark: SparkSession, path: str) -> "SparkDataset":
+    def from_zarr(
+        cls, spark: SparkSession, path: str, array: "str | None" = None,
+    ) -> "SparkDataset":
         """Open a zarr v2 or v3 store (distributed binaryFile chunk scan;
-        georeferencing from .zattrs / zarr.json attributes)."""
+        georeferencing from .zattrs / zarr.json attributes). ``array``
+        picks a child of a GROUP store (the xarray per-variable layout;
+        ``pyramids_spark.zarr.list_zarr_arrays`` lists them)."""
         from . import zarr as _zarr
 
-        df, grid = _zarr.read_zarr(spark, path)
+        df, grid = _zarr.read_zarr(spark, path, array)
         return cls(df, grid)
 
     def to_cog(

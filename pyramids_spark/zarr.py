@@ -251,13 +251,56 @@ def write_zarr(
     return manifest
 
 
-def read_zarr(spark: SparkSession, path: str) -> tuple[DataFrame, Grid]:
+def list_zarr_arrays(path: str) -> "list[str]":
+    """Child ARRAY names of a zarr GROUP store (v2 ``.zgroup`` or v3
+    group-node ``zarr.json``) — the layout xarray/netCDF-style stores
+    use, one array per variable. Driver-only directory metadata."""
+    out = []
+    for name in sorted(os.listdir(path)):
+        sub = os.path.join(path, name)
+        if not os.path.isdir(sub):
+            continue
+        v3 = os.path.join(sub, "zarr.json")
+        if os.path.exists(os.path.join(sub, ".zarray")):
+            out.append(name)
+        elif os.path.exists(v3):
+            with open(v3) as f:
+                if json.load(f).get("node_type") == "array":
+                    out.append(name)
+    return out
+
+
+def read_zarr(
+    spark: SparkSession, path: str, array: "str | None" = None,
+) -> tuple[DataFrame, Grid]:
     """Open a zarr store → (cell table, Grid): v3 when ``zarr.json`` is
-    present, else v2 via ``.zarray``. Supported chunks: raw / zlib (v2) /
-    gzip (v3), band-chunk 1. Chunks are scanned with the ``binaryFile``
-    source — a distributed read, no driver loop; fill cells drop
-    (absent-row nodata contract)."""
-    if os.path.exists(os.path.join(path, "zarr.json")):
+    present, else v2 via ``.zarray``. GROUP stores (v2 ``.zgroup`` / v3
+    group node — the xarray per-variable layout) open one child array:
+    ``array`` names it, or the single child when there is exactly one
+    (loud otherwise; see :func:`list_zarr_arrays`). Supported chunks:
+    raw / zlib (v2) / gzip (v3) / v3 sharding, band-chunk 1. Chunks are
+    scanned with the ``binaryFile`` source — a distributed read, no
+    driver loop; fill cells drop (absent-row nodata contract)."""
+    v3_meta = os.path.join(path, "zarr.json")
+    is_group = os.path.exists(os.path.join(path, ".zgroup"))
+    if not is_group and os.path.exists(v3_meta):
+        with open(v3_meta) as f:
+            is_group = json.load(f).get("node_type") == "group"
+    if is_group:
+        names = list_zarr_arrays(path)
+        if array is None:
+            if len(names) != 1:
+                raise ValueError(
+                    f"group store holds arrays {names} — pass array= to "
+                    "pick one"
+                )
+            array = names[0]
+        if array not in names:
+            raise ValueError(f"no array {array!r} in group (have {names})")
+        return read_zarr(spark, os.path.join(path, array))
+    if array is not None:
+        raise ValueError("array= only applies to group stores")
+    if os.path.exists(v3_meta):
         return _read_zarr_v3(spark, path)
     with open(os.path.join(path, ".zarray")) as f:
         meta = json.load(f)

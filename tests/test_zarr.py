@@ -263,3 +263,45 @@ def test_zarr_v3_sharded_roundtrip_and_index(spark, tmp_path):
     with pytest.raises(ValueError, match="multiple of the chunk"):
         SparkDataset(d, g).to_zarr(str(tmp_path / "zb"), chunks=(4, 4),
                                    zarr_format=3, shards=(10, 8))
+
+
+def test_zarr_group_stores_v2_and_v3(spark, tmp_path):
+    """Group stores (the xarray per-variable layout): v2 .zgroup and v3
+    group-node zarr.json with child arrays; list, open by name, open the
+    single child implicitly, loud errors otherwise."""
+    from pyramids_spark import zarr as Z
+
+    g = Grid(x0=0.0, y0=6.0, cell=1.0, rows=6, cols=5, epsg=4326,
+             nodata=-9.0)
+    ds = SparkDataset.create(spark, g, "CAST(row * 5 + col AS DOUBLE)")
+    # v2 group: .zgroup + two child arrays
+    root = tmp_path / "grp2"
+    root.mkdir()
+    (root / ".zgroup").write_text(json.dumps({"zarr_format": 2}))
+    ds.to_zarr(str(root / "precip"), chunks=(4, 4))
+    ds.to_zarr(str(root / "temp"), chunks=(4, 4), compress=3)
+    assert Z.list_zarr_arrays(str(root)) == ["precip", "temp"]
+    back = SparkDataset.from_zarr(spark, str(root), array="temp")
+    assert back.grid == g
+    a = {(r.band, r.row, r.col): r.value for r in ds.df.collect()}
+    assert {(r.band, r.row, r.col): r.value
+            for r in back.df.collect()} == a
+    with pytest.raises(ValueError, match="pass array="):
+        SparkDataset.from_zarr(spark, str(root))
+    with pytest.raises(ValueError, match="no array 'zzz'"):
+        SparkDataset.from_zarr(spark, str(root), array="zzz")
+    # v3 group: group-node zarr.json + ONE child → opens implicitly
+    root3 = tmp_path / "grp3"
+    root3.mkdir()
+    (root3 / "zarr.json").write_text(
+        json.dumps({"zarr_format": 3, "node_type": "group", "attributes": {}})
+    )
+    ds.to_zarr(str(root3 / "elev"), chunks=(4, 4), zarr_format=3,
+               compress=2)
+    assert Z.list_zarr_arrays(str(root3)) == ["elev"]
+    back = SparkDataset.from_zarr(spark, str(root3))
+    assert {(r.band, r.row, r.col): r.value
+            for r in back.df.collect()} == a
+    # array= on a non-group store is a usage error
+    with pytest.raises(ValueError, match="only applies to group"):
+        SparkDataset.from_zarr(spark, str(root3 / "elev"), array="x")
