@@ -30,8 +30,9 @@ def encode_pgm(img: np.ndarray) -> bytes:
     return b"P5\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
-def _pnm_header(b: bytes, magic: bytes) -> tuple[int, int, int]:
-    """→ (width, height, data offset). Whitespace/comment-tolerant."""
+def _pnm_header(b: bytes, magic: bytes) -> tuple[int, int, int, int]:
+    """→ (width, height, maxval, data offset).
+    Whitespace/comment-tolerant."""
     if b[:2] != magic:
         raise ValueError(f"not a {magic!r} stream")
     fields: list[int] = []
@@ -48,11 +49,17 @@ def _pnm_header(b: bytes, magic: bytes) -> tuple[int, int, int]:
             j += 1
         fields.append(int(b[i:j]))
         i = j
-    return fields[0], fields[1], i + 1  # single whitespace after maxval
+    # single whitespace after maxval, then raw samples
+    return fields[0], fields[1], fields[2], i + 1
 
 
 def decode_pgm(b: bytes) -> np.ndarray:
-    w, h, off = _pnm_header(b, b"P5")
+    """P5 → (h, w) uint8, or uint16 for maxval > 255 (two-byte big-endian
+    samples per the netpbm spec)."""
+    w, h, maxval, off = _pnm_header(b, b"P5")
+    if maxval > 255:
+        return (np.frombuffer(b, dtype=">u2", count=w * h, offset=off)
+                .astype(np.uint16).reshape(h, w))
     return np.frombuffer(b, dtype=np.uint8, count=w * h, offset=off).reshape(h, w)
 
 
@@ -65,7 +72,11 @@ def encode_ppm(img: np.ndarray) -> bytes:
 
 
 def decode_ppm(b: bytes) -> np.ndarray:
-    w, h, off = _pnm_header(b, b"P6")
+    """P6 → (h, w, 3) uint8, or uint16 for maxval > 255."""
+    w, h, maxval, off = _pnm_header(b, b"P6")
+    if maxval > 255:
+        return (np.frombuffer(b, dtype=">u2", count=w * h * 3, offset=off)
+                .astype(np.uint16).reshape(h, w, 3))
     return np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=off).reshape(
         h, w, 3
     )
@@ -417,9 +428,12 @@ def decode_image(b: bytes) -> np.ndarray:
     reduce via the integer ITU-R 601 luma)."""
     kind = sniff(b)
     if kind == "pgm":
-        return decode_pgm(b)
+        g = decode_pgm(b)
+        return (g >> 8).astype(np.uint8) if g.dtype == np.uint16 else g
     if kind == "ppm":
         rgb = decode_ppm(b)
+        if rgb.dtype == np.uint16:  # 16-bit → high byte
+            rgb = (rgb >> 8).astype(np.uint8)
     elif kind == "bmp":
         rgb = decode_bmp(b)
     elif kind == "png":

@@ -257,7 +257,7 @@ def frame_extract(media: DataFrame, every_n: int = 10) -> DataFrame:
                 b = bytes(payload)
                 off, idx = 0, 0
                 while off < len(b):
-                    w, h, doff = codecs._pnm_header(b[off:], b"P5")
+                    w, h, _mx, doff = codecs._pnm_header(b[off:], b"P5")
                     end = off + doff + w * h
                     if idx % every_n == 0:
                         rows["media_ref"].append(ref)

@@ -883,3 +883,20 @@ def test_bmp_wild_variants():
 
     with _pytest.raises(NotImplementedError, match="compression"):
         C.decode_bmp(bmp(2, 2, 8, [b"\x00" * 4], comp=1))
+
+
+def test_pnm_16bit_maxval():
+    """netpbm maxval > 255 = two-byte big-endian samples; decode_image
+    reduces to the high byte."""
+    from pyramids_spark import codecs as C
+
+    v = np.array([[256, 65535], [0, 4660]], dtype=np.uint16)
+    pgm = b"P5\n2 2\n65535\n" + v.astype(">u2").tobytes()
+    got = C.decode_pgm(pgm)
+    assert got.dtype == np.uint16 and np.array_equal(got, v)
+    assert np.array_equal(C.decode_image(pgm), (v >> 8).astype(np.uint8))
+    rgb = np.stack([v, v // 2, v * 0], axis=-1).astype(np.uint16)
+    ppm = b"P6\n2 2\n65535\n" + rgb.astype(">u2").tobytes()
+    got = C.decode_ppm(ppm)
+    assert got.dtype == np.uint16 and np.array_equal(got, rgb)
+    assert C.decode_image(ppm).dtype == np.uint8
