@@ -719,27 +719,34 @@ class SparkFeatureCollection:
         self, path: str, geometry_col: str = "geometry",
         shape_type: int = 1,
     ) -> int:
-        """Write .shp/.shx/.dbf — ``geometry_col`` holds WKB (the same
-        column feeds :meth:`to_gpkg`); records re-encode executor-side via
-        ``shp.record_from_wkb``. Driver-stream single-file sink, loud
-        2 GiB format guard."""
+        """Write .shp/.shx/.dbf (+ a ``.prj`` WKT1 sidecar when
+        ``shp.prj_wkt`` knows this collection's EPSG — 4326/3857/UTM) —
+        ``geometry_col`` holds WKB (the same column feeds :meth:`to_gpkg`);
+        records re-encode executor-side via ``shp.record_from_wkb``.
+        Driver-stream single-file sink, loud 2 GiB format guard."""
         from . import shp as _shp
 
         df = self.df.withColumn(
             geometry_col, _shp.record_from_wkb(F.col(geometry_col))
         )
-        return _shp.write_shapefile(df, path, geometry_col, shape_type)
+        n = _shp.write_shapefile(df, path, geometry_col, shape_type)
+        _shp.write_prj(path, self.epsg)
+        return n
 
     @classmethod
     def read_shapefile(
-        cls, spark: SparkSession, path: str, epsg: int = 4326
+        cls, spark: SparkSession, path: str, epsg: "int | None" = None
     ) -> "SparkFeatureCollection":
         """Distributed shapefile scan (per-task .shx slice + contiguous
         .shp byte range + fixed-width .dbf records); geometry returns as
-        WKB, multi-part records explode one row per part."""
+        WKB, multi-part records explode one row per part. CRS: explicit
+        ``epsg`` wins, else the ``.prj`` sidecar's EPSG authority, else
+        4326."""
         from . import shp as _shp
 
         df, _ = _shp.read_shapefile(spark, path)
+        if epsg is None:
+            epsg = _shp.read_prj(path) or 4326
         return cls(df, epsg)
 
     # --- catalog (collection.py:1240 list_layers, pyogrio engine) -----------

@@ -553,3 +553,75 @@ def _point_wkb_np(xy: np.ndarray) -> np.ndarray:
         np.uint8
     ).reshape(n, 16)
     return out.reshape(-1)
+
+
+# --------------------------------------------------------------------------
+# .prj sidecar (WKT1 CRS, the ESRI convention)
+# --------------------------------------------------------------------------
+
+_GEOGCS_WGS84 = (
+    'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+    '298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",'
+    '0.0174532925199433],AUTHORITY["EPSG","4326"]]'
+)
+
+
+def prj_wkt(epsg: int) -> "str | None":
+    """WKT1 for the CRS surface this engine speaks: 4326, 3857, and the
+    WGS84 UTM zones (326xx/327xx — zone parameters are defined by the
+    EPSG formulas, so the WKT is exact). None for anything else — there
+    is no EPSG database in this environment to synthesize full parameter
+    sets from, and a .prj with wrong parameters is worse than none."""
+    if epsg == 4326:
+        return _GEOGCS_WGS84
+    if epsg == 3857:
+        return (
+            'PROJCS["WGS 84 / Pseudo-Mercator",' + _GEOGCS_WGS84 +
+            ',PROJECTION["Mercator_1SP"],PARAMETER["central_meridian",0],'
+            'PARAMETER["scale_factor",1],PARAMETER["false_easting",0],'
+            'PARAMETER["false_northing",0],UNIT["metre",1],'
+            'AUTHORITY["EPSG","3857"]]'
+        )
+    if 32601 <= epsg <= 32660 or 32701 <= epsg <= 32760:
+        zone = epsg % 100
+        north = epsg < 32700
+        return (
+            f'PROJCS["WGS 84 / UTM zone {zone}{"N" if north else "S"}",'
+            + _GEOGCS_WGS84 +
+            ',PROJECTION["Transverse_Mercator"],'
+            'PARAMETER["latitude_of_origin",0],'
+            f'PARAMETER["central_meridian",{-183 + 6 * zone}],'
+            'PARAMETER["scale_factor",0.9996],'
+            'PARAMETER["false_easting",500000],'
+            f'PARAMETER["false_northing",{0 if north else 10000000}],'
+            f'UNIT["metre",1],AUTHORITY["EPSG","{epsg}"]]'
+        )
+    return None
+
+
+def write_prj(path: str, epsg: int) -> bool:
+    """Write the ``.prj`` sidecar next to ``path`` when :func:`prj_wkt`
+    knows the CRS; returns whether one was written."""
+    wkt = prj_wkt(epsg)
+    if wkt is None:
+        return False
+    base = path[:-4] if path.lower().endswith(".shp") else path
+    with open(base + ".prj", "w") as fh:
+        fh.write(wkt)
+    return True
+
+
+def read_prj(path: str) -> "int | None":
+    """EPSG code from the ``.prj`` sidecar (the OUTERMOST
+    AUTHORITY["EPSG", ...] entry — the last one in WKT1 text), or None
+    when the file is absent or carries no EPSG authority."""
+    import re
+
+    base = path[:-4] if path.lower().endswith(".shp") else path
+    try:
+        with open(base + ".prj") as fh:
+            wkt = fh.read()
+    except FileNotFoundError:
+        return None
+    m = re.findall(r'AUTHORITY\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]', wkt)
+    return int(m[-1]) if m else None

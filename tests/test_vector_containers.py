@@ -555,3 +555,39 @@ def test_gpkg_bbox_exact_recheck_beats_rtree_rounding(spark, tmp_path):
     bb = (16777200.0, -1.0, 16777216.5, 1.0)  # excludes 2^24+1 exactly
     got, _, _ = gpkg.read_gpkg(spark, p, "pts", bbox=bb)
     assert [r["id"] for r in got.collect()] == [2]
+
+
+def test_shp_prj_sidecar_roundtrip(spark, tmp_path):
+    """to_shapefile writes a .prj for the CRSes the engine speaks; the
+    read side recovers the EPSG from the outermost AUTHORITY entry, and
+    the WKT parses back through the engine's own parse_wkt_crs."""
+    from pyramids_spark.api import SparkFeatureCollection
+    from pyramids_spark.operators import reproject
+
+    base = str(tmp_path / "crs.shp")
+    fc = SparkFeatureCollection(
+        _pts(spark, 5).select(B.point_wkb("x", "y").alias("geometry"), "id"),
+        32636,
+    )
+    assert fc.to_shapefile(base) == 5
+    wkt = open(str(tmp_path / "crs.prj")).read()
+    assert reproject.parse_wkt_crs(wkt) == ("utm", 32636)
+    back = SparkFeatureCollection.read_shapefile(spark, base)
+    assert back.epsg == 32636 and back.df.count() == 5
+    # explicit epsg overrides the sidecar; absent sidecar defaults 4326
+    assert SparkFeatureCollection.read_shapefile(spark, base, 2154).epsg == 2154
+    import os as _os
+
+    _os.remove(str(tmp_path / "crs.prj"))
+    assert SparkFeatureCollection.read_shapefile(spark, base).epsg == 4326
+    # wild GDAL-style .prj (conic, no template of ours): authority parses
+    (tmp_path / "crs.prj").write_text(
+        'PROJCS["RGF93 / Lambert-93",GEOGCS["RGF93",DATUM["D",SPHEROID['
+        '"GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],UNIT['
+        '"degree",0.0174532925199433],AUTHORITY["EPSG","4171"]],PROJECTION['
+        '"Lambert_Conformal_Conic_2SP"],UNIT["metre",1],'
+        'AUTHORITY["EPSG","2154"]]'
+    )
+    assert shp.read_prj(base) == 2154
+    # unknown-template EPSG: no sidecar written, loudly documented False
+    assert shp.write_prj(str(tmp_path / "x.shp"), 27572) is False
