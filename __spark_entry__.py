@@ -1175,6 +1175,52 @@ def sql_gpkg_roundtrip():
     )
 
 
+def q_gpkg_bbox(spark, sf_dir):
+    """GPKG spatial-index gate: write supplier points WITH the
+    gpkg_rtree_index extension, read back with a bbox that probes the
+    R*-tree inside each per-task SQLite query (exact envelope re-check
+    on top — the index stores float32). The oracle filters the same
+    exact-binary-fraction coordinates in SQL."""
+    import os as _os
+
+    from pyramids_spark.api import SparkFeatureCollection
+    from pyramids_spark.functions import wkb as B
+
+    sup = _read(spark, sf_dir, "supplier")
+    feat = sup.select(
+        B.point_wkb(
+            F.col("s_suppkey") * 0.125 - 60.0,
+            F.col("s_suppkey") * -0.0625 + 30.0,
+        ).alias("geometry"),
+        F.col("s_suppkey").cast("long").alias("skey"),
+    )
+    path = "/tmp/pyramids_q_fc_si.gpkg"
+    if _os.path.exists(path):
+        _os.remove(path)
+    SparkFeatureCollection(feat, 4326).to_gpkg(
+        path, "suppliers", spatial_index=True
+    )
+    back = SparkFeatureCollection.read_gpkg(
+        spark, path, "suppliers", bbox=(-50.0, 20.0, -10.0, 28.0)
+    )
+    return back.df.select(
+        "skey",
+        B.wkb_point_x("geometry").alias("x"),
+        B.wkb_point_y("geometry").alias("y"),
+    )
+
+
+def sql_gpkg_bbox():
+    return (
+        "SELECT CAST(s_suppkey AS BIGINT) AS skey, "
+        "s_suppkey * 0.125 - 60.0 AS x, "
+        "s_suppkey * -0.0625 + 30.0 AS y "
+        "FROM supplier "
+        "WHERE (s_suppkey * 0.125 - 60.0) BETWEEN -50.0 AND -10.0 "
+        "AND (s_suppkey * -0.0625 + 30.0) BETWEEN 20.0 AND 28.0"
+    )
+
+
 def q_shapefile_roundtrip(spark, sf_dir):
     """Shapefile container gate (the "ESRI Shapefile" to_file driver arm,
     ``feature/collection.py:1657-1811``): supplier points + DBF attributes
@@ -3693,6 +3739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ascii_grid_roundtrip": q_ascii_grid_roundtrip,
         "wkb_roundtrip": q_wkb_roundtrip,
         "gpkg_roundtrip": q_gpkg_roundtrip,
+        "gpkg_bbox": q_gpkg_bbox,
         "shapefile_roundtrip": q_shapefile_roundtrip,
         # -- last validated r3 --
         "cell_encode": q_cell_encode,
@@ -3840,6 +3887,7 @@ def oracle_sql() -> dict[str, str]:
         "ascii_grid_roundtrip": sql_ascii_grid_roundtrip(),
         "wkb_roundtrip": sql_wkb_roundtrip(),
         "gpkg_roundtrip": sql_gpkg_roundtrip(),
+        "gpkg_bbox": sql_gpkg_bbox(),
         "shapefile_roundtrip": sql_shapefile_roundtrip(),
         "geotiff_roundtrip": sql_geotiff_roundtrip(),
         "wkt_roundtrip": sql_wkt_roundtrip(),
