@@ -1,5 +1,5 @@
-"""Pure-numpy media codecs: PGM/PPM images, 24-bit BMP, PCM16 WAV, PNG,
-and baseline JPEG (via :mod:`pyramids_spark.jpeg`).
+"""Pure-numpy media codecs: PGM/PPM (8/16-bit), BMP, WAV, PNG, GIF,
+and JPEG (via :mod:`pyramids_spark.jpeg`).
 
 The container has no PIL/ffmpeg, but these container formats are simple
 enough to parse with ``np.frombuffer`` + header arithmetic — so the
@@ -401,13 +401,133 @@ def decode_png(b: bytes) -> np.ndarray:
     return img  # RGB / RGBA
 
 
+
+
+# --- GIF (87a/89a: LSB-first variable-width LZW, palette, interlace) ----------
+
+
+def _gif_lzw_decode(min_code: int, data: bytes, max_px: int) -> np.ndarray:
+    """GIF-variant LZW: LSB-first bit packing, variable code width
+    starting at min_code+1, CLEAR/EOI control codes, no early-change.
+    (The TIFF variant in ``pyramids_spark.lzw`` is MSB-first with early
+    change — different enough to keep separate.) Per-payload sequential
+    loop, the usual thumbnail-scale codec budget."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    bits = np.unpackbits(
+        np.frombuffer(data, np.uint8)[:, None], axis=1, bitorder="little"
+    ).ravel()
+    weights = 1 << np.arange(12)
+    out = np.empty(max_px, np.uint8)
+    n_out = 0
+    pos = 0
+
+    def reset():
+        return {i: (i,) for i in range(clear)}, min_code + 1, eoi + 1
+
+    # navail mirrors the ENCODER's next-to-assign code, advancing once
+    # per code READ — the decoder's own table lags one entry behind, so
+    # width growth keys off this counter, not the table size (the classic
+    # LZW sync rule; giflib's RunningCode)
+    table, width, navail = reset()
+    prev = None
+    while pos + width <= bits.size and n_out < max_px:
+        code = int(bits[pos:pos + width] @ weights[:width])
+        pos += width
+        if code == clear:
+            table, width, navail = reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif prev is not None and code == navail - 1:
+            entry = prev + (prev[0],)  # KwKwK: the not-yet-built entry
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        take = min(len(entry), max_px - n_out)
+        out[n_out:n_out + take] = entry[:take]
+        n_out += take
+        if prev is not None and navail <= 4095:
+            table[navail - 1] = prev + (entry[0],)
+        prev = entry
+        navail += 1
+        if navail >= (1 << width) and width < 12:
+            width += 1
+    return out[:n_out]
+
+
+_GIF_INTERLACE = [(0, 8), (4, 8), (2, 4), (1, 2)]  # (start row, step)
+
+
+def decode_gif(b: bytes) -> np.ndarray:
+    """GIF → (h, w, 3) uint8 RGB — the FIRST image frame, composed onto
+    the logical screen's background; 89a extension blocks are skipped
+    (animation/transparency ignored — frame 1's pixels as stored)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(b, np.uint8, n * 3, i).reshape(-1, 3)
+        i += n * 3
+    while i < len(b):
+        block = b[i]
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i]:
+                i += 1 + b[i]
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            x0, y0, w, h, ip = struct.unpack_from("<HHHHB", b, i + 1)
+            i += 10
+            ct = gct
+            if ip & 0x80:
+                n = 2 << (ip & 7)
+                ct = np.frombuffer(b, np.uint8, n * 3, i).reshape(-1, 3)
+                i += n * 3
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            min_code = b[i]
+            i += 1
+            data = bytearray()
+            while i < len(b) and b[i]:
+                data += b[i + 1:i + 1 + b[i]]
+                i += 1 + b[i]
+            i += 1
+            idx = _gif_lzw_decode(min_code, bytes(data), w * h)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            px = idx.reshape(h, w)
+            if ip & 0x40:  # interlaced: four passes of whole rows
+                de = np.empty_like(px)
+                r = 0
+                for start, step in _GIF_INTERLACE:
+                    rows = range(start, h, step)
+                    de[list(rows)] = px[r:r + len(rows)]
+                    r += len(rows)
+                px = de
+            screen = np.zeros((sh, sw), np.uint8)
+            screen[:] = bg if gct is not None and bg < len(gct) else 0
+            screen[y0:y0 + h, x0:x0 + w] = px
+            return ct[np.minimum(screen, len(ct) - 1)]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF without an image frame")
+
+
 # --- sniffing ----------------------------------------------------------------
 
 
 def sniff(b: bytes) -> str:
     """Payload magic → codec name
-    ('pgm'|'ppm'|'bmp'|'wav'|'png'|'jpeg'); raises ValueError for
-    unknown bytes."""
+    ('pgm'|'ppm'|'bmp'|'wav'|'png'|'jpeg'|'gif'); raises ValueError
+    for unknown bytes."""
     if b[:2] == b"P5":
         return "pgm"
     if b[:2] == b"P6":
@@ -420,6 +540,8 @@ def sniff(b: bytes) -> str:
         return "png"
     if b[:3] == b"\xff\xd8\xff":
         return "jpeg"  # baseline Huffman decoder in pyramids_spark.jpeg
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     raise ValueError("unrecognized media payload")
 
 
@@ -436,6 +558,8 @@ def decode_image(b: bytes) -> np.ndarray:
             rgb = (rgb >> 8).astype(np.uint8)
     elif kind == "bmp":
         rgb = decode_bmp(b)
+    elif kind == "gif":
+        rgb = decode_gif(b)
     elif kind == "png":
         rgb = decode_png(b)
         if rgb.dtype == np.uint16:  # 16-bit → high byte (65535 → 255)

@@ -900,3 +900,119 @@ def test_pnm_16bit_maxval():
     got = C.decode_ppm(ppm)
     assert got.dtype == np.uint16 and np.array_equal(got, rgb)
     assert C.decode_image(ppm).dtype == np.uint8
+
+
+def _gif_lzw_encode(min_code, seq):
+    """Reference GIF-LZW encoder for fixtures: LSB-first, variable width,
+    growth in lockstep with the decoder's len(table)+2 rule."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    bits = []
+
+    def emit(code, w):
+        for k in range(w):
+            bits.append((code >> k) & 1)
+
+    table = {(i,): i for i in range(clear)}
+    nxt = eoi + 1
+    width = min_code + 1
+    emit(clear, width)
+    prev = ()
+    for px in seq:
+        cand = prev + (int(px),)
+        if cand in table:
+            prev = cand
+            continue
+        emit(table[prev], width)
+        table[cand] = nxt
+        nxt += 1
+        if nxt >= (1 << width) and width < 12:
+            width += 1
+        prev = (int(px),)
+    if prev:
+        emit(table[prev], width)
+        nxt += 1
+        if nxt >= (1 << width) and width < 12:
+            width += 1
+    emit(eoi, width)
+    arr = np.zeros((len(bits) + 7) // 8 * 8, np.uint8)
+    arr[: len(bits)] = bits
+    return np.packbits(arr.reshape(-1, 8), axis=1, bitorder="little").tobytes()
+
+
+def _gif_file(sw, sh, palette, idx, x0=0, y0=0, interlace=False, bg=0,
+              min_code=None):
+    import struct as _struct
+
+    h, w = idx.shape
+    mc = min_code or max(2, int(np.ceil(np.log2(len(palette)))))
+    gct_bits = int(np.ceil(np.log2(len(palette)))) - 1
+    pal = np.zeros((2 << gct_bits, 3), np.uint8)
+    pal[: len(palette)] = palette
+    seq = idx.copy()
+    if interlace:
+        rows = []
+        for start, step in [(0, 8), (4, 8), (2, 4), (1, 2)]:
+            rows += list(range(start, h, step))
+        seq = idx[rows]
+    data = _gif_lzw_encode(mc, seq.reshape(-1))
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", sw, sh, 0x80 | gct_bits, bg, 0)
+    out += pal.tobytes()
+    out += b"\x21\xfe\x03abc\x00"  # a comment extension to skip
+    out += b"\x2c" + _struct.pack("<HHHHB", x0, y0, w, h,
+                                  0x40 if interlace else 0)
+    out += bytes([mc])
+    for k in range(0, len(data), 255):
+        chunk = data[k:k + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_palette_offset_interlace():
+    """GIF87a/89a: variable-width LSB-first LZW (real table growth),
+    palette resolve, frame offset onto the logical screen with the
+    background color, interlaced row order, extension skipping."""
+    from pyramids_spark import codecs as C
+
+    rng = np.random.default_rng(17)
+    pal = np.array([[250, 0, 0], [0, 250, 0], [0, 0, 250], [40, 40, 40],
+                    [1, 2, 3], [9, 9, 9]], np.uint8)
+    idx = rng.integers(0, 6, (4, 5), dtype=np.uint8)
+    gif = _gif_file(7, 6, pal, idx, x0=1, y0=2, bg=3)
+    assert C.sniff(gif) == "gif"
+    got = C.decode_gif(gif)
+    assert got.shape == (6, 7, 3)
+    exp = np.zeros((6, 7), np.uint8) + 3
+    exp[2:6, 1:6] = idx
+    np.testing.assert_array_equal(got, pal[exp])
+    assert C.decode_image(gif).shape == (6, 7)  # luma path dispatches
+    # interlaced full-screen frame, enough rows for all four passes
+    idx = rng.integers(0, 6, (10, 4), dtype=np.uint8)
+    got = C.decode_gif(_gif_file(4, 10, pal, idx, interlace=True))
+    np.testing.assert_array_equal(got, pal[idx])
+    # a long constant run forces multi-symbol table strings + width growth
+    idx = np.tile(np.arange(6, dtype=np.uint8), 60).reshape(12, 30) % 6
+    idx[5:] = 2
+    got = C.decode_gif(_gif_file(30, 12, pal, idx))
+    np.testing.assert_array_equal(got, pal[idx])
+
+
+def test_gif_lzw_width_growth_stress():
+    """Push the code width through several growths (8→11 bits) with a
+    256-color palette and random + runny content; decode(encode(x)) == x
+    for the raw LZW pair too."""
+    from pyramids_spark import codecs as C
+
+    rng = np.random.default_rng(23)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (40, 40), dtype=np.uint8)
+    idx[10:20] = 7  # long runs build multi-char strings
+    got = C.decode_gif(_gif_file(40, 40, pal, idx, min_code=8))
+    np.testing.assert_array_equal(got, pal[idx])
+    for n in (1, 2, 3, 500, 5000):
+        seq = rng.integers(0, 16, n, dtype=np.uint8)
+        enc = _gif_lzw_encode(4, seq)
+        np.testing.assert_array_equal(
+            C._gif_lzw_decode(4, enc, n), seq
+        )
