@@ -5,11 +5,12 @@ The container has no PIL/ffmpeg, but these container formats are simple
 enough to parse with ``np.frombuffer`` + header arithmetic — so the
 engine's media DECODE step (task brief: decode / feature-extract / resize
 / frame-sample over binary columns) is REAL for them, not a stub. PNG is
-stdlib zlib + the five scanline unfilters; baseline JPEG ships its own
-Huffman entropy decoder in ``jpeg.py``. Only H.264 (and progressive/
-arithmetic JPEG modes) stay out of scope and raise loudly; the reference
-reads media through GDAL/PIL-equivalent system libraries, which is
-exactly the seam these codecs replace.
+stdlib zlib + the five scanline unfilters (Adam7, 16-bit, sub-byte
+depths); JPEG ships its own Huffman entropy decoder in ``jpeg.py``
+(baseline + progressive); GIF its LSB-first LZW. Only H.264 (and
+arithmetic/hierarchical JPEG) stay out of scope and raise loudly; the
+reference reads media through GDAL/PIL-equivalent system libraries,
+which is exactly the seam these codecs replace.
 
 All functions operate on ``bytes`` ↔ ``np.ndarray`` and run inside Arrow
 batches (mapInPandas) — one Python call per payload, vectorized numpy

@@ -5,11 +5,11 @@ implement decode / feature-extract / resize / frame-sample as pandas UDFs
 over ``mapInPandas``.
 
 The DECODE step is REAL for the container formats a pure-numpy parser can
-handle — PGM/PPM images, 24-bit BMP, PNG (zlib + the five scanline
-unfilters), baseline JPEG (own Huffman entropy decoder,
-:mod:`pyramids_spark.jpeg`), PCM16 WAV, and a frame-concatenated PGM
-video stream (:mod:`pyramids_spark.codecs`). Only H.264 still raises the
-documented ``NotImplementedError`` (a motion-compensated video codec is
+handle — PGM/PPM (8/16-bit), BMP, GIF, PNG (incl. Adam7/16-bit), JPEG
+(baseline + progressive, own Huffman entropy decoder,
+:mod:`pyramids_spark.jpeg`), WAV (PCM/float), and a frame-concatenated
+PGM video stream (:mod:`pyramids_spark.codecs`). Only H.264 still raises
+the documented ``NotImplementedError`` (a motion-compensated video codec is
 out of scope); the legacy deterministic fake decode remains for payloads
 that are not parseable media (sniff fallback), so the plumbing accepts
 any bytes. Schemas, Arrow batch shapes, partitioning and UDF signatures
