@@ -450,7 +450,7 @@ def _gif_lzw_decode(min_code: int, data: bytes, max_px: int) -> np.ndarray:
         take = min(len(entry), max_px - n_out)
         out[n_out:n_out + take] = entry[:take]
         n_out += take
-        if prev is not None and navail <= 4095:
+        if prev is not None and navail <= 4096:  # entry slot navail-1
             table[navail - 1] = prev + (entry[0],)
         prev = entry
         navail += 1
@@ -511,10 +511,13 @@ def decode_gif(b: bytes) -> np.ndarray:
                     de[list(rows)] = px[r:r + len(rows)]
                     r += len(rows)
                 px = de
-            screen = np.zeros((sh, sw), np.uint8)
-            screen[:] = bg if gct is not None and bg < len(gct) else 0
-            screen[y0:y0 + h, x0:x0 + w] = px
-            return ct[np.minimum(screen, len(ct) - 1)]
+            # background resolves through the GLOBAL table (spec);
+            # frame pixels through the frame's own (possibly local) table
+            out = np.zeros((sh, sw, 3), np.uint8)
+            if gct is not None and bg < len(gct):
+                out[:] = gct[bg]
+            out[y0:y0 + h, x0:x0 + w] = ct[np.minimum(px, len(ct) - 1)]
+            return out
         elif block == 0x3B:  # trailer
             break
         else:

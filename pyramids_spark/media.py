@@ -257,8 +257,8 @@ def frame_extract(media: DataFrame, every_n: int = 10) -> DataFrame:
                 b = bytes(payload)
                 off, idx = 0, 0
                 while off < len(b):
-                    w, h, _mx, doff = codecs._pnm_header(b[off:], b"P5")
-                    end = off + doff + w * h
+                    w, h, mx, doff = codecs._pnm_header(b[off:], b"P5")
+                    end = off + doff + w * h * (2 if mx > 255 else 1)
                     if idx % every_n == 0:
                         rows["media_ref"].append(ref)
                         rows["frame_idx"].append(idx)

@@ -601,11 +601,17 @@ def prj_wkt(epsg: int) -> "str | None":
 
 def write_prj(path: str, epsg: int) -> bool:
     """Write the ``.prj`` sidecar next to ``path`` when :func:`prj_wkt`
-    knows the CRS; returns whether one was written."""
+    knows the CRS; returns whether one was written. An unknown CRS
+    REMOVES any stale sidecar — overwriting a shapefile must not leave
+    the previous dataset's CRS attached."""
+    base = path[:-4] if path.lower().endswith(".shp") else path
     wkt = prj_wkt(epsg)
     if wkt is None:
+        try:
+            os.remove(base + ".prj")
+        except FileNotFoundError:
+            pass
         return False
-    base = path[:-4] if path.lower().endswith(".shp") else path
     with open(base + ".prj", "w") as fh:
         fh.write(wkt)
     return True

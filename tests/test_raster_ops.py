@@ -923,16 +923,14 @@ def _gif_lzw_encode(min_code, seq):
             prev = cand
             continue
         emit(table[prev], width)
-        table[cand] = nxt
-        nxt += 1
-        if nxt >= (1 << width) and width < 12:
-            width += 1
+        if nxt <= 4095:  # table full → deferred clear: emit frozen codes
+            table[cand] = nxt
+            nxt += 1
+            if nxt >= (1 << width) and width < 12:
+                width += 1
         prev = (int(px),)
     if prev:
         emit(table[prev], width)
-        nxt += 1
-        if nxt >= (1 << width) and width < 12:
-            width += 1
     emit(eoi, width)
     arr = np.zeros((len(bits) + 7) // 8 * 8, np.uint8)
     arr[: len(bits)] = bits
@@ -1016,3 +1014,43 @@ def test_gif_lzw_width_growth_stress():
         np.testing.assert_array_equal(
             C._gif_lzw_decode(4, enc, n), seq
         )
+
+
+def test_gif_local_table_background_and_4095_entry():
+    """Regressions from review: the background color resolves through the
+    GLOBAL table even when the frame carries a LOCAL one; entry slot 4095
+    (the table-full deferred-clear boundary) is still built."""
+    import struct as _struct
+
+    from pyramids_spark import codecs as C
+
+    gct = np.array([[1, 1, 1], [2, 2, 2], [3, 3, 3], [255, 255, 255]],
+                   np.uint8)
+    lct = np.array([[7, 7, 7], [8, 8, 8], [9, 9, 9], [10, 10, 10]],
+                   np.uint8)
+    data = _gif_lzw_encode(2, [0])
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", 2, 2, 0x81, 3, 0)  # global table, bg=3
+    out += gct.tobytes()
+    out += b"\x2c" + _struct.pack("<HHHHB", 0, 0, 1, 1, 0x81)  # local table
+    out += lct.tobytes() + bytes([2])
+    out += bytes([len(data)]) + data + b"\x00\x3b"
+    got = C.decode_gif(bytes(out))
+    assert tuple(got[0, 0]) == (7, 7, 7)      # frame px via LOCAL table
+    assert tuple(got[1, 1]) == (255, 255, 255)  # background via GLOBAL
+    # slot 4095: a sequence long enough that the encoder assigns the last
+    # legal code and then REFERENCES entries near the cap
+    rng = np.random.default_rng(29)
+    seq = rng.integers(0, 250, 30000, dtype=np.uint8)
+    enc = _gif_lzw_encode(8, seq)
+    np.testing.assert_array_equal(C._gif_lzw_decode(8, enc, 30000), seq)
+
+
+def test_shp_write_prj_removes_stale_sidecar(tmp_path):
+    from pyramids_spark import shp as S
+
+    base = str(tmp_path / "a.shp")
+    assert S.write_prj(base, 4326) is True
+    assert S.read_prj(base) == 4326
+    assert S.write_prj(base, 27572) is False  # no template → sidecar GONE
+    assert S.read_prj(base) is None
