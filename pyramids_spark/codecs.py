@@ -462,6 +462,61 @@ def _gif_lzw_decode(min_code: int, data: bytes, max_px: int) -> np.ndarray:
 _GIF_INTERLACE = [(0, 8), (4, 8), (2, 4), (1, 2)]  # (start row, step)
 
 
+def _gif_lzw_encode(min_code: int, seq: "np.ndarray") -> bytes:
+    """GIF-LZW encoder (LSB-first, variable width, freeze at table-full —
+    the deferred-clear layout): the export/fixture twin of
+    :func:`_gif_lzw_decode`."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    bits: list[int] = []
+
+    def emit(code: int, w: int) -> None:
+        for k in range(w):
+            bits.append((code >> k) & 1)
+
+    table = {(i,): i for i in range(clear)}
+    nxt = eoi + 1
+    width = min_code + 1
+    emit(clear, width)
+    prev: tuple = ()
+    for px in seq:
+        cand = prev + (int(px),)
+        if cand in table:
+            prev = cand
+            continue
+        emit(table[prev], width)
+        if nxt <= 4095:
+            table[cand] = nxt
+            nxt += 1
+            if nxt >= (1 << width) and width < 12:
+                width += 1
+        prev = (int(px),)
+    if prev:
+        emit(table[prev], width)
+    emit(eoi, width)
+    arr = np.zeros((len(bits) + 7) // 8 * 8, np.uint8)
+    arr[: len(bits)] = bits
+    return np.packbits(arr.reshape(-1, 8), axis=1, bitorder="little").tobytes()
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """(h, w) uint8 gray → GIF89a with a 256-gray global table (real LZW
+    stream, no interlace) — the corpus/export twin of :func:`decode_gif`."""
+    img = np.asarray(img, np.uint8)
+    h, w = img.shape
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    data = _gif_lzw_encode(8, img.reshape(-1))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0) + bytes([8])
+    for k in range(0, len(data), 255):
+        chunk = data[k:k + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+
 def decode_gif(b: bytes) -> np.ndarray:
     """GIF → (h, w, 3) uint8 RGB — the FIRST image frame, composed onto
     the logical screen's background; 89a extension blocks are skipped

@@ -107,10 +107,17 @@ def synth_media(spark, docs: DataFrame, real_payloads: bool = True) -> DataFrame
                     payloads.append(b"".join(frames))
                 else:
                     # rotate real image containers by seed so the corpus
-                    # mixes PGM, grayscale/RGB PNG and baseline/progressive
-                    # JPEG payloads
-                    pick = int(seed) % 4
-                    if pick == 3:
+                    # mixes PGM, grayscale/RGB PNG, GIF and baseline/
+                    # progressive JPEG payloads
+                    pick = int(seed) % 5
+                    if pick == 4:
+                        payloads.append(
+                            codecs.encode_gif(
+                                rng.integers(0, 256, size=(int(hh), int(w)),
+                                             dtype=np.int64).astype(np.uint8)
+                            )
+                        )
+                    elif pick == 3:
                         from . import jpeg as _jp
 
                         payloads.append(

@@ -1054,3 +1054,17 @@ def test_shp_write_prj_removes_stale_sidecar(tmp_path):
     assert S.read_prj(base) == 4326
     assert S.write_prj(base, 27572) is False  # no template → sidecar GONE
     assert S.read_prj(base) is None
+
+
+def test_gif_encode_roundtrip_and_corpus():
+    from pyramids_spark import codecs as C
+
+    rng = np.random.default_rng(31)
+    g = rng.integers(0, 256, (23, 17), dtype=np.uint8)
+    enc = C.encode_gif(g)
+    assert C.sniff(enc) == "gif"
+    np.testing.assert_array_equal(
+        C.decode_gif(enc), np.repeat(g[:, :, None], 3, axis=2)
+    )
+    # gray palette → the luma path returns the exact indices
+    np.testing.assert_array_equal(C.decode_image(enc), g)
