@@ -1308,6 +1308,49 @@ def sql_zarr_v3_roundtrip():
     )
 
 
+def q_zarr_cf_roundtrip(spark, sf_dir):
+    """CF/xarray dataset store gate: two (time, y, x) variables + 1-D
+    y/x/time coordinate arrays with dimension names (the
+    ``xarray.Dataset.to_zarr`` layout), georeferenced from the
+    coordinates alone through the shared ``netcdf.derive_grid``; written
+    distributed per variable, read back as the NetCDF-model cell table.
+    Oracle is the grid generator."""
+    import shutil as _sh
+
+    from pyramids_spark.api import SparkNetCDF
+
+    base = grid_df(spark, COELLO)
+    vt = spark.createDataFrame(
+        [(v, vi, t) for vi, v in enumerate(("precip", "temp"))
+         for t in range(2)],
+        "variable string, vi long, t long",
+    )
+    cells = base.crossJoin(F.broadcast(vt)).select(
+        "variable", "t", F.lit(0).cast("long").alias("band"), "row", "col",
+        (F.col("value") + F.col("vi") * 1000 + F.col("t") * 10).alias("value"),
+    )
+    store = "/tmp/pyramids_q_zarr_cf"
+    _sh.rmtree(store, ignore_errors=True)
+    SparkNetCDF(cells).to_zarr_dataset(
+        COELLO, store, times=[5.0, 6.0], compress=2, chunks=(7, 9),
+        zarr_format=3,
+    )
+    back, _, _ = SparkNetCDF.from_zarr(spark, store)
+    return back.df.select("variable", "t", "band", "row", "col", "value")
+
+
+def sql_zarr_cf_roundtrip():
+    return (
+        f"WITH g AS ({grid_sql(COELLO)}), "
+        "vt AS (SELECT * FROM (VALUES ('precip', 0), ('temp', 1)) "
+        "AS v(variable, vi) CROSS JOIN (VALUES (0), (1)) AS tt(t)) "
+        "SELECT variable, CAST(t AS BIGINT) AS t, "
+        "CAST(0 AS BIGINT) AS band, row, col, "
+        "value + vi * 1000 + t * 10 AS value "
+        "FROM g CROSS JOIN vt WHERE value IS NOT NULL"
+    )
+
+
 def q_list_layers(spark, sf_dir):
     """``FeatureCollection.list_layers`` (``feature/collection.py:1240``,
     pyogrio multi-layer listing ≙ parquet datasets in a container dir) +
@@ -3730,6 +3773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotiff_roundtrip_i16": q_geotiff_roundtrip_i16,
         "zarr_roundtrip_u8": q_zarr_roundtrip_u8,
         "zarr_v3_roundtrip": q_zarr_v3_roundtrip,
+        "zarr_cf_roundtrip": q_zarr_cf_roundtrip,
         "netcdf_roundtrip": q_netcdf_roundtrip,
         "netcdf4_roundtrip": q_netcdf4_roundtrip,
         "cog_mosaic_roundtrip": q_cog_mosaic_roundtrip,
@@ -3877,6 +3921,7 @@ def oracle_sql() -> dict[str, str]:
         "zarr_roundtrip": sql_zarr_roundtrip(),
         "zarr_roundtrip_u8": sql_zarr_roundtrip_u8(),
         "zarr_v3_roundtrip": sql_zarr_v3_roundtrip(),
+        "zarr_cf_roundtrip": sql_zarr_cf_roundtrip(),
         "geotiff_roundtrip_i16": sql_geotiff_roundtrip_i16(),
         "netcdf_roundtrip": sql_netcdf_roundtrip(),
         "netcdf4_roundtrip": sql_netcdf4_roundtrip(),

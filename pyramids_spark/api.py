@@ -1112,3 +1112,34 @@ class SparkNetCDF:
         """open_mfdataset ≙ one multi-path parquet scan (netcdf.py:934-982);
         Spark unions the file lists at the source level, no driver loop."""
         return cls(spark.read.parquet(*paths))
+
+    @classmethod
+    def from_zarr(
+        cls, spark: SparkSession, path: str
+    ) -> "tuple[SparkNetCDF, Grid, dict]":
+        """Open a CF/xarray-style zarr GROUP (one array per variable +
+        1-D coordinate arrays — the ``xarray.Dataset.to_zarr`` layout,
+        v2 or v3) as the same (surface, Grid, meta) as
+        :meth:`read_file` (``pyramids_spark.zarr.read_zarr_dataset``)."""
+        from . import zarr as _zarr
+
+        df, grid, meta = _zarr.read_zarr_dataset(spark, path)
+        return cls(df), grid, meta
+
+    def to_zarr_dataset(
+        self, grid, path: str, times: "list[float] | None" = None,
+        dtype: str = "float64", compress: "int | None" = None,
+        chunks: "tuple[int, int]" = (256, 256), zarr_format: int = 2,
+        georef: str = "coords",
+    ):
+        """Write this surface as a CF/xarray-style zarr GROUP — one
+        ``(time, y, x)`` array per variable plus coordinate arrays
+        (``pyramids_spark.zarr.write_zarr_dataset``); per-variable chunk
+        jobs run distributed. Returns the chunk manifest (lineage)."""
+        from . import zarr as _zarr
+
+        return _zarr.write_zarr_dataset(
+            self.df.select("variable", "t", "row", "col", "value"),
+            grid, path, times, dtype=dtype, compress=compress,
+            chunks=chunks, zarr_format=zarr_format, georef=georef,
+        )

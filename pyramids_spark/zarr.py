@@ -306,12 +306,15 @@ def read_zarr(
         meta = json.load(f)
     comp = meta.get("compressor")
     dt_name = _dt.FROM_ZARR.get(str(meta.get("dtype")))
+    if len(meta.get("shape", [])) == 2:  # 2-D array ≙ one implicit band
+        meta["shape"] = [1] + list(meta["shape"])
+        meta["chunks"] = [1] + list(meta.get("chunks", []))
     if (
         meta.get("zarr_format") != 2
         or (comp is not None and comp.get("id") != "zlib")
         or dt_name is None
         or meta.get("order") != "C"
-        or meta.get("chunks", [0])[0] != 1
+        or meta.get("chunks", [0])[0] < 1
     ):
         raise NotImplementedError(
             "supported zarr stores: v2, raw or zlib chunks, little-endian "
@@ -319,8 +322,8 @@ def read_zarr(
         )
     np_dt_str = str(_dt.np_dtype(dt_name).str)
     zlib_chunks = comp is not None
-    _, rows, cols = meta["shape"]
-    _, ch, cw = meta["chunks"]
+    n_bands, rows, cols = meta["shape"]
+    cb, ch, cw = meta["chunks"]
     fv = meta.get("fill_value")
     fill = float("nan") if fv in (None, "NaN") else float(fv)
     try:
@@ -339,25 +342,30 @@ def read_zarr(
             frames = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 name = os.path.basename(p)
-                b, ci, cj = (int(t) for t in name.split("."))
+                toks = [int(t) for t in name.split(".")]
+                b, ci, cj = toks if len(toks) == 3 else [0] + toks
                 if zlib_chunks:
                     import zlib
 
                     content = zlib.decompress(content)
-                block = (
+                cube = (
                     np.frombuffer(content, dtype=np_dt_str)
-                    .reshape(ch, cw)
+                    .reshape(cb, ch, cw)
                     .astype("<f8")  # widen stored dtype → engine float64
                 )
-                frames.append(
-                    _blocks.sparse_cells(block, b, ci * ch, cj * cw, rows, cols, fill)
-                )
+                for j in range(cb):  # leading dim may be chunked > 1
+                    if b * cb + j >= n_bands:
+                        break  # edge chunk padding past the array extent
+                    frames.append(
+                        _blocks.sparse_cells(cube[j], b * cb + j, ci * ch,
+                                             cj * cw, rows, cols, fill)
+                    )
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "[0-9]*.*.*")
+        .option("pathGlobFilter", "[0-9]*.*")  # b.i.j or 2-D i.j
         .load(path)
         .select("path", "content")
     )
@@ -375,6 +383,10 @@ def _read_zarr_v3(spark: SparkSession, path: str) -> tuple[DataFrame, Grid]:
         meta = json.load(f)
     cg = meta.get("chunk_grid") or {}
     cshape = (cg.get("configuration") or {}).get("chunk_shape", [])
+    if len(meta.get("shape", [])) == 2:  # 2-D array ≙ one implicit band
+        meta["shape"] = [1] + list(meta["shape"])
+        cshape = [1] + list(cshape)
+        (cg.get("configuration") or {})["chunk_shape"] = cshape
     codecs = meta.get("codecs") or []
     names = [c.get("name") for c in codecs]
     dt = str(meta.get("data_type"))
@@ -401,7 +413,8 @@ def _read_zarr_v3(spark: SparkSession, path: str) -> tuple[DataFrame, Grid]:
         and meta.get("node_type") == "array"
         and cg.get("name") == "regular"
         and len(meta.get("shape", [])) == 3
-        and len(cshape) == 3 and cshape[0] == 1
+        and len(cshape) == 3
+        and (cshape[0] == 1 if shard else cshape[0] >= 1)
         and dt in _dt.TABLE
         and names[:1] == ["bytes"] and names[1:] in ([], ["gzip"])
         and (meta.get("chunk_key_encoding") or {}).get("name")
@@ -418,8 +431,8 @@ def _read_zarr_v3(spark: SparkSession, path: str) -> tuple[DataFrame, Grid]:
     endian = (codecs[0].get("configuration") or {}).get("endian", "little")
     np_dt_str = ("<" if endian == "little" else ">") + _dt.TABLE[dt][0].lstrip("<|")
     gz = len(names) == 2
-    _, rows, cols = meta["shape"]
-    _, ch, cw = cshape
+    n_bands, rows, cols = meta["shape"]
+    cb, ch, cw = cshape
     fv = meta.get("fill_value")
     # JSON floats plus the spec's "NaN"/"Infinity"/"-Infinity" strings
     fill = float("nan") if fv is None else float(fv)
@@ -447,15 +460,22 @@ def _read_zarr_v3(spark: SparkSession, path: str) -> tuple[DataFrame, Grid]:
         for pdf in batches:
             frames = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                toks = re.split(r"[/.]", p)
-                b, ci, cj = (int(t) for t in toks[-3:])
+                raw_toks = re.split(r"[/.]", p)
+                toks = []
+                while raw_toks and raw_toks[-1].isdigit() and len(toks) < 3:
+                    toks.insert(0, int(raw_toks.pop()))
+                b, ci, cj = toks if len(toks) == 3 else [0] + toks
                 if shard is None:
-                    frames.append(
-                        _blocks.sparse_cells(
-                            unchunk(content, (ch, cw)), b, ci * ch,
-                            cj * cw, rows, cols, fill
+                    cube = unchunk(content, (cb, ch, cw))
+                    for j in range(cb):  # leading dim may be chunked > 1
+                        if b * cb + j >= n_bands:
+                            break
+                        frames.append(
+                            _blocks.sparse_cells(
+                                cube[j], b * cb + j, ci * ch,
+                                cj * cw, rows, cols, fill
+                            )
                         )
-                    )
                     continue
                 ich, icw, crc, at_end = shard
                 niy, nix = ch // ich, cw // icw
@@ -494,3 +514,271 @@ def _read_zarr_v3(spark: SparkSession, path: str) -> tuple[DataFrame, Grid]:
         files.mapInPandas(decode, "band long, row long, col long, value double"),
         grid,
     )
+
+
+# ---------------------------------------------------------------------------
+# CF / xarray-style DATASET stores: a group of per-variable arrays plus 1-D
+# coordinate arrays (v2 `_ARRAY_DIMENSIONS`, v3 `dimension_names`) — the
+# layout `xarray.Dataset.to_zarr` and the GDAL multi-var Zarr driver emit.
+# ---------------------------------------------------------------------------
+
+
+def _array_meta(sub: str) -> dict:
+    """Driver-side metadata of one array node: shape, dimension names,
+    dtype name, compression, attrs, format version."""
+    v3p = os.path.join(sub, "zarr.json")
+    if os.path.exists(v3p):
+        with open(v3p) as f:
+            m = json.load(f)
+        codecs = m.get("codecs") or []
+        return {
+            "v3": True, "shape": m["shape"],
+            "dims": m.get("dimension_names"),
+            "dtype": str(m.get("data_type")),
+            "gzip": any(c.get("name") == "gzip" for c in codecs),
+            "chunks": (m.get("chunk_grid") or {}).get(
+                "configuration", {}).get("chunk_shape", []),
+            "attrs": m.get("attributes") or {},
+        }
+    with open(os.path.join(sub, ".zarray")) as f:
+        m = json.load(f)
+    try:
+        with open(os.path.join(sub, ".zattrs")) as f:
+            a = json.load(f)
+    except FileNotFoundError:
+        a = {}
+    comp = m.get("compressor")
+    return {
+        "v3": False, "shape": m["shape"],
+        "dims": a.get("_ARRAY_DIMENSIONS"),
+        "dtype": _dt.FROM_ZARR.get(str(m.get("dtype"))),
+        "gzip": False, "zlib": comp is not None,
+        "chunks": m.get("chunks", []), "attrs": a,
+    }
+
+
+def _read_coord(sub: str) -> np.ndarray:
+    """Fully read a 1-D array node DRIVER-side (coordinate variables are
+    KB-scale) → float64 values."""
+    m = _array_meta(sub)
+    if len(m["shape"]) != 1 or m["dtype"] not in _dt.TABLE:
+        raise NotImplementedError(
+            f"coordinate array at {sub}: need a 1-D array of "
+            f"{sorted(_dt.TABLE)} (got shape {m['shape']})"
+        )
+    n, (c,) = m["shape"][0], m["chunks"]
+    np_dt = ("<" + _dt.TABLE[m["dtype"]][0].lstrip("<|")) if m["v3"] \
+        else str(_dt.np_dtype(m["dtype"]).str)
+    parts = []
+    for k in range(-(-n // c)):
+        name = os.path.join(sub, f"c/{k}" if m["v3"] else str(k))
+        with open(name, "rb") as fh:
+            raw = fh.read()
+        if m["v3"] and m["gzip"]:
+            import gzip
+
+            raw = gzip.decompress(raw)
+        elif not m["v3"] and m.get("zlib"):
+            import zlib
+
+            raw = zlib.decompress(raw)
+        parts.append(np.frombuffer(raw, np_dt))
+    return np.concatenate(parts)[:n].astype("<f8")
+
+
+def read_zarr_dataset(
+    spark: SparkSession, path: str,
+) -> "tuple[DataFrame, Grid, dict]":
+    """Open a CF/xarray-style zarr GROUP → (long cell table ``(variable,
+    t, band, row, col, value)``, Grid, meta) — the same surface as the
+    NetCDF readers. Data variables are the 2-D ``(y, x)`` / 3-D
+    ``(time, y, x)`` arrays (dimension names required); 1-D arrays named
+    after their dimension are coordinates. Georeferencing: the group's
+    x0/y0/cell attrs when present, else DERIVED from the y/x coordinate
+    variables (ascending-y flips, like the NetCDF readers — shared
+    ``netcdf.derive_grid``). Each variable reads through the distributed
+    chunk scan; coordinates read driver-side."""
+    from . import netcdf as _nc
+
+    names = list_zarr_arrays(path)
+    metas = {n: _array_meta(os.path.join(path, n)) for n in names}
+    coords = {n for n, m in metas.items()
+              if len(m["shape"]) == 1 and m["dims"] in (None, [n])}
+    data = {n: m for n, m in metas.items()
+            if n not in coords and len(m["shape"]) in (2, 3)}
+    if not data:
+        raise ValueError(f"no 2-D/3-D data arrays in {path} (have {names})")
+    for n, m in data.items():
+        if not m["dims"]:
+            raise NotImplementedError(
+                f"array {n!r} has no dimension names (_ARRAY_DIMENSIONS / "
+                "dimension_names) — cannot identify the y/x axes"
+            )
+    shapes = {tuple(m["shape"][-2:]) for m in data.values()}
+    if len(shapes) != 1:
+        raise NotImplementedError(
+            f"data variables disagree on the (y, x) shape: {shapes} — "
+            "multi-resolution groups are separate datasets"
+        )
+    rows, cols = shapes.pop()
+    d0 = next(iter(data.values()))
+    ydim, xdim = d0["dims"][-2], d0["dims"][-1]
+    tdim = d0["dims"][0] if len(d0["shape"]) == 3 else None
+    yv = (_read_coord(os.path.join(path, ydim)) if ydim in coords else None)
+    xv = (_read_coord(os.path.join(path, xdim)) if xdim in coords else None)
+    times = (_read_coord(os.path.join(path, tdim)).tolist()
+             if tdim and tdim in coords else None)
+    # group-level attrs (v3 group node or v2 root .zattrs)
+    gatts = {}
+    v3p = os.path.join(path, "zarr.json")
+    if os.path.exists(v3p):
+        with open(v3p) as f:
+            gatts = json.load(f).get("attributes") or {}
+    else:
+        try:
+            with open(os.path.join(path, ".zattrs")) as f:
+                gatts = json.load(f)
+        except FileNotFoundError:
+            pass
+    grid, flip = _nc.derive_grid(gatts, yv, xv, rows, cols)
+
+    out = None
+    for n in sorted(data):
+        df, _ = read_zarr(spark, os.path.join(path, n))
+        row = (F.lit(rows - 1) - F.col("row")) if flip else F.col("row")
+        part = df.select(
+            F.lit(n).alias("variable"),
+            F.col("band").alias("t"),
+            F.lit(0).cast("long").alias("band"),
+            row.alias("row"), "col", "value",
+        )
+        out = part if out is None else out.unionByName(part)
+    meta = {
+        "variables": sorted(data),
+        "dims": {ydim: rows, xdim: cols,
+                 **({tdim: d0["shape"][0]} if tdim else {})},
+        "times": times,
+        "numrecs": d0["shape"][0] if tdim else 0,
+    }
+    return out, grid, meta
+
+
+def write_zarr_dataset(
+    cells_df: DataFrame, grid: Grid, path: str,
+    times: "list[float] | None" = None,
+    variables: "list[str] | None" = None, dtype: str = "float64",
+    compress: "int | None" = None, chunks: tuple[int, int] = (256, 256),
+    zarr_format: int = 2, georef: str = "coords",
+) -> pd.DataFrame:
+    """Write the long cell table ``(variable, t, row, col, value)`` as a
+    CF/xarray-style zarr GROUP: one ``(time, y, x)`` array per variable
+    (or ``(y, x)`` when ``times`` is None), 1-D ``y``/``x`` (+ ``time``)
+    coordinate arrays, dimension names on every node — the layout xarray
+    opens directly. ``georef`` "coords" georeferences via the coordinate
+    variables alone (CF; descending y); "attrs" additionally stores the
+    engine's x0/y0/cell on the group. Per-variable chunk writes run
+    distributed (the :func:`write_zarr` job per variable); coordinates
+    write driver-side. Returns the concatenated chunk manifest."""
+    if variables is None:
+        variables = sorted(
+            r[0] for r in cells_df.select("variable").distinct().collect()
+        )
+    three_d = times is not None
+    dims = ["time", "y", "x"] if three_d else ["y", "x"]
+    os.makedirs(path, exist_ok=True)
+    gatts = ({"x0": grid.x0, "y0": grid.y0, "cell": grid.cell,
+              "epsg": grid.epsg, "nodata": grid.nodata}
+             if georef == "attrs" else {"Conventions": "CF-1.6"})
+    if zarr_format == 3:
+        with open(os.path.join(path, "zarr.json"), "w") as f:
+            json.dump({"zarr_format": 3, "node_type": "group",
+                       "attributes": gatts}, f)
+    else:
+        with open(os.path.join(path, ".zgroup"), "w") as f:
+            json.dump({"zarr_format": 2}, f)
+        with open(os.path.join(path, ".zattrs"), "w") as f:
+            json.dump(gatts, f)
+
+    def write_coord(name: str, vals: np.ndarray) -> None:
+        sub = os.path.join(path, name)
+        os.makedirs(sub, exist_ok=True)
+        raw = vals.astype("<f8").tobytes()
+        if zarr_format == 3:
+            with open(os.path.join(sub, "zarr.json"), "w") as f:
+                json.dump({
+                    "zarr_format": 3, "node_type": "array",
+                    "shape": [len(vals)], "data_type": "float64",
+                    "chunk_grid": {"name": "regular", "configuration":
+                                   {"chunk_shape": [len(vals)]}},
+                    "chunk_key_encoding": {"name": "default",
+                                           "configuration":
+                                           {"separator": "/"}},
+                    "fill_value": "NaN",
+                    "codecs": [{"name": "bytes",
+                                "configuration": {"endian": "little"}}],
+                    "attributes": {}, "dimension_names": [name],
+                }, f)
+            os.makedirs(os.path.join(sub, "c"), exist_ok=True)
+            with open(os.path.join(sub, "c/0"), "wb") as f:
+                f.write(raw)
+        else:
+            with open(os.path.join(sub, ".zarray"), "w") as f:
+                json.dump({
+                    "zarr_format": 2, "shape": [len(vals)],
+                    "chunks": [len(vals)], "dtype": "<f8",
+                    "compressor": None, "fill_value": "NaN",
+                    "order": "C", "filters": None,
+                }, f)
+            with open(os.path.join(sub, ".zattrs"), "w") as f:
+                json.dump({"_ARRAY_DIMENSIONS": [name]}, f)
+            with open(os.path.join(sub, "0"), "wb") as f:
+                f.write(raw)
+
+    yc = grid.y0 - (np.arange(grid.rows) + 0.5) * grid.cell
+    xc = grid.x0 + (np.arange(grid.cols) + 0.5) * grid.cell
+    write_coord("y", yc)
+    write_coord("x", xc)
+    if three_d:
+        write_coord("time", np.asarray(times, "<f8"))
+
+    def patch_dims(sub: str) -> None:
+        """Rename the per-variable array's dims from write_zarr's
+        band/y/x to the dataset dims (2-D drops the leading axis)."""
+        if zarr_format == 3:
+            mp = os.path.join(sub, "zarr.json")
+            with open(mp) as f:
+                m = json.load(f)
+            m["dimension_names"] = dims
+            if not three_d:
+                m["shape"] = m["shape"][1:]
+                cfg = m["chunk_grid"]["configuration"]
+                cfg["chunk_shape"] = cfg["chunk_shape"][1:]
+            m["attributes"] = {}
+            with open(mp, "w") as f:
+                json.dump(m, f)
+        else:
+            mp = os.path.join(sub, ".zarray")
+            with open(mp) as f:
+                m = json.load(f)
+            if not three_d:
+                m["shape"] = m["shape"][1:]
+                m["chunks"] = m["chunks"][1:]
+            with open(mp, "w") as f:
+                json.dump(m, f)
+            with open(os.path.join(sub, ".zattrs"), "w") as f:
+                json.dump({"_ARRAY_DIMENSIONS": dims}, f)
+
+    manifests = []
+    for v in variables:
+        sub = os.path.join(path, v)
+        part = cells_df.where(F.col("variable") == v).select(
+            F.col("t").alias("band"), "row", "col", "value",
+        )
+        man = write_zarr(part, grid, sub, chunks, compress, dtype,
+                         zarr_format)
+        # 2-D layout stores chunk files as b.i.j with b=0 / c/0/i/j —
+        # readers accept both, so only the METADATA needs the 2-D shape
+        patch_dims(sub)
+        man.insert(0, "variable", v)
+        manifests.append(man)
+    return pd.concat(manifests, ignore_index=True)

@@ -305,3 +305,88 @@ def test_zarr_group_stores_v2_and_v3(spark, tmp_path):
     # array= on a non-group store is a usage error
     with pytest.raises(ValueError, match="only applies to group"):
         SparkDataset.from_zarr(spark, str(root3 / "elev"), array="x")
+
+
+def test_zarr_cf_dataset_roundtrip_v2_and_v3(spark, tmp_path):
+    """CF/xarray-style group: one (time,y,x) array per variable + 1-D
+    y/x/time coordinates with dimension names; write distributed, read
+    back through the shared derive_grid georeferencing."""
+    from pyramids_spark.api import SparkNetCDF
+    from pyramids_spark.grid import COELLO, grid_df
+
+    base = grid_df(spark, COELLO)
+    vt = spark.createDataFrame(
+        [(v, vi, t) for vi, v in enumerate(("precip", "temp"))
+         for t in range(2)],
+        "variable string, vi long, t long",
+    )
+    cells = base.crossJoin(F.broadcast(vt)).select(
+        "variable", "t", "row", "col",
+        (F.col("value") + F.col("vi") * 1000 + F.col("t") * 10).alias("value"),
+    )
+    exp = {(r.variable, r.t, r.row, r.col): r.value
+           for r in cells.where(F.col("value").isNotNull()).collect()}
+    for zf in (2, 3):
+        store = str(tmp_path / f"ds{zf}")
+        nc = SparkNetCDF(cells.withColumn("band", F.lit(0).cast("long")))
+        man = nc.to_zarr_dataset(COELLO, store, times=[5.0, 6.0],
+                                 compress=3, chunks=(7, 9), zarr_format=zf)
+        assert sorted(set(man["variable"])) == ["precip", "temp"]
+        back, g2, meta = SparkNetCDF.from_zarr(spark, store)
+        assert (g2.rows, g2.cols, g2.cell, g2.x0, g2.y0) == (
+            COELLO.rows, COELLO.cols, COELLO.cell, COELLO.x0, COELLO.y0)
+        assert meta["times"] == [5.0, 6.0]
+        assert meta["variables"] == ["precip", "temp"]
+        got = {(r.variable, r.t, r.row, r.col): r.value
+               for r in back.df.collect()}
+        assert got == exp and len(got) == 2 * 2 * 182
+
+
+def test_zarr_cf_dataset_2d_and_time_chunks(spark, tmp_path):
+    """2-D (y, x) variables (times=None) read as t=0; a wild 3-D store
+    with time-chunk > 1 (the xarray default) decodes every record."""
+    import shutil
+
+    from pyramids_spark.api import SparkNetCDF
+    from pyramids_spark.grid import COELLO, grid_df
+
+    base = grid_df(spark, COELLO).select(
+        F.lit("v").alias("variable"), F.lit(0).cast("long").alias("t"),
+        "row", "col", "value",
+    )
+    store = str(tmp_path / "flat")
+    nc = SparkNetCDF(base.withColumn("band", F.lit(0).cast("long")))
+    nc.to_zarr_dataset(COELLO, store, times=None, zarr_format=3)
+    meta3 = json.load(open(os.path.join(store, "v/zarr.json")))
+    assert len(meta3["shape"]) == 2  # genuinely 2-D on disk
+    assert meta3["dimension_names"] == ["y", "x"]
+    back, g2, meta = SparkNetCDF.from_zarr(spark, store)
+    assert meta["times"] is None and meta["numrecs"] == 0
+    a = {(r.t, r.row, r.col): r.value for r in back.df.collect()}
+    b = {(0, r.row, r.col): r.value
+         for r in base.where(F.col("value").isNotNull()).collect()}
+    assert a == b
+    # wild time-chunked store: rewrite the 3-D variable's chunks to cb=2
+    # by concatenating record chunks (v2 layout, raw)
+    src = str(tmp_path / "tc")
+    cells = base.select("variable", F.lit(0).cast("long").alias("t"),
+                        "row", "col", "value").unionByName(
+        base.select("variable", F.lit(1).cast("long").alias("t"), "row",
+                    "col", (F.col("value") + 100).alias("value")))
+    SparkNetCDF(cells.withColumn("band", F.lit(0).cast("long"))) \
+        .to_zarr_dataset(COELLO, src, times=[0.0, 1.0], chunks=(16, 16))
+    vdir = os.path.join(src, "v")
+    zm = json.load(open(os.path.join(vdir, ".zarray")))
+    zm["chunks"] = [2] + zm["chunks"][1:]
+    json.dump(zm, open(os.path.join(vdir, ".zarray"), "w"))
+    for f_ in sorted(os.listdir(vdir)):
+        if f_.startswith("0."):
+            a0 = open(os.path.join(vdir, f_), "rb").read()
+            a1 = open(os.path.join(vdir, "1." + f_[2:]), "rb").read()
+            open(os.path.join(vdir, f_), "wb").write(a0 + a1)
+            os.remove(os.path.join(vdir, "1." + f_[2:]))
+    back, _, _ = SparkNetCDF.from_zarr(spark, src)
+    got = {(r.t, r.row, r.col): r.value for r in back.df.collect()}
+    want = {(r.t, r.row, r.col): r.value
+            for r in cells.where(F.col("value").isNotNull()).collect()}
+    assert got == want
