@@ -390,3 +390,22 @@ def test_zarr_cf_dataset_2d_and_time_chunks(spark, tmp_path):
     want = {(r.t, r.row, r.col): r.value
             for r in cells.where(F.col("value").isNotNull()).collect()}
     assert got == want
+
+
+def test_zarr_cf_dataset_plan_is_shuffle_free(spark, tmp_path):
+    """The CF dataset read is a union of per-variable chunk scans — a
+    Project over MapInPandas over FileScan, NO Exchange anywhere (the
+    100 TB property: adding variables adds scans, never shuffles)."""
+    from pyramids_spark.api import SparkNetCDF
+    from pyramids_spark.grid import COELLO, grid_df
+
+    base = grid_df(spark, COELLO).select(
+        F.lit("v").alias("variable"), F.lit(0).cast("long").alias("t"),
+        "row", "col", "value",
+    )
+    store = str(tmp_path / "plan")
+    SparkNetCDF(base.withColumn("band", F.lit(0).cast("long"))) \
+        .to_zarr_dataset(COELLO, store, times=[0.0])
+    back, _, _ = SparkNetCDF.from_zarr(spark, store)
+    plan = back.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
