@@ -70,6 +70,7 @@ _NEWSUBFILE = 254
 _PIXSCALE, _TIEPOINT, _GEOKEYS = 33550, 33922, 34735
 _GDAL_NODATA = 42113
 _PREDICTOR = 317
+_JPEGTABLES = 347  # abbreviated-stream DQT/DHT shared across tiles
 _T_SHORT, _T_LONG, _T_DOUBLE, _T_ASCII = 3, 4, 12, 2
 _T_LONG8 = 16  # BigTIFF
 
@@ -169,13 +170,23 @@ def _packbits_decode(raw: bytes) -> bytes:
     return bytes(out)
 
 
-def _decompress(raw: bytes, comp: int) -> bytes:
+def _decompress(raw: bytes, comp: int, jpeg_tables: "bytes | None" = None) -> bytes:
     if comp == 1:
         return raw
     if comp == 5:
         from . import lzw
 
         return lzw.decode(raw)
+    if comp == 7:  # new-style JPEG: each tile/strip is a JFIF stream
+        from . import jpeg as _jp
+
+        if jpeg_tables and len(jpeg_tables) > 4:
+            # abbreviated streams: splice the shared DQT/DHT (JPEGTables
+            # is SOI..EOI; drop both markers) after the tile's SOI
+            raw = raw[:2] + jpeg_tables[2:-2] + raw[2:]
+        # pixels ARE the decompressed samples: uint8, chunky-interleaved
+        # for RGB — exactly the byte layout the tile reshape expects
+        return _jp.decode_jpeg(raw).tobytes()
     if comp == 32773:
         return _packbits_decode(raw)
     import zlib
@@ -836,6 +847,16 @@ def _read_ifds(path: str) -> list[dict]:
                 raise NotImplementedError("IFD has neither tile nor strip layout")
             d["comp"] = tags[_COMP][2] if _COMP in tags else 1
             d["pred"] = tags.get(_PREDICTOR, (0, 0, 1))[2]
+            d["jpeg_tables"] = None
+            if _JPEGTABLES in tags:
+                typ, cnt, val = tags[_JPEGTABLES]
+                if cnt <= v.inline:
+                    d["jpeg_tables"] = struct.pack(v.off_fmt, val)[:cnt]
+                else:
+                    cur = fh.tell()
+                    fh.seek(val)
+                    d["jpeg_tables"] = fh.read(cnt)
+                    fh.seek(cur)
             spp = tags.get(_SPP, (0, 0, 1))[2]
             if tags.get(_BITS, (0, 1, 0))[1] > 1:
                 # spp > 1: BitsPerSample is an array of spp SHORTs —
@@ -852,12 +873,17 @@ def _read_ifds(path: str) -> list[dict]:
             planar = tags.get(_PLANAR, (0, 0, 1))[2]
             d["dtype"] = _dt.FROM_TIFF.get((bits, sfmt))
             d["spp"] = spp
-            if d["comp"] not in (1, 5, 8, 32773) or d["dtype"] is None \
+            if d["comp"] not in (1, 5, 7, 8, 32773) or d["dtype"] is None \
                     or spp < 1:
                 raise NotImplementedError(
-                    "only raw/LZW/DEFLATE/PackBits rasters over the "
+                    "only raw/LZW/JPEG/DEFLATE/PackBits rasters over the "
                     f"{sorted(_dt.TABLE)} dtype table; got "
                     f"comp={d['comp']} bits={bits} sfmt={sfmt} spp={spp}"
+                )
+            if d["comp"] == 7 and (d["dtype"] != "uint8" or d["pred"] != 1):
+                raise NotImplementedError(
+                    "JPEG-compressed TIFF must be 8-bit samples without a "
+                    f"predictor (got dtype={d['dtype']} pred={d['pred']})"
                 )
             if spp > 1 and planar != 1:
                 raise NotImplementedError(
@@ -930,6 +956,7 @@ def read_geotiff(
     th, tw, rows, cols = d0["th"], d0["tw"], d0["rows"], d0["cols"]
     fill = d0["nodata"]
     comp, pred, spp = d0["comp"], d0["pred"], d0["spp"]
+    jtables = d0["jpeg_tables"]
     np_dt_str = str(_dt.np_dtype(d0["dtype"]).str)
 
     def decode(batches):
@@ -940,7 +967,7 @@ def read_geotiff(
                     pdf["band"], pdf["ti"], pdf["tj"], pdf["off"], pdf["cnt"]
                 ):
                     fh.seek(o)
-                    raw = _decompress(fh.read(c), comp)
+                    raw = _decompress(fh.read(c), comp, jtables)
                     # reshape by actual length: tiles are full (th, tw);
                     # a foreign file's LAST STRIP may be short. Decode in
                     # the STORED dtype, widen to the engine's float64

@@ -765,3 +765,101 @@ def test_geotiff_write_predictor2(spark, tmp_path):
     back = SparkDataset.from_geotiff_parts(spark, out)
     b = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
     assert a == b
+
+
+def _split_jfif(stream):
+    """Split a JFIF stream into (tables_blob, abbreviated_stream): DQT and
+    DHT segments move into a JPEGTables-style SOI..EOI blob."""
+    segs, i = [], 2
+    while i < len(stream):
+        marker = stream[i + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", stream, i + 2)
+        segs.append((marker, stream[i:i + 2 + ln]))
+        i += 2 + ln
+        if marker == 0xDA:  # entropy data runs to EOI
+            segs.append((None, stream[i:-2]))
+            break
+    tables = b"\xff\xd8" + b"".join(
+        s for m, s in segs if m in (0xDB, 0xC4)
+    ) + b"\xff\xd9"
+    abbrev = b"\xff\xd8" + b"".join(
+        s for m, s in segs if m not in (0xDB, 0xC4)
+    ) + b"\xff\xd9"
+    return tables, abbrev
+
+
+def test_geotiff_reads_jpeg_compressed(spark, tmp_path):
+    """Compression=7 (new-style JPEG in TIFF — the aerial-imagery
+    standard): gray strips with full JFIF streams, then RGB tiles as
+    ABBREVIATED streams with the shared DQT/DHT in a JPEGTables tag.
+    The reader must reproduce decode_jpeg's pixels exactly."""
+    from pyramids_spark import jpeg as J
+
+    rng = np.random.default_rng(41)
+    # --- gray, strip-organized, full streams -----------------------------
+    rows, cols, rps = 16, 24, 8
+    img = rng.integers(0, 256, (rows, cols), dtype=np.uint8)
+    strips = [J.encode_jpeg(img[s:s + rps], quality=95)
+              for s in range(0, rows, rps)]
+    exp = np.vstack([J.decode_jpeg(s) for s in strips])
+    n_tags, ifd_at = 9, 8
+    p_off = ifd_at + 2 + n_tags * 12 + 4
+    p_cnt = p_off + 4 * len(strips)
+    data_at = p_cnt + 4 * len(strips)
+    offs, cur = [], data_at
+    for s in strips:
+        offs.append(cur)
+        cur += len(s)
+    tags = sorted([
+        (256, 4, 1, cols), (257, 4, 1, rows), (258, 3, 1, 8),
+        (259, 3, 1, 7), (262, 3, 1, 1),
+        (273, 4, len(strips), p_off), (278, 4, 1, rps),
+        (279, 4, len(strips), p_cnt), (339, 3, 1, 1),
+    ])
+    buf = bytearray(struct.pack("<2sHI", b"II", 42, ifd_at))
+    buf += struct.pack("<H", n_tags)
+    for t in tags:
+        buf += struct.pack("<HHII", *t)
+    buf += struct.pack("<I", 0)
+    buf += struct.pack(f"<{len(strips)}I", *offs)
+    buf += struct.pack(f"<{len(strips)}I", *[len(s) for s in strips])
+    for s in strips:
+        buf += s
+    p = tmp_path / "jpg.tif"
+    p.write_bytes(bytes(buf))
+    back = SparkDataset.from_geotiff(spark, str(p))
+    got = {(r.row, r.col): r.value for r in back.df.collect()}
+    assert got == {(r, c): float(exp[r, c])
+                   for r in range(rows) for c in range(cols)}
+    # --- RGB, abbreviated streams + JPEGTables ----------------------------
+    rgb = rng.integers(0, 256, (rps, cols, 3), dtype=np.uint8)
+    full = J.encode_jpeg(rgb, quality=95, subsample=False)
+    tables, abbrev = _split_jfif(full)
+    expc = J.decode_jpeg(full)
+    n_tags = 11
+    p_tab = ifd_at + 2 + n_tags * 12 + 4
+    p_bits = p_tab + len(tables) + (len(tables) & 1)
+    data_at = p_bits + 6
+    tags = sorted([
+        (256, 4, 1, cols), (257, 4, 1, rps), (258, 3, 3, p_bits),
+        (259, 3, 1, 7), (262, 3, 1, 6), (273, 4, 1, data_at),
+        (277, 3, 1, 3), (278, 4, 1, rps), (279, 4, 1, len(abbrev)),
+        (339, 3, 1, 1), (347, 7, len(tables), p_tab),
+    ])
+    buf = bytearray(struct.pack("<2sHI", b"II", 42, ifd_at))
+    buf += struct.pack("<H", n_tags)
+    for t in tags:
+        buf += struct.pack("<HHII", *t)
+    buf += struct.pack("<I", 0)
+    buf += tables + (b"\x00" if len(tables) & 1 else b"")
+    buf += struct.pack("<3H", 8, 8, 8)
+    buf += abbrev
+    p2 = tmp_path / "jpgt.tif"
+    p2.write_bytes(bytes(buf))
+    back = SparkDataset.from_geotiff(spark, str(p2))
+    got = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
+    assert got == {(s, r, c): float(expc[r, c, s])
+                   for s in range(3) for r in range(rps)
+                   for c in range(cols)}
