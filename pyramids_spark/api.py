@@ -100,18 +100,21 @@ class SparkDataset:
         self, path: str, chunks: tuple[int, int] = (256, 256),
         compress: "int | None" = None, dtype: str = "float64",
         zarr_format: int = 2, shards: "tuple[int, int] | None" = None,
+        codec: "str | None" = None,
     ):
-        """Write a REAL zarr store (``zarr_format`` 2: raw/zlib chunks +
-        .zarray/.zattrs JSON; 3: zarr.json + bytes/gzip codec pipeline,
+        """Write a REAL zarr store (``zarr_format`` 2: .zarray/.zattrs
+        JSON + flat chunks; 3: zarr.json + bytes codec pipeline,
         optionally ``shards`` → the sharding_indexed object-store layout —
         ``pyramids_spark.zarr``; reference ``to_zarr`` wraps GDAL's Zarr
-        driver). ``dtype`` picks the storage dtype from the reference's
-        GDAL dtype table (``pyramids_spark.dtypes``). Returns the
-        per-chunk manifest (lineage)."""
+        driver). ``codec`` picks the chunk compressor (v2 zlib/zstd/lz4/
+        blosc:<cname>, v3 gzip/zstd/blosc:<cname>), ``compress`` the
+        level; both None = raw chunks. ``dtype`` picks the storage dtype
+        from the reference's GDAL dtype table (``pyramids_spark.dtypes``).
+        Returns the per-chunk manifest (lineage)."""
         from . import zarr as _zarr
 
         return _zarr.write_zarr(self.df, self.grid, path, chunks, compress,
-                                dtype, zarr_format, shards)
+                                dtype, zarr_format, shards, codec=codec)
 
     @classmethod
     def from_zarr(
@@ -1130,7 +1133,7 @@ class SparkNetCDF:
         self, grid, path: str, times: "list[float] | None" = None,
         dtype: str = "float64", compress: "int | None" = None,
         chunks: "tuple[int, int]" = (256, 256), zarr_format: int = 2,
-        georef: str = "coords",
+        georef: str = "coords", codec: "str | None" = None,
     ):
         """Write this surface as a CF/xarray-style zarr GROUP — one
         ``(time, y, x)`` array per variable plus coordinate arrays
@@ -1142,4 +1145,5 @@ class SparkNetCDF:
             self.df.select("variable", "t", "row", "col", "value"),
             grid, path, times, dtype=dtype, compress=compress,
             chunks=chunks, zarr_format=zarr_format, georef=georef,
+            codec=codec,
         )

@@ -3,7 +3,10 @@ library.
 
 Reference surface: ``Dataset.to_zarr`` / zarr ingest (the reference wraps
 GDAL's Zarr driver). Both on-disk formats are PUBLIC specs simple enough
-to implement directly for the raw/zlib/gzip case.
+to implement directly; chunk compressors cover the wild defaults — zlib/
+gzip (stdlib), zstd/lz4/snappy (pyarrow's C++ codecs), and the blosc-1
+chunk container (``pyramids_spark.blosc``) that numcodecs writes for
+zarr v2 by default.
 
 v2: a store directory holding
 
@@ -21,9 +24,9 @@ v3 (zarr-python 3's default): one ``zarr.json`` document (node_type
 "array") carrying shape, ``data_type`` (plain names — endianness moved
 into the ``bytes`` codec), a regular ``chunk_grid``, a
 ``chunk_key_encoding`` ("default" → ``c/b/i/j`` nested keys, or "v2" →
-flat ``b.i.j``), a codec pipeline (``bytes`` + optional ``gzip`` —
-stdlib; blosc/zstd/sharding reject loudly), ``fill_value`` ("NaN"
-spelled as a string for floats), and user ``attributes`` inline. The
+flat ``b.i.j``), a codec pipeline (``bytes`` + optional ``gzip`` /
+``zstd`` / ``blosc``), ``fill_value`` ("NaN" spelled as a string for
+floats), and user ``attributes`` inline. The
 read side handles both separators of both encodings by parsing the
 trailing numeric path tokens.
 
@@ -48,10 +51,119 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import _blocks, dtypes as _dt
+from . import _blocks, blosc as _bl, dtypes as _dt
 from .grid import Grid
 
 _UNDEF64 = (1 << 64) - 1  # sharding index sentinel: inner chunk missing
+
+
+def _v2_decoder(comp: "dict | None"):
+    """zarr v2 ``compressor`` metadata → ``callable(bytes, nout) ->
+    bytes`` (None for raw chunks). Supported ids: numcodecs ``zlib`` /
+    ``gzip`` (stdlib), ``zstd`` (raw frame), ``lz4`` (u32le size header +
+    block, the numcodecs layout), ``blosc`` (the c-blosc chunk container,
+    ``pyramids_spark.blosc``). Raises NotImplementedError otherwise."""
+    if comp is None:
+        return None
+    cid = comp.get("id")
+    if cid in ("zlib", "gzip", "zstd"):
+        return lambda b, n, _c=cid: _bl.raw_decompress(_c, b, n)
+    if cid == "lz4":
+        def _lz4(b, n):
+            import struct
+
+            (sz,) = struct.unpack_from("<I", b, 0)
+            if sz != n:
+                raise ValueError(
+                    f"lz4 chunk header says {sz} bytes, expected {n}"
+                )
+            return _bl.raw_decompress("lz4", b[4:], n)
+
+        return _lz4
+    if cid == "blosc":
+        return lambda b, n: _bl.decode_blosc(b)
+    raise NotImplementedError(
+        f"unsupported zarr v2 compressor {comp!r} (supported: null, zlib, "
+        "gzip, zstd, lz4, blosc[lz4/lz4hc/zlib/zstd/snappy])"
+    )
+
+
+def _v3_decoder(tail: "list[dict]"):
+    """zarr v3 codec objects AFTER the ``bytes`` codec → ``callable(
+    bytes, nout) -> bytes`` (None when the pipeline is bytes-only).
+    Supported: ``gzip``, ``zstd``, ``blosc``."""
+    if not tail:
+        return None
+    if len(tail) != 1:
+        raise NotImplementedError(
+            f"zarr v3 codec pipelines past bytes + one compressor are out "
+            f"of scope (got {[c.get('name') for c in tail]})"
+        )
+    name = tail[0].get("name")
+    if name in ("gzip", "zstd"):
+        return lambda b, n, _c=name: _bl.raw_decompress(_c, b, n)
+    if name == "blosc":
+        return lambda b, n: _bl.decode_blosc(b)
+    raise NotImplementedError(
+        f"unsupported zarr v3 codec {name!r} (supported: gzip, zstd, "
+        "blosc[lz4/lz4hc/zlib/zstd/snappy])"
+    )
+
+
+def _make_encoder(
+    zarr_format: int, codec: "str | None", compress: "int | None",
+    itemsize: int,
+):
+    """Write-side codec choice → ``(meta, callable(bytes) -> bytes)``.
+    ``meta`` is the v2 ``compressor`` object or the v3 codec object (None
+    for raw). ``codec`` names the stream: v2 ``zlib`` (default) / ``zstd``
+    / ``lz4`` / ``blosc:<cname>``; v3 ``gzip`` (default) / ``zstd`` /
+    ``blosc:<cname>``; blosc writes byte-shuffled chunks with
+    ``typesize=itemsize``. ``compress`` is the level (None + no codec =
+    raw chunks; None + codec = level 5)."""
+    if codec is None and compress is None:
+        return None, None
+    lvl = 5 if compress is None else int(compress)
+    if codec is None:
+        codec = "zlib" if zarr_format == 2 else "gzip"
+    if codec.startswith("blosc:"):
+        cn = codec.split(":", 1)[1]
+        if cn not in ("lz4", "lz4hc", "zlib", "zstd", "snappy"):
+            raise NotImplementedError(f"blosc cname {cn!r} unsupported")
+        enc = lambda b: _bl.encode_blosc(b, itemsize, cn, lvl, shuffle=1)  # noqa: E731
+        if zarr_format == 2:
+            meta = {"id": "blosc", "cname": cn, "clevel": lvl,
+                    "shuffle": 1, "blocksize": 0}
+        else:
+            meta = {"name": "blosc", "configuration": {
+                "cname": cn, "clevel": lvl, "shuffle": "shuffle",
+                "typesize": itemsize, "blocksize": 0}}
+        return meta, enc
+    if zarr_format == 2:
+        if codec == "zlib":
+            return {"id": "zlib", "level": lvl}, \
+                lambda b: _bl.raw_compress("zlib", b, lvl)
+        if codec == "zstd":
+            return {"id": "zstd", "level": lvl}, \
+                lambda b: _bl.raw_compress("zstd", b, lvl)
+        if codec == "lz4":
+            import struct as _st
+
+            return {"id": "lz4", "acceleration": 1}, \
+                lambda b: _st.pack("<I", len(b)) + _bl.raw_compress("lz4", b)
+        raise NotImplementedError(
+            f"zarr v2 write codec {codec!r} (zlib, zstd, lz4, blosc:<cname>)"
+        )
+    if codec == "gzip":
+        return {"name": "gzip", "configuration": {"level": lvl}}, \
+            lambda b: _bl.raw_compress("gzip", b, lvl)
+    if codec == "zstd":
+        return {"name": "zstd",
+                "configuration": {"level": lvl, "checksum": False}}, \
+            lambda b: _bl.raw_compress("zstd", b, lvl)
+    raise NotImplementedError(
+        f"zarr v3 write codec {codec!r} (gzip, zstd, blosc:<cname>)"
+    )
 
 
 def _crc32c_table() -> np.ndarray:
@@ -81,12 +193,16 @@ def write_zarr(
     cells_df: DataFrame, grid: Grid, path: str, chunks: tuple[int, int] = (256, 256),
     compress: "int | None" = None, dtype: str = "float64",
     zarr_format: int = 2, shards: "tuple[int, int] | None" = None,
+    codec: "str | None" = None,
 ) -> pd.DataFrame:
     """Write the cell table as a zarr array ``[bands, rows, cols]`` (band
     chunk size 1). ``zarr_format`` 2 writes ``.zarray``/``.zattrs`` +
     flat ``b.i.j`` chunks; 3 writes ``zarr.json`` + nested ``c/b/i/j``
-    chunks. ``compress`` = level 1-9 (v2: numcodecs ``zlib``; v3: the
-    ``gzip`` codec — both stdlib, no dependency) or None for raw chunks.
+    chunks. ``compress`` = level 1-9, None for raw chunks (unless
+    ``codec`` is set, which implies level 5). ``codec`` picks the chunk
+    stream: v2 ``zlib`` (default) / ``zstd`` / ``lz4`` / ``blosc:<cname>``;
+    v3 ``gzip`` (default) / ``zstd`` / ``blosc:<cname>`` — blosc cnames
+    ``lz4/lz4hc/zlib/zstd/snappy``, written byte-shuffled.
     ``shards`` (v3 only) wraps chunks in the ``sharding_indexed`` codec:
     one FILE per shard holding the inner chunks plus an end-located
     (offset, nbytes) uint64 index with a crc32c footer — the
@@ -112,6 +228,9 @@ def write_zarr(
     rows, cols = grid.rows, grid.cols
     dt_name = _dt.resolve(dtype)
     fill = _dt.check_fill(dt_name, grid.nodata)
+    comp_meta, enc = _make_encoder(
+        zarr_format, codec, compress, _dt.np_dtype(dt_name).itemsize
+    )
     os.makedirs(path, exist_ok=True)
     n_bands_row = cells_df.select(F.max("band").alias("m")).collect()[0]
     n_bands = int(n_bands_row["m"]) + 1 if n_bands_row["m"] is not None else 1
@@ -127,7 +246,7 @@ def write_zarr(
             "shape": [n_bands, rows, cols],
             "chunks": [1, ch, cw],
             "dtype": _dt.TO_ZARR[dt_name],
-            "compressor": None if compress is None else {"id": "zlib", "level": int(compress)},
+            "compressor": comp_meta,
             "fill_value": fill_json,
             "order": "C",
             "filters": None,
@@ -138,10 +257,8 @@ def write_zarr(
             json.dump(attrs, f)
     else:
         codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
-        if compress is not None:
-            codecs.append(
-                {"name": "gzip", "configuration": {"level": int(compress)}}
-            )
+        if comp_meta is not None:
+            codecs.append(comp_meta)
         if shards is not None:
             codecs = [{
                 "name": "sharding_indexed",
@@ -180,17 +297,11 @@ def write_zarr(
         data = _dt.cast_block(block, dt_name).tobytes(order="C")
         if zarr_format == 2:
             name = f"{b}.{ci}.{cj}"
-            if compress is not None:
-                import zlib
-
-                data = zlib.compress(data, int(compress))
         else:
             name = f"c/{b}/{ci}/{cj}"
             os.makedirs(os.path.join(path, f"c/{b}/{ci}"), exist_ok=True)
-            if compress is not None:
-                import gzip
-
-                data = gzip.compress(data, compresslevel=int(compress))
+        if enc is not None:
+            data = enc(data)
         with open(os.path.join(path, name), "wb") as f:
             f.write(data)
         return pd.DataFrame(
@@ -214,10 +325,8 @@ def write_zarr(
                 sub, ch, cw, r0 + int(ici) * ch, c0 + int(icj) * cw, fill
             )
             data = _dt.cast_block(block, dt_name).tobytes(order="C")
-            if compress is not None:
-                import gzip
-
-                data = gzip.compress(data, compresslevel=int(compress))
+            if enc is not None:
+                data = enc(data)
             index[int(ici) * nix + int(icj)] = (cur, len(data))
             blobs.append(data)
             cur += len(data)
@@ -278,7 +387,8 @@ def read_zarr(
     group node — the xarray per-variable layout) open one child array:
     ``array`` names it, or the single child when there is exactly one
     (loud otherwise; see :func:`list_zarr_arrays`). Supported chunks:
-    raw / zlib (v2) / gzip (v3) / v3 sharding, band-chunk 1. Chunks are
+    raw / zlib / gzip / zstd / lz4 / blosc (v2), raw / gzip / zstd /
+    blosc / sharding (v3), band-chunk 1. Chunks are
     scanned with the ``binaryFile`` source — a distributed read, no
     driver loop; fill cells drop (absent-row nodata contract)."""
     v3_meta = os.path.join(path, "zarr.json")
@@ -311,17 +421,17 @@ def read_zarr(
         meta["chunks"] = [1] + list(meta.get("chunks", []))
     if (
         meta.get("zarr_format") != 2
-        or (comp is not None and comp.get("id") != "zlib")
         or dt_name is None
         or meta.get("order") != "C"
         or meta.get("chunks", [0])[0] < 1
     ):
         raise NotImplementedError(
-            "supported zarr stores: v2, raw or zlib chunks, little-endian "
+            "supported zarr stores: v2, little-endian "
             f"{sorted(_dt.TABLE)} dtypes, C-order, band-chunk 1 (got {meta})"
         )
+    dec = _v2_decoder(comp)  # raw/zlib/gzip/zstd/lz4/blosc chunk streams
     np_dt_str = str(_dt.np_dtype(dt_name).str)
-    zlib_chunks = comp is not None
+    itemsize = _dt.np_dtype(dt_name).itemsize
     n_bands, rows, cols = meta["shape"]
     cb, ch, cw = meta["chunks"]
     fv = meta.get("fill_value")
@@ -344,10 +454,8 @@ def read_zarr(
                 name = os.path.basename(p)
                 toks = [int(t) for t in name.split(".")]
                 b, ci, cj = toks if len(toks) == 3 else [0] + toks
-                if zlib_chunks:
-                    import zlib
-
-                    content = zlib.decompress(content)
+                if dec is not None:
+                    content = dec(content, cb * ch * cw * itemsize)
                 cube = (
                     np.frombuffer(content, dtype=np_dt_str)
                     .reshape(cb, ch, cw)
@@ -416,21 +524,22 @@ def _read_zarr_v3(spark: SparkSession, path: str) -> tuple[DataFrame, Grid]:
         and len(cshape) == 3
         and (cshape[0] == 1 if shard else cshape[0] >= 1)
         and dt in _dt.TABLE
-        and names[:1] == ["bytes"] and names[1:] in ([], ["gzip"])
+        and names[:1] == ["bytes"]
         and (meta.get("chunk_key_encoding") or {}).get("name")
         in (None, "default", "v2")
     )
     if not ok:
         raise NotImplementedError(
             "supported zarr v3 stores: array node, regular 3-D chunk grid "
-            "with band-chunk 1, bytes [+ gzip] codecs — directly or inside "
-            "sharding_indexed with a bytes[+crc32c] index (blosc/zstd out "
-            f"of scope), {sorted(_dt.TABLE)} dtypes, default/v2 chunk keys "
+            "with band-chunk 1, bytes [+ gzip/zstd/blosc] codecs — directly "
+            "or inside sharding_indexed with a bytes[+crc32c] index, "
+            f"{sorted(_dt.TABLE)} dtypes, default/v2 chunk keys "
             f"(got {meta})"
         )
+    dec = _v3_decoder(codecs[1:])  # gzip/zstd/blosc or bytes-only
     endian = (codecs[0].get("configuration") or {}).get("endian", "little")
     np_dt_str = ("<" if endian == "little" else ">") + _dt.TABLE[dt][0].lstrip("<|")
-    gz = len(names) == 2
+    itemsize = _dt.np_dtype(dt).itemsize
     n_bands, rows, cols = meta["shape"]
     cb, ch, cw = cshape
     fv = meta.get("fill_value")
@@ -444,10 +553,8 @@ def _read_zarr_v3(spark: SparkSession, path: str) -> tuple[DataFrame, Grid]:
     )
 
     def unchunk(content, dims):
-        import gzip as _gzip
-
-        if gz:
-            content = _gzip.decompress(content)
+        if dec is not None:
+            content = dec(content, int(np.prod(dims)) * itemsize)
         return (
             np.frombuffer(content, dtype=np_dt_str)
             .reshape(dims)
@@ -535,7 +642,7 @@ def _array_meta(sub: str) -> dict:
             "v3": True, "shape": m["shape"],
             "dims": m.get("dimension_names"),
             "dtype": str(m.get("data_type")),
-            "gzip": any(c.get("name") == "gzip" for c in codecs),
+            "codecs": codecs,
             "chunks": (m.get("chunk_grid") or {}).get(
                 "configuration", {}).get("chunk_shape", []),
             "attrs": m.get("attributes") or {},
@@ -552,7 +659,7 @@ def _array_meta(sub: str) -> dict:
         "v3": False, "shape": m["shape"],
         "dims": a.get("_ARRAY_DIMENSIONS"),
         "dtype": _dt.FROM_ZARR.get(str(m.get("dtype"))),
-        "gzip": False, "zlib": comp is not None,
+        "compressor": comp,
         "chunks": m.get("chunks", []), "attrs": a,
     }
 
@@ -569,19 +676,16 @@ def _read_coord(sub: str) -> np.ndarray:
     n, (c,) = m["shape"][0], m["chunks"]
     np_dt = ("<" + _dt.TABLE[m["dtype"]][0].lstrip("<|")) if m["v3"] \
         else str(_dt.np_dtype(m["dtype"]).str)
+    dec = (_v3_decoder((m["codecs"] or [{}])[1:]) if m["v3"]
+           else _v2_decoder(m["compressor"]))
+    itemsize = np.dtype(np_dt).itemsize
     parts = []
     for k in range(-(-n // c)):
         name = os.path.join(sub, f"c/{k}" if m["v3"] else str(k))
         with open(name, "rb") as fh:
             raw = fh.read()
-        if m["v3"] and m["gzip"]:
-            import gzip
-
-            raw = gzip.decompress(raw)
-        elif not m["v3"] and m.get("zlib"):
-            import zlib
-
-            raw = zlib.decompress(raw)
+        if dec is not None:
+            raw = dec(raw, c * itemsize)
         parts.append(np.frombuffer(raw, np_dt))
     return np.concatenate(parts)[:n].astype("<f8")
 
@@ -669,6 +773,7 @@ def write_zarr_dataset(
     variables: "list[str] | None" = None, dtype: str = "float64",
     compress: "int | None" = None, chunks: tuple[int, int] = (256, 256),
     zarr_format: int = 2, georef: str = "coords",
+    codec: "str | None" = None,
 ) -> pd.DataFrame:
     """Write the long cell table ``(variable, t, row, col, value)`` as a
     CF/xarray-style zarr GROUP: one ``(time, y, x)`` array per variable
@@ -775,7 +880,7 @@ def write_zarr_dataset(
             F.col("t").alias("band"), "row", "col", "value",
         )
         man = write_zarr(part, grid, sub, chunks, compress, dtype,
-                         zarr_format)
+                         zarr_format, codec=codec)
         # 2-D layout stores chunk files as b.i.j with b=0 / c/0/i/j —
         # readers accept both, so only the METADATA needs the 2-D shape
         patch_dims(sub)

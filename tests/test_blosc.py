@@ -1,0 +1,227 @@
+"""Blosc-1 chunk container + the widened zarr codec matrix.
+
+Layer 1: pure-numpy blosc chunk codec (header fields per c-blosc's
+README_CHUNK_FORMAT.rst, shuffle transpose, split-stream blocks, raw
+memcpy fallback, loud rejects). Layer 2: the zarr v2/v3 read/write
+paths with zstd / lz4 / blosc:<cname> chunk compressors — the formats
+numcodecs and zarr-python 3 write by default in the wild."""
+
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyramids_spark import blosc as B
+from pyramids_spark.api import SparkDataset
+from pyramids_spark.grid import COELLO, Grid, grid_df
+
+
+# ---------------------------------------------------------------- layer 1
+
+
+def _payload(n=4096, dtype="<f8"):
+    # compressible but non-trivial: ramp + step, exact float64 values
+    v = (np.arange(n, dtype="<i8") % 97).astype(dtype)
+    return v.tobytes(), np.dtype(dtype).itemsize
+
+
+@pytest.mark.parametrize("cname", ["lz4", "zlib", "zstd", "snappy"])
+@pytest.mark.parametrize("shuffle", [0, 1])
+def test_blosc_roundtrip_codecs_and_shuffle(cname, shuffle):
+    data, ts = _payload()
+    chunk = B.encode_blosc(data, ts, cname, 5, shuffle=shuffle)
+    # header fields per README_CHUNK_FORMAT.rst
+    version, _, flags, typesize = struct.unpack_from("<4B", chunk, 0)
+    nbytes, blocksize, cbytes = struct.unpack_from("<3I", chunk, 4)
+    assert version == 2 and typesize == ts
+    assert nbytes == len(data) and cbytes == len(chunk)
+    assert bool(flags & 0x1) == (shuffle == 1)
+    assert cbytes < nbytes  # genuinely compressed
+    assert B.decode_blosc(chunk) == data
+
+
+def test_blosc_split_stream_blocks_roundtrip():
+    # the FORWARD_COMPAT layout: typesize streams per full block, the
+    # dont-split flag CLEAR — what wild lz4 chunks from c-blosc look like
+    data, ts = _payload(6000)  # 6000*8 = 48000 bytes, 3 blocks of 16384 + tail
+    chunk = B.encode_blosc(data, ts, "lz4", 5, shuffle=1,
+                           blocksize=16384, split=True)
+    flags = chunk[2]
+    assert not (flags & 0x10)  # dont-split bit clear
+    assert B.decode_blosc(chunk) == data
+    # multi-block dont-split variant decodes identically
+    chunk2 = B.encode_blosc(data, ts, "lz4", 5, shuffle=1, blocksize=16384)
+    assert chunk2[2] & 0x10
+    assert B.decode_blosc(chunk2) == data
+
+
+def test_blosc_memcpy_fallback_and_empty():
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, 2048, dtype=np.uint8).tobytes()
+    chunk = B.encode_blosc(noise, 8, "zstd", 1, shuffle=1)
+    assert chunk[2] & 0x2  # memcpy flag: stored raw, smaller than deflated
+    assert len(chunk) == 16 + len(noise)
+    assert B.decode_blosc(chunk) == noise
+    empty = B.encode_blosc(b"", 8, "lz4")
+    assert B.decode_blosc(empty) == b""
+    assert struct.unpack_from("<3I", empty, 4)[0] == 0
+
+
+def test_blosc_handcrafted_chunk_decodes():
+    # one block, no shuffle, dont-split, zlib stream — built by hand so
+    # the DECODER is pinned to the documented layout, not the encoder
+    import zlib
+
+    data = bytes(range(256)) * 4
+    comp = zlib.compress(data, 6)
+    body = struct.pack("<I", 20) + struct.pack("<i", len(comp)) + comp
+    hdr = struct.pack("<4B3I", 2, 1, (3 << 5) | 0x10, 1,
+                      len(data), len(data), 16 + len(body))
+    assert B.decode_blosc(hdr + body) == data
+
+
+def test_blosc_rejects_are_loud():
+    data, ts = _payload(64)
+    with pytest.raises(NotImplementedError, match="bit-shuffle"):
+        chunk = bytearray(B.encode_blosc(data, ts, "lz4"))
+        chunk[2] = (chunk[2] & ~0x2) | 0x4  # force bitshuffle, clear memcpy
+        B.decode_blosc(bytes(chunk))
+    with pytest.raises(NotImplementedError, match="blosclz"):
+        chunk = bytearray(B.encode_blosc(data, ts, "zstd"))
+        chunk[2] = chunk[2] & 0x1F  # fmt -> 0 = blosclz
+        B.decode_blosc(bytes(chunk))
+    with pytest.raises(NotImplementedError):
+        B.encode_blosc(data, ts, "blosclz")
+    with pytest.raises(ValueError, match="too short"):
+        B.decode_blosc(b"\x02\x01")
+    # truncated stream overruns loudly
+    good = B.encode_blosc(data, ts, "zlib", 9)
+    with pytest.raises(ValueError):
+        B.decode_blosc(good[:-3])
+
+
+def test_blosc_typesize_oversize_and_leftover_tail():
+    # typesize > 255 is stored untyped (c-blosc behavior); odd tail bytes
+    # ride unshuffled behind the transposed body
+    data = (b"\x01\x02\x03\x04" * 300)[:1001]
+    chunk = B.encode_blosc(data, 300, "zstd", 3, shuffle=1)
+    assert chunk[3] == 1  # typesize byte
+    assert B.decode_blosc(chunk) == data
+    chunk = B.encode_blosc(data, 4, "zstd", 3, shuffle=1, blocksize=256)
+    assert B.decode_blosc(chunk) == data
+
+
+# ---------------------------------------------------------------- layer 2
+
+
+def _cellmap(df):
+    return {(r.band, r.row, r.col): r.value for r in df.collect()}
+
+
+@pytest.mark.parametrize("codec,comp_id", [
+    ("zstd", "zstd"), ("lz4", "lz4"),
+    ("blosc:lz4", "blosc"), ("blosc:zstd", "blosc"),
+])
+def test_zarr_v2_codec_matrix_roundtrip(spark, tmp_path, codec, comp_id):
+    store = str(tmp_path / codec.replace(":", "_"))
+    g = COELLO
+    ds = SparkDataset(grid_df(spark, g), g)
+    manifest = ds.to_zarr(store, chunks=(5, 4), codec=codec, compress=5)
+    meta = json.load(open(os.path.join(store, ".zarray")))
+    assert meta["compressor"]["id"] == comp_id
+    if comp_id == "blosc":  # numcodecs-shaped object
+        assert meta["compressor"]["cname"] == codec.split(":")[1]
+        assert meta["compressor"]["shuffle"] == 1
+    assert (manifest["n_bytes"] < 5 * 4 * 8).any()  # genuinely compressed
+    back = SparkDataset.from_zarr(spark, store)
+    a = _cellmap(ds.df.where(F.col("value").isNotNull()))
+    assert _cellmap(back.df) == a and back.grid == g and len(a) > 0
+
+
+def test_zarr_v2_numcodecs_lz4_frame_shape(tmp_path, spark):
+    # numcodecs LZ4 = u32le uncompressed size + lz4 block: check the
+    # on-disk bytes directly so wild stores decode, not just our own
+    import pyarrow as pa
+
+    store = str(tmp_path / "l4")
+    g = Grid(x0=0.0, y0=4.0, cell=1.0, rows=4, cols=4, epsg=4326, nodata=-1.0)
+    ds = SparkDataset.create(spark, g, "CAST(row * 4 + col AS DOUBLE)")
+    ds.to_zarr(store, chunks=(4, 4), codec="lz4")
+    raw = open(os.path.join(store, "0.0.0"), "rb").read()
+    (sz,) = struct.unpack_from("<I", raw, 0)
+    assert sz == 4 * 4 * 8
+    plain = pa.Codec("lz4_raw").decompress(raw[4:], decompressed_size=sz,
+                                           asbytes=True)
+    np.testing.assert_array_equal(
+        np.frombuffer(plain, "<f8").reshape(4, 4),
+        np.arange(16, dtype="<f8").reshape(4, 4))
+
+
+@pytest.mark.parametrize("codec", ["zstd", "blosc:lz4"])
+def test_zarr_v3_codec_matrix_roundtrip(spark, tmp_path, codec):
+    store = str(tmp_path / ("v3_" + codec.replace(":", "_")))
+    g = Grid(x0=0.0, y0=8.0, cell=1.0, rows=8, cols=8, epsg=32636,
+             nodata=9999.0)
+    ds = SparkDataset.create(spark, g, "CAST(row * 8 + col AS DOUBLE)")
+    ds.to_zarr(store, chunks=(4, 4), dtype="int32", zarr_format=3,
+               codec=codec)
+    meta = json.load(open(os.path.join(store, "zarr.json")))
+    names = [c["name"] for c in meta["codecs"]]
+    assert names == ["bytes", codec.split(":")[0]]
+    back = SparkDataset.from_zarr(spark, store)
+    a = _cellmap(ds.df.where(F.col("value").isNotNull()))
+    assert _cellmap(back.df) == a and back.grid == g and len(a) == 64
+
+
+def test_zarr_v3_sharded_zstd_roundtrip(spark, tmp_path):
+    store = str(tmp_path / "shz")
+    g = Grid(x0=0.0, y0=16.0, cell=1.0, rows=16, cols=16, epsg=4326,
+             nodata=None)
+    ds = SparkDataset.create(spark, g, "CAST(row * 16 + col AS DOUBLE)")
+    d = ds.df.where((F.col("row") + F.col("col")) % 5 != 0)
+    SparkDataset(d, g).to_zarr(store, chunks=(4, 4), shards=(8, 8),
+                               zarr_format=3, codec="zstd", compress=3)
+    meta = json.load(open(os.path.join(store, "zarr.json")))
+    inner = meta["codecs"][0]["configuration"]["codecs"]
+    assert [c["name"] for c in inner] == ["bytes", "zstd"]
+    back = SparkDataset.from_zarr(spark, store)
+    assert _cellmap(back.df) == _cellmap(d)
+
+
+def test_zarr_dataset_blosc_codec_and_compressed_coord(spark, tmp_path):
+    # dataset store with blosc data chunks; plus a coordinate array
+    # rewritten zstd-compressed so the driver-side coord read exercises
+    # the same decoder table
+    from pyramids_spark import blosc as _bl
+    from pyramids_spark.api import SparkNetCDF
+
+    store = str(tmp_path / "dsb")
+    g = Grid(x0=0.0, y0=6.0, cell=1.0, rows=6, cols=5, epsg=4326,
+             nodata=-9.0)
+    base = SparkDataset.create(spark, g, "CAST(row * 5 + col AS DOUBLE)")
+    long = base.df.select(
+        F.lit("tmin").alias("variable"), F.lit(0).cast("long").alias("t"),
+        "row", "col", "value")
+    nc = SparkNetCDF(long.withColumn("band", F.lit(0).cast("long")))
+    nc.to_zarr_dataset(g, store, times=[0.0], codec="blosc:zstd",
+                       zarr_format=2)
+    meta = json.load(open(os.path.join(store, "tmin", ".zarray")))
+    assert meta["compressor"]["id"] == "blosc"
+    # recompress the x coordinate with zstd, patch its metadata
+    xdir = os.path.join(store, "x")
+    vals = open(os.path.join(xdir, "0"), "rb").read()
+    with open(os.path.join(xdir, "0"), "wb") as f:
+        f.write(_bl.raw_compress("zstd", vals, 3))
+    zm = json.load(open(os.path.join(xdir, ".zarray")))
+    zm["compressor"] = {"id": "zstd", "level": 3}
+    json.dump(zm, open(os.path.join(xdir, ".zarray"), "w"))
+    back, grid2, meta2 = SparkNetCDF.from_zarr(spark, store)
+    assert (grid2.rows, grid2.cols, grid2.cell, grid2.x0, grid2.y0) == (
+        g.rows, g.cols, g.cell, g.x0, g.y0)
+    assert meta2["variables"] == ["tmin"]
+    a = {(r.variable, r.t, r.row, r.col): r.value for r in long.collect()}
+    b = {(r.variable, r.t, r.row, r.col): r.value for r in back.df.collect()}
+    assert a == b and len(a) == 30

@@ -60,7 +60,7 @@ def test_zarr_reader_rejects_foreign_stores(spark, tmp_path):
     store.mkdir()
     (store / ".zarray").write_text(json.dumps({
         "zarr_format": 2, "shape": [4, 4], "chunks": [2, 2], "dtype": "<f4",
-        "compressor": {"id": "blosc"}, "fill_value": 0, "order": "C",
+        "compressor": {"id": "bz2"}, "fill_value": 0, "order": "C",
     }))
     with pytest.raises(NotImplementedError):
         SparkDataset.from_zarr(spark, str(store))
@@ -177,7 +177,7 @@ def test_zarr_v3_roundtrip_and_chunk_bytes(spark, tmp_path):
 
 def test_zarr_v3_foreign_layouts_and_rejects(spark, tmp_path):
     """Wild v3 layouts: "v2" chunk-key encoding with "." separator and a
-    raw bytes-only pipeline read identically; blosc and sharding reject
+    raw bytes-only pipeline read identically; foreign codecs reject
     loudly; uint16 dtype honors the bytes-codec endian."""
     import shutil
 
@@ -207,7 +207,7 @@ def test_zarr_v3_foreign_layouts_and_rejects(spark, tmp_path):
           for r in SparkDataset.from_zarr(spark, str(flat)).df.collect()}
     assert a == b2 and len(a) == 64
     # foreign codec pipelines reject
-    meta["codecs"] = [{"name": "bytes"}, {"name": "blosc"}]
+    meta["codecs"] = [{"name": "bytes"}, {"name": "lz4"}]
     (flat / "zarr.json").write_text(json.dumps(meta))
     with pytest.raises(NotImplementedError, match="zarr v3"):
         SparkDataset.from_zarr(spark, str(flat))
