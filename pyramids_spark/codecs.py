@@ -97,38 +97,157 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return head + info + rows.tobytes()
 
 
+def encode_bmp_rle8(gray: np.ndarray) -> bytes:
+    """(h, w) uint8 → 8-bit palette BMP with BI_RLE8 compression and an
+    identity gray palette (R=G=B=index, so the ITU-R 601 luma reduction
+    recovers the input exactly). Encoded runs only (max 255), one
+    end-of-line escape per row, end-of-bitmap after the last."""
+    h, w = gray.shape
+    parts = []
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        row = gray[y]
+        cuts = np.flatnonzero(np.diff(row)) + 1
+        for seg in np.split(row, cuts):
+            v, n = int(seg[0]), len(seg)
+            while n > 255:
+                parts.append(bytes((255, v)))
+                n -= 255
+            parts.append(bytes((n, v)))
+        parts.append(b"\x00\x00" if y else b"\x00\x01")
+    body = b"".join(parts)
+    palette = bytes(b for i in range(256) for b in (i, i, i, 0))
+    off = 54 + len(palette)
+    head = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+            + struct.pack("<IiiHHI", 40, w, h, 1, 8, 1)
+            + struct.pack("<IIIII", len(body), 2835, 2835, 256, 0))
+    return head + palette + body
+
+
+def _bmp_rle(data: bytes, w: int, h: int, four_bit: bool) -> np.ndarray:
+    """BI_RLE8/BI_RLE4 stream → (h, w) palette indices in FILE row order
+    (first decoded row = bottom row; RLE bitmaps are bottom-up per spec).
+    Escapes: 00 00 end-of-line, 00 01 end-of-bitmap, 00 02 dx dy delta,
+    00 n absolute run (word-aligned); else (count, value) encoded run —
+    RLE4 runs alternate the value's two nibbles."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n and y < h:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt == 0 and val == 0:  # end of line
+            x, y = 0, y + 1
+            continue
+        if cnt == 0 and val == 1:  # end of bitmap
+            break
+        if cnt == 0 and val == 2:  # delta: skipped cells keep index 0
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            continue
+        if cnt == 0:  # absolute run of val pixels, word-aligned
+            cnt = val
+            if four_bit:
+                nb = (cnt + 1) // 2
+                raw = np.frombuffer(data, np.uint8, count=nb, offset=i)
+                px = np.empty(nb * 2, np.uint8)
+                px[0::2] = raw >> 4
+                px[1::2] = raw & 0xF
+                px = px[:cnt]
+                i += nb + (nb & 1)
+            else:
+                px = np.frombuffer(data, np.uint8, count=cnt, offset=i)
+                i += cnt + (cnt & 1)
+        elif four_bit:  # encoded run: alternate the two nibbles
+            pair = np.array([val >> 4, val & 0xF], np.uint8)
+            px = np.tile(pair, (cnt + 1) // 2)[:cnt]
+        else:
+            px = np.full(cnt, val, np.uint8)
+        m = min(int(cnt), w - x)
+        if m > 0:
+            out[y, x:x + m] = px[:m]
+        x += int(cnt)
+    return out
+
+
 def decode_bmp(b: bytes) -> np.ndarray:
     """BMP → (h, w, 3) uint8 RGB. Wild variants covered: 24-bit BI_RGB,
     32-bit BI_RGB/BI_BITFIELDS (alpha dropped; BITFIELDS only with the
-    standard BGRA masks), 8-bit palette. RLE and 16-bit stay loud
-    rejects."""
+    standard BGRA masks), 16-bit BI_RGB 555 / BI_BITFIELDS 555+565,
+    4/8-bit palette incl. BI_RLE4/BI_RLE8 runs, top-down rows."""
     if b[:2] != b"BM":
         raise ValueError("not a BMP stream")
     off = struct.unpack_from("<I", b, 10)[0]
     hdr_sz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
+    masks = None
     if comp == 3 and bpp == 32:
         rm, gm, bm = struct.unpack_from("<3I", b, 14 + 40)
         if (rm, gm, bm) != (0x00FF0000, 0x0000FF00, 0x000000FF):
             raise NotImplementedError(
                 f"BI_BITFIELDS masks {(rm, gm, bm)} (standard BGRA only)"
             )
+    elif comp == 3 and bpp == 16:
+        masks = struct.unpack_from("<3I", b, 14 + 40)
+        if masks not in ((0x7C00, 0x3E0, 0x1F), (0xF800, 0x7E0, 0x1F)):
+            raise NotImplementedError(
+                f"16-bit BI_BITFIELDS masks {masks} (555/565 only)"
+            )
+    elif comp in (1, 2):
+        if (comp, bpp) not in ((1, 8), (2, 4)):
+            raise ValueError(f"BI_RLE{8 if comp == 1 else 4} with {bpp} bpp")
     elif comp != 0:
-        raise NotImplementedError(f"BMP compression {comp} (BI_RGB only)")
-    if bpp not in (8, 24, 32):
-        raise NotImplementedError(f"{bpp}-bit BMP (8/24/32 only)")
+        raise NotImplementedError(
+            f"BMP compression {comp} (BI_RGB/BI_RLE8/BI_RLE4/BI_BITFIELDS)"
+        )
+    if bpp not in (4, 8, 16, 24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP (4/8/16/24/32 only)")
+    if bpp == 16 and masks is None:
+        masks = (0x7C00, 0x3E0, 0x1F)  # BI_RGB 16-bit defaults to 555
     flip = h > 0
     h = abs(h)
-    stride = (w * (bpp // 8) + 3) & ~3
-    rows = np.frombuffer(
-        b, dtype=np.uint8, count=stride * h, offset=off
-    ).reshape(h, stride)
-    if bpp == 8:
-        n_colors = struct.unpack_from("<I", b, 46)[0] or 256
+    if bpp in (4, 8):
+        n_colors = struct.unpack_from("<I", b, 46)[0] or (1 << bpp)
+        # BITFIELDS masks precede the palette only for 16/32-bit DIBs
         pal = np.frombuffer(
             b, np.uint8, count=n_colors * 4, offset=14 + hdr_sz
         ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRX → RGB
-        img = pal[rows[:, :w]]
+        if comp in (1, 2):
+            idx = _bmp_rle(b[off:], w, h, comp == 2)
+        else:
+            nb = (w + 1) // 2 if bpp == 4 else w
+            stride = (nb + 3) & ~3
+            rows = np.frombuffer(
+                b, dtype=np.uint8, count=stride * h, offset=off
+            ).reshape(h, stride)
+            if bpp == 4:
+                idx = np.empty((h, nb * 2), np.uint8)
+                idx[:, 0::2] = rows[:, :nb] >> 4
+                idx[:, 1::2] = rows[:, :nb] & 0xF
+                idx = idx[:, :w]
+            else:
+                idx = rows[:, :w]
+        img = pal[idx]
+    elif bpp == 16:
+        stride = (w * 2 + 3) & ~3
+        rows = np.frombuffer(
+            b, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)
+        px = rows[:, : w * 2].reshape(h, w, 2)
+        v = px[:, :, 0].astype(np.uint16) | (px[:, :, 1].astype(np.uint16) << 8)
+        img = np.empty((h, w, 3), np.uint8)
+        for k, mask in enumerate(masks):
+            shift = (mask & -mask).bit_length() - 1
+            bits = mask >> shift
+            c = ((v & mask) >> shift).astype(np.uint16)
+            if bits == 0x1F:  # 5-bit channel → 8-bit
+                img[:, :, k] = ((c << 3) | (c >> 2)).astype(np.uint8)
+            else:  # 6-bit green in 565
+                img[:, :, k] = ((c << 2) | (c >> 4)).astype(np.uint8)
     else:
+        stride = (w * (bpp // 8) + 3) & ~3
+        rows = np.frombuffer(
+            b, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)
         px = rows[:, : w * (bpp // 8)].reshape(h, w, bpp // 8)
         img = px[:, :, 2::-1]  # BGR(A) → RGB, alpha dropped
     return img[::-1] if flip else img

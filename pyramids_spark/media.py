@@ -129,11 +129,14 @@ def synth_media(spark, docs: DataFrame, real_payloads: bool = True) -> DataFrame
                             )
                         )
                     elif pick == 0:
+                        # alternate PGM with RLE8 BMP — both lossless gray
+                        # containers, so decoded values don't depend on
+                        # which one a ref lands on
+                        enc = (codecs.encode_bmp_rle8
+                               if int(seed) % 10 >= 5 else codecs.encode_pgm)
                         payloads.append(
-                            codecs.encode_pgm(
-                                rng.integers(0, 256, size=(int(hh), int(w)),
-                                             dtype=np.int64).astype(np.uint8)
-                            )
+                            enc(rng.integers(0, 256, size=(int(hh), int(w)),
+                                             dtype=np.int64).astype(np.uint8))
                         )
                     elif pick == 1:
                         payloads.append(

@@ -844,7 +844,7 @@ def test_wav_wild_sample_formats():
 
 def test_bmp_wild_variants():
     """8-bit palette, 32-bit BI_RGB/BI_BITFIELDS (alpha dropped), and
-    top-down (negative height) BMPs decode; RLE8 rejects."""
+    top-down (negative height) BMPs decode."""
     import struct as _struct
 
     from pyramids_spark import codecs as C
@@ -878,11 +878,79 @@ def test_bmp_wild_variants():
     masks = _struct.pack("<3I", 0x00FF0000, 0x0000FF00, 0x000000FF)
     got = C.decode_bmp(bmp(3, -2, 32, prows, comp=3, masks=masks))
     np.testing.assert_array_equal(got, rgba[:, :, :3])
-    # RLE8 rejects
+    # JPEG-compressed DIB still rejects
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError, match="compression"):
-        C.decode_bmp(bmp(2, 2, 8, [b"\x00" * 4], comp=1))
+        C.decode_bmp(bmp(2, 2, 24, [b"\x00" * 8], comp=4))
+
+
+def test_bmp_rle_and_16bit():
+    """BI_RLE8/BI_RLE4 streams (encoded runs, absolute word-aligned runs,
+    EOL/EOB escapes, nibble alternation) and 16-bit 555/565 pixels decode
+    against hand-built payloads."""
+    import struct as _struct
+
+    from pyramids_spark import codecs as C
+
+    def bmp(w, h, bpp, body, comp=0, palette=b"", masks=b""):
+        off = 54 + len(masks) + len(palette)
+        head = (b"BM" + _struct.pack("<IHHI", off + len(body), 0, 0, off)
+                + _struct.pack("<IiiHHI", 40, w, h, 1, bpp, comp)
+                + _struct.pack("<IIIII", len(body), 0, 0,
+                               len(palette) // 4, 0))
+        return head + masks + palette + body
+
+    pal_rgb = np.array([[10, 20, 30], [200, 0, 0], [0, 200, 0], [7, 8, 9]],
+                       np.uint8)
+    palette = b"".join(bytes([b_, g, r, 0]) for r, g, b_ in pal_rgb)
+    # RLE8, 6x3 bottom-up: runs + absolute run (padded) + EOL + EOB
+    stream = (b"\x03\x01" + b"\x00\x03\x02\x03\x02\x00" + b"\x00\x00"
+              + b"\x02\x02" + b"\x00\x00"
+              + b"\x06\x03" + b"\x00\x01")
+    idx = np.array([[3, 3, 3, 3, 3, 3],
+                    [2, 2, 0, 0, 0, 0],
+                    [1, 1, 1, 2, 3, 2]], np.uint8)  # display order
+    got = C.decode_bmp(bmp(6, 3, 8, stream, comp=1, palette=palette))
+    np.testing.assert_array_equal(got, pal_rgb[idx])
+    # RLE4, 5x2: nibble-alternating run, absolute nibble run, short run
+    stream = (b"\x05\x12" + b"\x00\x00"
+              + b"\x00\x03\x12\x30" + b"\x02\x01" + b"\x00\x01")
+    idx = np.array([[1, 2, 3, 0, 1],
+                    [1, 2, 1, 2, 1]], np.uint8)
+    got = C.decode_bmp(bmp(5, 2, 4, stream, comp=2, palette=palette))
+    np.testing.assert_array_equal(got, pal_rgb[idx])
+    # plain (non-RLE) 4-bit palette rows, w=3 → nibble tail + stride pad
+    rows = b"\x12\x30" + b"\x00\x00" + b"\x03\x10" + b"\x00\x00"
+    got = C.decode_bmp(bmp(3, -2, 4, rows, palette=palette))
+    np.testing.assert_array_equal(
+        got, pal_rgb[np.array([[1, 2, 3], [0, 3, 1]])])
+    # 16-bit BI_RGB defaults to 555: magenta + pure green, stride pad
+    px = _struct.pack("<2H", 0x7C1F, 0x03E0)
+    got = C.decode_bmp(bmp(2, -1, 16, px))
+    np.testing.assert_array_equal(
+        got, np.array([[[255, 0, 255], [0, 255, 0]]], np.uint8))
+    # 16-bit BI_BITFIELDS 565: yellow, mid-gray-ish channel expansion
+    masks = _struct.pack("<3I", 0xF800, 0x07E0, 0x001F)
+    px = _struct.pack("<2H", 0xFFE0, (16 << 11) | (32 << 5) | 16)
+    got = C.decode_bmp(bmp(2, -1, 16, px, comp=3, masks=masks))
+    exp = np.array([[[255, 255, 0],
+                     [(16 << 3) | (16 >> 2), (32 << 2) | (32 >> 4),
+                      (16 << 3) | (16 >> 2)]]], np.uint8)
+    np.testing.assert_array_equal(got, exp)
+    # foreign 16-bit masks reject loudly
+    import pytest as _pytest
+
+    bad = _struct.pack("<3I", 0x0F00, 0x00F0, 0x000F)
+    with _pytest.raises(NotImplementedError, match="masks"):
+        C.decode_bmp(bmp(1, 1, 16, b"\x00\x00\x00\x00", comp=3, masks=bad))
+    # RLE8 writer round trip: runs > 255 split, luma reduction is identity
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 5, (4, 300), dtype=np.uint8) * 60
+    gray[1, :] = 42  # one full constant row → a 255 + 45 run pair
+    blob = C.encode_bmp_rle8(gray)
+    assert blob[30] == 1  # BI_RLE8
+    np.testing.assert_array_equal(C.decode_image(blob), gray)
 
 
 def test_pnm_16bit_maxval():
