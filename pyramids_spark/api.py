@@ -1071,21 +1071,23 @@ class SparkNetCDF:
         dtype: str = "float64", compress: "int | None" = 4,
         shuffle: bool = True, fletcher32: bool = False,
         chunk: "tuple[int, int]" = (64, 64), georef: str = "attrs",
+        index: str = "btree1",
     ):
         """Write a REAL netCDF-4 (HDF5) file — pure struct/numpy,
         ``pyramids_spark.hdf5``; reference ``NetCDF.to_file`` through the
         netcdf-c/HDF5 stack (``netcdf/netcdf.py:849-982``). Chunks build
         and deflate DISTRIBUTED, then stream ordered through the driver
         (compressed sizes are not plan-time-known, unlike
-        :meth:`to_netcdf`'s parallel pwrite). Returns the chunk manifest
-        (lineage)."""
+        :meth:`to_netcdf`'s parallel pwrite). ``index``: ``"btree1"``
+        (the 1.8 default) or ``"fixed_array"`` (the 1.10 'latest'
+        layout). Returns the chunk manifest (lineage)."""
         from . import hdf5 as _h5
 
         return _h5.write_netcdf4(
             self.df.select("variable", "t", "row", "col", "value"),
             grid, path, times, dtype=dtype, compress=compress,
             shuffle=shuffle, fletcher32=fletcher32, chunk=chunk,
-            georef=georef,
+            georef=georef, index=index,
         )
 
     @classmethod

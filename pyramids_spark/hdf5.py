@@ -21,9 +21,13 @@ Supported subset (what netcdf-c's DEFAULT settings actually write):
 - datatypes: fixed-point and IEEE float in either byte order, fixed
   strings, object references, and VLEN-of-reference (the
   ``DIMENSION_LIST`` type, resolved through the global heap);
-- data layouts: contiguous and chunked (v1 B-tree chunk index, any
-  depth) with the shuffle and deflate filters honoring per-chunk filter
-  masks;
+- data layouts: contiguous and chunked — the v1 B-tree chunk index (any
+  depth) netcdf-c defaults to, AND the 1.10 'latest'-format v4 layout
+  message's single-chunk / implicit / Fixed Array (``FAHD``/``FADB``,
+  paged or not) / leaf-root v2 B-tree (``BTHD``/``BTLF``) indexes;
+  extensible arrays (one unlimited dim under the 'latest' flag) and
+  multi-level v2 B-trees reject loudly — with the shuffle and deflate
+  filters honoring per-chunk filter masks;
 - the netCDF-4 dimension-scale convention: dimensions are datasets
   tagged ``CLASS="DIMENSION_SCALE"``; each data variable carries a
   ``DIMENSION_LIST`` attribute of object references, which is how the
@@ -240,6 +244,120 @@ def _group_btree(snod_addrs: "list[int]", last_name_offs: "list[int]"
     return b
 
 
+def _lookup3(data: bytes, init: int = 0) -> int:
+    """Jenkins lookup3 ``hashlittle`` — HDF5's metadata checksum
+    (``H5_checksum_metadata``; reference vectors from lookup3.c's
+    self-test). Metadata is KB-scale so plain-int Python is fine."""
+    M = 0xFFFFFFFF
+
+    def rot(x: int, k: int) -> int:
+        return ((x << k) | (x >> (32 - k))) & M
+
+    ln = len(data)
+    a = b = c = (0xDEADBEEF + ln + init) & M
+    i = 0
+    while ln > 12:
+        a = (a + int.from_bytes(data[i:i + 4], "little")) & M
+        b = (b + int.from_bytes(data[i + 4:i + 8], "little")) & M
+        c = (c + int.from_bytes(data[i + 8:i + 12], "little")) & M
+        a = (a - c) & M; a ^= rot(c, 4); c = (c + b) & M  # noqa: E702
+        b = (b - a) & M; b ^= rot(a, 6); a = (a + c) & M  # noqa: E702
+        c = (c - b) & M; c ^= rot(b, 8); b = (b + a) & M  # noqa: E702
+        a = (a - c) & M; a ^= rot(c, 16); c = (c + b) & M  # noqa: E702
+        b = (b - a) & M; b ^= rot(a, 19); a = (a + c) & M  # noqa: E702
+        c = (c - b) & M; c ^= rot(b, 4); b = (b + a) & M  # noqa: E702
+        i += 12
+        ln -= 12
+    tail = data[i:]
+    if tail:  # zero-padding ≡ the switch fall-through (adding 0 is a no-op)
+        k = tail + b"\x00" * (12 - len(tail))
+        a = (a + int.from_bytes(k[0:4], "little")) & M
+        b = (b + int.from_bytes(k[4:8], "little")) & M
+        c = (c + int.from_bytes(k[8:12], "little")) & M
+        c ^= b; c = (c - rot(b, 14)) & M  # noqa: E702
+        a ^= c; a = (a - rot(c, 11)) & M  # noqa: E702
+        b ^= a; b = (b - rot(a, 25)) & M  # noqa: E702
+        c ^= b; c = (c - rot(b, 16)) & M  # noqa: E702
+        a ^= c; a = (a - rot(c, 4)) & M  # noqa: E702
+        b ^= a; b = (b - rot(a, 14)) & M  # noqa: E702
+        c ^= b; c = (c - rot(b, 24)) & M  # noqa: E702
+    return c
+
+
+def _sum32(blob: bytes) -> bytes:
+    return blob + struct.pack("<I", _lookup3(blob))
+
+
+def _size_len(csize: int) -> int:
+    """Width of the fixed-array filtered-element chunk-size field —
+    libhdf5's ``(H5VM_log2_gen(chunk_size) + 8) / 8``, capped at 8."""
+    return min(8, (max(csize, 1).bit_length() - 1 + 8) // 8)
+
+
+def _layout_chunked4(
+    index_addr: int, chunk: "tuple[int, ...]", esize: int, itype: int,
+    info: bytes = b"", flags: int = 0,
+) -> bytes:
+    """Version-4 Data Layout message (the 1.10 "latest" format): chunked
+    class with a chunk-index type — 1 single chunk, 2 implicit, 3 fixed
+    array, 4 extensible array, 5 v2 B-tree. Dims carry the element size
+    as the trailing entry, like v3; ``info`` is the index-specific field
+    blob that precedes the index address."""
+    dims = list(chunk) + [esize]
+    enc = max(1, (max(dims).bit_length() + 7) // 8)
+    enc = 1 if enc == 1 else (2 if enc == 2 else (4 if enc <= 4 else 8))
+    b = struct.pack("<BBBBB", 4, 2, flags, len(dims), enc)
+    for d in dims:
+        b += int(d).to_bytes(enc, "little")
+    b += struct.pack("<B", itype) + info + struct.pack("<Q", index_addr)
+    return _msg(0x0008, b)
+
+
+def _fixed_array_blob(
+    elems: "dict[int, tuple[int, int, int]]", n: int, csize: int,
+    filtered: bool, base_addr: int, page_bits: int = 10,
+) -> "tuple[int, bytes]":
+    """Fixed Array chunk index (FAHD header + FADB data block [+ pages])
+    over ``n`` linear chunk slots; ``elems`` maps slot → (addr, nbytes,
+    filter mask), absent slots store the undefined address. Returns
+    (header address, blob laid out from ``base_addr``). Client 0 elements
+    are a bare chunk address; client 1 (filtered) appends the stored size
+    (``_size_len`` bytes) and the 4-byte filter mask — the libhdf5 1.10
+    on-disk layout, lookup3-checksummed like every v2-era structure."""
+    sl = _size_len(csize)
+    entry = 8 + (sl + 4 if filtered else 0)
+    client = 1 if filtered else 0
+
+    def elem(i: int) -> bytes:
+        addr, nb, mask = elems.get(i, (UNDEF, 0, 0))
+        b = struct.pack("<Q", addr)
+        if filtered:
+            b += int(nb).to_bytes(sl, "little") + struct.pack("<I", mask)
+        return b
+
+    hdr_addr = base_addr
+    dblk_addr = hdr_addr + 28
+    hdr = _sum32(b"FAHD" + struct.pack("<BBBBQQ", 0, client, entry,
+                                       page_bits, n, dblk_addr))
+    per_page = 1 << page_bits
+    pre = b"FADB" + struct.pack("<BBQ", 0, client, hdr_addr)
+    if n <= per_page:
+        dblk = _sum32(pre + b"".join(elem(i) for i in range(n)))
+        return hdr_addr, hdr + dblk
+    npages = -(-n // per_page)
+    bitmap = bytearray((npages + 7) // 8)
+    for p in range(npages):  # all pages materialize (simplest valid form)
+        bitmap[p // 8] |= 1 << (p % 8)
+    dblk = _sum32(pre + bytes(bitmap))
+    pages = b"".join(
+        _sum32(b"".join(elem(i)
+                        for i in range(p * per_page,
+                                       min((p + 1) * per_page, n))))
+        for p in range(npages)
+    )
+    return hdr_addr, hdr + dblk + pages
+
+
 def _chunk_key(nbytes: int, mask: int, offs: "tuple[int, ...]") -> bytes:
     return struct.pack("<II", nbytes, mask) + b"".join(
         struct.pack("<Q", o) for o in offs
@@ -333,7 +451,7 @@ def write_netcdf4(
     compress: "int | None" = 4, shuffle: bool = True,
     fletcher32: bool = False,
     chunk: "tuple[int, int]" = (64, 64), georef: str = "attrs",
-    btree_cap: int = 64,
+    btree_cap: int = 64, index: str = "btree1", fa_page_bits: int = 10,
 ) -> pd.DataFrame:
     """Write the long cell table ``(variable, t, row, col, value)`` as one
     netCDF-4 (HDF5) file: dimension-scale datasets ``time``/``y``/``x``
@@ -342,9 +460,16 @@ def write_netcdf4(
     writes 2-D ``(y, x)`` variables. ``georef`` = ``"attrs"`` stores the
     engine's x0/y0/cell global attrs; ``"coords"`` relies on the (CF)
     coordinate variables alone; ``"coords-ascending"`` additionally flips
-    the y axis ascending — the layout wild CF files use. Returns the
-    chunk manifest (lineage). See the module docstring for the
-    distributed write shape."""
+    the y axis ascending — the layout wild CF files use. ``index`` picks
+    the chunk index: ``"btree1"`` (v1 B-tree + v3 layout message, the
+    libhdf5-1.8 default every consumer reads) or ``"fixed_array"`` (v4
+    layout message + Fixed Array, the 1.10 'latest'-format layout; all
+    dims become fixed-size, as libhdf5 requires for this index;
+    ``fa_page_bits`` sizes the data-block pages). Returns the chunk
+    manifest (lineage). See the module docstring for the distributed
+    write shape."""
+    if index not in ("btree1", "fixed_array"):
+        raise ValueError(f"index must be btree1 or fixed_array, got {index}")
     dt_name = _dt.resolve(dtype)
     np_dt = _dt.np_dtype(dt_name)
     esize = np_dt.itemsize
@@ -413,9 +538,11 @@ def write_netcdf4(
         out["ohdr_/"] = _ohdr_v1(
             [_symtab_msg(a.get("gbtree", 0), a.get("heap_hdr", 0))] + gatts
         )
+        fixed_dims = index == "fixed_array"  # this index needs fixed maxdims
         for di, (dn, dsize, dvals, axes) in enumerate(dims):
             out[f"coord_{dn}"] = dvals.tobytes()
-            maxd = (UNDEF,) if (dn == "time" and three_d) else (dsize,)
+            maxd = ((UNDEF,) if (dn == "time" and three_d and not fixed_dims)
+                    else (dsize,))
             msgs = [
                 _msg(0x0001, _ds_msg((dsize,), maxd)),
                 _msg(0x0003, _dt_float(8)),
@@ -429,7 +556,8 @@ def write_netcdf4(
             out[f"ohdr_{dn}"] = _ohdr_v1(msgs)
         for vi, v in enumerate(variables):
             shape = (nt, rows, cols) if three_d else (rows, cols)
-            maxd = (UNDEF, rows, cols) if three_d else (rows, cols)
+            maxd = ((UNDEF, rows, cols) if three_d and not fixed_dims
+                    else shape)
             cdims = (1, ch, cw) if three_d else (ch, cw)
             dl = b""
             for k in range(len(dims)):
@@ -449,8 +577,13 @@ def write_netcdf4(
             if shuffle or compress is not None or fletcher32:
                 head.append(_filter_msg(
                     esize if shuffle else 0, compress, fletcher32))
-            head.append(_layout_chunked(
-                a.get(f"btree_{v}", UNDEF), cdims, esize))
+            if fixed_dims:
+                head.append(_layout_chunked4(
+                    a.get(f"btree_{v}", UNDEF), cdims, esize, 3,
+                    info=bytes([fa_page_bits])))
+            else:
+                head.append(_layout_chunked(
+                    a.get(f"btree_{v}", UNDEF), cdims, esize))
             # attributes live in a CONTINUATION block — the layout real
             # libhdf5 headers routinely use, so every read exercises it
             cont = b"".join(attr_msgs)
@@ -545,12 +678,25 @@ def write_netcdf4(
                                      0))
         bblobs = []
         pos = btree_base
+        ny, nx = -(-rows // ch), -(-cols // cw)
+        csize = ch * cw * esize
+        filtered = shuffle or compress is not None or fletcher32
         for v in variables:
             if not entries[v]:
                 addrs[f"btree_{v}"] = UNDEF
                 continue
-            root, blob = _chunk_btree(entries[v], max_offs, pos,
-                                      cap=btree_cap)
+            if index == "fixed_array":
+                slots = {}
+                for offs, at, nb in entries[v]:
+                    t0, r0, c0 = (offs[:3] if three_d
+                                  else (0,) + tuple(offs[:2]))
+                    slots[(t0 * ny + r0 // ch) * nx + c0 // cw] = (at, nb, 0)
+                root, blob = _fixed_array_blob(
+                    slots, nt * ny * nx, csize, filtered, pos,
+                    page_bits=fa_page_bits)
+            else:
+                root, blob = _chunk_btree(entries[v], max_offs, pos,
+                                          cap=btree_cap)
             addrs[f"btree_{v}"] = root
             bblobs.append((pos, blob))
             pos += len(blob)
@@ -629,10 +775,10 @@ def _parse_fill(body: bytes) -> "bytes | None":
 
 def _parse_layout(body: bytes):
     ver = body[0]
-    if ver != 3:
+    if ver not in (3, 4):
         raise NotImplementedError(
-            f"data layout message v{ver} (v3 = the libhdf5-1.8+ layout — "
-            "v4 chunk indexes only appear with the 'latest' format flag)"
+            f"data layout message v{ver} (v3 = the libhdf5-1.8+ layout, "
+            "v4 = the 1.10 'latest'-format chunk indexes)"
         )
     cls = body[1]
     if cls == 0:
@@ -641,10 +787,45 @@ def _parse_layout(body: bytes):
     if cls == 1:
         addr, size = struct.unpack_from("<QQ", body, 2)
         return ("contig", addr, size)
-    nd = body[2]
-    bt = struct.unpack_from("<Q", body, 3)[0]
-    cdims = [struct.unpack_from("<I", body, 11 + 4 * i)[0] for i in range(nd)]
-    return ("chunked", bt, cdims[:-1], cdims[-1])
+    if ver == 3:
+        nd = body[2]
+        bt = struct.unpack_from("<Q", body, 3)[0]
+        cdims = [struct.unpack_from("<I", body, 11 + 4 * i)[0]
+                 for i in range(nd)]
+        return ("chunked", bt, cdims[:-1], cdims[-1])
+    # v4 chunked: flags, rank+1 dims of enc bytes each (element size
+    # last, like v3), a chunk-index type and its fields, index address
+    flags, nd, enc = body[2], body[3], body[4]
+    p = 5
+    cdims = [int.from_bytes(body[p + enc * i:p + enc * (i + 1)], "little")
+             for i in range(nd)]
+    p += enc * nd
+    itype = body[p]
+    p += 1
+    info: dict = {}
+    if itype == 1:  # single chunk: filtered size + mask when filtered
+        if flags & 0x02:
+            fsz, fmask = struct.unpack_from("<QI", body, p)
+            p += 12
+            info = {"fsize": fsz, "fmask": fmask}
+    elif itype == 2:  # implicit
+        pass
+    elif itype == 3:  # fixed array
+        info = {"page_bits": body[p]}
+        p += 1
+    elif itype == 4:  # extensible array
+        info = {"max_bits": body[p], "index_elems": body[p + 1],
+                "min_ptrs": body[p + 2], "min_elems": body[p + 3],
+                "page_bits": struct.unpack_from("<H", body, p + 4)[0]}
+        p += 6
+    elif itype == 5:  # version 2 B-tree
+        info = {"node_size": struct.unpack_from("<I", body, p)[0],
+                "split": body[p + 4], "merge": body[p + 5]}
+        p += 6
+    else:
+        raise NotImplementedError(f"v4 chunk index type {itype}")
+    (addr,) = struct.unpack_from("<Q", body, p)
+    return ("chunked4", itype, flags, cdims[:-1], cdims[-1], addr, info)
 
 
 def _parse_filters(body: bytes) -> "list[tuple[int, int, list[int]]]":
@@ -1030,6 +1211,151 @@ class _H5Meta:
                             for k in range(ndims_p1)]
                     yield tuple(offs[:-1]), child, nbytes, mask
 
+    def iter_chunks_v4(self, lay, shape: "tuple[int, ...]", filtered: bool):
+        """Walk a v4 chunk index → (element offsets, data address, stored
+        nbytes, filter mask) per allocated chunk — the same contract as
+        :meth:`iter_chunks`. Covered index types: 1 single chunk,
+        2 implicit (contiguous unfiltered chunks in row-major slot
+        order), 3 fixed array (FAHD/FADB [+ paged data block]),
+        5 version-2 B-tree (BTHD/BTIN/BTLF, record types 10/11).
+        Extensible arrays (one unlimited dim) stay a loud reject."""
+        _, itype, flags, cdims, esz, addr, info = lay
+        if addr == UNDEF:
+            return
+        rank = len(cdims)
+        grid = [max(1, -(-int(s) // int(c))) for s, c in zip(shape, cdims)]
+        csize = int(np.prod(cdims)) * esz
+
+        def offs_of(idx: int) -> "tuple[int, ...]":
+            offs = []
+            for g, c in zip(reversed(grid), reversed(cdims)):
+                offs.append((idx % g) * int(c))
+                idx //= g
+            return tuple(reversed(offs))
+
+        if itype == 1:  # single chunk covering the whole dataspace
+            nb = info.get("fsize", csize)
+            yield (0,) * rank, addr, int(nb), int(info.get("fmask", 0))
+            return
+        if itype == 2:  # implicit: fixed-size slots, filters impossible
+            if filtered:
+                raise ValueError("implicit chunk index cannot carry filters")
+            for i in range(int(np.prod(grid))):
+                yield offs_of(i), addr + i * csize, csize, 0
+            return
+        if itype == 3:
+            yield from self._fixed_array_chunks(
+                addr, filtered, csize, int(np.prod(grid)), offs_of)
+            return
+        if itype == 5:
+            yield from self._v2btree_chunks(addr, filtered, rank, csize,
+                                            cdims, grid)
+            return
+        raise NotImplementedError(
+            f"v4 chunk index type {itype} (single chunk, implicit, fixed "
+            "array and v2 B-tree are supported; extensible arrays — one "
+            "unlimited dimension under the 'latest' flag — are not)"
+        )
+
+    def _fixed_array_chunks(self, addr, filtered, csize, nslots, offs_of):
+        fh = self.fh
+        fh.seek(addr)
+        hdr = fh.read(28)
+        if hdr[:4] != b"FAHD":
+            raise ValueError("bad fixed-array header signature")
+        _ver, client, entry, page_bits = struct.unpack_from("<4B", hdr, 4)
+        maxn, dblk = struct.unpack_from("<QQ", hdr, 8)
+        if client != (1 if filtered else 0):
+            raise ValueError(
+                f"fixed-array client {client} disagrees with the filter "
+                "pipeline"
+            )
+        if dblk == UNDEF:
+            return
+        sl = entry - 12 if filtered else 0  # stored-size field width
+        fh.seek(dblk)
+        pre = fh.read(14)
+        if pre[:4] != b"FADB":
+            raise ValueError("bad fixed-array data block signature")
+
+        def parse(buf: bytes, base: int):
+            for j in range(len(buf) // entry):
+                e = buf[j * entry:(j + 1) * entry]
+                (a,) = struct.unpack_from("<Q", e)
+                if a == UNDEF:
+                    continue
+                if filtered:
+                    nb = int.from_bytes(e[8:8 + sl], "little")
+                    (mask,) = struct.unpack_from("<I", e, 8 + sl)
+                else:
+                    nb, mask = csize, 0
+                yield offs_of(base + j), a, nb, mask
+
+        per_page = 1 << page_bits
+        if maxn <= per_page:
+            yield from parse(fh.read(int(maxn) * entry), 0)
+            return
+        npages = -(-int(maxn) // per_page)
+        bitmap = fh.read((npages + 7) // 8)
+        fh.read(4)  # data-block checksum (not verified, like OHDR sums)
+        for p in range(npages):
+            cnt = min(per_page, int(maxn) - p * per_page)
+            buf = fh.read(cnt * entry)
+            fh.read(4)  # page checksum
+            if bitmap[p // 8] & (1 << (p % 8)):
+                yield from parse(buf, p * per_page)
+
+    def _v2btree_chunks(self, addr, filtered, rank, csize, cdims, grid):
+        """Version-2 B-tree chunk index (> 1 unlimited dim under the
+        'latest' flag): BTHD header → BTIN internals / BTLF leaf records,
+        type 10 (unfiltered: addr + scaled offsets) or 11 (filtered:
+        addr, var-width size, 4-byte mask, scaled offsets)."""
+        fh = self.fh
+        fh.seek(addr)
+        hdr = fh.read(4 + 1 + 1 + 4 + 2 + 2 + 1 + 1 + 8 + 2 + 8 + 4)
+        if hdr[:4] != b"BTHD":
+            raise ValueError("bad v2 B-tree header signature")
+        rtype = hdr[5]
+        node_size, rec_size, depth = struct.unpack_from("<IHH", hdr, 6)
+        nrec_root = struct.unpack_from("<H", hdr, 24)[0]
+        root = struct.unpack_from("<Q", hdr, 16)[0]
+        if rtype not in (10, 11) or rtype != (11 if filtered else 10):
+            raise ValueError(f"v2 B-tree record type {rtype} for chunks")
+        if root == UNDEF or nrec_root == 0:
+            return
+        sl = rec_size - 8 - 4 - 8 * rank if filtered else 0
+
+        def parse_rec(buf, p):
+            (a,) = struct.unpack_from("<Q", buf, p)
+            q = p + 8
+            if filtered:
+                nb = int.from_bytes(buf[q:q + sl], "little")
+                (mask,) = struct.unpack_from("<I", buf, q + sl)
+                q += sl + 4
+            else:
+                nb, mask = csize, 0
+            scaled = struct.unpack_from(f"<{rank}Q", buf, q)
+            offs = tuple(int(s) * int(c) for s, c in zip(scaled, cdims))
+            return offs, a, nb, mask
+
+        if depth != 0:
+            # internal-node child-pointer widths depend on recursive node
+            # capacities; without a validating reference a misparse would
+            # be silent corruption — reject loudly instead
+            raise NotImplementedError(
+                f"v2 B-tree chunk index of depth {depth} (leaf-root trees "
+                "are supported; multi-level trees only appear past ~1500 "
+                "chunks with > 1 unlimited dimension)"
+            )
+        fh.seek(root)
+        buf = fh.read(node_size)
+        if buf[:4] != b"BTLF":
+            raise ValueError("bad v2 B-tree leaf signature")
+        p = 6
+        for _ in range(nrec_root):
+            yield parse_rec(buf, p)
+            p += rec_size
+
     def read_array(self, meta: dict) -> "np.ndarray | None":
         """Driver-side full read of a SMALL dataset (coordinate vars)."""
         desc = meta["dtype"]
@@ -1047,10 +1373,15 @@ class _H5Meta:
                 return None
             fh.seek(lay[1])
             return np.frombuffer(fh.read(n * dt.itemsize), dt).reshape(shape)
-        _, bt, cdims, _esz = lay
+        if lay[0] == "chunked4":
+            cdims = lay[3]
+            it = self.iter_chunks_v4(lay, shape, bool(meta["filters"]))
+        else:
+            _, bt, cdims, _esz = lay
+            it = self.iter_chunks(bt, len(cdims) + 1)
         ids = [f[0] for f in meta["filters"]]
         out = np.zeros(shape, dt)
-        for offs, addr, nbytes, mask in self.iter_chunks(bt, len(cdims) + 1):
+        for offs, addr, nbytes, mask in it:
             fh.seek(addr)
             raw = _defilter(fh.read(nbytes), ids, mask, dt.itemsize)
             arr = np.frombuffer(raw, dt).reshape(cdims)
@@ -1149,12 +1480,17 @@ def read_netcdf4(
         ntv = int(m["shape"][0]) if three else 1
         fids = ",".join(map(str, ids))
         lay = m["layout"]
-        if lay[0] == "chunked":
-            _, bt, cdims, _esz = lay
+        if lay[0] in ("chunked", "chunked4"):
+            if lay[0] == "chunked4":
+                cdims = lay[3]
+                chunk_iter = h5.iter_chunks_v4(
+                    lay, tuple(int(s) for s in m["shape"]), bool(ids))
+            else:
+                _, bt, cdims, _esz = lay
+                chunk_iter = h5.iter_chunks(bt, len(cdims) + 1)
             ct = int(cdims[0]) if three else 1
             chh, cww = int(cdims[-2]), int(cdims[-1])
-            for offs, addr, nbytes, mask in h5.iter_chunks(
-                    bt, len(cdims) + 1):
+            for offs, addr, nbytes, mask in chunk_iter:
                 t0 = int(offs[0]) if three else 0
                 slices.append((nm, t0, int(offs[-2]), int(offs[-1]), addr,
                                nbytes, mask, ct, chh, cww, dt.str, fill,

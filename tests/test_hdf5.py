@@ -171,9 +171,12 @@ def test_hdf5_v2_superblock_and_object_headers(tmp_path):
 
 
 def test_hdf5_guards():
-    """Loud rejects: layout v4, unknown superblock, non-8-byte offsets."""
-    with pytest.raises(NotImplementedError, match="layout message v4"):
-        hdf5._parse_layout(bytes([4, 2, 1]) + b"\x00" * 20)
+    """Loud rejects: layout v5, foreign v4 index, dense group links."""
+    with pytest.raises(NotImplementedError, match="layout message v5"):
+        hdf5._parse_layout(bytes([5, 2, 1]) + b"\x00" * 20)
+    # v4 chunked with an unknown chunk-index type
+    with pytest.raises(NotImplementedError, match="chunk index type 9"):
+        hdf5._parse_layout(bytes([4, 2, 0, 3, 1, 4, 4, 8, 9]) + b"\x00" * 8)
     # dense group links (fractal heap present) reject
     h5 = hdf5._H5Meta.__new__(hdf5._H5Meta)
     body = struct.pack("<BB", 0, 0) + struct.pack("<QQ", 12345, hdf5.UNDEF)
@@ -295,3 +298,130 @@ def test_netcdf4_fletcher32_roundtrip_and_corruption(spark, tmp_path):
     open(p2, "wb").write(bytes(raw))
     with pytest.raises(Exception, match="fletcher32 checksum mismatch"):
         SparkNetCDF.read_file(spark, p2)[0].df.collect()
+
+
+def test_lookup3_reference_vectors():
+    """Jenkins lookup3 pinned to lookup3.c's published self-test values
+    (the checksum every HDF5 v2-era metadata structure carries)."""
+    assert hdf5._lookup3(b"") == 0xDEADBEEF
+    assert hdf5._lookup3(b"Four score and seven years ago", 0) == 0x17770551
+    assert hdf5._lookup3(b"Four score and seven years ago", 1) == 0xCD628161
+
+
+def test_netcdf4_fixed_array_roundtrip(spark, tmp_path):
+    """index="fixed_array" writes the 1.10 'latest' layout: a v4 data
+    layout message + FAHD/FADB chunk index (filtered client); readers
+    recover every cell, and the layout parses as chunked4."""
+    from dataclasses import replace
+
+    g = replace(G, nodata=-9999.0)
+    df, exp = _cells(spark)
+    p = str(tmp_path / "fa.nc")
+    SparkNetCDF(df).to_netcdf4(
+        g, p, times=[10.0, 20.0, 30.0], dtype="int16", chunk=(4, 4),
+        index="fixed_array",
+    )
+    blob = open(p, "rb").read()
+    assert b"FAHD" in blob and b"FADB" in blob
+    # every remaining TREE node is the type-0 GROUP B-tree — no v1 CHUNK
+    # (type 1) trees in a fixed-array file
+    i = -1
+    while (i := blob.find(b"TREE", i + 1)) != -1:
+        assert blob[i + 4] == 0
+    h5 = hdf5._H5Meta(p)
+    try:
+        links = h5.group_links(h5.messages(h5.root))
+        m = h5.dataset(links["precip"])
+        assert m["layout"][0] == "chunked4" and m["layout"][1] == 3
+        assert m["maxshape"] == m["shape"]  # fixed dims, per libhdf5 rules
+        # FAHD checksum is the real lookup3 of the preceding bytes
+        a = m["layout"][5]
+        hdr = blob[a:a + 28]
+        assert hdr[:4] == b"FAHD"
+        (stored,) = struct.unpack_from("<I", hdr, 24)
+        assert stored == hdf5._lookup3(hdr[:24])
+    finally:
+        h5.close()
+    back, g2, meta = SparkNetCDF.read_file(spark, p)
+    got = {(r.variable, r.t, r.row, r.col): r.value
+           for r in back.df.collect()}
+    assert got == exp and meta["times"] == [10.0, 20.0, 30.0]
+
+
+def test_netcdf4_fixed_array_paged_and_unfiltered(spark, tmp_path):
+    """fa_page_bits=2 forces a PAGED fixed-array data block (bitmap +
+    per-page checksums); compress=None+shuffle=False exercises the
+    unfiltered client-0 element layout."""
+    df, exp = _cells(spark, variables=("z",), nt=2)
+    p = str(tmp_path / "fp.nc")
+    hdf5.write_netcdf4(
+        df, G, p, times=[1.0, 2.0], compress=None, shuffle=False,
+        chunk=(4, 4), index="fixed_array", fa_page_bits=2,
+    )
+    # 2 t × 4 ci × 2 cj = 16 slots > 2^2 per page → paged block
+    back, _, _ = SparkNetCDF.read_file(spark, p)
+    got = {(r.variable, r.t, r.row, r.col): r.value
+           for r in back.df.collect()}
+    assert got == exp
+
+
+def test_v4_single_chunk_and_implicit_indexes(tmp_path):
+    """Index types 1 (single chunk) and 2 (implicit) enumerate without
+    touching the file; implicit slots advance in row-major chunk-size
+    steps and filters reject."""
+    h5 = object.__new__(hdf5._H5Meta)
+    h5.fh = None  # these index types never read the index structures
+    lay = ("chunked4", 1, 0x02, [8, 8], 8, 5000, {"fsize": 77, "fmask": 3})
+    assert list(h5.iter_chunks_v4(lay, (8, 8), True)) == [
+        ((0, 0), 5000, 77, 3)]
+    lay = ("chunked4", 1, 0x00, [8, 8], 8, 5000, {})
+    assert list(h5.iter_chunks_v4(lay, (8, 8), False)) == [
+        ((0, 0), 5000, 8 * 8 * 8, 0)]
+    lay = ("chunked4", 2, 0, [4, 4], 2, 1000, {})
+    got = list(h5.iter_chunks_v4(lay, (5, 6), False))
+    assert got == [((0, 0), 1000, 32, 0), ((0, 4), 1032, 32, 0),
+                   ((4, 0), 1064, 32, 0), ((4, 4), 1096, 32, 0)]
+    with pytest.raises(ValueError, match="implicit"):
+        list(h5.iter_chunks_v4(lay, (5, 6), True))
+
+
+def test_v2_btree_leaf_root_chunk_index(tmp_path):
+    """Hand-built BTHD + BTLF (record type 10: address + SCALED offsets)
+    — the leaf-root v2 B-tree 1.10 writes for > 1 unlimited dims; deeper
+    trees reject loudly."""
+    rank, cdims = 2, [4, 4]
+    rec_size = 8 + 8 * rank
+    recs = [(2000, (0, 0)), (2128, (1, 2))]  # (addr, scaled offsets)
+    leaf = b"BTLF" + bytes([0, 10]) + b"".join(
+        struct.pack("<Q", a) + struct.pack("<2Q", *s) for a, s in recs)
+    leaf += struct.pack("<I", hdf5._lookup3(leaf))
+    root_addr = 200
+    hdr = (b"BTHD" + bytes([0, 10])
+           + struct.pack("<IHH", 512, rec_size, 0) + bytes([100, 40])
+           + struct.pack("<QHQ", root_addr, len(recs), len(recs)))
+    hdr += struct.pack("<I", hdf5._lookup3(hdr))
+    p = tmp_path / "bt2.bin"
+    blob = bytearray(1024)
+    blob[100:100 + len(hdr)] = hdr
+    blob[root_addr:root_addr + len(leaf)] = leaf
+    p.write_bytes(bytes(blob))
+    h5 = object.__new__(hdf5._H5Meta)
+    h5.fh = open(p, "rb")
+    try:
+        lay = ("chunked4", 5, 0, cdims, 8, 100,
+               {"node_size": 512, "split": 100, "merge": 40})
+        got = list(h5.iter_chunks_v4(lay, (8, 12), False))
+        assert got == [((0, 0), 2000, 128, 0), ((4, 8), 2128, 128, 0)]
+        # depth > 0 rejects
+        hdr2 = (b"BTHD" + bytes([0, 10])
+                + struct.pack("<IHH", 512, rec_size, 1) + bytes([100, 40])
+                + struct.pack("<QHQ", root_addr, 2, 2))
+        blob[100:100 + len(hdr2) + 4] = hdr2 + struct.pack(
+            "<I", hdf5._lookup3(hdr2))
+        p.write_bytes(bytes(blob))
+        h5.fh.close()
+        h5.fh = open(p, "rb")
+        with pytest.raises(NotImplementedError, match="depth"):
+            list(h5.iter_chunks_v4(lay, (8, 12), False))
+    finally:
+        h5.fh.close()
