@@ -13,10 +13,12 @@ that seam the same way ``codecs.py`` did for PNG/BMP/WAV.
 
 Supported: SOF0/SOF1 (baseline + extended sequential, Huffman) AND
 SOF2 (progressive: spectral selection + successive approximation,
-multi-scan, EOBn run codes, per-scan table redefinition), grayscale,
-4:4:4 and 4:2:0 YCbCr, restart markers, multiple DQT/DHT segments.
-Loud rejects: arithmetic coding (SOF9+), hierarchical, lossless,
-12-bit precision, other subsampling grids. The ENCODER (JFIF output;
+multi-scan, EOBn run codes, per-scan table redefinition), 8-bit AND
+12-bit precision (Pq=1 16-bit quant tables, SSSS=16 DC codes, uint16
+output — the aerial/medical layout), grayscale, 4:4:4 and 4:2:0 YCbCr,
+restart markers, multiple DQT/DHT segments. Loud rejects: arithmetic
+coding (SOF9+), hierarchical, lossless, other subsampling grids. The
+ENCODER (JFIF output;
 quality knob with the libjpeg scaling law; ``progressive=True`` emits
 spectral-selection scans) exists as the engine's export path and the
 fixture generator — tables are written into the stream (DQT/DHT), so
@@ -81,6 +83,17 @@ _AC_SYMS = [0x00, 0xF0] + [
 ]
 _AC_COUNTS = [0] * 16
 _AC_COUNTS[8] = len(_AC_SYMS)  # all 162 symbols at length 9 (162/512 ≤ 1)
+
+#: 12-bit tables: DC diff categories reach 16 (T.81 F.1.2.1.2) and AC
+#: sizes reach 14 (F.1.2.2.1); flat-depth canonical tables again
+_DC12_SYMS = list(range(17))
+_DC12_COUNTS = [0] * 16
+_DC12_COUNTS[5] = len(_DC12_SYMS)  # 17 six-bit codes (17/64 ≤ 1)
+_AC12_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 15)
+]
+_AC12_COUNTS = [0] * 16
+_AC12_COUNTS[8] = len(_AC12_SYMS)  # 226 nine-bit codes (226/512 ≤ 1)
 
 
 def _dct_mat() -> np.ndarray:
@@ -167,25 +180,33 @@ def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
 
 def encode_jpeg(img: np.ndarray, quality: int = 85,
                 subsample: bool = True, restart: int = 0,
-                progressive: bool = False) -> bytes:
-    """(h, w) gray or (h, w, 3) RGB uint8 → JFIF bytes. Color uses 4:2:0
+                progressive: bool = False, bits: int = 8) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB → JFIF bytes. Color uses 4:2:0
     when ``subsample`` (the wild-file default), else 4:4:4. ``restart``
     > 0 emits a DRI segment and RST markers every that many MCUs — the
     error-resilience layout many wild files carry. ``progressive`` emits
     SOF2 with spectral-selection scans (one interleaved DC scan, then one
     full-band AC scan per component, Ah=Al=0) — per-block EOB codes, so
     the standard K.3 tables suffice (EOBn run codes would need optimized
-    tables, as libjpeg's mandatory two-pass does)."""
+    tables, as libjpeg's mandatory two-pass does). ``bits`` = 8 (uint8)
+    or 12 (uint16 samples 0..4095 — the aerial/medical layout): SOF1
+    extended sequential, Pq=1 16-bit quant tables scaled ×16, and the
+    widened Huffman category tables."""
     if progressive and restart:
         raise NotImplementedError(
             "restart markers with progressive encode (decode supports "
             "both; pick one on write)"
         )
-    img = np.asarray(img, np.uint8)
+    if bits not in (8, 12):
+        raise NotImplementedError(f"{bits}-bit JPEG encode (8 or 12)")
+    img = np.asarray(img, np.uint8 if bits == 8 else np.uint16)
+    half = float(1 << (bits - 1))
     gray = img.ndim == 2
     h, w = img.shape[:2]
     qy = _scale_q(_Q_LUM, quality)
     qc = _scale_q(_Q_CHR, quality)
+    if bits == 12:  # keep quality relative to the 16× dynamic range
+        qy, qc = qy * 16, qc * 16
     if gray:
         planes = [img.astype(np.float64)]
         samp = [(1, 1)]
@@ -195,8 +216,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         g = img[:, :, 1].astype(np.float64)
         b = img[:, :, 2].astype(np.float64)
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        cb = half - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = half + 0.5 * r - 0.418688 * g - 0.081312 * b
         if subsample:
             cbp = _pad_to(cb, 2, 2)
             crp = _pad_to(cr, 2, 2)
@@ -223,13 +244,17 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         p = np.pad(p, ((0, bh - p.shape[0]), (0, bw_ - p.shape[1])),
                    mode="edge")
         q = qy if qsel[ci] == 0 else qc
-        coefs = _fdct_blocks(p - 128.0)
+        coefs = _fdct_blocks(p - half)
         qz = np.rint(coefs / q).astype(np.int32).reshape(-1, 64)[:, _ZZ]
         comp_coef.append(qz)
         comp_bw.append(bw_ // 8)
 
-    dc_codes = _huff_codes(_DC_COUNTS, _DC_SYMS)
-    ac_codes = _huff_codes(_AC_COUNTS, _AC_SYMS)
+    dc_cnt, dc_sym = (_DC_COUNTS, _DC_SYMS) if bits == 8 else \
+        (_DC12_COUNTS, _DC12_SYMS)
+    ac_cnt, ac_sym = (_AC_COUNTS, _AC_SYMS) if bits == 8 else \
+        (_AC12_COUNTS, _AC12_SYMS)
+    dc_codes = _huff_codes(dc_cnt, dc_sym)
+    ac_codes = _huff_codes(ac_cnt, ac_sym)
 
     def put_dc(bwt, zz, pred, ci):
         diff = int(zz[0]) - pred[ci]
@@ -327,17 +352,23 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + qy.reshape(-1)[_ZZ].astype(np.uint8)
-               .tobytes())
+    if bits == 8:
+        qdt, pq = np.uint8, 0
+    else:
+        qdt, pq = np.dtype(">u2"), 1  # Pq=1: 16-bit table entries
+    out += seg(0xFFDB, bytes([pq << 4])
+               + qy.reshape(-1)[_ZZ].astype(qdt).tobytes())
     if not gray:
-        out += seg(0xFFDB, b"\x01" + qc.reshape(-1)[_ZZ].astype(np.uint8)
-                   .tobytes())
-    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+        out += seg(0xFFDB, bytes([(pq << 4) | 1])
+                   + qc.reshape(-1)[_ZZ].astype(qdt).tobytes())
+    sof = struct.pack(">BHHB", bits, h, w, len(planes))
     for ci in range(len(planes)):
         sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]])
-    out += seg(0xFFC2 if progressive else 0xFFC0, sof)
-    out += seg(0xFFC4, b"\x00" + bytes(_DC_COUNTS) + bytes(_DC_SYMS))
-    out += seg(0xFFC4, b"\x10" + bytes(_AC_COUNTS) + bytes(_AC_SYMS))
+    # 12-bit sequential is SOF1 (extended); SOF0 is 8-bit baseline only
+    seq_marker = 0xFFC0 if bits == 8 else 0xFFC1
+    out += seg(0xFFC2 if progressive else seq_marker, sof)
+    out += seg(0xFFC4, b"\x00" + bytes(dc_cnt) + bytes(dc_sym))
+    out += seg(0xFFC4, b"\x10" + bytes(ac_cnt) + bytes(ac_sym))
     if restart:
         out += seg(0xFFDD, struct.pack(">H", restart))
     for sos, entropy in scans:
@@ -418,7 +449,8 @@ def _scan_sequential(sc, comps, samp, coef, cw, bw, bh,
         dct = huff[(0, tabs[ci][0])]
         act = huff[(1, tabs[ci][1])]
         s = _dec_sym(br, dct)
-        pred[ci] += _extend(br.read(s), s)
+        # 12-bit DC SSSS=16 codes diff=32768 with NO appended bits
+        pred[ci] += 32768 if s == 16 else _extend(br.read(s), s)
         blk = coef[ci][bi]
         blk[0] = pred[ci]
         k = 1
@@ -476,7 +508,7 @@ def _scan_dc(sc, comps, samp, coef, cw, bw, bh, mcus_x, mcus_y) -> None:
         blk = coef[ci][bi]
         if first:
             s = _dec_sym(br, dct)
-            pred[ci] += _extend(br.read(s), s)
+            pred[ci] += 32768 if s == 16 else _extend(br.read(s), s)
             blk[0] = pred[ci] << al
         elif br.read1():
             blk[0] |= 1 << al
@@ -625,15 +657,17 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             p = 0
             while p < len(body):
                 pq, tq = body[p] >> 4, body[p] & 15
-                if pq:
-                    raise NotImplementedError("16-bit quant tables")
                 t = np.zeros(64, np.int32)
-                t[_ZZ] = np.frombuffer(body, np.uint8, 64, p + 1)
+                if pq:  # Pq=1: 16-bit big-endian entries (12-bit frames)
+                    t[_ZZ] = np.frombuffer(body, ">u2", 64, p + 1)
+                    p += 129
+                else:
+                    t[_ZZ] = np.frombuffer(body, np.uint8, 64, p + 1)
+                    p += 65
                 qt[tq] = t.reshape(8, 8)
-                p += 65
         elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body)
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
             comps = []
             for k in range(nc):
@@ -724,16 +758,19 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 raise ValueError("progressive AC scan with >1 component")
             _scan_ac(sc, coef, cw, bw, bh)
 
+    shift = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    out_dt = np.uint8 if prec == 8 else np.uint16
     planes = []
     for ci, c in enumerate(comps):
         dz = np.zeros((len(coef[ci]), 64), np.int32)
         dz[:, _ZZ] = coef[ci]
         dq = dz.reshape(-1, 8, 8).astype(np.float64) * qt[c["tq"]]
-        px = np.einsum("ji,njk,kl->nil", _M, dq, _M) + 128.0
+        px = np.einsum("ji,njk,kl->nil", _M, dq, _M) + shift
         ph, pw = chh[ci] * 8, cw[ci] * 8
         plane = (px.reshape(chh[ci], cw[ci], 8, 8)
                  .transpose(0, 2, 1, 3).reshape(ph, pw))
-        planes.append(np.clip(np.rint(plane), 0, 255).astype(np.uint8))
+        planes.append(np.clip(np.rint(plane), 0, maxv).astype(out_dt))
     if ncomp == 1:
         return planes[0][:h, :w]
     y, cb, cr = planes
@@ -741,11 +778,11 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         cb = np.repeat(np.repeat(cb, 2, 0), 2, 1)
         cr = np.repeat(np.repeat(cr, 2, 0), 2, 1)
     y = y[:h, :w].astype(np.float64)
-    cb = cb[:h, :w].astype(np.float64) - 128.0
-    cr = cr[:h, :w].astype(np.float64) - 128.0
+    cb = cb[:h, :w].astype(np.float64) - shift
+    cr = cr[:h, :w].astype(np.float64) - shift
     rgb = np.stack([
         y + 1.402 * cr,
         y - 0.344136 * cb - 0.714136 * cr,
         y + 1.772 * cb,
     ], axis=-1)
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.rint(rgb), 0, maxv).astype(out_dt)

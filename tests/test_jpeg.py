@@ -286,3 +286,71 @@ def test_jpeg_noninterleaved_sequential_scans():
             want = int(np.clip(np.rint(px[0, 0]), 0, 255))
             blockpx = got[br * 8:(br + 1) * 8, bc * 8:min((bc + 1) * 8, w)]
             assert (blockpx == want).all(), (br, bc, want, blockpx[0, 0])
+
+
+def test_jpeg_12bit_gray_and_rgb_roundtrip():
+    """12-bit precision (SOF1, Pq=1 16-bit quant tables, widened Huffman
+    categories): decodes to uint16 in 0..4095, near-exact on smooth
+    content at high quality."""
+    g = ((np.add.outer(np.arange(24) * 48, np.arange(40) * 31)) % 4096
+         ).astype(np.uint16)
+    enc = jpeg.encode_jpeg(g, quality=95, bits=12)
+    assert b"\xff\xc1" in enc and b"\xff\xc0" not in enc  # SOF1, not SOF0
+    # DQT carries Pq=1 in the precision nibble
+    at = enc.find(b"\xff\xdb")
+    assert enc[at + 4] >> 4 == 1
+    dec = jpeg.decode_jpeg(enc)
+    assert dec.dtype == np.uint16 and dec.shape == g.shape
+    assert dec.max() > 255  # genuinely more than 8 bits of range
+    assert int(np.abs(dec.astype(int) - g.astype(int)).max()) <= 40
+    rgb = np.stack([
+        np.add.outer(np.arange(17) * 64, np.arange(21) * 32) % 4096,
+        np.add.outer(np.arange(17) * 32, np.arange(21) * 64) % 4096,
+        np.full((17, 21), 1600),
+    ], axis=-1).astype(np.uint16)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(rgb, quality=95, bits=12,
+                                            subsample=False))
+    assert dec.dtype == np.uint16 and dec.shape == rgb.shape
+    assert int(np.abs(dec.astype(int) - rgb.astype(int)).max()) <= 96
+
+
+def test_jpeg_12bit_progressive_matches_sequential():
+    g = ((np.add.outer(np.arange(16) * 5, np.arange(24) * 7) * 13) % 4096
+         ).astype(np.uint16)
+    seq = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=90, bits=12))
+    pro = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=90, bits=12,
+                                            progressive=True))
+    assert np.array_equal(seq, pro)  # same coefficients, different scans
+
+
+def test_jpeg_12bit_dc_ssss16_special_case():
+    """A hand-patched scan exercises SSSS=16: diff=+32768 with NO
+    appended bits (T.81 F.2.2.1) — the decoder must not consume 16
+    magnitude bits."""
+    # build a 1-block 12-bit gray stream whose DC table includes 16
+    counts = [0] * 16
+    counts[5] = 17
+    syms = list(range(17))
+    codes = jpeg._huff_codes(counts, syms)
+    bw = jpeg._BitWriter()
+    c, ln = codes[16]
+    bw.put(c, ln)       # DC: SSSS=16 → +32768, no bits
+    c, ln = jpeg._huff_codes(jpeg._AC12_COUNTS, jpeg._AC12_SYMS)[0x00]
+    bw.put(c, ln)       # AC: EOB
+    bw.flush()
+    qz = np.ones(64, np.uint16)
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, b"\x10" + qz.astype(">u2").tobytes())
+    out += seg(0xFFC1, struct.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xFFC4, b"\x00" + bytes(counts) + bytes(syms))
+    out += seg(0xFFC4, b"\x10" + bytes(jpeg._AC12_COUNTS)
+               + bytes(jpeg._AC12_SYMS))
+    out += seg(0xFFDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+    out += bytes(bw.buf) + b"\xff\xd9"
+    dec = jpeg.decode_jpeg(bytes(out))
+    # DC=32768 × q=1 → IDCT flat plane 32768/8 + 2048 = 6144 → clips 4095
+    assert dec.shape == (8, 8) and (dec == 4095).all()
