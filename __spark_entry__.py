@@ -923,10 +923,12 @@ def q_netcdf4_roundtrip(spark, sf_dir):
     """Container gate (round 5): REAL netCDF-4/HDF5 binary — superblock,
     symbol-table group, dimension-scale datasets, DIMENSION_LIST object
     references through the global heap, chunked int16 variables with
-    shuffle+deflate+fletcher32 filters and a v1 chunk B-tree. Chunks build and
-    deflate distributed, stream ordered through the driver; the read
-    decodes chunks by byte range in executors. Oracle is the grid
-    generator (reference ``netcdf/netcdf.py:849-982`` via netcdf-c)."""
+    shuffle+deflate+fletcher32 filters and the 1.10 'latest'-format
+    FIXED ARRAY chunk index (v4 layout message, FAHD/FADB, lookup3
+    checksums). Chunks build and deflate distributed, stream ordered
+    through the driver; the read decodes chunks by byte range in
+    executors. Oracle is the grid generator (reference
+    ``netcdf/netcdf.py:849-982`` via netcdf-c)."""
     from pyramids_spark.api import SparkNetCDF
 
     base = grid_df(spark, COELLO)
@@ -942,7 +944,7 @@ def q_netcdf4_roundtrip(spark, sf_dir):
     SparkNetCDF(cells).to_netcdf4(
         COELLO, "/tmp/pyramids_q_nc4.nc", times=[10.0, 20.0, 30.0],
         dtype="int16", compress=4, shuffle=True, fletcher32=True,
-        chunk=(8, 8),
+        chunk=(8, 8), index="fixed_array",
     )
     back, _, _ = SparkNetCDF.read_file(spark, "/tmp/pyramids_q_nc4.nc")
     return back.df.select("variable", "t", "band", "row", "col", "value")
@@ -1266,14 +1268,16 @@ def sql_shapefile_roundtrip():
 
 def q_zarr_roundtrip_u8(spark, sf_dir):
     """Container dtype gate: uint8 zarr v2 store (``|u1`` dtype string,
-    integer JSON fill_value, zlib chunks) round-trips the generator."""
+    integer JSON fill_value, BLOSC chunks — the numcodecs default
+    container: byte-shuffled zstd streams) round-trips the generator."""
     from dataclasses import replace
 
     from pyramids_spark.api import SparkDataset
 
     g = replace(COELLO, nodata=255.0)
     ds = SparkDataset(grid_df(spark, g), g)
-    ds.to_zarr("/tmp/pyramids_q_zarr_u8", chunks=(7, 9), compress=1, dtype="uint8")
+    ds.to_zarr("/tmp/pyramids_q_zarr_u8", chunks=(7, 9), codec="blosc:zstd",
+               compress=3, dtype="uint8")
     back = SparkDataset.from_zarr(spark, "/tmp/pyramids_q_zarr_u8")
     return back.df.select("band", "row", "col", "value")
 
