@@ -226,13 +226,51 @@ def _predict2(block: "np.ndarray") -> "np.ndarray":
     return d.view(block.dtype)
 
 
+def _unpredict3(rows_u8: "np.ndarray", esize: int, spp: int = 1,
+                ) -> "np.ndarray":
+    """Inverse of TIFF Predictor 3 (TechNote 3 floating-point horizontal
+    differencing): per row, byte deltas accumulate with stride ``spp``,
+    then the byte-planarized layout (all MSBs first, then the next byte,
+    …) reassembles into big-endian words. ``rows_u8`` is (nrows,
+    rowbytes) uint8; returns the raw big-endian word bytes per row."""
+    h, rb = rows_u8.shape
+    if spp > 1:
+        c = np.cumsum(rows_u8.reshape(h, -1, spp), axis=1,
+                      dtype=np.uint64).astype(np.uint8).reshape(h, rb)
+    else:
+        c = np.cumsum(rows_u8, axis=1, dtype=np.uint64).astype(np.uint8)
+    # deplanarize: plane k of each row holds byte k (MSB-first) of every
+    # word → (h, esize, wc) transposed to word order = big-endian bytes
+    return np.ascontiguousarray(
+        c.reshape(h, esize, rb // esize).transpose(0, 2, 1)
+    ).reshape(h, rb)
+
+
+def _predict3(arr: "np.ndarray", spp: int = 1) -> bytes:
+    """TIFF Predictor 3 forward transform: big-endian bytes of each row,
+    byte-planarized MSB-first, then horizontal byte differencing with
+    stride ``spp`` — the exact inverse of :func:`_unpredict3`."""
+    esize = arr.dtype.itemsize
+    be = arr.astype(arr.dtype.newbyteorder(">"))
+    h = arr.shape[0]
+    rows = np.frombuffer(be.tobytes(order="C"), np.uint8).reshape(h, -1)
+    planes = rows.reshape(h, -1, esize).transpose(0, 2, 1)
+    flat = np.ascontiguousarray(planes).reshape(h, -1).copy()
+    flat[:, spp:] -= np.ascontiguousarray(planes).reshape(h, -1)[:, :-spp]
+    return flat.tobytes()
+
+
 def _check_predictor(predictor: int, dt_name: str) -> None:
-    if predictor not in (1, 2):
-        raise ValueError(f"predictor must be 1 or 2, got {predictor}")
+    if predictor not in (1, 2, 3):
+        raise ValueError(f"predictor must be 1, 2 or 3, got {predictor}")
     if predictor == 2 and _dt.is_float(dt_name):
         raise NotImplementedError(
-            "Predictor 2 (horizontal differencing) is integer-only; the "
-            "floating-point predictor (3) is out of scope"
+            "Predictor 2 (horizontal differencing) is integer-only; use "
+            "the floating-point predictor (3) for float samples"
+        )
+    if predictor == 3 and not _dt.is_float(dt_name):
+        raise NotImplementedError(
+            "Predictor 3 (floating-point differencing) needs float samples"
         )
 
 
@@ -240,6 +278,9 @@ def _encode_tile(arr: "np.ndarray", compress, predictor: int) -> bytes:
     """Storage-dtype tile block → on-disk bytes (predictor, then codec)."""
     if predictor == 2:
         arr = _predict2(arr)
+        return _compress(arr.tobytes(order="C"), compress)
+    if predictor == 3:
+        return _compress(_predict3(arr), compress)
     return _compress(arr.tobytes(order="C"), compress)
 
 
@@ -247,7 +288,7 @@ def _ifd_tag_count(is_overview: bool, predictor: int) -> int:
     """The ONE place that knows how many tags an IFD carries — layout
     sizing and the tag emitter both use it (a mismatch would shift every
     external-array offset), and the emitter asserts against it."""
-    return 15 + (1 if is_overview else 0) + (1 if predictor == 2 else 0)
+    return 15 + (1 if is_overview else 0) + (1 if predictor != 1 else 0)
 
 
 def _layout(
@@ -311,8 +352,8 @@ def _write_ifd_headers(
             (_GEOKEYS, _T_SHORT, 16, f_.geo_at),  # 4-SHORT header + 3 keys
             (_GDAL_NODATA, _T_ASCII, len(nod_ascii), f_.nod_at),
         ]
-        if predictor == 2:
-            tags.append((_PREDICTOR, _T_SHORT, 1, 2))
+        if predictor != 1:
+            tags.append((_PREDICTOR, _T_SHORT, 1, predictor))
         assert len(tags) == _ifd_tag_count(f_.is_overview, predictor)
         tags.sort(key=lambda t: t[0])
         fh.seek(ifd_pos[k])
@@ -707,7 +748,16 @@ def _decode_ifd_tiles(fh, d: dict) -> "list[tuple[int, np.ndarray]]":
     for t, (o, c) in enumerate(zip(d["offsets"], d["counts"])):
         fh.seek(o)
         raw = _decompress(fh.read(c), d["comp"])
-        block = np.frombuffer(raw, dtype=np_dt).reshape(-1, d["tw"])
+        if d["pred"] == 3:
+            esize = np.dtype(np_dt).itemsize
+            be = _unpredict3(
+                np.frombuffer(raw, np.uint8).reshape(-1, d["tw"] * esize),
+                esize)
+            block = np.frombuffer(
+                be.tobytes(), ">" + np_dt.lstrip("<>|")
+            ).reshape(-1, d["tw"])
+        else:
+            block = np.frombuffer(raw, dtype=np_dt).reshape(-1, d["tw"])
         if d["pred"] == 2:
             block = _unpredict2(block)
         out.append((t, block.astype("<f8")))
@@ -894,10 +944,15 @@ def _read_ifds(path: str) -> list[dict]:
                 raise NotImplementedError(
                     "Predictor 2 (horizontal differencing) is integer-only"
                 )
-            if d["pred"] not in (1, 2):
+            if d["pred"] == 3 and not d["dtype"].startswith("float"):
+                raise NotImplementedError(
+                    "Predictor 3 (floating-point differencing) needs "
+                    "float samples"
+                )
+            if d["pred"] not in (1, 2, 3):
                 raise NotImplementedError(
                     f"Predictor {d['pred']} unsupported (1 = none, 2 = "
-                    "horizontal differencing on integer samples)"
+                    "integer horizontal differencing, 3 = floating-point)"
                 )
             if _GDAL_NODATA in tags:
                 typ, cnt, val = tags[_GDAL_NODATA]
@@ -971,9 +1026,18 @@ def read_geotiff(
                     # reshape by actual length: tiles are full (th, tw);
                     # a foreign file's LAST STRIP may be short. Decode in
                     # the STORED dtype, widen to the engine's float64
-                    block = np.frombuffer(raw, dtype=np_dt_str).reshape(
-                        -1, tw * spp
-                    )
+                    if pred == 3:
+                        esize = np.dtype(np_dt_str).itemsize
+                        be = _unpredict3(
+                            np.frombuffer(raw, np.uint8).reshape(
+                                -1, tw * spp * esize), esize, spp)
+                        block = np.frombuffer(
+                            be.tobytes(), ">" + np_dt_str.lstrip("<>|")
+                        ).reshape(-1, tw * spp)
+                    else:
+                        block = np.frombuffer(raw, dtype=np_dt_str).reshape(
+                            -1, tw * spp
+                        )
                     if pred == 2:
                         block = _unpredict2(block, spp)
                     if spp == 1:

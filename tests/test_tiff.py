@@ -863,3 +863,81 @@ def test_geotiff_reads_jpeg_compressed(spark, tmp_path):
     assert got == {(s, r, c): float(expc[r, c, s])
                    for s in range(3) for r in range(rps)
                    for c in range(cols)}
+
+
+def test_predictor3_byte_layout_pinned():
+    """The fp-predictor transform is pinned BY HAND to TechNote 3: bytes
+    planarize MSB-first per row, then difference with the sample stride —
+    not just encoder/decoder self-consistency."""
+    from pyramids_spark.tiff import _predict3, _unpredict3
+
+    row = np.array([[1.5, -2.0]], ">f4")  # 3FC00000 C0000000 big-endian
+    out = _predict3(row.astype("<f4"))
+    # planarized: 3F C0 | C0 00 | 00 00 | 00 00 → diff stride 1
+    exp = bytes([0x3F, 0xC0 - 0x3F,
+                 (0xC0 - 0xC0) & 0xFF, (0x00 - 0xC0) & 0xFF,
+                 0, 0, 0, 0])
+    assert out == exp
+    back = _unpredict3(np.frombuffer(out, np.uint8).reshape(1, 8), 4)
+    assert np.frombuffer(back.tobytes(), ">f4").tolist() == [1.5, -2.0]
+    # spp=2: differencing strides PER SAMPLE LANE
+    row2 = np.array([[1.0, 2.0, 3.0, 4.0]], "<f4")  # 2 pixels × 2 samples
+    out2 = _predict3(row2, spp=2)
+    back2 = _unpredict3(np.frombuffer(out2, np.uint8).reshape(1, 16),
+                        4, spp=2)
+    assert np.frombuffer(back2.tobytes(), ">f4").tolist() == [1.0, 2.0,
+                                                              3.0, 4.0]
+
+
+def test_geotiff_write_predictor3_float(spark, tmp_path):
+    """predictor=3 (floating-point differencing) round-trips float32/
+    float64 under LZW and DEFLATE, compresses a smooth float gradient
+    smaller than no predictor, tags Predictor=3, and rejects int dtypes;
+    the sharded COG-parts sink carries it too."""
+    import os
+    from dataclasses import replace
+
+    import pytest as _pytest
+
+    g = replace(Grid(x0=0.0, y0=64.0, cell=1.0, rows=64, cols=64,
+                     epsg=32636), nodata=-9999.0)
+    ds = SparkDataset.create(
+        spark, g, "CAST(row * 0.25 + col * 0.5 AS DOUBLE)")
+    a = {(r.band, r.row, r.col): r.value for r in ds.df.collect()}
+    sizes = {}
+    for pred in (1, 3):
+        p = str(tmp_path / f"f{pred}.tif")
+        ds.to_cog(p, levels=(), tile=(16, 16), compress="lzw",
+                  dtype="float32", predictor=pred)
+        sizes[pred] = os.path.getsize(p)
+        raw = open(p, "rb").read()
+        _, _, ifd0 = struct.unpack_from("<2sHI", raw, 0)
+        (n_tags,) = struct.unpack_from("<H", raw, ifd0)
+        tags = {
+            struct.unpack_from("<HHII", raw, ifd0 + 2 + 12 * i)[0]:
+            struct.unpack_from("<HHII", raw, ifd0 + 2 + 12 * i)[3]
+            for i in range(n_tags)
+        }
+        assert tags.get(317, 1) == pred
+        back = SparkDataset.from_geotiff(spark, p)
+        b = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
+        assert a == b
+    assert sizes[3] < sizes[1]
+    # float64 + DEFLATE, with an overview level
+    p = str(tmp_path / "f64.tif")
+    ds.to_cog(p, levels=(2,), tile=(16, 16), compress=6, dtype="float64",
+              predictor=3)
+    back = SparkDataset.from_geotiff(spark, p)
+    b = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
+    assert a == b
+    # integer samples reject predictor 3
+    with _pytest.raises(NotImplementedError, match="float"):
+        ds.to_cog(str(tmp_path / "bad.tif"), levels=(), dtype="int16",
+                  predictor=3)
+    # sharded parallel sink carries the fp predictor per part
+    out = str(tmp_path / "parts3")
+    ds.to_cog_parts(out, shard=(32, 32), tile=(16, 16), compress="lzw",
+                    dtype="float32", predictor=3)
+    back = SparkDataset.from_geotiff_parts(spark, out)
+    b = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
+    assert a == b
