@@ -1052,7 +1052,7 @@ class SparkNetCDF:
         self, grid, path: str, times: "list[float]", dtype: str = "float64",
         version: int = 1,
     ):
-        """Write a REAL classic NetCDF file (CDF-1/CDF-2 — pure
+        """Write a REAL classic NetCDF file (CDF-1/CDF-2/CDF-5 — pure
         struct/numpy, ``pyramids_spark.netcdf``; reference
         ``NetCDF.to_file`` via GDAL's netCDF driver). ``t`` in the cell
         table is the record index into ``times``. Slabs land by parallel

@@ -1,4 +1,5 @@
-"""Real NetCDF classic (CDF-1 / CDF-2) container I/O in pure struct+numpy.
+"""Real NetCDF classic (CDF-1 / CDF-2 / CDF-5) container I/O in pure
+struct+numpy.
 
 Reference surface: ``NetCDF.read_file`` / ``to_file``
 (``/root/reference/src/pyramids/netcdf/netcdf.py:849-982`` — GDAL's
@@ -7,9 +8,12 @@ PUBLIC, compression-free binary spec simple enough to implement directly
 (the netCDF-4/HDF5 generation lives in ``pyramids_spark.hdf5``;
 ``SparkNetCDF.read_file`` sniffs the magic and dispatches):
 
-- header: magic ``CDF\\x01``/``CDF\\x02`` + numrecs + dim list + global
-  attributes + variable list (name, dimids, attributes, external type,
-  vsize, begin); everything big-endian, names/values padded to 4 bytes;
+- header: magic ``CDF\\x01``/``CDF\\x02``/``CDF\\x05`` + numrecs + dim
+  list + global attributes + variable list (name, dimids, attributes,
+  external type, vsize, begin); everything big-endian, names/values
+  padded to 4 bytes. CDF-5 (the PnetCDF 64-bit-data format) widens every
+  NON_NEG field — counts, name lengths, dim sizes, dimids, vsize,
+  numrecs — to 8 bytes and adds the unsigned + 64-bit external types;
 - fixed-size variables live contiguously at their ``begin``;
 - record variables interleave per record: record ``r`` of variable ``v``
   starts at ``begin_v + r * recsize`` where ``recsize`` is the sum of the
@@ -47,54 +51,67 @@ from pyspark.sql import functions as F
 from . import _blocks, dtypes as _dt
 from .grid import Grid
 
-_ABSENT = b"\x00" * 8
 _NC_DIMENSION, _NC_VARIABLE, _NC_ATTRIBUTE = 10, 11, 12
 _NC_BYTE, _NC_CHAR, _NC_SHORT, _NC_INT, _NC_FLOAT, _NC_DOUBLE = 1, 2, 3, 4, 5, 6
-#: engine dtype name → classic external type (classic has NO unsigned types)
+#: CDF-5 extended atomic types (the 64-bit-data format adds unsigned + 64-bit)
+_NC_UBYTE, _NC_USHORT, _NC_UINT, _NC_INT64, _NC_UINT64 = 7, 8, 9, 10, 11
+#: engine dtype name → classic external type (CDF-1/2 have NO unsigned types)
 _NC_OF = {"int8": _NC_BYTE, "int16": _NC_SHORT, "int32": _NC_INT,
           "float32": _NC_FLOAT, "float64": _NC_DOUBLE}
+#: CDF-5 additionally maps the unsigned engine dtypes
+_NC_OF5 = {**_NC_OF, "uint8": _NC_UBYTE, "uint16": _NC_USHORT,
+           "uint32": _NC_UINT}
 #: external type → (big-endian numpy dtype, size)
 _NP_OF = {_NC_BYTE: (">i1", 1), _NC_CHAR: ("S1", 1), _NC_SHORT: (">i2", 2),
-          _NC_INT: (">i4", 4), _NC_FLOAT: (">f4", 4), _NC_DOUBLE: (">f8", 8)}
+          _NC_INT: (">i4", 4), _NC_FLOAT: (">f4", 4), _NC_DOUBLE: (">f8", 8),
+          _NC_UBYTE: (">u1", 1), _NC_USHORT: (">u2", 2), _NC_UINT: (">u4", 4),
+          _NC_INT64: (">i8", 8), _NC_UINT64: (">u8", 8)}
 
 
 def _pad4(n: int) -> int:
     return (n + 3) // 4 * 4
 
 
-def _name_bytes(s: str) -> bytes:
+def _absent(w: str = ">I") -> bytes:
+    # ABSENT = zero tag (4-byte INT) + zero nelems (NON_NEG: 4 or 8 bytes)
+    return b"\x00" * (4 + struct.calcsize(w))
+
+
+def _name_bytes(s: str, w: str = ">I") -> bytes:
     b = s.encode()
-    return struct.pack(">I", len(b)) + b + b"\x00" * (_pad4(len(b)) - len(b))
+    return struct.pack(w, len(b)) + b + b"\x00" * (_pad4(len(b)) - len(b))
 
 
-def _att_bytes(name: str, value) -> bytes:
+def _att_bytes(name: str, value, w: str = ">I") -> bytes:
     """One attribute: str → NC_CHAR, float → NC_DOUBLE, int → NC_INT,
     numpy scalar keeps its own width (for typed _FillValue)."""
-    out = _name_bytes(name)
+    out = _name_bytes(name, w)
     if isinstance(value, str):
         b = value.encode()
-        return out + struct.pack(">II", _NC_CHAR, len(b)) + b + b"\x00" * (
-            _pad4(len(b)) - len(b)
-        )
+        return out + struct.pack(">I", _NC_CHAR) + struct.pack(w, len(b)) \
+            + b + b"\x00" * (_pad4(len(b)) - len(b))
     if isinstance(value, np.generic):
         nc = {np.dtype("i1"): _NC_BYTE, np.dtype("i2"): _NC_SHORT,
               np.dtype("i4"): _NC_INT, np.dtype("f4"): _NC_FLOAT,
-              np.dtype("f8"): _NC_DOUBLE}[np.dtype(value.dtype.str[1:])]
+              np.dtype("f8"): _NC_DOUBLE, np.dtype("u1"): _NC_UBYTE,
+              np.dtype("u2"): _NC_USHORT, np.dtype("u4"): _NC_UINT,
+              np.dtype("i8"): _NC_INT64,
+              np.dtype("u8"): _NC_UINT64}[np.dtype(value.dtype.str[1:])]
         raw = np.array([value]).astype(_NP_OF[nc][0]).tobytes()
-        return out + struct.pack(">II", nc, 1) + raw + b"\x00" * (
-            _pad4(len(raw)) - len(raw)
-        )
+        return out + struct.pack(">I", nc) + struct.pack(w, 1) + raw \
+            + b"\x00" * (_pad4(len(raw)) - len(raw))
     if isinstance(value, int):
-        return out + struct.pack(">IIi", _NC_INT, 1, value)
-    return out + struct.pack(">II", _NC_DOUBLE, 1) + struct.pack(">d", float(value))
+        return out + struct.pack(">I", _NC_INT) + struct.pack(w, 1) \
+            + struct.pack(">i", value)
+    return out + struct.pack(">I", _NC_DOUBLE) + struct.pack(w, 1) \
+        + struct.pack(">d", float(value))
 
 
-def _att_list_bytes(atts: "list[tuple[str, object]]") -> bytes:
+def _att_list_bytes(atts: "list[tuple[str, object]]", w: str = ">I") -> bytes:
     if not atts:
-        return _ABSENT
-    return struct.pack(">II", _NC_ATTRIBUTE, len(atts)) + b"".join(
-        _att_bytes(k, v) for k, v in atts
-    )
+        return _absent(w)
+    return struct.pack(">I", _NC_ATTRIBUTE) + struct.pack(w, len(atts)) \
+        + b"".join(_att_bytes(k, v, w) for k, v in atts)
 
 
 class _Var:
@@ -102,12 +119,13 @@ class _Var:
         self.name, self.dimids, self.nc_type = name, dimids, nc_type
         self.atts, self.vsize, self.begin = atts, vsize, 0
 
-    def header_bytes(self, off_fmt: str) -> bytes:
-        out = _name_bytes(self.name)
-        out += struct.pack(">I", len(self.dimids))
-        out += struct.pack(f">{len(self.dimids)}I", *self.dimids)
-        out += _att_list_bytes(self.atts)
-        out += struct.pack(">II", self.nc_type, self.vsize)
+    def header_bytes(self, off_fmt: str, w: str = ">I") -> bytes:
+        out = _name_bytes(self.name, w)
+        out += struct.pack(w, len(self.dimids))
+        for d in self.dimids:  # dimids are NON_NEG too (8-byte in CDF-5)
+            out += struct.pack(w, d)
+        out += _att_list_bytes(self.atts, w)
+        out += struct.pack(">I", self.nc_type) + struct.pack(w, self.vsize)
         out += struct.pack(off_fmt, self.begin)
         return out
 
@@ -122,15 +140,22 @@ def write_netcdf(
     NetCDF file: dims ``(time=UNLIMITED, y, x)``, coordinate variables
     ``time``/``y``/``x`` (cell-centre doubles), one record data variable
     per name in ``variables`` with a typed ``_FillValue``. ``version`` 1 =
-    CDF-1 (31-bit offsets), 2 = CDF-2. Returns the slab manifest
+    CDF-1 (31-bit offsets), 2 = CDF-2 (64-bit offsets), 5 = CDF-5 (the
+    PnetCDF 64-bit-data format: 8-byte counts/sizes everywhere plus the
+    unsigned external types). Returns the slab manifest
     ``(variable, t, row0, n_cells, n_bytes)`` (lineage)."""
+    if version not in (1, 2, 5):
+        raise ValueError(f"version must be 1, 2 or 5, got {version}")
     dt_name = _dt.resolve(dtype)
-    if dt_name not in _NC_OF:
+    nc_table = _NC_OF5 if version == 5 else _NC_OF
+    if dt_name not in nc_table:
         raise NotImplementedError(
-            f"classic NetCDF has no unsigned external types (got {dt_name!r}; "
-            f"supported: {sorted(_NC_OF)})"
+            f"CDF-{version} has no external type for {dt_name!r} "
+            f"(supported: {sorted(nc_table)}"
+            + ("" if version == 5 else "; unsigned dtypes need version=5")
+            + ")"
         )
-    nc_type = _NC_OF[dt_name]
+    nc_type = nc_table[dt_name]
     np_be, esize = _NP_OF[nc_type]
     fill = _dt.check_fill(dt_name, grid.nodata)
     rows, cols = grid.rows, grid.cols
@@ -167,11 +192,11 @@ def write_netcdf(
     # vsize field is 4 bytes in every classic version; CDF-1 begins are
     # 31-bit. The 100-TB storage paths are the parquet/zarr cell tables —
     # one .nc is an export artifact, like the single .tif.
-    if max(v.vsize for v in vars_) > 2**32 - 1:
+    if version != 5 and max(v.vsize for v in vars_) > 2**32 - 1:
         raise ValueError(
-            f"per-record slab is {slab} bytes — exceeds the classic NetCDF "
-            "vsize field (4 bytes); use to_zarr/to_parquet for rasters this "
-            "size"
+            f"per-record slab is {slab} bytes — exceeds the CDF-1/2 vsize "
+            "field (4 bytes); pass version=5 (CDF-5) or use to_zarr/"
+            "to_parquet for rasters this size"
         )
     fixed_bytes = sum(v.vsize for v in vars_ if v not in rec_vars)
     if version == 1 and fixed_bytes + n_t * recsize > 2**31 - 1:
@@ -181,17 +206,18 @@ def write_netcdf(
         )
 
     off_fmt = ">I" if version == 1 else ">Q"
-    magic = b"CDF\x01" if version == 1 else b"CDF\x02"
+    w = ">Q" if version == 5 else ">I"  # NON_NEG width (counts/sizes)
+    magic = bytes([0x43, 0x44, 0x46, version])
 
     def header() -> bytes:
-        out = magic + struct.pack(">I", n_t)
-        out += struct.pack(">II", _NC_DIMENSION, len(dims))
+        out = magic + struct.pack(w, n_t)
+        out += struct.pack(">I", _NC_DIMENSION) + struct.pack(w, len(dims))
         for nm, sz in dims:
-            out += _name_bytes(nm) + struct.pack(">I", sz)
-        out += _att_list_bytes(gatts)
-        out += struct.pack(">II", _NC_VARIABLE, len(vars_))
+            out += _name_bytes(nm, w) + struct.pack(w, sz)
+        out += _att_list_bytes(gatts, w)
+        out += struct.pack(">I", _NC_VARIABLE) + struct.pack(w, len(vars_))
         for v in vars_:
-            out += v.header_bytes(off_fmt)
+            out += v.header_bytes(off_fmt, w)
         return out
 
     hlen = len(header())  # begin width is fixed → length is begin-invariant
@@ -306,13 +332,16 @@ def _read_header(path: str) -> dict:
     vars (dimids, attrs, type, vsize, begin), numrecs, recsize."""
     with open(path, "rb") as fh:
         raw = fh.read(1 << 20)  # classic headers are small; 1 MiB is generous
-    if raw[:3] != b"CDF" or raw[3] not in (1, 2):
+    if raw[:3] != b"CDF" or raw[3] not in (1, 2, 5):
         raise NotImplementedError(
-            "not a classic NetCDF file (CDF-1/CDF-2); netCDF-4/HDF5 is out "
-            "of scope"
+            "not a classic NetCDF file (CDF-1/CDF-2/CDF-5); netCDF-4/HDF5 "
+            "is handled by pyramids_spark.hdf5"
         )
     version = raw[3]
     off_fmt, off_len = (">I", 4) if version == 1 else (">Q", 8)
+    # NON_NEG fields (counts, name lengths, dim sizes, nelems, dimids,
+    # vsize) widen to 8 bytes in the CDF-5 64-bit-data format
+    nn_fmt, nn_len = (">Q", 8) if version == 5 else (">I", 4)
     pos = 4
 
     def u4():
@@ -321,16 +350,22 @@ def _read_header(path: str) -> dict:
         pos += 4
         return v
 
+    def nn():
+        nonlocal pos
+        (v,) = struct.unpack_from(nn_fmt, raw, pos)
+        pos += nn_len
+        return v
+
     def name():
         nonlocal pos
-        n = u4()
+        n = nn()
         s = raw[pos:pos + n].decode()
         pos += _pad4(n)
         return s
 
     def att_list():
         nonlocal pos
-        tag, cnt = u4(), u4()
+        tag, cnt = u4(), nn()
         if tag == 0 and cnt == 0:
             return {}
         if tag != _NC_ATTRIBUTE:
@@ -338,7 +373,7 @@ def _read_header(path: str) -> dict:
         out = {}
         for _ in range(cnt):
             nm = name()
-            typ, n = u4(), u4()
+            typ, n = u4(), nn()
             np_dt, esz = _NP_OF[typ]
             b = raw[pos:pos + n * esz]
             pos += _pad4(n * esz)
@@ -349,24 +384,26 @@ def _read_header(path: str) -> dict:
                 out[nm] = vals[0].item() if n == 1 else vals.tolist()
         return out
 
-    numrecs = u4()
-    tag, cnt = u4(), u4()
+    numrecs = nn()
+    streaming = numrecs == (0xFFFFFFFFFFFFFFFF if version == 5
+                            else 0xFFFFFFFF)
+    tag, cnt = u4(), nn()
     dims = []
     if tag == _NC_DIMENSION:
         for _ in range(cnt):
-            dims.append((name(), u4()))
+            dims.append((name(), nn()))
     elif (tag, cnt) != (0, 0):
         raise ValueError(f"bad dimension-list tag {tag}")
     gatts = att_list()
-    tag, cnt = u4(), u4()
+    tag, cnt = u4(), nn()
     vars_ = []
     if tag == _NC_VARIABLE:
         for _ in range(cnt):
             nm = name()
-            nd = u4()
-            dimids = [u4() for _ in range(nd)]
+            nd = nn()
+            dimids = [nn() for _ in range(nd)]
             atts = att_list()
-            typ, vsize = u4(), u4()
+            typ, vsize = u4(), nn()
             (begin,) = struct.unpack_from(off_fmt, raw, pos)
             pos += off_len
             vars_.append(
@@ -385,7 +422,7 @@ def _read_header(path: str) -> dict:
         shape = [dims[d][1] for d in v["dimids"][1:]]
         recsize = int(np.prod(shape)) * _NP_OF[v["type"]][1] if shape else \
             _NP_OF[v["type"]][1]
-    if numrecs == 0xFFFFFFFF and rec_vars:  # STREAMING sentinel
+    if streaming and rec_vars:  # STREAMING sentinel
         first = min(v["begin"] for v in rec_vars)
         numrecs = (os.path.getsize(path) - first) // recsize
     return {"version": version, "numrecs": numrecs, "dims": dims,

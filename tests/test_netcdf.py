@@ -176,7 +176,7 @@ def test_netcdf_reads_wild_cf_file(spark, tmp_path):
 
 def test_netcdf_guards(spark, tmp_path):
     cells = _long_cells(spark, COELLO, ["v"], 1)
-    with pytest.raises(NotImplementedError, match="no unsigned"):
+    with pytest.raises(NotImplementedError, match="no external type"):
         SparkNetCDF(cells).to_netcdf(
             COELLO, str(tmp_path / "x.nc"), times=[0.0], dtype="uint16"
         )
@@ -244,3 +244,45 @@ def test_netcdf_derive_grid_rejects_descending_x():
     xv = np.array([5.0, 4.0, 3.0])
     with pytest.raises(NotImplementedError, match="descending x"):
         nc.derive_grid({}, yv, xv, 3, 3)
+
+
+def test_netcdf_cdf5_roundtrip_uint16_and_streaming(spark, tmp_path):
+    """CDF-5 (PnetCDF 64-bit data): 8-byte NON_NEG header fields, the
+    unsigned external types CDF-1/2 lack, and the 64-bit STREAMING
+    numrecs sentinel all round-trip."""
+    import struct as _struct
+
+    from dataclasses import replace
+
+    g = replace(COELLO, nodata=60000.0)
+    p = str(tmp_path / "c5.nc")
+    cells = _long_cells(spark, g, ["u"], 2)
+    SparkNetCDF(cells).to_netcdf(g, p, times=[1.0, 2.0], dtype="uint16",
+                                 version=5)
+    raw = open(p, "rb").read()
+    assert raw[:4] == b"CDF\x05"
+    (numrecs,) = _struct.unpack_from(">Q", raw, 4)  # 8-byte numrecs
+    assert numrecs == 2
+    back, grid, h = SparkNetCDF.read_file(spark, p)
+    assert grid == g and h["version"] == 5
+    var = next(v for v in h["vars"] if v["name"] == "u")
+    assert var["type"] == 8  # NC_USHORT
+    assert var["atts"]["_FillValue"] == 60000
+    a = {(r.t, r.row, r.col): r.value for r in back.df.collect()}
+    b = {(r.t, r.row, r.col): r.value for r in cells.collect()}
+    assert a == b
+    # 64-bit STREAMING sentinel: numrecs recovers from the file size
+    patched = bytearray(raw)
+    patched[4:12] = b"\xff" * 8
+    p2 = str(tmp_path / "c5s.nc")
+    open(p2, "wb").write(bytes(patched))
+    back2, _, h2 = SparkNetCDF.read_file(spark, p2)
+    assert h2["numrecs"] == 2
+    assert {(r.t, r.row, r.col): r.value for r in back2.df.collect()} == b
+    # unsigned dtypes still reject on CDF-1/2 with a pointer to v5
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="version=5"):
+        SparkNetCDF(cells).to_netcdf(g, str(tmp_path / "bad.nc"),
+                                     times=[1.0, 2.0], dtype="uint16",
+                                     version=2)
