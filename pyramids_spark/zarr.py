@@ -360,10 +360,56 @@ def write_zarr(
     return manifest
 
 
+def _consolidated(path: str) -> "dict | None":
+    """The v2 ``.zmetadata`` consolidated document's ``metadata`` map
+    (``{"x/.zarray": {...}, ...}``), or None. One driver-side GET covers
+    the whole group — on an object store that replaces the N LIST/GET
+    round trips a per-directory walk costs."""
+    try:
+        with open(os.path.join(path, ".zmetadata")) as f:
+            doc = json.load(f)
+    except (FileNotFoundError, NotADirectoryError):
+        return None
+    if doc.get("zarr_consolidated_format") != 1:
+        return None
+    return doc.get("metadata") or {}
+
+
+def consolidate_metadata(path: str) -> dict:
+    """Write a zarr v2 group's ``.zmetadata`` (consolidated-format 1:
+    every ``.zgroup``/``.zattrs``/``.zarray`` document inlined under its
+    store key) — what ``xarray.open_zarr(consolidated=True)`` and
+    zarr-python's ``open_consolidated`` read. Returns the document."""
+    meta = {}
+    for nm in (".zgroup", ".zattrs"):
+        p = os.path.join(path, nm)
+        if os.path.exists(p):
+            with open(p) as f:
+                meta[nm] = json.load(f)
+    for child in sorted(os.listdir(path)):
+        sub = os.path.join(path, child)
+        if not os.path.isdir(sub):
+            continue
+        for nm in (".zarray", ".zattrs"):
+            p = os.path.join(sub, nm)
+            if os.path.exists(p):
+                with open(p) as f:
+                    meta[f"{child}/{nm}"] = json.load(f)
+    doc = {"zarr_consolidated_format": 1, "metadata": meta}
+    with open(os.path.join(path, ".zmetadata"), "w") as f:
+        json.dump(doc, f)
+    return doc
+
+
 def list_zarr_arrays(path: str) -> "list[str]":
     """Child ARRAY names of a zarr GROUP store (v2 ``.zgroup`` or v3
     group-node ``zarr.json``) — the layout xarray/netCDF-style stores
-    use, one array per variable. Driver-only directory metadata."""
+    use, one array per variable. Driver-only metadata: the consolidated
+    ``.zmetadata`` answers in one read when present."""
+    cons = _consolidated(path)
+    if cons is not None:
+        return sorted(k.split("/")[0] for k in cons
+                      if k.endswith("/.zarray"))
     out = []
     for name in sorted(os.listdir(path)):
         sub = os.path.join(path, name)
@@ -654,12 +700,15 @@ def _array_meta(sub: str) -> dict:
             a = json.load(f)
     except FileNotFoundError:
         a = {}
-    comp = m.get("compressor")
+    return _v2_meta_dict(m, a)
+
+
+def _v2_meta_dict(m: dict, a: dict) -> dict:
     return {
         "v3": False, "shape": m["shape"],
         "dims": a.get("_ARRAY_DIMENSIONS"),
         "dtype": _dt.FROM_ZARR.get(str(m.get("dtype"))),
-        "compressor": comp,
+        "compressor": m.get("compressor"),
         "chunks": m.get("chunks", []), "attrs": a,
     }
 
@@ -704,8 +753,16 @@ def read_zarr_dataset(
     chunk scan; coordinates read driver-side."""
     from . import netcdf as _nc
 
-    names = list_zarr_arrays(path)
-    metas = {n: _array_meta(os.path.join(path, n)) for n in names}
+    cons = _consolidated(path)
+    if cons is not None:  # one metadata read covers the whole group
+        names = sorted(k.split("/")[0] for k in cons
+                       if k.endswith("/.zarray"))
+        metas = {n: _v2_meta_dict(cons[f"{n}/.zarray"],
+                                  cons.get(f"{n}/.zattrs") or {})
+                 for n in names}
+    else:
+        names = list_zarr_arrays(path)
+        metas = {n: _array_meta(os.path.join(path, n)) for n in names}
     coords = {n for n, m in metas.items()
               if len(m["shape"]) == 1 and m["dims"] in (None, [n])}
     data = {n: m for n, m in metas.items()
@@ -886,4 +943,8 @@ def write_zarr_dataset(
         patch_dims(sub)
         man.insert(0, "variable", v)
         manifests.append(man)
+    if zarr_format == 2:
+        # consolidated metadata: the xarray/cloud-store convention — one
+        # GET answers discovery instead of a LIST per directory
+        consolidate_metadata(path)
     return pd.concat(manifests, ignore_index=True)

@@ -409,3 +409,47 @@ def test_zarr_cf_dataset_plan_is_shuffle_free(spark, tmp_path):
     back, _, _ = SparkNetCDF.from_zarr(spark, store)
     plan = back.df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_zarr_consolidated_metadata(spark, tmp_path):
+    """v2 group stores write .zmetadata (consolidated format 1 — the
+    xarray/cloud convention) and the readers answer discovery from it:
+    a store whose per-directory metadata is REMOVED still lists and
+    reads through the consolidated document alone for metadata."""
+    import shutil
+
+    from pyramids_spark import zarr as Z
+    from pyramids_spark.api import SparkNetCDF
+    from pyramids_spark.grid import COELLO, grid_df
+
+    base = grid_df(spark, COELLO)
+    cells = base.select(
+        F.lit("pr").alias("variable"), F.lit(0).cast("long").alias("t"),
+        F.lit(0).cast("long").alias("band"), "row", "col", "value")
+    store = str(tmp_path / "cm")
+    SparkNetCDF(cells).to_zarr_dataset(COELLO, store, times=[3.0],
+                                       compress=2, zarr_format=2)
+    doc = json.load(open(os.path.join(store, ".zmetadata")))
+    assert doc["zarr_consolidated_format"] == 1
+    keys = set(doc["metadata"])
+    assert {".zgroup", ".zattrs", "pr/.zarray", "pr/.zattrs",
+            "x/.zarray", "y/.zarray", "time/.zarray"} <= keys
+    assert Z.list_zarr_arrays(store) == ["pr", "time", "x", "y"]
+    exp = {(r.variable, r.t, r.row, r.col): r.value
+           for r in cells.where(F.col("value").isNotNull()).collect()}
+    back, g2, _ = SparkNetCDF.from_zarr(spark, store)
+    got = {(r.variable, r.t, r.row, r.col): r.value
+           for r in back.df.collect()}
+    assert got == exp
+    # discovery survives without the per-variable .zattrs sidecars:
+    # dims/compressor resolve from the consolidated document
+    for v in ("pr", "time", "x", "y"):
+        os.remove(os.path.join(store, v, ".zattrs"))
+    back2, _, _ = SparkNetCDF.from_zarr(spark, store)
+    got2 = {(r.variable, r.t, r.row, r.col): r.value
+            for r in back2.df.collect()}
+    assert got2 == exp
+    # a stale/foreign .zmetadata version is ignored, not trusted
+    json.dump({"zarr_consolidated_format": 2, "metadata": {}},
+              open(os.path.join(store, ".zmetadata"), "w"))
+    assert Z.list_zarr_arrays(store) == ["pr", "time", "x", "y"]
