@@ -272,6 +272,128 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     )
 
 
+#: IMA/DVI ADPCM tables (the canonical 89-entry step table + index deltas)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+
+
+def _ima_decode_nibbles(nib, pred: int, idx: int) -> np.ndarray:
+    """Sequential IMA ADPCM inner loop: one channel's nibble stream +
+    block-header state → int16 samples (the header predictor itself is
+    sample 0 by convention, emitted by the caller)."""
+    out = np.empty(len(nib), np.int16)
+    steps, itab = _IMA_STEPS, _IMA_INDEX
+    for k, n in enumerate(nib):
+        step = int(steps[idx])
+        diff = step >> 3
+        if n & 4:
+            diff += step
+        if n & 2:
+            diff += step >> 1
+        if n & 1:
+            diff += step >> 2
+        pred = pred - diff if n & 8 else pred + diff
+        pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
+        idx += int(itab[n & 7])
+        idx = 0 if idx < 0 else (88 if idx > 88 else idx)
+        out[k] = pred
+    return out
+
+
+def encode_wav_ima(samples: np.ndarray, sample_rate: int = 16000,
+                   samples_per_block: int = 505) -> bytes:
+    """(n,) or (n, ch) int16 → WAV with IMA/DVI ADPCM (format 0x11):
+    4-bit nibbles in per-channel blocks, each led by a (predictor, step
+    index) header; stereo interleaves 4-byte nibble groups per channel.
+    ``samples_per_block`` includes the header sample (must be 8k+1)."""
+    s = np.asarray(samples, np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    spb = int(samples_per_block)
+    if (spb - 1) % 8:
+        raise ValueError("samples_per_block must be 8k+1")
+    block_align = 4 * ch + (spb - 1) // 2 * ch
+    steps, itab = _IMA_STEPS, _IMA_INDEX
+    # seed each channel's step index from the first sample delta (and
+    # carry it across blocks, like real encoders) — index 0 can't track
+    # an attack and costs a large first-block transient otherwise
+    cur_idx = [
+        int(np.abs(steps - (abs(int(s[1, c]) - int(s[0, c]))
+                            if n > 1 else 7)).argmin())
+        for c in range(ch)
+    ]
+    blocks = []
+    for b0 in range(0, n, spb):
+        blk = s[b0:b0 + spb]
+        if len(blk) < spb:  # pad the tail block by repeating the last row
+            blk = np.vstack([blk, np.repeat(blk[-1:], spb - len(blk), 0)])
+        heads, chans = [], []
+        for c in range(ch):
+            pred, idx = int(blk[0, c]), cur_idx[c]
+            heads.append(struct.pack("<hBB", pred, idx, 0))
+            nibs = []
+            for v in blk[1:, c]:
+                step = int(steps[idx])
+                diff = int(v) - pred
+                code = 0
+                if diff < 0:
+                    code = 8
+                    diff = -diff
+                if diff >= step:
+                    code |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    code |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    code |= 1
+                    diff -= step >> 2
+                # track the DECODER's reconstruction exactly
+                d = step >> 3
+                if code & 4:
+                    d += step
+                if code & 2:
+                    d += step >> 1
+                if code & 1:
+                    d += step >> 2
+                pred = pred - d if code & 8 else pred + d
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + int(itab[code & 7])))
+                nibs.append(code)
+            cur_idx[c] = idx
+            packed = bytes(
+                (nibs[k] & 0xF) | ((nibs[k + 1] & 0xF) << 4)
+                for k in range(0, len(nibs), 2)
+            )
+            chans.append(packed)
+        body = b"".join(heads)
+        # interleave 4-byte groups channel by channel (the WAV layout)
+        for g in range(len(chans[0]) // 4):
+            for c in range(ch):
+                body += chans[c][g * 4:(g + 1) * 4]
+        blocks.append(body)
+    data = b"".join(blocks)
+    n_blocks = -(-n // spb)
+    fmt = struct.pack("<HHIIHHHH", 0x11, ch, sample_rate,
+                      sample_rate * block_align // spb, block_align, 4,
+                      2, spb)
+    fact = struct.pack("<I", n_blocks * spb)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", 4) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     """→ (samples (n, channels) int16, sample_rate). Chunk-walk parser —
     tolerates extra chunks (LIST/fact) like real encoders emit. Sample
@@ -290,7 +412,10 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         body = b[i + 8 : i + 8 + sz]
         if cid == b"fmt ":
             fmtc, ch, rate = struct.unpack_from("<HHI", body, 0)
+            block_align = struct.unpack_from("<H", body, 12)[0]
             bits = struct.unpack_from("<H", body, 14)[0]
+            spb = (struct.unpack_from("<H", body, 18)[0]
+                   if len(body) >= 20 else 0)
             if fmtc == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
                 if len(body) < 26:
                     raise ValueError("truncated extensible fmt chunk")
@@ -316,10 +441,40 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     elif fmtc == 3 and bits in (32, 64):
         f = np.frombuffer(data, "<f4" if bits == 32 else "<f8")
         s = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int16)
+    elif fmtc == 0x11 and bits == 4:  # IMA/DVI ADPCM
+        if not spb or not block_align:
+            raise ValueError("IMA ADPCM without samplesPerBlock/blockAlign")
+        outs = []
+        for b0 in range(0, len(data) - block_align + 1, block_align):
+            blk = data[b0:b0 + block_align]
+            chan_nibs = [[] for _ in range(ch)]
+            preds, idxs = [], []
+            for c in range(ch):
+                pred, idx, _r = struct.unpack_from("<hBB", blk, 4 * c)
+                preds.append(pred)
+                idxs.append(min(88, idx))
+            pos = 4 * ch
+            while pos + 4 * ch <= len(blk):
+                for c in range(ch):
+                    grp = blk[pos:pos + 4]
+                    pos += 4
+                    for byte in grp:
+                        chan_nibs[c].append(byte & 0xF)
+                        chan_nibs[c].append(byte >> 4)
+            cols = []
+            for c in range(ch):
+                dec = _ima_decode_nibbles(
+                    chan_nibs[c][:spb - 1], preds[c], idxs[c])
+                cols.append(np.concatenate(
+                    [np.array([preds[c]], np.int16), dec]))
+            outs.append(np.stack(cols, axis=1))
+        s = np.concatenate(outs, axis=0) if outs else \
+            np.zeros((0, ch), np.int16)
+        return s, int(rate)
     else:
         raise NotImplementedError(
-            f"WAV format {fmtc}/{bits}-bit (PCM 8/16/24/32 and IEEE float "
-            "32/64 only; ADPCM/µ-law out of scope)"
+            f"WAV format {fmtc}/{bits}-bit (PCM 8/16/24/32, IEEE float "
+            "32/64 and IMA ADPCM only; µ-law/MS-ADPCM out of scope)"
         )
     return s.reshape(-1, ch), int(rate)
 

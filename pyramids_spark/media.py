@@ -89,13 +89,16 @@ def synth_media(spark, docs: DataFrame, real_payloads: bool = True) -> DataFrame
             ):
                 rng = np.random.default_rng(int(seed))
                 if kind == "audio":
-                    payloads.append(
-                        codecs.encode_wav(
-                            rng.integers(-2**15, 2**15, size=int(sr) // 10,
-                                         dtype=np.int64).astype(np.int16),
-                            int(sr),
-                        )
-                    )
+                    samples = rng.integers(
+                        -2**15, 2**15, size=int(sr) // 10,
+                        dtype=np.int64).astype(np.int16)
+                    # every third ref stores IMA ADPCM (format 0x11) —
+                    # the wild compressed-WAV layout; the rest PCM16
+                    if int(seed) % 3 == 0:
+                        payloads.append(
+                            codecs.encode_wav_ima(samples, int(sr)))
+                    else:
+                        payloads.append(codecs.encode_wav(samples, int(sr)))
                 elif kind == "video":
                     frames = [
                         codecs.encode_pgm(

@@ -1136,3 +1136,37 @@ def test_gif_encode_roundtrip_and_corpus():
     )
     # gray palette → the luma path returns the exact indices
     np.testing.assert_array_equal(C.decode_image(enc), g)
+
+
+def test_wav_ima_adpcm_roundtrip():
+    """IMA/DVI ADPCM (format 0x11): mono + stereo encode/decode with
+    per-block headers and 4-byte channel interleave; a smooth tone
+    reconstructs within the codec's step-quantization error."""
+    import struct as _struct
+
+    from pyramids_spark import codecs as C
+
+    t = np.arange(1600)
+    tone = (8000 * np.sin(t / 20.0)).astype(np.int16)
+    blob = C.encode_wav_ima(tone, 16000, samples_per_block=505)
+    assert blob[:4] == b"RIFF" and b"fact" in blob[:64]
+    fmtc = _struct.unpack_from("<H", blob, 20)[0]
+    assert fmtc == 0x11
+    s, rate = C.decode_wav(blob)
+    assert rate == 16000 and s.shape[1] == 1
+    n = len(tone)
+    err = np.abs(s[:n, 0].astype(int) - tone.astype(int))
+    assert err.max() <= 400 and err.mean() < 60  # lossy but tracking
+    # stereo: distinct per-channel content survives the interleave
+    st = np.stack([tone, (5000 * np.cos(t / 15.0)).astype(np.int16)],
+                  axis=1)
+    s2, _ = C.decode_wav(C.encode_wav_ima(st, 8000, samples_per_block=129))
+    assert s2.shape[1] == 2
+    e0 = np.abs(s2[:n, 0].astype(int) - st[:, 0].astype(int)).mean()
+    e1 = np.abs(s2[:n, 1].astype(int) - st[:, 1].astype(int)).mean()
+    assert e0 < 60 and e1 < 60
+    # channels are not swapped: ch1 correlates with its own source
+    swap = np.abs(s2[:n, 1].astype(int) - st[:, 0].astype(int)).mean()
+    assert swap > 5 * e1
+    # header-sample convention: sample 0 IS the block predictor
+    assert s[0, 0] == tone[0]
