@@ -791,10 +791,15 @@ def encode_gif(img: np.ndarray) -> bytes:
 
 
 
-def decode_gif(b: bytes) -> np.ndarray:
-    """GIF → (h, w, 3) uint8 RGB — the FIRST image frame, composed onto
-    the logical screen's background; 89a extension blocks are skipped
-    (animation/transparency ignored — frame 1's pixels as stored)."""
+def decode_gif_frames(
+    b: bytes, max_frames: "int | None" = None,
+) -> "tuple[np.ndarray, list[int]]":
+    """GIF → (composed frames ``(n, sh, sw, 3)`` uint8 RGB, per-frame
+    delays in centiseconds). Full 89a ANIMATION semantics: each frame
+    composes onto the running canvas honoring the Graphic Control
+    Extension's transparency index, then applies its disposal — 0/1
+    keep, 2 restore the frame region to background, 3 restore the
+    previous canvas."""
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", b, 6)
@@ -804,13 +809,25 @@ def decode_gif(b: bytes) -> np.ndarray:
         n = 2 << (packed & 7)
         gct = np.frombuffer(b, np.uint8, n * 3, i).reshape(-1, 3)
         i += n * 3
+    # background resolves through the GLOBAL table (spec)
+    bg_rgb = (gct[bg] if gct is not None and bg < len(gct)
+              else np.zeros(3, np.uint8))
+    canvas = np.zeros((sh, sw, 3), np.uint8)
+    canvas[:] = bg_rgb
+    frames: "list[np.ndarray]" = []
+    delays: "list[int]" = []
+    gce = (0, 0, 0, 0)  # (disposal, transparent flag, index, delay)
     while i < len(b):
         block = b[i]
         if block == 0x21:  # extension: label + sub-blocks
-            i += 2
-            while i < len(b) and b[i]:
-                i += 1 + b[i]
-            i += 1
+            label = b[i + 1] if i + 1 < len(b) else 0
+            j = i + 2
+            if label == 0xF9 and j < len(b) and b[j] >= 4:
+                pk, delay, tidx = struct.unpack_from("<BHB", b, j + 1)
+                gce = ((pk >> 2) & 7, pk & 1, tidx, delay)
+            while j < len(b) and b[j]:
+                j += 1 + b[j]
+            i = j + 1
         elif block == 0x2C:  # image descriptor
             x0, y0, w, h, ip = struct.unpack_from("<HHHHB", b, i + 1)
             i += 10
@@ -840,18 +857,64 @@ def decode_gif(b: bytes) -> np.ndarray:
                     de[list(rows)] = px[r:r + len(rows)]
                     r += len(rows)
                 px = de
-            # background resolves through the GLOBAL table (spec);
-            # frame pixels through the frame's own (possibly local) table
-            out = np.zeros((sh, sw, 3), np.uint8)
-            if gct is not None and bg < len(gct):
-                out[:] = gct[bg]
-            out[y0:y0 + h, x0:x0 + w] = ct[np.minimum(px, len(ct) - 1)]
-            return out
+            disposal, tflag, tidx, delay = gce
+            gce = (0, 0, 0, 0)  # a GCE governs exactly one image
+            prev = canvas.copy() if disposal == 3 else None
+            region = canvas[y0:y0 + h, x0:x0 + w]
+            rgb = ct[np.minimum(px, len(ct) - 1)]
+            if tflag:
+                mask = px != tidx  # transparent pixels show the canvas
+                region[mask] = rgb[mask]
+            else:
+                region[:] = rgb
+            frames.append(canvas.copy())
+            delays.append(int(delay))
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+            if disposal == 2:
+                canvas[y0:y0 + h, x0:x0 + w] = bg_rgb
+            elif disposal == 3 and prev is not None:
+                canvas = prev
         elif block == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
-    raise ValueError("GIF without an image frame")
+    if not frames:
+        raise ValueError("GIF without an image frame")
+    return np.stack(frames), delays
+
+
+def decode_gif(b: bytes) -> np.ndarray:
+    """GIF → (h, w, 3) uint8 RGB: the first frame composed onto the
+    logical screen (transparency honored; see
+    :func:`decode_gif_frames` for whole animations)."""
+    frames, _ = decode_gif_frames(b, max_frames=1)
+    return frames[0]
+
+
+def encode_gif_anim(frames: np.ndarray, delay: int = 10) -> bytes:
+    """(n, h, w) uint8 gray frames → animated GIF89a: 256-gray global
+    table, NETSCAPE loop block, one Graphic Control Extension (disposal
+    1 = keep, ``delay`` centiseconds) per full-screen frame."""
+    frames = np.asarray(frames, np.uint8)
+    n, h, w = frames.shape
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)
+    out += pal.tobytes()
+    out += (b"\x21\xff\x0bNETSCAPE2.0"  # loop forever
+            + bytes([3, 1]) + struct.pack("<H", 0) + b"\x00")
+    for f in frames:
+        out += b"\x21\xf9" + bytes([4]) + struct.pack(
+            "<BHB", 1 << 2, delay, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0) + bytes([8])
+        data = _gif_lzw_encode(8, f.reshape(-1))
+        for k in range(0, len(data), 255):
+            chunk = data[k:k + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 # --- sniffing ----------------------------------------------------------------
@@ -908,6 +971,12 @@ def decode_image(b: bytes) -> np.ndarray:
             return rgb
     else:
         raise ValueError("not an image payload")
+    return rgb_to_luma(rgb)
+
+
+def rgb_to_luma(rgb: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 RGB → (h, w) uint8 integer ITU-R 601 luma (the
+    shared reduction of every color decode path)."""
     r = rgb[:, :, 0].astype(np.uint32)
     g = rgb[:, :, 1].astype(np.uint32)
     bch = rgb[:, :, 2].astype(np.uint32)

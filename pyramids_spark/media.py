@@ -100,14 +100,20 @@ def synth_media(spark, docs: DataFrame, real_payloads: bool = True) -> DataFrame
                     else:
                         payloads.append(codecs.encode_wav(samples, int(sr)))
                 elif kind == "video":
-                    frames = [
-                        codecs.encode_pgm(
-                            rng.integers(0, 256, size=(int(hh), int(w)),
-                                         dtype=np.int64).astype(np.uint8)
-                        )
+                    raws = [
+                        rng.integers(0, 256, size=(int(hh), int(w)),
+                                     dtype=np.int64).astype(np.uint8)
                         for _ in range(int(nf))
                     ]
-                    payloads.append(b"".join(frames))
+                    # every fourth ref stores an ANIMATED GIF (lossless
+                    # gray, so frame pixels don't depend on container);
+                    # the rest the concatenated-PGM stream
+                    if int(seed) % 4 == 0:
+                        payloads.append(
+                            codecs.encode_gif_anim(np.stack(raws)))
+                    else:
+                        payloads.append(
+                            b"".join(codecs.encode_pgm(r) for r in raws))
                 else:
                     # rotate real image containers by seed so the corpus
                     # mixes PGM, grayscale/RGB PNG, GIF and baseline/
@@ -255,9 +261,11 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def frame_extract(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """REAL frame extraction from the concatenated-PGM video stream: walks
-    the self-delimiting frame headers and emits each sampled frame's bytes
-    → (media_ref, frame_idx, frame: binary, width, height)."""
+    """REAL frame extraction from video payloads — the concatenated-PGM
+    stream (walks the self-delimiting headers) or an ANIMATED GIF
+    (composed via the full disposal/transparency semantics, each sampled
+    frame re-encoded PGM) → (media_ref, frame_idx, frame: binary, width,
+    height)."""
     schema = (
         "media_ref string, frame_idx int, frame binary, width int, height int"
     )
@@ -266,18 +274,29 @@ def frame_extract(media: DataFrame, every_n: int = 10) -> DataFrame:
         for pdf in batches:
             rows = {"media_ref": [], "frame_idx": [], "frame": [],
                     "width": [], "height": []}
+
+            def keep(ref, idx, blob, w, h):
+                rows["media_ref"].append(ref)
+                rows["frame_idx"].append(idx)
+                rows["frame"].append(blob)
+                rows["width"].append(w)
+                rows["height"].append(h)
+
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 b = bytes(payload)
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    frames, _ = codecs.decode_gif_frames(b)
+                    for idx in range(0, len(frames), every_n):
+                        g = codecs.rgb_to_luma(frames[idx])
+                        keep(ref, idx, codecs.encode_pgm(g),
+                             g.shape[1], g.shape[0])
+                    continue
                 off, idx = 0, 0
                 while off < len(b):
                     w, h, mx, doff = codecs._pnm_header(b[off:], b"P5")
                     end = off + doff + w * h * (2 if mx > 255 else 1)
                     if idx % every_n == 0:
-                        rows["media_ref"].append(ref)
-                        rows["frame_idx"].append(idx)
-                        rows["frame"].append(b[off:end])
-                        rows["width"].append(w)
-                        rows["height"].append(h)
+                        keep(ref, idx, b[off:end], w, h)
                     off, idx = end, idx + 1
             yield pd.DataFrame(rows)
 

@@ -1170,3 +1170,79 @@ def test_wav_ima_adpcm_roundtrip():
     assert swap > 5 * e1
     # header-sample convention: sample 0 IS the block predictor
     assert s[0, 0] == tone[0]
+
+
+def test_gif_animation_frames_and_disposal():
+    """decode_gif_frames: multi-frame compositing with transparency and
+    disposal 1 (keep) / 2 (restore background) / 3 (restore previous),
+    plus the encode_gif_anim round trip (lossless gray frames)."""
+    import struct as _struct
+
+    from pyramids_spark import codecs as C
+
+    rng = np.random.default_rng(11)
+    raws = rng.integers(0, 256, (3, 9, 7), dtype=np.uint8)
+    blob = C.encode_gif_anim(raws, delay=4)
+    assert blob.count(b"\x21\xf9") == 3 and b"NETSCAPE2.0" in blob
+    frames, delays = C.decode_gif_frames(blob)
+    assert frames.shape == (3, 9, 7, 3) and delays == [4, 4, 4]
+    for k in range(3):
+        assert (frames[k][:, :, 0] == raws[k]).all()  # gray palette
+    # first frame only == decode_gif
+    np.testing.assert_array_equal(C.decode_gif(blob), frames[0])
+    # hand-built disposal/transparency fixture: 4x4 screen, bg=index 1
+    pal = bytes(b for i in (10, 200, 30, 99) for b in (i, i, i))
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", 4, 4, 0x80 | 1, 1, 0) + pal
+
+    def img(x0, y0, w, h, px, gce=None):
+        o = b""
+        if gce is not None:
+            o += b"\x21\xf9\x04" + _struct.pack("<BHB", gce[0] << 2
+                                                | gce[1], 0, gce[2]) + b"\x00"
+        o += b"\x2c" + _struct.pack("<HHHHB", x0, y0, w, h, 0) + bytes([2])
+        data = C._gif_lzw_encode(2, np.asarray(px, np.uint8).reshape(-1))
+        for k in range(0, len(data), 255):
+            o += bytes([len(data[k:k + 255])]) + data[k:k + 255]
+        return o + b"\x00"
+
+    # f1: full screen of index 0; disposal 3 (restore previous after)
+    out += img(0, 0, 4, 4, [[0] * 4] * 4, gce=(3, 0, 0))
+    # f2: 2x2 patch at (1,1) of index 2 with transparency on index 3:
+    # the transparent cell shows f1's pixel; disposal 2 restores bg
+    out += img(1, 1, 2, 2, [[2, 3], [3, 2]], gce=(2, 1, 3))
+    # f3: no GCE: composes on the canvas f2's disposal produced
+    out += img(0, 0, 1, 1, [[2]])
+    out += b"\x3b"
+    frames, _ = C.decode_gif_frames(bytes(out))
+    assert frames.shape == (3, 4, 4, 3)
+    f1, f2, f3 = frames[:, :, :, 0]
+    assert (f1 == 10).all()  # index 0 everywhere
+    # f2: canvas was RESTORED TO PREVIOUS (f1's disposal 3 → before f1 =
+    # background)… no: disposal applies AFTER the frame shows. f2 shows
+    # f1 restored-to-previous canvas (bg=200) under its patch:
+    assert f2[0, 0] == 200 and f2[1, 1] == 30 and f2[1, 2] == 200
+    assert f2[2, 1] == 200 and f2[2, 2] == 30
+    # f3: f2's disposal 2 restored its region to bg; new 1x1 patch at 0,0
+    assert f3[0, 0] == 30 and f3[1, 1] == 200 and f3[3, 3] == 200
+
+
+def test_media_video_gif_payloads(spark):
+    """Video refs rotate animated GIFs with the concatenated-PGM stream;
+    frame_extract walks both layouts and returns PGM frame bytes."""
+    from pyramids_spark import media
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i:03d}",
+          [("video", f"media://doc-{i:03d}/0")]) for i in range(40)],
+        "doc_id string, "
+        "spans array<struct<kind string, media_ref string>>",
+    )
+    m = media.synth_media(spark, docs).where(F.col("kind") == "video")
+    pdf = m.select("media_ref", "payload").toPandas()
+    kinds = {bytes(p)[:3] for p in pdf["payload"]}
+    assert b"GIF" in kinds and b"P5\n" in kinds  # both layouts present
+    fr = media.frame_extract(m, every_n=2).toPandas()
+    assert len(fr) > 0
+    for blob in fr["frame"].head(5):
+        assert bytes(blob)[:2] == b"P5"
