@@ -307,6 +307,61 @@ def _ima_decode_nibbles(nib, pred: int, idx: int) -> np.ndarray:
     return out
 
 
+def _mulaw_decode(u: np.ndarray) -> np.ndarray:
+    """G.711 µ-law bytes → int16 (the CCITT segmented companding law)."""
+    u = (~u.astype(np.uint8)).astype(np.int32) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 7
+    mant = u & 0xF
+    s = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -s, s).astype(np.int16)
+
+
+def _alaw_decode(a: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes → int16 (sign bit SET = positive, per G.711)."""
+    a = (a.astype(np.int32) ^ 0x55) & 0xFF
+    seg = (a >> 4) & 7
+    t = (a & 0xF) << 4
+    t = np.where(seg == 0, t + 8,
+                 np.where(seg == 1, t + 0x108,
+                          (t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def encode_wav_g711(samples: np.ndarray, sample_rate: int = 8000,
+                    law: str = "mu") -> bytes:
+    """(n,) or (n, ch) int16 → WAV with G.711 companding (format 7 µ-law
+    or 6 A-law, 8 bits/sample) — the telephony layout. The encoder is the
+    exact inverse search of the decode tables (256 levels), so decoding
+    recovers the nearest representable level."""
+    s = np.asarray(samples, np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if law == "mu":
+        fmtc, table = 7, _mulaw_decode(np.arange(256, dtype=np.uint8))
+    elif law == "a":
+        fmtc, table = 6, _alaw_decode(np.arange(256, dtype=np.uint8))
+    else:
+        raise ValueError("law must be 'mu' or 'a'")
+    # nearest representable level via the sorted 256-entry decode table
+    order = np.argsort(table)
+    sv = table[order].astype(np.int32)
+    pos = np.searchsorted(sv, s.reshape(-1).astype(np.int32))
+    pos = np.clip(pos, 1, 255)
+    lo, hi = sv[pos - 1], sv[np.minimum(pos, 255)]
+    flat = s.reshape(-1).astype(np.int32)
+    pick = np.where(np.abs(flat - lo) <= np.abs(hi - flat), pos - 1, pos)
+    data = order[np.clip(pick, 0, 255)].astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", fmtc, ch, sample_rate, sample_rate * ch,
+                      ch, 8)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def encode_wav_ima(samples: np.ndarray, sample_rate: int = 16000,
                    samples_per_block: int = 505) -> bytes:
     """(n,) or (n, ch) int16 → WAV with IMA/DVI ADPCM (format 0x11):
@@ -441,6 +496,10 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     elif fmtc == 3 and bits in (32, 64):
         f = np.frombuffer(data, "<f4" if bits == 32 else "<f8")
         s = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int16)
+    elif fmtc == 7 and bits == 8:  # G.711 µ-law
+        s = _mulaw_decode(np.frombuffer(data, np.uint8))
+    elif fmtc == 6 and bits == 8:  # G.711 A-law
+        s = _alaw_decode(np.frombuffer(data, np.uint8))
     elif fmtc == 0x11 and bits == 4:  # IMA/DVI ADPCM
         if not spb or not block_align:
             raise ValueError("IMA ADPCM without samplesPerBlock/blockAlign")
@@ -474,7 +533,8 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     else:
         raise NotImplementedError(
             f"WAV format {fmtc}/{bits}-bit (PCM 8/16/24/32, IEEE float "
-            "32/64 and IMA ADPCM only; µ-law/MS-ADPCM out of scope)"
+            "32/64, G.711 µ-law/A-law and IMA ADPCM only; MS-ADPCM out "
+            "of scope)"
         )
     return s.reshape(-1, ch), int(rate)
 

@@ -1246,3 +1246,34 @@ def test_media_video_gif_payloads(spark):
     assert len(fr) > 0
     for blob in fr["frame"].head(5):
         assert bytes(blob)[:2] == b"P5"
+
+
+def test_wav_g711_mulaw_alaw():
+    """G.711 companding (formats 7/6): decode is pinned to the spec's
+    segment arithmetic (known byte→level vectors), and the nearest-level
+    encoder round-trips within one quantization step."""
+    import struct as _struct
+
+    from pyramids_spark import codecs as C
+
+    # spec vectors: µ-law 0xFF → 0 (complemented all-ones), 0x7F → -0? no:
+    # sign bit 0x80 SET in the complemented domain = positive branch
+    assert C._mulaw_decode(np.array([0xFF], np.uint8))[0] == 0
+    assert C._mulaw_decode(np.array([0x7F], np.uint8))[0] == 0
+    assert C._mulaw_decode(np.array([0x80], np.uint8))[0] == 32124
+    assert C._mulaw_decode(np.array([0x00], np.uint8))[0] == -32124
+    # A-law: 0x55 → xor 0 → segment 0 negative smallest = -8
+    assert C._alaw_decode(np.array([0x55], np.uint8))[0] == -8
+    assert C._alaw_decode(np.array([0xD5], np.uint8))[0] == 8
+    assert C._alaw_decode(np.array([0x2A], np.uint8))[0] == -32256
+    assert C._alaw_decode(np.array([0xAA], np.uint8))[0] == 32256
+    t = np.arange(800)
+    tone = (12000 * np.sin(t / 9.0)).astype(np.int16)
+    for law, fmtc, tol in (("mu", 7, 1024), ("a", 6, 2048)):
+        blob = C.encode_wav_g711(tone, 8000, law=law)
+        assert _struct.unpack_from("<H", blob, 20)[0] == fmtc
+        s, rate = C.decode_wav(blob)
+        assert rate == 8000 and s.shape == (800, 1)
+        err = np.abs(s[:, 0].astype(int) - tone.astype(int))
+        # error bounded by the local segment step (relative companding)
+        assert err.max() <= tol and err.mean() < tol / 8
