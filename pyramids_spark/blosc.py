@@ -156,9 +156,15 @@ def decode_blosc(buf: bytes) -> bytes:
         raise ValueError("blosc chunk with zero blocksize")
     nblocks = -(-nbytes // blocksize)
     bstarts = struct.unpack_from(f"<{nblocks}I", buf, 16)
+    # flag-clear chunks follow c-blosc's split_block() policy (the rule
+    # pre-dating the dont-split flag, kept by FORWARD_COMPAT mode): only
+    # blosclz/lz4 split, and only when typesize ≤ 16 and the per-stream
+    # buffer is ≥ 128 bytes — small coordinate chunks are NOT split
     split_ok = (
         not (flags & _DONT_SPLIT) and typesize > 1
         and blocksize % typesize == 0
+        and fmt in (_FMT_BLOSCLZ, _FMT_LZ4)
+        and typesize <= 16 and blocksize // typesize >= 128
     )
     parts = []
     for i, start in enumerate(bstarts):
@@ -219,7 +225,18 @@ def encode_blosc(
         flags |= _SHUFFLE
     elif shuffle not in (0, 1):
         raise NotImplementedError("blosc write shuffle: 0 or 1 only")
-    do_split = bool(split) and typesize > 1 and blocksize % typesize == 0
+    # the flag-clear split layout must match decode's split_block()
+    # policy exactly, or a symmetric reader would misparse our chunks
+    do_split = (
+        bool(split) and typesize > 1 and blocksize % typesize == 0
+        and fmt == _FMT_LZ4
+        and typesize <= 16 and blocksize // typesize >= 128
+    )
+    if split and not do_split:
+        raise ValueError(
+            "split=True needs lz4/lz4hc, 1 < typesize <= 16 and "
+            "blocksize/typesize >= 128 (the c-blosc split_block policy)"
+        )
     if not do_split:
         flags |= _DONT_SPLIT
     if nbytes == 0:

@@ -436,11 +436,10 @@ def encode_wav_ima(samples: np.ndarray, sample_rate: int = 16000,
                 body += chans[c][g * 4:(g + 1) * 4]
         blocks.append(body)
     data = b"".join(blocks)
-    n_blocks = -(-n // spb)
     fmt = struct.pack("<HHIIHHHH", 0x11, ch, sample_rate,
                       sample_rate * block_align // spb, block_align, 4,
                       2, spb)
-    fact = struct.pack("<I", n_blocks * spb)
+    fact = struct.pack("<I", n)  # TRUE frames; tail-block padding is not data
     return (
         b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(data))
         + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -461,10 +460,13 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     i = 12
     ch = rate = fmtc = bits = None
     data = None
+    fact_n = None
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         sz = struct.unpack_from("<I", b, i + 4)[0]
         body = b[i + 8 : i + 8 + sz]
+        if cid == b"fact" and sz >= 4:
+            fact_n = struct.unpack_from("<I", body, 0)[0]
         if cid == b"fmt ":
             fmtc, ch, rate = struct.unpack_from("<HHI", body, 0)
             block_align = struct.unpack_from("<H", body, 12)[0]
@@ -504,8 +506,12 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         if not spb or not block_align:
             raise ValueError("IMA ADPCM without samplesPerBlock/blockAlign")
         outs = []
-        for b0 in range(0, len(data) - block_align + 1, block_align):
+        for b0 in range(0, len(data), block_align):
             blk = data[b0:b0 + block_align]
+            if len(blk) < 4 * ch:  # truncated tail without full headers
+                break
+            # a PARTIAL tail block decodes its available nibble groups
+            # (the group walk below is length-driven, not spb-driven)
             chan_nibs = [[] for _ in range(ch)]
             preds, idxs = [], []
             for c in range(ch):
@@ -529,6 +535,8 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
             outs.append(np.stack(cols, axis=1))
         s = np.concatenate(outs, axis=0) if outs else \
             np.zeros((0, ch), np.int16)
+        if fact_n is not None:  # fact carries the TRUE per-channel frames
+            s = s[:fact_n]
         return s, int(rate)
     else:
         raise NotImplementedError(
@@ -920,10 +928,14 @@ def decode_gif_frames(
             disposal, tflag, tidx, delay = gce
             gce = (0, 0, 0, 0)  # a GCE governs exactly one image
             prev = canvas.copy() if disposal == 3 else None
-            region = canvas[y0:y0 + h, x0:x0 + w]
-            rgb = ct[np.minimum(px, len(ct) - 1)]
+            # wild frames may overhang the logical screen: clip (real
+            # decoders tolerate this; broadcasting would crash)
+            ch_, cw_ = min(h, sh - y0), min(w, sw - x0)
+            region = canvas[y0:y0 + ch_, x0:x0 + cw_]
+            vis = px[:ch_, :cw_]
+            rgb = ct[np.minimum(vis, len(ct) - 1)]
             if tflag:
-                mask = px != tidx  # transparent pixels show the canvas
+                mask = vis != tidx  # transparent pixels show the canvas
                 region[mask] = rgb[mask]
             else:
                 region[:] = rgb
@@ -1027,6 +1039,8 @@ def decode_image(b: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         rgb = decode_jpeg(b)
+        if rgb.dtype == np.uint16:  # 12-bit frame → high 8 of 12 bits
+            rgb = (rgb >> 4).astype(np.uint8)
         if rgb.ndim == 2:
             return rgb
     else:

@@ -1233,29 +1233,41 @@ class _H5Meta:
                 idx //= g
             return tuple(reversed(offs))
 
-        if itype == 1:  # single chunk covering the whole dataspace
-            nb = info.get("fsize", csize)
-            yield (0,) * rank, addr, int(nb), int(info.get("fmask", 0))
-            return
-        if itype == 2:  # implicit: fixed-size slots, filters impossible
-            if filtered:
-                raise ValueError("implicit chunk index cannot carry filters")
-            for i in range(int(np.prod(grid))):
-                yield offs_of(i), addr + i * csize, csize, 0
-            return
-        if itype == 3:
-            yield from self._fixed_array_chunks(
-                addr, filtered, csize, int(np.prod(grid)), offs_of)
-            return
-        if itype == 5:
-            yield from self._v2btree_chunks(addr, filtered, rank, csize,
-                                            cdims, grid)
-            return
-        raise NotImplementedError(
-            f"v4 chunk index type {itype} (single chunk, implicit, fixed "
-            "array and v2 B-tree are supported; extensible arrays — one "
-            "unlimited dimension under the 'latest' flag — are not)"
-        )
+        def inner():
+            if itype == 1:  # single chunk covering the whole dataspace
+                nb = info.get("fsize", csize)
+                yield (0,) * rank, addr, int(nb), int(info.get("fmask", 0))
+            elif itype == 2:  # implicit: fixed slots, filters impossible
+                if filtered:
+                    raise ValueError(
+                        "implicit chunk index cannot carry filters")
+                for i in range(int(np.prod(grid))):
+                    yield offs_of(i), addr + i * csize, csize, 0
+            elif itype == 3:
+                yield from self._fixed_array_chunks(
+                    addr, filtered, csize, int(np.prod(grid)), offs_of)
+            elif itype == 5:
+                yield from self._v2btree_chunks(addr, filtered, rank, csize,
+                                                cdims, grid)
+            else:
+                raise NotImplementedError(
+                    f"v4 chunk index type {itype} (single chunk, implicit, "
+                    "fixed array and v2 B-tree are supported; extensible "
+                    "arrays — one unlimited dimension under the 'latest' "
+                    "flag — are not)"
+                )
+
+        # layout flag bit 0 = H5D_CHUNK_DONT_FILTER_PARTIAL_CHUNKS: edge
+        # chunks are stored RAW; an all-ones mask makes _defilter skip
+        # every filter for exactly those chunks
+        skip_edges = bool(flags & 0x01) and filtered
+        for offs, a, nb, mask in inner():
+            if skip_edges and any(
+                int(o) + int(c) > int(s)
+                for o, c, s in zip(offs, cdims, shape)
+            ):
+                mask = 0xFFFFFFFF
+            yield offs, a, nb, mask
 
     def _fixed_array_chunks(self, addr, filtered, csize, nslots, offs_of):
         fh = self.fh

@@ -470,10 +470,12 @@ def read_zarr(
         or dt_name is None
         or meta.get("order") != "C"
         or meta.get("chunks", [0])[0] < 1
+        or meta.get("filters")  # delta/fixedscaleoffset would decode wrong
     ):
         raise NotImplementedError(
             "supported zarr stores: v2, little-endian "
-            f"{sorted(_dt.TABLE)} dtypes, C-order, band-chunk 1 (got {meta})"
+            f"{sorted(_dt.TABLE)} dtypes, C-order, band-chunk 1, no "
+            f"numcodecs filters (got {meta})"
         )
     dec = _v2_decoder(comp)  # raw/zlib/gzip/zstd/lz4/blosc chunk streams
     np_dt_str = str(_dt.np_dtype(dt_name).str)
@@ -704,6 +706,11 @@ def _array_meta(sub: str) -> dict:
 
 
 def _v2_meta_dict(m: dict, a: dict) -> dict:
+    if m.get("filters"):
+        raise NotImplementedError(
+            f"zarr v2 numcodecs filters are out of scope "
+            f"(got {m['filters']!r}) — they would decode wrong silently"
+        )
     return {
         "v3": False, "shape": m["shape"],
         "dims": a.get("_ARRAY_DIMENSIONS"),
@@ -848,6 +855,9 @@ def write_zarr_dataset(
     three_d = times is not None
     dims = ["time", "y", "x"] if three_d else ["y", "x"]
     os.makedirs(path, exist_ok=True)
+    stale = os.path.join(path, ".zmetadata")
+    if os.path.exists(stale):  # never let an old document shadow this write
+        os.remove(stale)
     gatts = ({"x0": grid.x0, "y0": grid.y0, "cell": grid.cell,
               "epsg": grid.epsg, "nodata": grid.nodata}
              if georef == "attrs" else {"Conventions": "CF-1.6"})

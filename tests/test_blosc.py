@@ -225,3 +225,65 @@ def test_zarr_dataset_blosc_codec_and_compressed_coord(spark, tmp_path):
     a = {(r.variable, r.t, r.row, r.col): r.value for r in long.collect()}
     b = {(r.variable, r.t, r.row, r.col): r.value for r in back.df.collect()}
     assert a == b and len(a) == 30
+
+
+def test_blosc_legacy_split_policy_flag_clear():
+    """Flag-clear chunks follow c-blosc's split_block(): only blosclz/lz4
+    split, and only for typesize <= 16 with >= 128 elements per stream —
+    a flag-clear zstd or small-block chunk decodes as ONE stream."""
+    data, ts = _payload(64)  # 512 bytes: 512/8 = 64 < 128 → never split
+    chunk = bytearray(B.encode_blosc(data, ts, "zstd", 3, shuffle=0))
+    chunk[2] &= ~0x10  # clear dont-split: a pre-1.14 writer's layout
+    assert B.decode_blosc(bytes(chunk)) == data
+    # lz4 under the size threshold: also unsplit when the flag is clear
+    chunk = bytearray(B.encode_blosc(data, ts, "lz4", 3, shuffle=0))
+    chunk[2] &= ~0x10
+    assert B.decode_blosc(bytes(chunk)) == data
+    # the encoder refuses split layouts a symmetric reader would misparse
+    with pytest.raises(ValueError, match="split_block"):
+        B.encode_blosc(data, ts, "zstd", 3, split=True)
+    with pytest.raises(ValueError, match="split_block"):
+        B.encode_blosc(data[:256], ts, "lz4", 3, split=True)
+
+
+def test_zarr_v2_filters_reject_loudly(spark, tmp_path):
+    """numcodecs filters (delta etc.) would decode to garbage silently —
+    both the array reader and the dataset metadata path reject them."""
+    store = tmp_path / "zfil"
+    store.mkdir()
+    (store / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": [4, 4], "chunks": [2, 2], "dtype": "<f8",
+        "compressor": None, "fill_value": 0, "order": "C",
+        "filters": [{"id": "delta", "dtype": "<f8"}],
+    }))
+    with pytest.raises(NotImplementedError, match="filters"):
+        SparkDataset.from_zarr(spark, str(store))
+
+
+def test_zarr_dataset_v3_rewrite_clears_stale_zmetadata(spark, tmp_path):
+    from pyramids_spark.api import SparkNetCDF
+
+    store = str(tmp_path / "zs")
+    g = Grid(x0=0.0, y0=4.0, cell=1.0, rows=4, cols=4, epsg=4326,
+             nodata=-1.0)
+    base = SparkDataset.create(spark, g, "CAST(row * 4 + col AS DOUBLE)")
+    long = base.df.select(
+        F.lit("a").alias("variable"), F.lit(0).cast("long").alias("t"),
+        F.lit(0).cast("long").alias("band"), "row", "col", "value")
+    nc = SparkNetCDF(long)
+    nc.to_zarr_dataset(g, store, times=[0.0], zarr_format=2)
+    assert os.path.exists(os.path.join(store, ".zmetadata"))
+    # rewrite the SAME path as v3: the stale v2 document must not shadow
+    import shutil
+
+    shutil.rmtree(store)
+    os.makedirs(store)
+    nc.to_zarr_dataset(g, store, times=[0.0], zarr_format=2)
+    nc_b = SparkNetCDF(long.withColumnRenamed("variable", "variable")
+                       .withColumn("variable", F.lit("b")))
+    nc_b.to_zarr_dataset(g, store, times=[0.0], zarr_format=3)
+    assert not os.path.exists(os.path.join(store, ".zmetadata"))
+    # zarr writes into an existing dir are additive: BOTH arrays must be
+    # visible — the stale v2-era document would have hidden "b"
+    back, _, meta = SparkNetCDF.from_zarr(spark, store)
+    assert meta["variables"] == ["a", "b"]

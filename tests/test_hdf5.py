@@ -425,3 +425,23 @@ def test_v2_btree_leaf_root_chunk_index(tmp_path):
             list(h5.iter_chunks_v4(lay, (8, 12), False))
     finally:
         h5.fh.close()
+
+
+def test_v4_dont_filter_partial_chunks_flag():
+    """Layout flag bit 0 (H5D_CHUNK_DONT_FILTER_PARTIAL_CHUNKS): edge
+    chunks yield an all-ones filter mask so _defilter leaves their raw
+    bytes alone; interior chunks keep their stored mask."""
+    h5 = hdf5._H5Meta.__new__(hdf5._H5Meta)
+    h5.fh = None
+    # single chunk larger than the dataspace = a partial edge chunk
+    lay = ("chunked4", 1, 0x03, [8, 8], 8, 5000, {"fsize": 77, "fmask": 0})
+    ((offs, addr, nb, mask),) = h5.iter_chunks_v4(lay, (5, 5), True)
+    assert mask == 0xFFFFFFFF
+    # flag clear → the stored mask rides through
+    lay = ("chunked4", 1, 0x02, [8, 8], 8, 5000, {"fsize": 77, "fmask": 0})
+    ((_, _, _, mask),) = h5.iter_chunks_v4(lay, (5, 5), True)
+    assert mask == 0
+    # unfiltered datasets never rewrite masks
+    lay = ("chunked4", 2, 0x01, [4, 4], 2, 1000, {})
+    got = list(h5.iter_chunks_v4(lay, (5, 6), False))
+    assert all(m == 0 for _, _, _, m in got)

@@ -1277,3 +1277,57 @@ def test_wav_g711_mulaw_alaw():
         err = np.abs(s[:, 0].astype(int) - tone.astype(int))
         # error bounded by the local segment step (relative companding)
         assert err.max() <= tol and err.mean() < tol / 8
+
+
+def test_wav_ima_fact_trims_padding_and_partial_tail():
+    """The fact chunk records TRUE frames: a 1600-sample clip at spb=505
+    round-trips to exactly 1600 rows (no phantom tail-padding frames);
+    a truncated final block still yields its available nibble groups."""
+    import struct as _struct
+
+    from pyramids_spark import codecs as C
+
+    t = np.arange(1600)
+    tone = (8000 * np.sin(t / 20.0)).astype(np.int16)
+    blob = C.encode_wav_ima(tone, 16000, samples_per_block=505)
+    s, _ = C.decode_wav(blob)
+    assert s.shape == (1600, 1)  # not 4*505 = 2020
+    # chop the data chunk mid-block: decode keeps whole groups, no crash
+    di = blob.rfind(b"data")
+    (dsz,) = _struct.unpack_from("<I", blob, di + 4)
+    cut = dsz - 37  # not group-aligned on purpose
+    trunc = bytearray(blob[:di + 8 + cut])
+    _struct.pack_into("<I", trunc, di + 4, cut)
+    # drop the fact chunk's claim below what the bytes can carry
+    s2, _ = C.decode_wav(bytes(trunc))
+    assert 1500 < s2.shape[0] <= 1600
+
+
+def test_gif_frame_overhangs_screen_clips():
+    """A frame rectangle past the logical screen clips instead of
+    crashing (wild encoders emit these)."""
+    import struct as _struct
+
+    from pyramids_spark import codecs as C
+
+    pal = bytes(b for i in (10, 200) for b in (i, i, i))
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", 3, 3, 0x80, 1, 0) + pal
+    # 2x2 frame anchored at (2,2): only pixel (2,2) is on screen
+    out += b"\x2c" + _struct.pack("<HHHHB", 2, 2, 2, 2, 0) + bytes([2])
+    data = C._gif_lzw_encode(2, np.zeros(4, np.uint8))
+    out += bytes([len(data)]) + data + b"\x00\x3b"
+    img = C.decode_gif(bytes(out))
+    assert img.shape == (3, 3, 3)
+    assert img[2, 2, 0] == 10 and img[0, 0, 0] == 200
+
+
+def test_decode_image_12bit_jpeg_is_uint8():
+    from pyramids_spark import codecs as C, jpeg
+
+    g = ((np.add.outer(np.arange(16) * 128, np.arange(16) * 64)) % 4096
+         ).astype(np.uint16)
+    out = C.decode_image(jpeg.encode_jpeg(g, quality=95, bits=12))
+    assert out.dtype == np.uint8 and out.shape == g.shape
+    # high 8 of 12 bits: values track g >> 4
+    assert int(np.abs(out.astype(int) - (g >> 4).astype(int)).max()) <= 4
