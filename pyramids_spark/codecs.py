@@ -307,6 +307,93 @@ def _ima_decode_nibbles(nib, pred: int, idx: int) -> np.ndarray:
     return out
 
 
+#: MS-ADPCM tables (the 7 standard predictor pairs, coef scale 1/256,
+#: and the 16-entry delta adaptation table)
+_MS_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+             (460, -208), (392, -232)]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _ms_adpcm_channel(nibs, coef: "tuple[int, int]", delta: int,
+                      s1: int, s2: int) -> list:
+    """One channel's MS-ADPCM nibble stream + block-header state →
+    samples AFTER the two header samples."""
+    c1, c2 = coef
+    out = []
+    for n in nibs:
+        signed = n - 16 if n > 7 else n
+        pred = (s1 * c1 + s2 * c2) >> 8
+        samp = pred + signed * delta
+        samp = -32768 if samp < -32768 else (32767 if samp > 32767 else samp)
+        out.append(samp)
+        s2, s1 = s1, samp
+        delta = max(16, (_MS_ADAPT[n] * delta) >> 8)
+    return out
+
+
+def encode_wav_ms_adpcm(samples: np.ndarray, sample_rate: int = 16000,
+                        samples_per_block: int = 500) -> bytes:
+    """(n,) or (n, ch) int16 → WAV with MS-ADPCM (format 2): per-block
+    headers carry (predictor index, initial delta, the first TWO
+    samples), then 4-bit codes high-nibble-first, channels interleaved
+    per sample. Uses predictor pair 0 (pure first-order, coef 1.0) and
+    the standard adaptation table."""
+    s = np.asarray(samples, np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    spb = int(samples_per_block)
+    if spb < 2 or (spb - 2) * ch % 2:
+        raise ValueError("samples_per_block must keep whole code bytes")
+    block_align = 7 * ch + (spb - 2) * ch // 2
+    blocks = []
+    for b0 in range(0, n, spb):
+        blk = s[b0:b0 + spb]
+        if len(blk) < spb:
+            blk = np.vstack([blk, np.repeat(blk[-1:], spb - len(blk), 0)])
+        deltas = [max(16, int(np.abs(np.diff(blk[:8, c].astype(int)))
+                              .mean() or 16) // 4) for c in range(ch)]
+        head = bytes(ch)  # predictor index 0 per channel
+        head += b"".join(struct.pack("<h", deltas[c]) for c in range(ch))
+        head += b"".join(struct.pack("<h", int(blk[1, c]))
+                         for c in range(ch))  # sample1 = SECOND sample
+        head += b"".join(struct.pack("<h", int(blk[0, c]))
+                         for c in range(ch))  # sample2 = FIRST sample
+        state = [(deltas[c], int(blk[1, c]), int(blk[0, c]))
+                 for c in range(ch)]
+        nibs = []
+        for k in range(2, spb):
+            for c in range(ch):
+                delta, s1, s2 = state[c]
+                pred = s1  # coef pair 0: (256, 0) ≡ previous sample
+                code = int(round((int(blk[k, c]) - pred) / delta))
+                code = max(-8, min(7, code))
+                samp = pred + code * delta
+                samp = max(-32768, min(32767, samp))
+                nidx = code & 0xF
+                state[c] = (max(16, (_MS_ADAPT[nidx] * delta) >> 8),
+                            samp, s1)
+                nibs.append(nidx)
+        body = bytes((nibs[k] << 4) | nibs[k + 1]
+                     for k in range(0, len(nibs), 2))
+        blocks.append(head + body)
+    data = b"".join(blocks)
+    # fmt extra: samplesPerBlock + the 7 standard coefficient pairs
+    extra = struct.pack("<HH", spb, 7) + b"".join(
+        struct.pack("<hh", a, b) for a, b in _MS_COEFS)
+    fmt = struct.pack("<HHIIHHH", 2, ch, sample_rate,
+                      sample_rate * block_align // spb, block_align, 4,
+                      len(extra)) + extra
+    fact = struct.pack("<I", n)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", 4) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def _mulaw_decode(u: np.ndarray) -> np.ndarray:
     """G.711 µ-law bytes → int16 (the CCITT segmented companding law)."""
     u = (~u.astype(np.uint8)).astype(np.int32) & 0xFF
@@ -461,6 +548,7 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     ch = rate = fmtc = bits = None
     data = None
     fact_n = None
+    fmt_body = b""
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         sz = struct.unpack_from("<I", b, i + 4)[0]
@@ -468,6 +556,7 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         if cid == b"fact" and sz >= 4:
             fact_n = struct.unpack_from("<I", body, 0)[0]
         if cid == b"fmt ":
+            fmt_body = body
             fmtc, ch, rate = struct.unpack_from("<HHI", body, 0)
             block_align = struct.unpack_from("<H", body, 12)[0]
             bits = struct.unpack_from("<H", body, 14)[0]
@@ -502,6 +591,45 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         s = _mulaw_decode(np.frombuffer(data, np.uint8))
     elif fmtc == 6 and bits == 8:  # G.711 A-law
         s = _alaw_decode(np.frombuffer(data, np.uint8))
+    elif fmtc == 2 and bits == 4:  # MS-ADPCM
+        if not spb or not block_align:
+            raise ValueError("MS-ADPCM without samplesPerBlock/blockAlign")
+        # coefficient pairs ride in the fmt extra bytes (wild encoders
+        # may extend past the 7 standard pairs)
+        coefs = list(_MS_COEFS)
+        if len(fmt_body) >= 22:
+            (ncoef,) = struct.unpack_from("<H", fmt_body, 20)
+            if 22 + 4 * ncoef <= len(fmt_body) and ncoef:
+                coefs = [struct.unpack_from("<hh", fmt_body, 22 + 4 * k)
+                         for k in range(ncoef)]
+        outs = []
+        for b0 in range(0, len(data), block_align):
+            blk = data[b0:b0 + block_align]
+            if len(blk) < 7 * ch:
+                break
+            pred_i = [min(blk[c], len(coefs) - 1) for c in range(ch)]
+            deltas = [struct.unpack_from("<h", blk, ch + 2 * c)[0]
+                      for c in range(ch)]
+            s1 = [struct.unpack_from("<h", blk, 3 * ch + 2 * c)[0]
+                  for c in range(ch)]
+            s2 = [struct.unpack_from("<h", blk, 5 * ch + 2 * c)[0]
+                  for c in range(ch)]
+            raw = np.frombuffer(blk, np.uint8, offset=7 * ch)
+            nibs = np.empty(raw.size * 2, np.uint8)
+            nibs[0::2] = raw >> 4  # HIGH nibble first (MS layout)
+            nibs[1::2] = raw & 0xF
+            cols = []
+            for c in range(ch):
+                dec = _ms_adpcm_channel(
+                    nibs[c::ch][: spb - 2].tolist(), coefs[pred_i[c]],
+                    int(deltas[c]), int(s1[c]), int(s2[c]))
+                cols.append(np.array([s2[c], s1[c]] + dec, np.int16))
+            outs.append(np.stack(cols, axis=1))
+        s = np.concatenate(outs, axis=0) if outs else \
+            np.zeros((0, ch), np.int16)
+        if fact_n is not None:
+            s = s[:fact_n]
+        return s, int(rate)
     elif fmtc == 0x11 and bits == 4:  # IMA/DVI ADPCM
         if not spb or not block_align:
             raise ValueError("IMA ADPCM without samplesPerBlock/blockAlign")
@@ -541,8 +669,7 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     else:
         raise NotImplementedError(
             f"WAV format {fmtc}/{bits}-bit (PCM 8/16/24/32, IEEE float "
-            "32/64, G.711 µ-law/A-law and IMA ADPCM only; MS-ADPCM out "
-            "of scope)"
+            "32/64, G.711 µ-law/A-law, IMA ADPCM and MS-ADPCM only)"
         )
     return s.reshape(-1, ch), int(rate)
 

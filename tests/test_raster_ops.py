@@ -1331,3 +1331,32 @@ def test_decode_image_12bit_jpeg_is_uint8():
     assert out.dtype == np.uint8 and out.shape == g.shape
     # high 8 of 12 bits: values track g >> 4
     assert int(np.abs(out.astype(int) - (g >> 4).astype(int)).max()) <= 4
+
+
+def test_wav_ms_adpcm_roundtrip():
+    """MS-ADPCM (format 2): per-block predictor/delta/two-sample headers,
+    high-nibble-first codes, per-sample channel interleave, coefficient
+    pairs parsed from the fmt extra bytes; fact trims tail padding."""
+    import struct as _struct
+
+    from pyramids_spark import codecs as C
+
+    t = np.arange(1700)
+    tone = (9000 * np.sin(t / 25.0)).astype(np.int16)
+    blob = C.encode_wav_ms_adpcm(tone, 16000, samples_per_block=500)
+    assert _struct.unpack_from("<H", blob, 20)[0] == 2
+    s, rate = C.decode_wav(blob)
+    assert rate == 16000 and s.shape == (1700, 1)
+    # header samples are exact; the rest tracks within the delta step
+    assert s[0, 0] == tone[0] and s[1, 0] == tone[1]
+    err = np.abs(s[:, 0].astype(int) - tone.astype(int))
+    assert err.max() <= 600 and err.mean() < 80
+    # stereo: distinct per-channel content, no channel swap
+    st = np.stack([tone, (4000 * np.cos(t / 13.0)).astype(np.int16)],
+                  axis=1)
+    s2, _ = C.decode_wav(C.encode_wav_ms_adpcm(st, 8000,
+                                               samples_per_block=128))
+    assert s2.shape == (1700, 2)
+    e1 = np.abs(s2[:, 1].astype(int) - st[:, 1].astype(int)).mean()
+    swap = np.abs(s2[:, 1].astype(int) - st[:, 0].astype(int)).mean()
+    assert e1 < 80 and swap > 5 * e1
