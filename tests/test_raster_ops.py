@@ -835,11 +835,11 @@ def test_wav_wild_sample_formats():
     f = np.array([0.25], "<f8")
     s, _ = C.decode_wav(wav(3, 64, f.tobytes(), extensible=True))
     assert s[0, 0] == 8192
-    # ADPCM rejects
+    # a genuinely foreign format tag (MP3-in-WAV) rejects
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError, match="WAV format"):
-        C.decode_wav(wav(2, 4, b"\x00\x00"))
+        C.decode_wav(wav(0x55, 0, b"\x00\x00"))
 
 
 def test_bmp_wild_variants():
