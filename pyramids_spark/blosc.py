@@ -156,45 +156,63 @@ def decode_blosc(buf: bytes) -> bytes:
         raise ValueError("blosc chunk with zero blocksize")
     nblocks = -(-nbytes // blocksize)
     bstarts = struct.unpack_from(f"<{nblocks}I", buf, 16)
-    # flag-clear chunks follow c-blosc's split_block() policy (the rule
+
+    def decode_blocks(split: bool) -> bytes:
+        parts = []
+        for i, start in enumerate(bstarts):
+            neblock = min(blocksize, nbytes - i * blocksize)
+            leftover = neblock != blocksize
+            nstreams = typesize if (split and not leftover) else 1
+            per = neblock // nstreams
+            pos = int(start)
+            streams = []
+            for _ in range(nstreams):
+                (csize,) = struct.unpack_from("<i", buf, pos)
+                pos += 4
+                if csize < 0 or pos + csize > len(buf):
+                    raise ValueError(
+                        "blosc stream overruns the chunk buffer")
+                raw = buf[pos:pos + csize]
+                pos += csize
+                streams.append(
+                    bytes(raw) if csize == per
+                    else raw_decompress(codec, raw, per)
+                )
+            block = streams[0] if nstreams == 1 else b"".join(streams)
+            if flags & _SHUFFLE:
+                block = _unshuffle(block, typesize)
+            parts.append(block)
+        out = b"".join(parts)
+        if len(out) != nbytes:
+            raise ValueError(
+                f"blosc chunk decoded to {len(out)} bytes, expected {nbytes}"
+            )
+        return out
+
+    # Flag-clear chunks follow c-blosc's split_block() policy (the rule
     # pre-dating the dont-split flag, kept by FORWARD_COMPAT mode): only
     # blosclz/lz4 split, and only when typesize ≤ 16 and the per-stream
-    # buffer is ≥ 128 bytes — small coordinate chunks are NOT split
-    split_ok = (
+    # buffer is ≥ 128 bytes. But old (≤ 1.10) or BLOSC_SPLITMODE=ALWAYS
+    # writers split OTHER codecs too with the flag clear — when both
+    # layouts are structurally possible, fall back to the other on a
+    # decode error (stream sizes disambiguate: a wrong guess overruns or
+    # misses the exact decompressed size).
+    splittable = (
         not (flags & _DONT_SPLIT) and typesize > 1
         and blocksize % typesize == 0
-        and fmt in (_FMT_BLOSCLZ, _FMT_LZ4)
+    )
+    policy_split = (
+        splittable and fmt in (_FMT_BLOSCLZ, _FMT_LZ4)
         and typesize <= 16 and blocksize // typesize >= 128
     )
-    parts = []
-    for i, start in enumerate(bstarts):
-        neblock = min(blocksize, nbytes - i * blocksize)
-        leftover = neblock != blocksize
-        nstreams = typesize if (split_ok and not leftover) else 1
-        per = neblock // nstreams
-        pos = int(start)
-        streams = []
-        for _ in range(nstreams):
-            (csize,) = struct.unpack_from("<i", buf, pos)
-            pos += 4
-            if csize < 0 or pos + csize > len(buf):
-                raise ValueError("blosc stream overruns the chunk buffer")
-            raw = buf[pos:pos + csize]
-            pos += csize
-            streams.append(
-                bytes(raw) if csize == per
-                else raw_decompress(codec, raw, per)
-            )
-        block = streams[0] if nstreams == 1 else b"".join(streams)
-        if flags & _SHUFFLE:
-            block = _unshuffle(block, typesize)
-        parts.append(block)
-    out = b"".join(parts)
-    if len(out) != nbytes:
-        raise ValueError(
-            f"blosc chunk decoded to {len(out)} bytes, expected {nbytes}"
-        )
-    return out
+    try:
+        return decode_blocks(policy_split)
+    except (ValueError, OSError, zlib.error):
+        # a wrong layout guess surfaces as a size mismatch (ValueError),
+        # a corrupt-frame error from pyarrow (OSError) or zlib.error
+        if not splittable:
+            raise
+        return decode_blocks(not policy_split)
 
 
 def encode_blosc(

@@ -379,6 +379,7 @@ def encode_wav_ms_adpcm(samples: np.ndarray, sample_rate: int = 16000,
                      for k in range(0, len(nibs), 2))
         blocks.append(head + body)
     data = b"".join(blocks)
+    pad = b"\x00" * (len(data) & 1)  # RIFF chunks are word-aligned
     # fmt extra: samplesPerBlock + the 7 standard coefficient pairs
     extra = struct.pack("<HH", spb, 7) + b"".join(
         struct.pack("<hh", a, b) for a, b in _MS_COEFS)
@@ -387,10 +388,12 @@ def encode_wav_ms_adpcm(samples: np.ndarray, sample_rate: int = 16000,
                       len(extra)) + extra
     fact = struct.pack("<I", n)
     return (
-        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(data))
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(data)
+                      + len(pad))
         + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"fact" + struct.pack("<I", 4) + fact
-        + b"data" + struct.pack("<I", len(data)) + data
+        + b"data" + struct.pack("<I", len(data)) + data + pad
     )
 
 
@@ -440,12 +443,17 @@ def encode_wav_g711(samples: np.ndarray, sample_rate: int = 8000,
     flat = s.reshape(-1).astype(np.int32)
     pick = np.where(np.abs(flat - lo) <= np.abs(hi - flat), pos - 1, pos)
     data = order[np.clip(pick, 0, 255)].astype(np.uint8).tobytes()
-    fmt = struct.pack("<HHIIHH", fmtc, ch, sample_rate, sample_rate * ch,
-                      ch, 8)
+    pad = b"\x00" * (len(data) & 1)  # RIFF chunks are word-aligned
+    fmt = struct.pack("<HHIIHHH", fmtc, ch, sample_rate, sample_rate * ch,
+                      ch, 8, 0)
+    fact = struct.pack("<I", n)  # the spec mandates fact for non-PCM
     return (
-        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(data)
+                      + len(pad))
         + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(data)) + data
+        + b"fact" + struct.pack("<I", 4) + fact
+        + b"data" + struct.pack("<I", len(data)) + data + pad
     )
 
 
@@ -523,15 +531,18 @@ def encode_wav_ima(samples: np.ndarray, sample_rate: int = 16000,
                 body += chans[c][g * 4:(g + 1) * 4]
         blocks.append(body)
     data = b"".join(blocks)
+    pad = b"\x00" * (len(data) & 1)  # RIFF chunks are word-aligned
     fmt = struct.pack("<HHIIHHHH", 0x11, ch, sample_rate,
                       sample_rate * block_align // spb, block_align, 4,
                       2, spb)
     fact = struct.pack("<I", n)  # TRUE frames; tail-block padding is not data
     return (
-        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(data))
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(data)
+                      + len(pad))
         + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"fact" + struct.pack("<I", 4) + fact
-        + b"data" + struct.pack("<I", len(data)) + data
+        + b"data" + struct.pack("<I", len(data)) + data + pad
     )
 
 

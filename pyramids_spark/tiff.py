@@ -278,8 +278,7 @@ def _encode_tile(arr: "np.ndarray", compress, predictor: int) -> bytes:
     """Storage-dtype tile block → on-disk bytes (predictor, then codec)."""
     if predictor == 2:
         arr = _predict2(arr)
-        return _compress(arr.tobytes(order="C"), compress)
-    if predictor == 3:
+    elif predictor == 3:
         return _compress(_predict3(arr), compress)
     return _compress(arr.tobytes(order="C"), compress)
 

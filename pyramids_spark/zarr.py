@@ -408,8 +408,11 @@ def list_zarr_arrays(path: str) -> "list[str]":
     ``.zmetadata`` answers in one read when present."""
     cons = _consolidated(path)
     if cons is not None:
-        return sorted(k.split("/")[0] for k in cons
-                      if k.endswith("/.zarray"))
+        # DIRECT children only: nested-group keys ("grp/inner/.zarray")
+        # are not this group's arrays
+        return sorted(k[:-len("/.zarray")] for k in cons
+                      if k.endswith("/.zarray")
+                      and len(k.split("/")) == 2)
     out = []
     for name in sorted(os.listdir(path)):
         sub = os.path.join(path, name)
@@ -762,8 +765,9 @@ def read_zarr_dataset(
 
     cons = _consolidated(path)
     if cons is not None:  # one metadata read covers the whole group
-        names = sorted(k.split("/")[0] for k in cons
-                       if k.endswith("/.zarray"))
+        names = sorted(k[:-len("/.zarray")] for k in cons
+                       if k.endswith("/.zarray")
+                       and len(k.split("/")) == 2)  # direct children only
         metas = {n: _v2_meta_dict(cons[f"{n}/.zarray"],
                                   cons.get(f"{n}/.zattrs") or {})
                  for n in names}

@@ -287,3 +287,55 @@ def test_zarr_dataset_v3_rewrite_clears_stale_zmetadata(spark, tmp_path):
     # visible — the stale v2-era document would have hidden "b"
     back, _, meta = SparkNetCDF.from_zarr(spark, store)
     assert meta["variables"] == ["a", "b"]
+
+
+def test_blosc_flag_clear_split_zstd_fallback():
+    """A pre-1.11 / SPLITMODE=ALWAYS writer splits zstd blocks too with
+    the dont-split flag clear: the decoder's policy guess fails its size
+    checks and falls back to the other layout."""
+    data = (np.arange(256, dtype="<i8") % 31).astype("<f8").tobytes()
+    ts, nbytes = 8, len(data)  # 2048 bytes, 256 elems/lane >= 128
+    lanes = [data[k::1][0:0] for k in range(0)]  # noqa: F841  (clarity)
+    per = nbytes // ts
+    streams = b""
+    for s0 in range(ts):
+        piece = data[s0 * per:(s0 + 1) * per]
+        comp = B.raw_compress("zstd", piece, 3)
+        if len(comp) >= per:
+            comp = piece
+        streams += struct.pack("<i", len(comp)) + comp
+    hdr = struct.pack("<4B3I", 2, 1, (4 << 5), ts,  # zstd fmt, flag CLEAR
+                      nbytes, nbytes, 16 + 4 + len(streams))
+    chunk = hdr + struct.pack("<I", 20) + streams
+    assert B.decode_blosc(chunk) == data
+    # and the modern single-stream flag-clear zstd layout still decodes
+    plain = bytearray(B.encode_blosc(data, ts, "zstd", 3, shuffle=0))
+    plain[2] &= ~0x10
+    assert B.decode_blosc(bytes(plain)) == data
+
+
+def test_zmetadata_with_nested_groups_is_safe(spark, tmp_path):
+    """A consolidated document carrying nested-group keys (zarr-python
+    writes these for hierarchies) must not crash discovery or surface
+    group names as arrays — only DIRECT child arrays count."""
+    from pyramids_spark import zarr as Z
+    from pyramids_spark.api import SparkNetCDF
+
+    store = str(tmp_path / "zn")
+    g = Grid(x0=0.0, y0=4.0, cell=1.0, rows=4, cols=4, epsg=4326,
+             nodata=-1.0)
+    base = SparkDataset.create(spark, g, "CAST(row * 4 + col AS DOUBLE)")
+    long = base.df.select(
+        F.lit("v").alias("variable"), F.lit(0).cast("long").alias("t"),
+        F.lit(0).cast("long").alias("band"), "row", "col", "value")
+    SparkNetCDF(long).to_zarr_dataset(g, store, times=[0.0], zarr_format=2)
+    doc = json.load(open(os.path.join(store, ".zmetadata")))
+    doc["metadata"]["grp/inner/.zarray"] = {
+        "zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f8",
+        "compressor": None, "fill_value": 0, "order": "C", "filters": None,
+    }
+    json.dump(doc, open(os.path.join(store, ".zmetadata"), "w"))
+    assert Z.list_zarr_arrays(store) == ["time", "v", "x", "y"]
+    back, _, meta = SparkNetCDF.from_zarr(spark, store)
+    assert meta["variables"] == ["v"]
+    assert back.df.count() == 16

@@ -1360,3 +1360,29 @@ def test_wav_ms_adpcm_roundtrip():
     e1 = np.abs(s2[:, 1].astype(int) - st[:, 1].astype(int)).mean()
     swap = np.abs(s2[:, 1].astype(int) - st[:, 0].astype(int)).mean()
     assert e1 < 80 and swap > 5 * e1
+
+
+def test_wav_writers_word_align_and_fact():
+    """RIFF chunks are word-aligned: an odd-sized G.711/ADPCM data chunk
+    carries a pad byte the RIFF size covers; G.711 writes the mandatory
+    non-PCM fact chunk and decode trims to it."""
+    import struct as _struct
+
+    from pyramids_spark import codecs as C
+
+    tone = (5000 * np.sin(np.arange(801) / 7.0)).astype(np.int16)
+    blob = C.encode_wav_g711(tone, 8000, law="mu")  # 801 data bytes: odd
+    assert b"fact" in blob[:64]
+    (riff_sz,) = _struct.unpack_from("<I", blob, 4)
+    assert riff_sz == len(blob) - 8 and len(blob) % 2 == 0
+    di = blob.rfind(b"data")
+    (dsz,) = _struct.unpack_from("<I", blob, di + 4)
+    assert dsz == 801  # data size excludes the pad byte
+    s, _ = C.decode_wav(blob)
+    assert s.shape == (801, 1)
+    # MS-ADPCM with an odd block_align pads too
+    blob = C.encode_wav_ms_adpcm(tone[:24], 8000, samples_per_block=6)
+    (riff_sz,) = _struct.unpack_from("<I", blob, 4)
+    assert riff_sz == len(blob) - 8 and len(blob) % 2 == 0
+    s, _ = C.decode_wav(blob)
+    assert s.shape == (24, 1)
