@@ -375,6 +375,52 @@ def _consolidated(path: str) -> "dict | None":
     return doc.get("metadata") or {}
 
 
+def _v3_consolidated(path: str) -> "dict | None":
+    """zarr v3 inline consolidated metadata: the root group ``zarr.json``
+    may carry ``consolidated_metadata.metadata`` mapping relative node
+    paths to their full ``zarr.json`` documents (zarr-python 3's
+    ``consolidate_metadata``). Returns that map or None."""
+    try:
+        with open(os.path.join(path, "zarr.json")) as f:
+            doc = json.load(f)
+    except (FileNotFoundError, NotADirectoryError):
+        return None
+    cm = doc.get("consolidated_metadata") or {}
+    if cm.get("kind", "inline") != "inline":
+        return None
+    return cm.get("metadata")
+
+
+def consolidate_metadata_v3(path: str) -> dict:
+    """Inline every child node's ``zarr.json`` into the root group
+    document's ``consolidated_metadata`` (the zarr-python 3 layout) —
+    the v3 twin of :func:`consolidate_metadata`. A MIXED group (any v2
+    ``.zarray`` child, e.g. from an earlier-format write into the same
+    directory) gets NO consolidated document — it could not represent
+    the v2 children, so discovery must stay with the directory walk.
+    Returns the root doc."""
+    meta, mixed = {}, False
+    for child in sorted(os.listdir(path)):
+        p = os.path.join(path, child, "zarr.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                meta[child] = json.load(f)
+        elif os.path.exists(os.path.join(path, child, ".zarray")):
+            mixed = True
+    root_p = os.path.join(path, "zarr.json")
+    with open(root_p) as f:
+        root = json.load(f)
+    if mixed:
+        root.pop("consolidated_metadata", None)
+    else:
+        root["consolidated_metadata"] = {
+            "kind": "inline", "must_understand": False, "metadata": meta,
+        }
+    with open(root_p, "w") as f:
+        json.dump(root, f)
+    return root
+
+
 def consolidate_metadata(path: str) -> dict:
     """Write a zarr v2 group's ``.zmetadata`` (consolidated-format 1:
     every ``.zgroup``/``.zattrs``/``.zarray`` document inlined under its
@@ -413,6 +459,11 @@ def list_zarr_arrays(path: str) -> "list[str]":
         return sorted(k[:-len("/.zarray")] for k in cons
                       if k.endswith("/.zarray")
                       and len(k.split("/")) == 2)
+    cons3 = _v3_consolidated(path)
+    if cons3 is not None:
+        return sorted(k for k, doc in cons3.items()
+                      if "/" not in k
+                      and doc.get("node_type") == "array")
     out = []
     for name in sorted(os.listdir(path)):
         sub = os.path.join(path, name)
@@ -688,16 +739,7 @@ def _array_meta(sub: str) -> dict:
     if os.path.exists(v3p):
         with open(v3p) as f:
             m = json.load(f)
-        codecs = m.get("codecs") or []
-        return {
-            "v3": True, "shape": m["shape"],
-            "dims": m.get("dimension_names"),
-            "dtype": str(m.get("data_type")),
-            "codecs": codecs,
-            "chunks": (m.get("chunk_grid") or {}).get(
-                "configuration", {}).get("chunk_shape", []),
-            "attrs": m.get("attributes") or {},
-        }
+        return _v3_meta_dict(m)
     with open(os.path.join(sub, ".zarray")) as f:
         m = json.load(f)
     try:
@@ -706,6 +748,18 @@ def _array_meta(sub: str) -> dict:
     except FileNotFoundError:
         a = {}
     return _v2_meta_dict(m, a)
+
+
+def _v3_meta_dict(m: dict) -> dict:
+    return {
+        "v3": True, "shape": m["shape"],
+        "dims": m.get("dimension_names"),
+        "dtype": str(m.get("data_type")),
+        "codecs": m.get("codecs") or [],
+        "chunks": (m.get("chunk_grid") or {}).get(
+            "configuration", {}).get("chunk_shape", []),
+        "attrs": m.get("attributes") or {},
+    }
 
 
 def _v2_meta_dict(m: dict, a: dict) -> dict:
@@ -772,8 +826,15 @@ def read_zarr_dataset(
                                   cons.get(f"{n}/.zattrs") or {})
                  for n in names}
     else:
-        names = list_zarr_arrays(path)
-        metas = {n: _array_meta(os.path.join(path, n)) for n in names}
+        cons3 = _v3_consolidated(path)
+        if cons3 is not None:
+            names = sorted(k for k, doc in cons3.items()
+                           if "/" not in k
+                           and doc.get("node_type") == "array")
+            metas = {n: _v3_meta_dict(cons3[n]) for n in names}
+        else:
+            names = list_zarr_arrays(path)
+            metas = {n: _array_meta(os.path.join(path, n)) for n in names}
     coords = {n for n, m in metas.items()
               if len(m["shape"]) == 1 and m["dims"] in (None, [n])}
     data = {n: m for n, m in metas.items()
@@ -957,8 +1018,10 @@ def write_zarr_dataset(
         patch_dims(sub)
         man.insert(0, "variable", v)
         manifests.append(man)
+    # consolidated metadata: the xarray/cloud-store convention — one
+    # GET answers discovery instead of a LIST per directory
     if zarr_format == 2:
-        # consolidated metadata: the xarray/cloud-store convention — one
-        # GET answers discovery instead of a LIST per directory
         consolidate_metadata(path)
+    else:
+        consolidate_metadata_v3(path)
     return pd.concat(manifests, ignore_index=True)

@@ -453,3 +453,39 @@ def test_zarr_consolidated_metadata(spark, tmp_path):
     json.dump({"zarr_consolidated_format": 2, "metadata": {}},
               open(os.path.join(store, ".zmetadata"), "w"))
     assert Z.list_zarr_arrays(store) == ["pr", "time", "x", "y"]
+
+
+def test_zarr_v3_inline_consolidated_metadata(spark, tmp_path):
+    """v3 dataset writes inline consolidated_metadata into the root
+    group zarr.json (the zarr-python 3 layout); discovery reads it —
+    removing an entry from the document hides that array, proving the
+    document (not the directory walk) answers."""
+    from pyramids_spark import zarr as Z
+    from pyramids_spark.api import SparkNetCDF
+
+    store = str(tmp_path / "c3")
+    g = Grid(x0=0.0, y0=5.0, cell=1.0, rows=5, cols=4, epsg=4326,
+             nodata=-1.0)
+    base = SparkDataset.create(spark, g, "CAST(row * 4 + col AS DOUBLE)")
+    long = base.df.select(
+        F.lit("pr").alias("variable"), F.lit(0).cast("long").alias("t"),
+        F.lit(0).cast("long").alias("band"), "row", "col", "value")
+    SparkNetCDF(long).to_zarr_dataset(g, store, times=[2.0], zarr_format=3)
+    root = json.load(open(os.path.join(store, "zarr.json")))
+    cm = root["consolidated_metadata"]
+    assert cm["kind"] == "inline" and cm["must_understand"] is False
+    assert set(cm["metadata"]) == {"pr", "time", "x", "y"}
+    assert cm["metadata"]["pr"]["node_type"] == "array"
+    assert Z.list_zarr_arrays(store) == ["pr", "time", "x", "y"]
+    exp = {(r.variable, r.t, r.row, r.col): r.value
+           for r in long.where(F.col("value").isNotNull()).collect()}
+    from pyramids_spark.api import SparkNetCDF as NC
+
+    back, _, meta = NC.from_zarr(spark, store)
+    got = {(r.variable, r.t, r.row, r.col): r.value
+           for r in back.df.collect()}
+    assert got == exp and meta["variables"] == ["pr"]
+    # the document is authoritative for discovery: drop "pr" from it
+    del cm["metadata"]["pr"]
+    json.dump(root, open(os.path.join(store, "zarr.json"), "w"))
+    assert Z.list_zarr_arrays(store) == ["time", "x", "y"]
