@@ -157,3 +157,99 @@ def test_conic_inverse_of_forward_is_identity(lon, lat):
         ilon, ilat = inv(x, y, p)
         assert abs(ilon[0] - lon) < 1e-7
         assert abs(ilat[0] - lat) < 1e-7
+
+
+@settings(**_S)
+@given(
+    st.integers(min_value=0, max_value=4000),
+    st.sampled_from(["lz4", "zlib", "zstd", "snappy"]),
+    st.sampled_from([1, 2, 4, 8, 3, 16]),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_blosc_roundtrip_property(n, cname, typesize, shuffle, seed):
+    from pyramids_spark import blosc as B
+
+    rng = np.random.default_rng(seed)
+    # mixed compressibility: runs + noise
+    data = np.where(rng.random(n) < 0.7, 7, rng.integers(0, 256, n)) \
+        .astype(np.uint8).tobytes()
+    chunk = B.encode_blosc(data, typesize, cname, 3,
+                           shuffle=1 if shuffle else 0)
+    assert B.decode_blosc(chunk) == data
+
+
+@settings(**_S)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=600),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_rle8_roundtrip_property(h, w, seed):
+    from pyramids_spark import codecs as C
+
+    rng = np.random.default_rng(seed)
+    # low-cardinality images exercise long runs AND 255-run splits
+    gray = rng.integers(0, 4, (h, w), dtype=np.uint8) * 80
+    np.testing.assert_array_equal(
+        C.decode_image(C.encode_bmp_rle8(gray)), gray)
+
+
+@settings(**_S)
+@given(
+    st.integers(min_value=2, max_value=1200),
+    st.integers(min_value=1, max_value=2),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_ima_adpcm_length_and_bound_property(n, ch, seed):
+    from pyramids_spark import codecs as C
+
+    rng = np.random.default_rng(seed)
+    # band-limited-ish signal: cumulative steps the codec can track
+    s = np.cumsum(rng.integers(-800, 801, (n, ch)), axis=0)
+    s = np.clip(s, -32768, 32767).astype(np.int16)
+    out, rate = C.decode_wav(C.encode_wav_ima(s, 8000,
+                                              samples_per_block=65))
+    assert out.shape == (n, ch) and rate == 8000
+    err = np.abs(out.astype(int) - s.astype(int))
+    assert err.max() <= 2048  # bounded by a few adapted steps
+
+
+@settings(**_S)
+@given(
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=50),
+    st.sampled_from(["<f4", "<f8"]),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_tiff_predictor3_exact_inverse_property(h, w, dt, spp, seed):
+    from pyramids_spark.tiff import _predict3, _unpredict3
+
+    rng = np.random.default_rng(seed)
+    esize = np.dtype(dt).itemsize
+    arr = rng.normal(0, 1e6, (h, w * spp)).astype(dt)
+    enc = _predict3(arr, spp)
+    back = _unpredict3(
+        np.frombuffer(enc, np.uint8).reshape(h, w * spp * esize),
+        esize, spp)
+    got = np.frombuffer(back.tobytes(), ">" + dt[1:]).reshape(h, w * spp)
+    np.testing.assert_array_equal(got.astype(dt), arr)
+
+
+@settings(**_S)
+@given(
+    st.integers(min_value=1, max_value=300),
+    st.sampled_from(["mu", "a"]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_g711_idempotent_on_representable_levels(n, law, seed):
+    from pyramids_spark import codecs as C
+
+    rng = np.random.default_rng(seed)
+    table = (C._mulaw_decode if law == "mu" else C._alaw_decode)(
+        np.arange(256, dtype=np.uint8))
+    s = table[rng.integers(0, 256, n)].astype(np.int16)
+    out, _ = C.decode_wav(C.encode_wav_g711(s, 8000, law=law))
+    # encoding a representable level must return exactly that level
+    np.testing.assert_array_equal(out[:, 0], s)
