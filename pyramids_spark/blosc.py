@@ -207,9 +207,10 @@ def decode_blosc(buf: bytes) -> bytes:
     )
     try:
         return decode_blocks(policy_split)
-    except (ValueError, OSError, zlib.error):
+    except (ValueError, OSError, zlib.error, struct.error):
         # a wrong layout guess surfaces as a size mismatch (ValueError),
-        # a corrupt-frame error from pyarrow (OSError) or zlib.error
+        # a corrupt-frame error from pyarrow (OSError), zlib.error, or a
+        # stream-header read off the buffer end (struct.error)
         if not splittable:
             raise
         return decode_blocks(not policy_split)

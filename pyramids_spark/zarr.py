@@ -386,9 +386,22 @@ def _v3_consolidated(path: str) -> "dict | None":
     except (FileNotFoundError, NotADirectoryError):
         return None
     cm = doc.get("consolidated_metadata") or {}
-    if cm.get("kind", "inline") != "inline":
+    if cm.get("kind") != "inline":  # spec-required; foreign docs distrust
         return None
     return cm.get("metadata")
+
+
+def _v2_child_arrays(cons: dict) -> "list[str]":
+    """DIRECT child array names of a v2 consolidated document —
+    nested-group keys ("grp/inner/.zarray") are not this group's."""
+    return sorted(k[:-len("/.zarray")] for k in cons
+                  if k.endswith("/.zarray") and len(k.split("/")) == 2)
+
+
+def _v3_child_arrays(cons3: dict) -> "list[str]":
+    """DIRECT child array names of a v3 inline consolidated document."""
+    return sorted(k for k, doc in cons3.items()
+                  if "/" not in k and doc.get("node_type") == "array")
 
 
 def consolidate_metadata_v3(path: str) -> dict:
@@ -454,16 +467,10 @@ def list_zarr_arrays(path: str) -> "list[str]":
     ``.zmetadata`` answers in one read when present."""
     cons = _consolidated(path)
     if cons is not None:
-        # DIRECT children only: nested-group keys ("grp/inner/.zarray")
-        # are not this group's arrays
-        return sorted(k[:-len("/.zarray")] for k in cons
-                      if k.endswith("/.zarray")
-                      and len(k.split("/")) == 2)
+        return _v2_child_arrays(cons)
     cons3 = _v3_consolidated(path)
     if cons3 is not None:
-        return sorted(k for k, doc in cons3.items()
-                      if "/" not in k
-                      and doc.get("node_type") == "array")
+        return _v3_child_arrays(cons3)
     out = []
     for name in sorted(os.listdir(path)):
         sub = os.path.join(path, name)
@@ -819,18 +826,14 @@ def read_zarr_dataset(
 
     cons = _consolidated(path)
     if cons is not None:  # one metadata read covers the whole group
-        names = sorted(k[:-len("/.zarray")] for k in cons
-                       if k.endswith("/.zarray")
-                       and len(k.split("/")) == 2)  # direct children only
+        names = _v2_child_arrays(cons)
         metas = {n: _v2_meta_dict(cons[f"{n}/.zarray"],
                                   cons.get(f"{n}/.zattrs") or {})
                  for n in names}
     else:
         cons3 = _v3_consolidated(path)
         if cons3 is not None:
-            names = sorted(k for k, doc in cons3.items()
-                           if "/" not in k
-                           and doc.get("node_type") == "array")
+            names = _v3_child_arrays(cons3)
             metas = {n: _v3_meta_dict(cons3[n]) for n in names}
         else:
             names = list_zarr_arrays(path)
@@ -920,9 +923,17 @@ def write_zarr_dataset(
     three_d = times is not None
     dims = ["time", "y", "x"] if three_d else ["y", "x"]
     os.makedirs(path, exist_ok=True)
+    # never let an old-format document shadow this write: a prior v2
+    # write leaves .zmetadata; a prior v3 write leaves a root GROUP
+    # zarr.json whose attrs/consolidated_metadata would win on read
     stale = os.path.join(path, ".zmetadata")
-    if os.path.exists(stale):  # never let an old document shadow this write
+    if os.path.exists(stale):
         os.remove(stale)
+    root3 = os.path.join(path, "zarr.json")
+    if zarr_format == 2 and os.path.exists(root3):
+        with open(root3) as f:
+            if json.load(f).get("node_type") == "group":
+                os.remove(root3)
     gatts = ({"x0": grid.x0, "y0": grid.y0, "cell": grid.cell,
               "epsg": grid.epsg, "nodata": grid.nodata}
              if georef == "attrs" else {"Conventions": "CF-1.6"})

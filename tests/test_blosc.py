@@ -295,7 +295,6 @@ def test_blosc_flag_clear_split_zstd_fallback():
     checks and falls back to the other layout."""
     data = (np.arange(256, dtype="<i8") % 31).astype("<f8").tobytes()
     ts, nbytes = 8, len(data)  # 2048 bytes, 256 elems/lane >= 128
-    lanes = [data[k::1][0:0] for k in range(0)]  # noqa: F841  (clarity)
     per = nbytes // ts
     streams = b""
     for s0 in range(ts):
@@ -339,3 +338,61 @@ def test_zmetadata_with_nested_groups_is_safe(spark, tmp_path):
     back, _, meta = SparkNetCDF.from_zarr(spark, store)
     assert meta["variables"] == ["v"]
     assert back.df.count() == 16
+
+
+def test_blosc_fallback_catches_struct_error():
+    """A flag-clear lz4 chunk in the policy-split size regime that is
+    actually NON-split: the split guess may read a stream header off the
+    buffer end (struct.error) — the fallback must still fire."""
+    data = (np.arange(256, dtype="<i8") % 13).astype("<f8").tobytes()
+    plain = bytearray(B.encode_blosc(data, 8, "lz4", 5, shuffle=0))
+    plain[2] &= ~0x10  # flag clear; policy says split, layout is not
+    assert B.decode_blosc(bytes(plain)) == data
+
+
+def test_zarr_v2_rewrite_clears_stale_v3_root(spark, tmp_path):
+    """The symmetric staleness: a v3 dataset rewrite leaves a root GROUP
+    zarr.json whose attrs/consolidated doc would shadow a later v2 write
+    — the v2 writer must remove it (but never an ARRAY store's)."""
+    from pyramids_spark.api import SparkNetCDF
+
+    store = str(tmp_path / "sym")
+    g1 = Grid(x0=0.0, y0=4.0, cell=1.0, rows=4, cols=4, epsg=4326,
+              nodata=-1.0)
+    g2 = Grid(x0=100.0, y0=50.0, cell=2.0, rows=4, cols=4, epsg=4326,
+              nodata=-1.0)
+    base = SparkDataset.create(spark, g1, "CAST(row * 4 + col AS DOUBLE)")
+    long = base.df.select(
+        F.lit("v").alias("variable"), F.lit(0).cast("long").alias("t"),
+        F.lit(0).cast("long").alias("band"), "row", "col", "value")
+    nc = SparkNetCDF(long)
+    nc.to_zarr_dataset(g1, store, times=[0.0], zarr_format=3,
+                       georef="attrs")
+    nc.to_zarr_dataset(g2, store, times=[0.0], zarr_format=2,
+                       georef="attrs")
+    assert not os.path.exists(os.path.join(store, "zarr.json"))
+    back, grid, _ = SparkNetCDF.from_zarr(spark, store)
+    assert (grid.x0, grid.y0, grid.cell) == (100.0, 50.0, 2.0)
+
+
+def test_zarr_v3_consolidated_requires_kind(spark, tmp_path):
+    """A consolidated_metadata without the spec-required 'kind' field is
+    a foreign document — ignored, discovery falls back to the walk."""
+    from pyramids_spark import zarr as Z
+    from pyramids_spark.api import SparkNetCDF
+
+    store = str(tmp_path / "nk")
+    g = Grid(x0=0.0, y0=4.0, cell=1.0, rows=4, cols=4, epsg=4326,
+             nodata=-1.0)
+    base = SparkDataset.create(spark, g, "CAST(row * 4 + col AS DOUBLE)")
+    long = base.df.select(
+        F.lit("v").alias("variable"), F.lit(0).cast("long").alias("t"),
+        F.lit(0).cast("long").alias("band"), "row", "col", "value")
+    SparkNetCDF(long).to_zarr_dataset(g, store, times=[0.0], zarr_format=3)
+    root_p = os.path.join(store, "zarr.json")
+    root = json.load(open(root_p))
+    del root["consolidated_metadata"]["kind"]
+    root["consolidated_metadata"]["metadata"] = {}  # stale/partial
+    json.dump(root, open(root_p, "w"))
+    # the empty foreign doc must NOT hide the arrays
+    assert Z.list_zarr_arrays(store) == ["time", "v", "x", "y"]
