@@ -921,6 +921,10 @@ def _read_ifds(path: str) -> list[dict]:
             sfmt = tags.get(_SFMT, (0, 0, 1))[2]  # absent tag ≙ unsigned int
             planar = tags.get(_PLANAR, (0, 0, 1))[2]
             d["dtype"] = _dt.FROM_TIFF.get((bits, sfmt))
+            if d["comp"] == 7 and bits == 12 and sfmt == 1:
+                # 12-bit JPEG (the aerial/medical layout): samples decode
+                # into uint16 words, which is also how they reshape
+                d["dtype"] = "uint16"
             d["spp"] = spp
             if d["comp"] not in (1, 5, 7, 8, 32773) or d["dtype"] is None \
                     or spp < 1:
@@ -929,10 +933,13 @@ def _read_ifds(path: str) -> list[dict]:
                     f"{sorted(_dt.TABLE)} dtype table; got "
                     f"comp={d['comp']} bits={bits} sfmt={sfmt} spp={spp}"
                 )
-            if d["comp"] == 7 and (d["dtype"] != "uint8" or d["pred"] != 1):
+            if d["comp"] == 7 and (
+                bits not in (8, 12) or d["pred"] != 1
+            ):
                 raise NotImplementedError(
-                    "JPEG-compressed TIFF must be 8-bit samples without a "
-                    f"predictor (got dtype={d['dtype']} pred={d['pred']})"
+                    "JPEG-compressed TIFF must be 8- or 12-bit samples "
+                    f"without a predictor (got bits={bits} "
+                    f"pred={d['pred']})"
                 )
             if spp > 1 and planar != 1:
                 raise NotImplementedError(

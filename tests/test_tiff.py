@@ -941,3 +941,48 @@ def test_geotiff_write_predictor3_float(spark, tmp_path):
     back = SparkDataset.from_geotiff_parts(spark, out)
     b = {(r.band, r.row, r.col): r.value for r in back.df.collect()}
     assert a == b
+
+
+def test_geotiff_reads_12bit_jpeg_compressed(spark, tmp_path):
+    """Compression=7 with BitsPerSample=12 (the 12-bit aerial layout):
+    strips are 12-bit JFIF streams, samples surface as uint16 words —
+    the reader must reproduce decode_jpeg's pixels exactly."""
+    from pyramids_spark import jpeg as J
+
+    rows, cols, rps = 16, 24, 8
+    img = ((np.add.outer(np.arange(rows) * 160, np.arange(cols) * 96))
+           % 4096).astype(np.uint16)
+    strips = [J.encode_jpeg(img[s:s + rps], quality=95, bits=12)
+              for s in range(0, rows, rps)]
+    exp = np.vstack([J.decode_jpeg(s) for s in strips])
+    assert exp.dtype == np.uint16 and exp.max() > 255
+    n_tags, ifd_at = 9, 8
+    p_off = ifd_at + 2 + n_tags * 12 + 4
+    p_cnt = p_off + 4 * len(strips)
+    data_at = p_cnt + 4 * len(strips)
+    offs, cur = [], data_at
+    for s in strips:
+        offs.append(cur)
+        cur += len(s)
+    tags = sorted([
+        (256, 4, 1, cols), (257, 4, 1, rows), (258, 3, 1, 12),
+        (259, 3, 1, 7), (262, 3, 1, 1),
+        (273, 4, len(strips), p_off), (278, 4, 1, rps),
+        (279, 4, len(strips), p_cnt), (339, 3, 1, 1),
+    ])
+    buf = bytearray(struct.pack("<2sHI", b"II", 42, ifd_at))
+    buf += struct.pack("<H", n_tags)
+    for t in tags:
+        buf += struct.pack("<HHII", *t)
+    buf += struct.pack("<I", 0)
+    buf += struct.pack(f"<{len(strips)}I", *offs)
+    buf += struct.pack(f"<{len(strips)}I", *[len(s) for s in strips])
+    for s in strips:
+        buf += s
+    p = tmp_path / "j12.tif"
+    p.write_bytes(bytes(buf))
+    back = SparkDataset.from_geotiff(spark, str(p))
+    got = {(r.row, r.col): r.value for r in back.df.collect()}
+    assert got == {(r, c): float(exp[r, c])
+                   for r in range(rows) for c in range(cols)}
+    assert max(got.values()) > 255.0  # genuinely 12-bit range
