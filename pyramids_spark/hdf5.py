@@ -162,17 +162,24 @@ def _layout_chunked(btree_addr: int, chunk: "tuple[int, ...]", esize: int
 
 def _filter_msg(
     shuffle_esize: int, deflate_level: "int | None", fletcher32: bool = False,
+    zstd_level: "int | None" = None,
 ) -> bytes:
     filters = []
     if shuffle_esize:
         filters.append((2, shuffle_esize))
     if deflate_level is not None:
         filters.append((1, deflate_level))
-    n = len(filters) + (1 if fletcher32 else 0)
+    n = len(filters) + (1 if fletcher32 else 0) + (1 if zstd_level
+                                                   is not None else 0)
     b = struct.pack("<BB6x", 1, n)
     for fid, cval in filters:  # built-in ids carry no name; 1 client value
         b += struct.pack("<HHHHI4x", fid, 0, 0, 1, cval)
-    if fletcher32:  # LAST: checksum covers the post-deflate stream
+    if zstd_level is not None:
+        # registered filter (id >= 256): v1 carries an 8-padded name
+        name = b"zstd\x00\x00\x00\x00"
+        b += struct.pack("<HHHH", 32015, len(name), 0, 1) + name \
+            + struct.pack("<I4x", zstd_level)
+    if fletcher32:  # LAST: checksum covers the post-compression stream
         b += struct.pack("<HHHH", 3, 0, 0, 0)
     return _msg(0x000B, b)
 
@@ -448,7 +455,7 @@ def write_netcdf4(
     cells_df: DataFrame, grid: Grid, path: str,
     times: "list[float] | None" = None,
     variables: "list[str] | None" = None, dtype: str = "float64",
-    compress: "int | None" = 4, shuffle: bool = True,
+    compress: "int | str | None" = 4, shuffle: bool = True,
     fletcher32: bool = False,
     chunk: "tuple[int, int]" = (64, 64), georef: str = "attrs",
     btree_cap: int = 64, index: str = "btree1", fa_page_bits: int = 10,
@@ -470,6 +477,16 @@ def write_netcdf4(
     write shape."""
     if index not in ("btree1", "fixed_array"):
         raise ValueError(f"index must be btree1 or fixed_array, got {index}")
+    zstd_level = None
+    if isinstance(compress, str):
+        # "zstd" / "zstd:N": the registered Zstandard filter (id 32015,
+        # the netCDF-4.9 compression); ints stay deflate levels
+        if not compress.startswith("zstd"):
+            raise ValueError(f"compress must be an int, None or zstd[:N] "
+                             f"(got {compress!r})")
+        zstd_level = (int(compress.split(":", 1)[1])
+                      if ":" in compress else 3)
+        compress = None
     dt_name = _dt.resolve(dtype)
     np_dt = _dt.np_dtype(dt_name)
     esize = np_dt.itemsize
@@ -574,9 +591,11 @@ def write_netcdf4(
                 _msg(0x0003, _dt_of(np_dt)),
                 _fill_msg(fill_bytes, True),
             ]
-            if shuffle or compress is not None or fletcher32:
+            if shuffle or compress is not None or fletcher32 \
+                    or zstd_level is not None:
                 head.append(_filter_msg(
-                    esize if shuffle else 0, compress, fletcher32))
+                    esize if shuffle else 0, compress, fletcher32,
+                    zstd_level))
             if fixed_dims:
                 head.append(_layout_chunked4(
                     a.get(f"btree_{v}", UNDEF), cdims, esize, 3,
@@ -647,6 +666,11 @@ def write_netcdf4(
             raw = np.frombuffer(raw, "u1").reshape(-1, esize).T.tobytes()
         if compress is not None:
             raw = zlib.compress(raw, compress)
+        elif zstd_level is not None:
+            import pyarrow as pa
+
+            raw = pa.Codec("zstd", compression_level=zstd_level).compress(
+                raw, asbytes=True)
         if fletcher32:
             raw += struct.pack("<I", _fletcher32(raw))
         return pd.DataFrame({
@@ -680,7 +704,8 @@ def write_netcdf4(
         pos = btree_base
         ny, nx = -(-rows // ch), -(-cols // cw)
         csize = ch * cw * esize
-        filtered = shuffle or compress is not None or fletcher32
+        filtered = (shuffle or compress is not None or fletcher32
+                    or zstd_level is not None)
         for v in variables:
             if not entries[v]:
                 addrs[f"btree_{v}"] = UNDEF
@@ -881,14 +906,21 @@ def _fletcher32(data: bytes) -> int:
     return (canon(s2) << 16) | canon(s1)
 
 
-def _defilter(raw: bytes, ids: "list[int]", mask: int, esize: int) -> bytes:
+def _defilter(raw: bytes, ids: "list[int]", mask: int, esize: int,
+              out_size: "int | None" = None) -> bytes:
     """Undo the filter pipeline back-to-front, honoring the per-chunk
-    filter mask (bit i set = filter i was SKIPPED for this chunk)."""
+    filter mask (bit i set = filter i was SKIPPED for this chunk).
+    ``out_size`` is the raw chunk byte count — zstd frames need it."""
     for i in range(len(ids) - 1, -1, -1):
         if mask & (1 << i):
             continue
         if ids[i] == 1:
             raw = zlib.decompress(raw)
+        elif ids[i] == 32015:  # registered Zstandard filter (netCDF 4.9+)
+            import pyarrow as pa
+
+            raw = pa.Codec("zstd").decompress(
+                raw, decompressed_size=out_size, asbytes=True)
         elif ids[i] == 2:
             raw = np.frombuffer(raw, "u1").reshape(esize, -1).T.tobytes()
         elif ids[i] == 3:  # fletcher32: verify, strip the trailing checksum
@@ -1395,7 +1427,8 @@ class _H5Meta:
         out = np.zeros(shape, dt)
         for offs, addr, nbytes, mask in it:
             fh.seek(addr)
-            raw = _defilter(fh.read(nbytes), ids, mask, dt.itemsize)
+            raw = _defilter(fh.read(nbytes), ids, mask, dt.itemsize,
+                            out_size=int(np.prod(cdims)) * dt.itemsize)
             arr = np.frombuffer(raw, dt).reshape(cdims)
             sl = tuple(slice(o, min(o + c, s))
                        for o, c, s in zip(offs, cdims, shape))
@@ -1477,11 +1510,12 @@ def read_netcdf4(
     for nm, (m, dn) in sorted(usable.items()):
         dt = m["dtype"][1]
         ids = [f[0] for f in m["filters"]]
-        bad = sorted(set(ids) - {1, 2, 3})
+        bad = sorted(set(ids) - {1, 2, 3, 32015})
         if bad:
             raise NotImplementedError(
                 f"variable {nm!r} uses HDF5 filter ids {bad} (deflate=1, "
-                "shuffle=2, fletcher32=3 only — szip/nbit stay out of scope)"
+                "shuffle=2, fletcher32=3, zstd=32015 only — szip/nbit "
+                "stay out of scope)"
             )
         fill = None
         if m["fill"] is not None and len(m["fill"]) >= dt.itemsize:
@@ -1543,8 +1577,9 @@ def read_netcdf4(
                     raw = fh.read(int(row.nbytes))
                     ids = [int(x) for x in row.fids.split(",") if x]
                     dt = np.dtype(row.np_dt)
-                    raw = _defilter(raw, ids, int(row.mask), dt.itemsize)
                     ct, chh, cww = int(row.ct), int(row.ch), int(row.cw)
+                    raw = _defilter(raw, ids, int(row.mask), dt.itemsize,
+                                    out_size=ct * chh * cww * dt.itemsize)
                     arr = (np.frombuffer(raw, dt)
                            .reshape(ct, chh, cww).astype("<f8"))
                     fillv = None if pd.isna(row.fill) else float(row.fill)

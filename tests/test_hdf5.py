@@ -445,3 +445,56 @@ def test_v4_dont_filter_partial_chunks_flag():
     lay = ("chunked4", 2, 0x01, [4, 4], 2, 1000, {})
     got = list(h5.iter_chunks_v4(lay, (5, 6), False))
     assert all(m == 0 for _, _, _, m in got)
+
+
+def test_netcdf4_zstd_filter_roundtrip(spark, tmp_path):
+    """compress="zstd" writes the registered Zstandard filter (id 32015,
+    the netCDF-4.9 compression) with a named v1 filter entry; chunks are
+    real zstd frames, and the reader defilters them — composing with
+    shuffle, fletcher32 and the fixed-array index."""
+    import pyarrow as pa
+    from dataclasses import replace
+
+    g = replace(G, nodata=-9999.0)
+    df, exp = _cells(spark)
+    p = str(tmp_path / "z.nc")
+    man = SparkNetCDF(df).to_netcdf4(
+        g, p, times=[10.0, 20.0, 30.0], dtype="int16", chunk=(4, 4),
+        compress="zstd:5", shuffle=True, fletcher32=True,
+        index="fixed_array",
+    )
+    h5 = hdf5._H5Meta(p)
+    try:
+        links = h5.group_links(h5.messages(h5.root))
+        m = h5.dataset(links["temp"])
+        assert [f[0] for f in m["filters"]] == [2, 32015, 3]
+        assert m["filters"][1][2] == [5]  # the level rides in cd_values
+    finally:
+        h5.close()
+    # byte-level: one stored chunk defilters with plain pyarrow zstd
+    # (dict access: `.nbytes` on a pandas row Series is its MEMORY size)
+    r0 = man.iloc[0]
+    blob = open(p, "rb").read()
+    raw = blob[int(r0["addr"]):int(r0["addr"]) + int(r0["nbytes"])]
+    body = raw[:-4]  # strip the fletcher32 word
+    plain = pa.Codec("zstd").decompress(body, decompressed_size=4 * 4 * 2,
+                                        asbytes=True)
+    assert len(plain) == 32
+    back, _, _ = SparkNetCDF.read_file(spark, p)
+    got = {(r.variable, r.t, r.row, r.col): r.value
+           for r in back.df.collect()}
+    assert got == exp
+    # unshuffled zstd-only variant too
+    p2 = str(tmp_path / "z2.nc")
+    SparkNetCDF(df).to_netcdf4(g, p2, times=[10.0, 20.0, 30.0],
+                               dtype="int16", chunk=(8, 8),
+                               compress="zstd", shuffle=False)
+    back, _, _ = SparkNetCDF.read_file(spark, p2)
+    got = {(r.variable, r.t, r.row, r.col): r.value
+           for r in back.df.collect()}
+    assert got == exp
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="zstd"):
+        SparkNetCDF(df).to_netcdf4(g, str(tmp_path / "bad.nc"),
+                                   times=[10.0], compress="lzma")
