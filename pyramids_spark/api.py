@@ -1068,7 +1068,7 @@ class SparkNetCDF:
 
     def to_netcdf4(
         self, grid, path: str, times: "list[float] | None" = None,
-        dtype: str = "float64", compress: "int | None" = 4,
+        dtype: str = "float64", compress: "int | str | None" = 4,
         shuffle: bool = True, fletcher32: bool = False,
         chunk: "tuple[int, int]" = (64, 64), georef: str = "attrs",
         index: str = "btree1",
