@@ -884,9 +884,11 @@ def sql_geotiff_roundtrip_i16():
 def q_netcdf_roundtrip(spark, sf_dir):
     """Container gate (VERDICT r4 #3): REAL classic NetCDF binary — two
     record variables × three records (time coord + record interleaving +
-    int16 storage with _FillValue), written by parallel executor pwrite at
-    precomputed offsets, read back distributed by byte range. Oracle is
-    the grid generator (reference ``netcdf/netcdf.py:849-982``)."""
+    int16 storage with _FillValue), in the CDF-5 64-bit-data format
+    (8-byte NON_NEG header fields — the PnetCDF layout), written by
+    parallel executor pwrite at precomputed offsets, read back
+    distributed by byte range. Oracle is the grid generator (reference
+    ``netcdf/netcdf.py:849-982``)."""
     from pyramids_spark.api import SparkNetCDF
 
     base = grid_df(spark, COELLO)
@@ -901,7 +903,7 @@ def q_netcdf_roundtrip(spark, sf_dir):
     )
     SparkNetCDF(cells).to_netcdf(
         COELLO, "/tmp/pyramids_q_nc.nc", times=[10.0, 20.0, 30.0],
-        dtype="int16",
+        dtype="int16", version=5,
     )
     back, _, _ = SparkNetCDF.read_file(spark, "/tmp/pyramids_q_nc.nc")
     return back.df.select("variable", "t", "band", "row", "col", "value")
