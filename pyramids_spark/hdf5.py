@@ -481,11 +481,13 @@ def write_netcdf4(
     if isinstance(compress, str):
         # "zstd" / "zstd:N": the registered Zstandard filter (id 32015,
         # the netCDF-4.9 compression); ints stay deflate levels
-        if not compress.startswith("zstd"):
-            raise ValueError(f"compress must be an int, None or zstd[:N] "
-                             f"(got {compress!r})")
-        zstd_level = (int(compress.split(":", 1)[1])
-                      if ":" in compress else 3)
+        if compress == "zstd":
+            zstd_level = 3
+        elif compress.startswith("zstd:") and compress[5:].isdigit():
+            zstd_level = int(compress[5:])
+        else:
+            raise ValueError(f"compress must be an int, None, 'zstd' or "
+                             f"'zstd:<level>' (got {compress!r})")
         compress = None
     dt_name = _dt.resolve(dtype)
     np_dt = _dt.np_dtype(dt_name)
@@ -1516,6 +1518,13 @@ def read_netcdf4(
                 f"variable {nm!r} uses HDF5 filter ids {bad} (deflate=1, "
                 "shuffle=2, fletcher32=3, zstd=32015 only — szip/nbit "
                 "stay out of scope)"
+            )
+        if 1 in ids and 32015 in ids and ids.index(1) < ids.index(32015):
+            # zstd applied AFTER deflate: undoing zstd first needs the
+            # intermediate deflate-stream size, which nothing records
+            raise NotImplementedError(
+                f"variable {nm!r} stacks deflate before zstd — the "
+                "intermediate stream size is unrecoverable"
             )
         fill = None
         if m["fill"] is not None and len(m["fill"]) >= dt.itemsize:

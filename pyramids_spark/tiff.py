@@ -934,12 +934,12 @@ def _read_ifds(path: str) -> list[dict]:
                     f"comp={d['comp']} bits={bits} sfmt={sfmt} spp={spp}"
                 )
             if d["comp"] == 7 and (
-                bits not in (8, 12) or d["pred"] != 1
+                bits not in (8, 12) or sfmt != 1 or d["pred"] != 1
             ):
                 raise NotImplementedError(
-                    "JPEG-compressed TIFF must be 8- or 12-bit samples "
-                    f"without a predictor (got bits={bits} "
-                    f"pred={d['pred']})"
+                    "JPEG-compressed TIFF must be 8- or 12-bit UNSIGNED "
+                    f"samples without a predictor (got bits={bits} "
+                    f"sfmt={sfmt} pred={d['pred']})"
                 )
             if spp > 1 and planar != 1:
                 raise NotImplementedError(

@@ -166,6 +166,29 @@ def _make_encoder(
     )
 
 
+def _clear_array_store(path: str) -> None:
+    """Remove a PRIOR array write's metadata and chunk payloads from
+    ``path`` before rewriting: absent cells are absent FILES in a zarr
+    store, so a rewrite that leaves old chunks (same format with a
+    different chunk set, or another format's differently-named files)
+    silently mixes stale data into every later read. Targeted deletes
+    only — sibling arrays and group markers are untouched."""
+    import re
+    import shutil
+
+    for nm in (".zarray", ".zattrs", "zarr.json"):
+        p = os.path.join(path, nm)
+        if os.path.exists(p):
+            os.remove(p)
+    c = os.path.join(path, "c")
+    if os.path.isdir(c):
+        shutil.rmtree(c)
+    for nm in os.listdir(path):
+        p = os.path.join(path, nm)
+        if os.path.isfile(p) and re.fullmatch(r"[0-9]+(\.[0-9]+)*", nm):
+            os.remove(p)
+
+
 def _crc32c_table() -> np.ndarray:
     t = np.zeros(256, np.uint32)
     for i in range(256):
@@ -232,6 +255,7 @@ def write_zarr(
         zarr_format, codec, compress, _dt.np_dtype(dt_name).itemsize
     )
     os.makedirs(path, exist_ok=True)
+    _clear_array_store(path)
     n_bands_row = cells_df.select(F.max("band").alias("m")).collect()[0]
     n_bands = int(n_bands_row["m"]) + 1 if n_bands_row["m"] is not None else 1
     fill_json = (
@@ -931,9 +955,13 @@ def write_zarr_dataset(
         os.remove(stale)
     root3 = os.path.join(path, "zarr.json")
     if zarr_format == 2 and os.path.exists(root3):
-        with open(root3) as f:
-            if json.load(f).get("node_type") == "group":
-                os.remove(root3)
+        try:
+            with open(root3) as f:
+                keep = json.load(f).get("node_type") == "array"
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            keep = False  # a truncated doc from a crashed write is trash
+        if not keep:
+            os.remove(root3)
     gatts = ({"x0": grid.x0, "y0": grid.y0, "cell": grid.cell,
               "epsg": grid.epsg, "nodata": grid.nodata}
              if georef == "attrs" else {"Conventions": "CF-1.6"})
@@ -950,6 +978,7 @@ def write_zarr_dataset(
     def write_coord(name: str, vals: np.ndarray) -> None:
         sub = os.path.join(path, name)
         os.makedirs(sub, exist_ok=True)
+        _clear_array_store(sub)  # a prior other-format coord would mix
         raw = vals.astype("<f8").tobytes()
         if zarr_format == 3:
             with open(os.path.join(sub, "zarr.json"), "w") as f:

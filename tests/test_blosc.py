@@ -350,29 +350,48 @@ def test_blosc_fallback_catches_struct_error():
     assert B.decode_blosc(bytes(plain)) == data
 
 
-def test_zarr_v2_rewrite_clears_stale_v3_root(spark, tmp_path):
-    """The symmetric staleness: a v3 dataset rewrite leaves a root GROUP
-    zarr.json whose attrs/consolidated doc would shadow a later v2 write
-    — the v2 writer must remove it (but never an ARRAY store's)."""
+def test_zarr_cross_format_rewrite_no_stale_mixing(spark, tmp_path):
+    """Rewriting a dataset store in the OTHER zarr format must not mix
+    stale state in: not the root GROUP document (grid attrs), not the
+    per-array metadata, and not the old format's chunk FILES — a missed
+    chunk cleanup returns duplicated rows blending old and new values.
+    Both directions, with DISTINCT values and count assertions."""
     from pyramids_spark.api import SparkNetCDF
 
-    store = str(tmp_path / "sym")
     g1 = Grid(x0=0.0, y0=4.0, cell=1.0, rows=4, cols=4, epsg=4326,
               nodata=-1.0)
     g2 = Grid(x0=100.0, y0=50.0, cell=2.0, rows=4, cols=4, epsg=4326,
               nodata=-1.0)
-    base = SparkDataset.create(spark, g1, "CAST(row * 4 + col AS DOUBLE)")
-    long = base.df.select(
-        F.lit("v").alias("variable"), F.lit(0).cast("long").alias("t"),
-        F.lit(0).cast("long").alias("band"), "row", "col", "value")
-    nc = SparkNetCDF(long)
-    nc.to_zarr_dataset(g1, store, times=[0.0], zarr_format=3,
-                       georef="attrs")
-    nc.to_zarr_dataset(g2, store, times=[0.0], zarr_format=2,
-                       georef="attrs")
-    assert not os.path.exists(os.path.join(store, "zarr.json"))
+
+    def cells(offset):
+        base = SparkDataset.create(
+            spark, g1, f"CAST(row * 4 + col + {offset} AS DOUBLE)")
+        return base.df.select(
+            F.lit("v").alias("variable"), F.lit(0).cast("long").alias("t"),
+            F.lit(0).cast("long").alias("band"), "row", "col", "value")
+
+    for first, second in ((3, 2), (2, 3)):
+        store = str(tmp_path / f"sym{first}{second}")
+        SparkNetCDF(cells(0)).to_zarr_dataset(
+            g1, store, times=[0.0], zarr_format=first, georef="attrs")
+        SparkNetCDF(cells(1000)).to_zarr_dataset(
+            g2, store, times=[0.0], zarr_format=second, georef="attrs")
+        back, grid, _ = SparkNetCDF.from_zarr(spark, store)
+        assert (grid.x0, grid.y0, grid.cell) == (100.0, 50.0, 2.0)
+        rows = back.df.collect()
+        assert len(rows) == 16  # no duplicated stale chunks
+        got = {(r.row, r.col): r.value for r in rows}
+        assert got == {(r, c): float(r * 4 + c + 1000)
+                       for r in range(4) for c in range(4)}
+    # a corrupt root document from a crashed write is cleared, not fatal
+    store = str(tmp_path / "crash")
+    SparkNetCDF(cells(0)).to_zarr_dataset(g1, store, times=[0.0],
+                                          zarr_format=3)
+    open(os.path.join(store, "zarr.json"), "w").write('{"zarr_format": ')
+    SparkNetCDF(cells(7)).to_zarr_dataset(g2, store, times=[0.0],
+                                          zarr_format=2, georef="attrs")
     back, grid, _ = SparkNetCDF.from_zarr(spark, store)
-    assert (grid.x0, grid.y0, grid.cell) == (100.0, 50.0, 2.0)
+    assert grid.x0 == 100.0 and back.df.count() == 16
 
 
 def test_zarr_v3_consolidated_requires_kind(spark, tmp_path):

@@ -498,3 +498,14 @@ def test_netcdf4_zstd_filter_roundtrip(spark, tmp_path):
     with _pytest.raises(ValueError, match="zstd"):
         SparkNetCDF(df).to_netcdf4(g, str(tmp_path / "bad.nc"),
                                    times=[10.0], compress="lzma")
+
+
+def test_netcdf4_zstd_guards():
+    """compress-string typos reject loudly (no silent level default),
+    and a deflate-before-zstd foreign stack rejects at plan time."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="zstd"):
+        hdf5.write_netcdf4(None, None, "", [0.0], compress="zstd9")
+    with _pytest.raises(ValueError, match="zstd"):
+        hdf5.write_netcdf4(None, None, "", [0.0], compress="zstd:x")
