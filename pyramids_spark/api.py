@@ -1136,6 +1136,7 @@ class SparkNetCDF:
         dtype: str = "float64", compress: "int | None" = None,
         chunks: "tuple[int, int]" = (256, 256), zarr_format: int = 2,
         georef: str = "coords", codec: "str | None" = None,
+        mode: str = "w",
     ):
         """Write this surface as a CF/xarray-style zarr GROUP — one
         ``(time, y, x)`` array per variable plus coordinate arrays
@@ -1147,5 +1148,5 @@ class SparkNetCDF:
             self.df.select("variable", "t", "row", "col", "value"),
             grid, path, times, dtype=dtype, compress=compress,
             chunks=chunks, zarr_format=zarr_format, georef=georef,
-            codec=codec,
+            codec=codec, mode=mode,
         )

@@ -483,7 +483,8 @@ def write_netcdf4(
         # the netCDF-4.9 compression); ints stay deflate levels
         if compress == "zstd":
             zstd_level = 3
-        elif compress.startswith("zstd:") and compress[5:].isdigit():
+        elif (compress.startswith("zstd:") and compress[5:].isascii()
+                and compress[5:].isdigit() and 1 <= int(compress[5:]) <= 22):
             zstd_level = int(compress[5:])
         else:
             raise ValueError(f"compress must be an int, None, 'zstd' or "
@@ -1407,6 +1408,14 @@ class _H5Meta:
         desc = meta["dtype"]
         if desc is None or desc[0] != "np" or meta["layout"] is None:
             return None
+        fids = [f[0] for f in meta["filters"]]
+        bad = sorted(set(fids) - {1, 2, 3, 32015})
+        if bad:  # same gate data variables get, for clean plan-time errors
+            raise NotImplementedError(f"HDF5 filter ids {bad} unsupported")
+        if 1 in fids and 32015 in fids and fids.index(1) < fids.index(32015):
+            raise NotImplementedError(
+                "deflate stacked before zstd — intermediate stream size "
+                "is unrecoverable")
         dt = desc[1]
         shape = tuple(meta["shape"] or ())
         n = int(np.prod(shape)) if shape else 1

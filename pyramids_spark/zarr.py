@@ -167,16 +167,18 @@ def _make_encoder(
 
 
 def _clear_array_store(path: str) -> None:
-    """Remove a PRIOR array write's metadata and chunk payloads from
-    ``path`` before rewriting: absent cells are absent FILES in a zarr
-    store, so a rewrite that leaves old chunks (same format with a
-    different chunk set, or another format's differently-named files)
-    silently mixes stale data into every later read. Targeted deletes
-    only — sibling arrays and group markers are untouched."""
+    """Remove a PRIOR write's node documents and chunk payloads at this
+    directory LEVEL before rewriting it as an array: absent cells are
+    absent FILES in a zarr store, so a rewrite that leaves old chunks
+    (same format with a different chunk set, or another format's
+    differently-named files) silently mixes stale data into every later
+    read. Both group markers go too — an array write over a prior group
+    root would otherwise keep dispatching reads to stale children.
+    Child directories (sibling arrays of a group) are untouched."""
     import re
     import shutil
 
-    for nm in (".zarray", ".zattrs", "zarr.json"):
+    for nm in (".zarray", ".zattrs", "zarr.json", ".zgroup", ".zmetadata"):
         p = os.path.join(path, nm)
         if os.path.exists(p):
             os.remove(p)
@@ -187,6 +189,27 @@ def _clear_array_store(path: str) -> None:
         p = os.path.join(path, nm)
         if os.path.isfile(p) and re.fullmatch(r"[0-9]+(\.[0-9]+)*", nm):
             os.remove(p)
+
+
+def _clear_group_store(path: str) -> None:
+    """Dataset write mode "w": remove EVERY zarr artifact of a prior
+    write at ``path`` — root documents (group or array, parseable or
+    not) and child node directories — so a rewrite cannot mix stale
+    variables, chunks, or georeferencing attrs into reads (the xarray
+    ``to_zarr(mode="w")`` contract). Non-zarr files and directories
+    survive; existence checks only, so truncated documents from a
+    crashed write cannot block the cleanup."""
+    import shutil
+
+    _clear_array_store(path)  # root docs (any kind/state) + root chunks
+    for child in os.listdir(path):
+        sub = os.path.join(path, child)
+        if os.path.isdir(sub) and (
+            os.path.exists(os.path.join(sub, ".zarray"))
+            or os.path.exists(os.path.join(sub, "zarr.json"))
+            or os.path.exists(os.path.join(sub, ".zgroup"))
+        ):
+            shutil.rmtree(sub)
 
 
 def _crc32c_table() -> np.ndarray:
@@ -440,8 +463,11 @@ def consolidate_metadata_v3(path: str) -> dict:
     for child in sorted(os.listdir(path)):
         p = os.path.join(path, child, "zarr.json")
         if os.path.exists(p):
-            with open(p) as f:
-                meta[child] = json.load(f)
+            try:
+                with open(p) as f:
+                    meta[child] = json.load(f)
+            except (json.JSONDecodeError, UnicodeDecodeError):
+                continue  # a corrupt stale child can't block THIS write
         elif os.path.exists(os.path.join(path, child, ".zarray")):
             mixed = True
     root_p = os.path.join(path, "zarr.json")
@@ -473,11 +499,15 @@ def consolidate_metadata(path: str) -> dict:
         sub = os.path.join(path, child)
         if not os.path.isdir(sub):
             continue
-        for nm in (".zarray", ".zattrs"):
-            p = os.path.join(sub, nm)
-            if os.path.exists(p):
-                with open(p) as f:
-                    meta[f"{child}/{nm}"] = json.load(f)
+        try:
+            for nm in (".zarray", ".zattrs"):
+                p = os.path.join(sub, nm)
+                if os.path.exists(p):
+                    with open(p) as f:
+                        meta[f"{child}/{nm}"] = json.load(f)
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            meta.pop(f"{child}/.zarray", None)  # corrupt stale child
+            meta.pop(f"{child}/.zattrs", None)
     doc = {"zarr_consolidated_format": 1, "metadata": meta}
     with open(os.path.join(path, ".zmetadata"), "w") as f:
         json.dump(doc, f)
@@ -929,7 +959,7 @@ def write_zarr_dataset(
     variables: "list[str] | None" = None, dtype: str = "float64",
     compress: "int | None" = None, chunks: tuple[int, int] = (256, 256),
     zarr_format: int = 2, georef: str = "coords",
-    codec: "str | None" = None,
+    codec: "str | None" = None, mode: str = "w",
 ) -> pd.DataFrame:
     """Write the long cell table ``(variable, t, row, col, value)`` as a
     CF/xarray-style zarr GROUP: one ``(time, y, x)`` array per variable
@@ -937,31 +967,46 @@ def write_zarr_dataset(
     coordinate arrays, dimension names on every node — the layout xarray
     opens directly. ``georef`` "coords" georeferences via the coordinate
     variables alone (CF; descending y); "attrs" additionally stores the
-    engine's x0/y0/cell on the group. Per-variable chunk writes run
+    engine's x0/y0/cell on the group. ``mode`` "w" (default) REPLACES
+    any prior zarr state at ``path`` (the xarray ``to_zarr(mode="w")``
+    contract — stale variables/chunks/attrs of either format are
+    removed); "a" adds/overwrites only the written variables, keeping
+    siblings. Per-variable chunk writes run
     distributed (the :func:`write_zarr` job per variable); coordinates
     write driver-side. Returns the concatenated chunk manifest."""
     if variables is None:
         variables = sorted(
             r[0] for r in cells_df.select("variable").distinct().collect()
         )
+    if mode not in ("w", "a"):
+        raise ValueError(f"mode must be 'w' (replace) or 'a' (add), "
+                         f"got {mode!r}")
     three_d = times is not None
     dims = ["time", "y", "x"] if three_d else ["y", "x"]
     os.makedirs(path, exist_ok=True)
-    # never let an old-format document shadow this write: a prior v2
-    # write leaves .zmetadata; a prior v3 write leaves a root GROUP
-    # zarr.json whose attrs/consolidated_metadata would win on read
-    stale = os.path.join(path, ".zmetadata")
-    if os.path.exists(stale):
-        os.remove(stale)
-    root3 = os.path.join(path, "zarr.json")
-    if zarr_format == 2 and os.path.exists(root3):
-        try:
-            with open(root3) as f:
-                keep = json.load(f).get("node_type") == "array"
-        except (json.JSONDecodeError, UnicodeDecodeError):
-            keep = False  # a truncated doc from a crashed write is trash
-        if not keep:
-            os.remove(root3)
+    if mode == "w":
+        # REPLACE: every prior zarr artifact goes (root docs of either
+        # format — array, group, or corrupt — child node dirs, chunks),
+        # so nothing stale can mix into later reads
+        _clear_group_store(path)
+    else:
+        # ADD: keep sibling arrays, but never let an old-format ROOT
+        # document shadow this write (per-variable dirs are cleared by
+        # write_zarr itself)
+        stale = os.path.join(path, ".zmetadata")
+        if os.path.exists(stale):
+            os.remove(stale)
+        root3 = os.path.join(path, "zarr.json")
+        if zarr_format == 2 and os.path.exists(root3):
+            try:
+                with open(root3) as f:
+                    doc = json.load(f)
+                keep = (isinstance(doc, dict)
+                        and doc.get("node_type") == "array")
+            except (json.JSONDecodeError, UnicodeDecodeError):
+                keep = False  # a truncated doc from a crashed write
+            if not keep:
+                os.remove(root3)
     gatts = ({"x0": grid.x0, "y0": grid.y0, "cell": grid.cell,
               "epsg": grid.epsg, "nodata": grid.nodata}
              if georef == "attrs" else {"Conventions": "CF-1.6"})

@@ -281,9 +281,9 @@ def test_zarr_dataset_v3_rewrite_clears_stale_zmetadata(spark, tmp_path):
     nc.to_zarr_dataset(g, store, times=[0.0], zarr_format=2)
     nc_b = SparkNetCDF(long.withColumnRenamed("variable", "variable")
                        .withColumn("variable", F.lit("b")))
-    nc_b.to_zarr_dataset(g, store, times=[0.0], zarr_format=3)
+    nc_b.to_zarr_dataset(g, store, times=[0.0], zarr_format=3, mode="a")
     assert not os.path.exists(os.path.join(store, ".zmetadata"))
-    # zarr writes into an existing dir are additive: BOTH arrays must be
+    # mode="a" is ADDITIVE: BOTH arrays must be
     # visible — the stale v2-era document would have hidden "b"
     back, _, meta = SparkNetCDF.from_zarr(spark, store)
     assert meta["variables"] == ["a", "b"]
@@ -415,3 +415,52 @@ def test_zarr_v3_consolidated_requires_kind(spark, tmp_path):
     json.dump(root, open(root_p, "w"))
     # the empty foreign doc must NOT hide the arrays
     assert Z.list_zarr_arrays(store) == ["time", "v", "x", "y"]
+
+
+def test_zarr_dataset_mode_w_replaces_orphans_and_array_roots(spark,
+                                                              tmp_path):
+    """mode="w" (default) REPLACES: orphan variables from a prior write
+    disappear, and a prior ARRAY store at the root (its georeferencing
+    attrs and chunk tree) is cleared instead of shadowing the dataset."""
+    from pyramids_spark.api import SparkNetCDF
+
+    g1 = Grid(x0=0.0, y0=4.0, cell=1.0, rows=4, cols=4, epsg=4326,
+              nodata=-1.0)
+    g2 = Grid(x0=100.0, y0=50.0, cell=2.0, rows=4, cols=4, epsg=4326,
+              nodata=-1.0)
+
+    def nc(variables, offset):
+        base = SparkDataset.create(
+            spark, g1, f"CAST(row * 4 + col + {offset} AS DOUBLE)")
+        parts = None
+        for v in variables:
+            p = base.df.select(
+                F.lit(v).alias("variable"),
+                F.lit(0).cast("long").alias("t"),
+                F.lit(0).cast("long").alias("band"), "row", "col", "value")
+            parts = p if parts is None else parts.unionByName(p)
+        return SparkNetCDF(parts)
+
+    # orphan variables: {a, b} then {a} → b must be GONE
+    store = str(tmp_path / "orph")
+    nc(["a", "b"], 0).to_zarr_dataset(g1, store, times=[0.0],
+                                      zarr_format=2)
+    nc(["a"], 500).to_zarr_dataset(g1, store, times=[0.0], zarr_format=2)
+    back, _, meta = SparkNetCDF.from_zarr(spark, store)
+    assert meta["variables"] == ["a"] and back.df.count() == 16
+    # dataset over a prior ARRAY store: old attrs/chunks cleared
+    store2 = str(tmp_path / "overarr")
+    SparkDataset.create(spark, g1, "CAST(row AS DOUBLE)").to_zarr(
+        store2, zarr_format=3)
+    nc(["v"], 0).to_zarr_dataset(g2, store2, times=[0.0], zarr_format=2,
+                                 georef="attrs")
+    back, grid, _ = SparkNetCDF.from_zarr(spark, store2)
+    assert grid.x0 == 100.0 and back.df.count() == 16
+    # array write over a prior v2 GROUP store: the group markers go and
+    # the new root array is what reads back
+    store3 = str(tmp_path / "overgrp")
+    nc(["v"], 0).to_zarr_dataset(g1, store3, times=[0.0], zarr_format=2)
+    SparkDataset.create(spark, g1, "CAST(col AS DOUBLE)").to_zarr(store3)
+    back2 = SparkDataset.from_zarr(spark, store3)
+    got = {(r.row, r.col): r.value for r in back2.df.collect()}
+    assert got == {(r, c): float(c) for r in range(4) for c in range(4)}
