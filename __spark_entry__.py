@@ -922,15 +922,16 @@ def sql_netcdf_roundtrip():
 
 
 def q_netcdf4_roundtrip(spark, sf_dir):
-    """Container gate (round 5): REAL netCDF-4/HDF5 binary — superblock,
-    symbol-table group, dimension-scale datasets, DIMENSION_LIST object
-    references through the global heap, chunked int16 variables with
-    shuffle+deflate+fletcher32 filters and the 1.10 'latest'-format
-    FIXED ARRAY chunk index (v4 layout message, FAHD/FADB, lookup3
-    checksums). Chunks build and deflate distributed, stream ordered
-    through the driver; the read decodes chunks by byte range in
-    executors. Oracle is the grid generator (reference
-    ``netcdf/netcdf.py:849-982`` via netcdf-c)."""
+    """Container gate (rotated r6): REAL netCDF-4/HDF5 binary —
+    superblock, symbol-table group, dimension-scale datasets,
+    DIMENSION_LIST object references through the global heap, chunked
+    int16 variables with shuffle+deflate+fletcher32 filters and the 1.10
+    'latest'-format EXTENSIBLE ARRAY chunk index (v4 layout message,
+    EAHD/EAIB/EADB, unlimited time dim, lookup3 checksums) — the layout
+    netCDF-4 1.10+ time-series files use in the wild. Chunks build and
+    deflate distributed, stream ordered through the driver; the read
+    decodes chunks by byte range in executors. Oracle is the grid
+    generator (reference ``netcdf/netcdf.py:849-982`` via netcdf-c)."""
     from pyramids_spark.api import SparkNetCDF
 
     base = grid_df(spark, COELLO)
@@ -946,7 +947,7 @@ def q_netcdf4_roundtrip(spark, sf_dir):
     SparkNetCDF(cells).to_netcdf4(
         COELLO, "/tmp/pyramids_q_nc4.nc", times=[10.0, 20.0, 30.0],
         dtype="int16", compress=4, shuffle=True, fletcher32=True,
-        chunk=(8, 8), index="fixed_array",
+        chunk=(8, 8), index="extensible",
     )
     back, _, _ = SparkNetCDF.read_file(spark, "/tmp/pyramids_q_nc4.nc")
     return back.df.select("variable", "t", "band", "row", "col", "value")

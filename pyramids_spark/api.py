@@ -1071,7 +1071,7 @@ class SparkNetCDF:
         dtype: str = "float64", compress: "int | str | None" = 4,
         shuffle: bool = True, fletcher32: bool = False,
         chunk: "tuple[int, int]" = (64, 64), georef: str = "attrs",
-        index: str = "btree1",
+        index: str = "btree1", **index_opts,
     ):
         """Write a REAL netCDF-4 (HDF5) file — pure struct/numpy,
         ``pyramids_spark.hdf5``; reference ``NetCDF.to_file`` through the
@@ -1079,15 +1079,17 @@ class SparkNetCDF:
         and deflate DISTRIBUTED, then stream ordered through the driver
         (compressed sizes are not plan-time-known, unlike
         :meth:`to_netcdf`'s parallel pwrite). ``index``: ``"btree1"``
-        (the 1.8 default) or ``"fixed_array"`` (the 1.10 'latest'
-        layout). Returns the chunk manifest (lineage)."""
+        (the 1.8 default), ``"fixed_array"``, ``"extensible"`` or
+        ``"btree2"`` (the 1.10 'latest' layouts; extras like
+        ``ea_params`` / ``b2_node_size`` / ``fa_page_bits`` pass
+        through). Returns the chunk manifest (lineage)."""
         from . import hdf5 as _h5
 
         return _h5.write_netcdf4(
             self.df.select("variable", "t", "row", "col", "value"),
             grid, path, times, dtype=dtype, compress=compress,
             shuffle=shuffle, fletcher32=fletcher32, chunk=chunk,
-            georef=georef, index=index,
+            georef=georef, index=index, **index_opts,
         )
 
     @classmethod

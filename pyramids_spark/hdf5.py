@@ -354,7 +354,7 @@ def _fixed_array_blob(
     npages = -(-n // per_page)
     bitmap = bytearray((npages + 7) // 8)
     for p in range(npages):  # all pages materialize (simplest valid form)
-        bitmap[p // 8] |= 1 << (p % 8)
+        bitmap[p // 8] |= 0x80 >> (p % 8)  # H5VM_bit_set: MSB-first
     dblk = _sum32(pre + bytes(bitmap))
     pages = b"".join(
         _sum32(b"".join(elem(i)
@@ -363,6 +363,281 @@ def _fixed_array_blob(
         for p in range(npages)
     )
     return hdr_addr, hdr + dblk + pages
+
+
+def _ea_slot_offs(idx: int, grid, cdims, unlim: int) -> "tuple[int, ...]":
+    """Extensible-array element index → chunk element offsets: the
+    element index is the row-major slot over the chunk grid with the one
+    unlimited dimension swizzled to the front (``H5VM_swizzle_coords``:
+    dims before it shift right, dims after stay). ``unlim=0`` — the
+    netCDF time-series shape — degenerates to plain row-major."""
+    rank = len(cdims)
+    order = [unlim] + [i for i in range(rank) if i != unlim]
+    coords = []
+    for k in reversed(order):  # last swizzled dim varies fastest
+        coords.append(idx % grid[k])
+        idx //= grid[k]
+    coords.reverse()  # aligned with `order`
+    un = [0] * rank
+    for k, i in enumerate(order):
+        un[i] = coords[k]
+    return tuple(int(un[i]) * int(cdims[i]) for i in range(rank))
+
+
+def _ea_sblk_info(max_bits: int, min_elmts: int):
+    """Extensible-array super-block geometry, bit-equal to libhdf5's
+    ``H5EA__hdr_init``: super block ``u`` holds ``2^(u//2)`` data blocks of
+    ``min_elmts * 2^((u+1)//2)`` elements each. Returns
+    ``[(ndblks, dblk_nelmts, start_idx, start_dblk), ...]`` — element
+    indices EXCLUDE the index-block elements (the lookup subtracts them
+    first, like ``H5EA__dblock_sblk_idx``)."""
+    lg = min_elmts.bit_length() - 1
+    if min_elmts <= 0 or (1 << lg) != min_elmts:
+        raise ValueError("data_blk_min_elmts must be a power of two")
+    info, start_idx, start_dblk = [], 0, 0
+    for u in range(1 + (max_bits - lg)):
+        nd, ne = 1 << (u // 2), (1 << ((u + 1) // 2)) * min_elmts
+        info.append((nd, ne, start_idx, start_dblk))
+        start_idx += nd * ne
+        start_dblk += nd
+    return info
+
+
+def _extensible_array_blob(
+    elems: "dict[int, tuple[int, int, int]]", n: int, csize: int,
+    filtered: bool, base_addr: int, max_bits: int = 32,
+    idx_elmts: int = 4, min_elmts: int = 16, min_ptrs: int = 4,
+    page_bits: int = 10,
+) -> "tuple[int, bytes]":
+    """Extensible Array chunk index (EAHD header → EAIB index block →
+    EADB data blocks / EASB super blocks [+ pages]) over ``n`` linear
+    chunk slots, laid out from ``base_addr``. Element ``i`` is the chunk's
+    row-major slot in the (swizzled) chunk grid — for the netCDF shape
+    (time unlimited = dim 0) that is the plain row-major slot. The default
+    creation params are the ones ``H5Dearray.c`` hardcodes for every real
+    file (32, 4, 16, 4, 10); tests shrink them to force super blocks and
+    data-block pages at small n. Client 0 elements are a bare chunk
+    address; client 1 appends the ``_size_len`` stored size and the 4-byte
+    filter mask."""
+    if (1 << (min_ptrs.bit_length() - 1)) != min_ptrs or min_ptrs < 2:
+        raise ValueError("sup_blk_min_data_ptrs must be a power of two >= 2")
+    sl = _size_len(csize)
+    esz = 8 + (sl + 4 if filtered else 0)
+    client = 1 if filtered else 0
+    arr_off = (max_bits + 7) // 8
+    page_n = 1 << page_bits
+    info = _ea_sblk_info(max_bits, min_elmts)
+    nsblks = len(info)
+    nsd = 2 * (min_ptrs.bit_length() - 1)     # sblks addressed as dblks
+    if nsd >= nsblks:
+        raise ValueError("sup_blk_min_data_ptrs too large for max_bits")
+    ndirect = info[nsd][3]                    # direct dblk pointer count
+
+    def elem(i: int) -> bytes:
+        addr, nb, mask = elems.get(i, (UNDEF, 0, 0))
+        b = struct.pack("<Q", addr)
+        if filtered:
+            b += int(nb).to_bytes(sl, "little") + struct.pack("<I", mask)
+        return b
+
+    hdr_addr = base_addr
+    ib_addr = hdr_addr + 72
+    ib_size = 14 + idx_elmts * esz + (ndirect + nsblks - nsd) * 8 + 4
+    pos = ib_addr + ib_size
+
+    def dblock(addr: int, ne: int, base_idx: int) -> bytes:
+        """One data block; paged when ne exceeds the page size."""
+        head = b"EADB" + struct.pack("<BBQ", 0, client, hdr_addr)
+        head += int(base_idx).to_bytes(arr_off, "little")
+        if ne <= page_n:
+            return _sum32(head + b"".join(elem(base_idx + j)
+                                          for j in range(ne)))
+        out = _sum32(head)  # paged: prefix-only block, pages follow
+        for p in range(ne // page_n):
+            out += _sum32(b"".join(elem(base_idx + p * page_n + j)
+                                   for j in range(page_n)))
+        return out
+
+    # direct data blocks (super blocks 0..nsd-1, pointed from the iblock)
+    dblk_addrs, blocks = [], []
+    n_db, db_bytes = 0, 0
+    for d in range(ndirect):
+        u = next(i for i, (nd, _, _, sd) in enumerate(info)
+                 if sd <= d < sd + nd)
+        nd_u, ne_u, si_u, sd_u = info[u]
+        if ne_u > page_n:
+            raise ValueError("direct data blocks cannot be paged — raise "
+                             "max_dblk_page_nelmts_bits")
+        base_idx = idx_elmts + si_u + (d - sd_u) * ne_u
+        if base_idx >= n:
+            dblk_addrs.append(UNDEF)
+            continue
+        blob = dblock(pos, ne_u, base_idx)
+        dblk_addrs.append(pos)
+        blocks.append(blob)
+        n_db += 1
+        db_bytes += len(blob)
+        pos += len(blob)
+
+    # super blocks nsd..: page-init bitmaps (MSB-first) + dblk addresses
+    sblk_addrs, n_sb, sb_bytes = [], 0, 0
+    for u in range(nsd, nsblks):
+        nd_u, ne_u, si_u, _ = info[u]
+        if idx_elmts + si_u >= n:
+            sblk_addrs.append(UNDEF)
+            continue
+        npages = ne_u // page_n if ne_u > page_n else 0
+        pis = (npages + 7) // 8 if npages else 0
+        sub_addrs, sub_blobs, bitmap = [], [], bytearray(nd_u * pis)
+        at = 0  # filled after the sblock itself is placed
+        sb_size = 14 + arr_off + nd_u * pis + nd_u * 8 + 4
+        at = pos + sb_size
+        for k in range(nd_u):
+            base_idx = idx_elmts + si_u + k * ne_u
+            if base_idx >= n:
+                sub_addrs.append(UNDEF)
+                continue
+            blob = dblock(at, ne_u, base_idx)
+            sub_addrs.append(at)
+            sub_blobs.append(blob)
+            for p in range(npages):  # every page materializes
+                bitmap[k * pis + p // 8] |= 0x80 >> (p % 8)
+            at += len(blob)
+        sb = b"EASB" + struct.pack("<BBQ", 0, client, hdr_addr)
+        sb += int(idx_elmts + si_u).to_bytes(arr_off, "little")
+        sb += bytes(bitmap)
+        sb += b"".join(struct.pack("<Q", a) for a in sub_addrs)
+        sblk_addrs.append(pos)
+        blocks.append(_sum32(sb))
+        blocks.extend(sub_blobs)
+        n_sb += 1
+        sb_bytes += sb_size
+        n_db += len(sub_blobs)
+        db_bytes += sum(len(b) for b in sub_blobs)
+        pos = at
+
+    # header: note min_ELMTS precedes min_PTRS here (opposite of the
+    # layout-message field order)
+    hdr = b"EAHD" + struct.pack(
+        "<BBBBBBBB", 0, client, esz, max_bits, idx_elmts, min_elmts,
+        min_ptrs, page_bits)
+    hdr += struct.pack("<QQQQQQ", n_sb, sb_bytes, n_db, db_bytes, n, n)
+    hdr += struct.pack("<Q", ib_addr)
+    hdr = _sum32(hdr)
+
+    ib = b"EAIB" + struct.pack("<BBQ", 0, client, hdr_addr)
+    ib += b"".join(elem(i) for i in range(idx_elmts))
+    ib += b"".join(struct.pack("<Q", a) for a in dblk_addrs)
+    ib += b"".join(struct.pack("<Q", a) for a in sblk_addrs)
+    ib = _sum32(ib)
+    assert len(ib) == ib_size and len(hdr) == 72
+    return hdr_addr, hdr + ib + b"".join(blocks)
+
+
+def _b2_sizes(node_size: int, rec_size: int, nrec_total: "int | None" = None,
+              depth: "int | None" = None):
+    """v2 B-tree node-capacity cascade (``H5B2__hdr_init``): grows levels
+    until they hold ``nrec_total`` records (writer) or reach ``depth``
+    (reader). Returns (depth, max recs per node by depth, cumulative max
+    records by depth, cumulative-count field width by depth, record-count
+    field width)."""
+    enc = lambda v: ((max(int(v), 1).bit_length() - 1) // 8) + 1
+    leaf_max = (node_size - 10) // rec_size
+    if leaf_max < 1:
+        raise ValueError("node_size too small for one record")
+    max_nrec_size = enc(leaf_max)
+    maxrec, cum, cum_size = [leaf_max], [leaf_max], [0]
+    d = 0
+    while (cum[d] < nrec_total) if depth is None else (d < depth):
+        d += 1
+        ptr = 8 + max_nrec_size + cum_size[d - 1]
+        imax = (node_size - 10 - ptr) // (rec_size + ptr)
+        if imax < 1:
+            raise ValueError("node_size too small for an internal record")
+        maxrec.append(imax)
+        cum.append((imax + 1) * cum[d - 1] + imax)
+        cum_size.append(enc(cum[d]))
+    return d, maxrec, cum, cum_size, max_nrec_size
+
+
+def _btree2_blob(
+    records: "list[tuple[tuple, int, int, int]]", csize: int,
+    filtered: bool, base_addr: int, node_size: int = 2048,
+) -> "tuple[int, bytes]":
+    """Version-2 B-tree chunk index (BTHD header → BTIN internal / BTLF
+    leaf nodes) over ``(scaled chunk offsets, data address, stored nbytes,
+    filter mask)`` records sorted by scaled offsets — record type 10
+    (unfiltered) or 11 (filtered, with the ``_size_len`` stored-size field
+    and 4-byte mask). Builds as many levels as ``node_size`` forces; each
+    node occupies ``node_size`` bytes on disk (lookup3 checksum directly
+    after the payload, zero fill after — the libhdf5 serialize shape).
+    Returns (header address, blob laid out from ``base_addr``)."""
+    rank = len(records[0][0]) if records else 1
+    sl = _size_len(csize)
+    rtype = 11 if filtered else 10
+    rec_size = 8 + (sl + 4 if filtered else 0) + 8 * rank
+    n = len(records)
+    depth, maxrec, cum, cum_size, max_nrec_size = _b2_sizes(
+        node_size, rec_size, max(n, 1))
+
+    def enc_rec(r) -> bytes:
+        offs, addr, nb, mask = r
+        b = struct.pack("<Q", addr)
+        if filtered:
+            b += int(nb).to_bytes(sl, "little") + struct.pack("<I", mask)
+        return b + b"".join(struct.pack("<Q", int(o)) for o in offs)
+
+    nodes = []  # (depth, own records, child node indices)
+
+    def build(recs: list, d: int) -> "tuple[int, int]":
+        """→ (node index, total records in subtree)."""
+        if d == 0:
+            nodes.append((0, recs, []))
+            return len(nodes) - 1, len(recs)
+        cap_child = cum[d - 1]
+        k = max(2, -(-(len(recs) + 1) // (cap_child + 1)))  # children
+        own = k - 1
+        per, extra = divmod(len(recs) - own, k)
+        kids, seps, p = [], [], 0
+        for i in range(k):
+            take = per + (1 if i < extra else 0)
+            kids.append(recs[p:p + take])
+            p += take
+            if i < own:
+                seps.append(recs[p])
+                p += 1
+        children = [build(c, d - 1) for c in kids]
+        nodes.append((d, seps, children))
+        return len(nodes) - 1, len(seps) + sum(t for _, t in children)
+
+    root_idx, _ = build(records, depth)
+    root_nrec = len(nodes[root_idx][1])
+    addrs = [base_addr + 38 + i * node_size for i in range(len(nodes))]
+
+    def render(i: int) -> bytes:
+        d, recs, children = nodes[i]
+        if d == 0:
+            body = b"BTLF" + bytes([0, rtype])
+            body += b"".join(enc_rec(r) for r in recs)
+        else:
+            body = b"BTIN" + bytes([0, rtype])
+            body += b"".join(enc_rec(r) for r in recs)
+            for ci, tot in children:
+                body += struct.pack("<Q", addrs[ci])
+                body += len(nodes[ci][1]).to_bytes(max_nrec_size, "little")
+                if d > 1:
+                    body += int(tot).to_bytes(cum_size[d - 1], "little")
+        body = _sum32(body)
+        if len(body) > node_size:
+            raise AssertionError("B-tree node overflows node_size")
+        return body + b"\x00" * (node_size - len(body))
+
+    hdr = b"BTHD" + bytes([0, rtype])
+    hdr += struct.pack("<IHH", node_size, rec_size, depth)
+    hdr += bytes([100, 40])  # split / merge percents
+    hdr += struct.pack("<QHQ", addrs[root_idx], root_nrec, n)
+    return base_addr, _sum32(hdr) + b"".join(render(i)
+                                             for i in range(len(nodes)))
 
 
 def _chunk_key(nbytes: int, mask: int, offs: "tuple[int, ...]") -> bytes:
@@ -459,6 +734,8 @@ def write_netcdf4(
     fletcher32: bool = False,
     chunk: "tuple[int, int]" = (64, 64), georef: str = "attrs",
     btree_cap: int = 64, index: str = "btree1", fa_page_bits: int = 10,
+    ea_params: "tuple[int, int, int, int, int] | None" = None,
+    b2_node_size: int = 2048,
 ) -> pd.DataFrame:
     """Write the long cell table ``(variable, t, row, col, value)`` as one
     netCDF-4 (HDF5) file: dimension-scale datasets ``time``/``y``/``x``
@@ -469,14 +746,26 @@ def write_netcdf4(
     coordinate variables alone; ``"coords-ascending"`` additionally flips
     the y axis ascending — the layout wild CF files use. ``index`` picks
     the chunk index: ``"btree1"`` (v1 B-tree + v3 layout message, the
-    libhdf5-1.8 default every consumer reads) or ``"fixed_array"`` (v4
+    libhdf5-1.8 default every consumer reads), ``"fixed_array"`` (v4
     layout message + Fixed Array, the 1.10 'latest'-format layout; all
     dims become fixed-size, as libhdf5 requires for this index;
-    ``fa_page_bits`` sizes the data-block pages). Returns the chunk
+    ``fa_page_bits`` sizes the data-block pages), ``"extensible"`` (v4 +
+    Extensible Array -- what libhdf5 1.10+ picks for exactly one
+    unlimited dim, i.e. the default netCDF-4 time-series shape;
+    ``ea_params`` = (max_bits, idx_blk_elmts, data_blk_min_elmts,
+    sup_blk_min_data_ptrs, page_bits), default the hardcoded H5Dearray
+    values (32, 4, 16, 4, 10) every real file uses), or ``"btree2"``
+    (v4 + version-2 B-tree; ``b2_node_size`` forces its depth). Returns
+    the chunk
     manifest (lineage). See the module docstring for the distributed
     write shape."""
-    if index not in ("btree1", "fixed_array"):
-        raise ValueError(f"index must be btree1 or fixed_array, got {index}")
+    if index not in ("btree1", "fixed_array", "extensible", "btree2"):
+        raise ValueError("index must be btree1, fixed_array, extensible "
+                         f"or btree2, got {index}")
+    if index == "extensible" and times is None:
+        raise ValueError(
+            "index='extensible' needs the unlimited time dimension — "
+            "libhdf5 only picks this index for exactly one unlimited dim")
     zstd_level = None
     if isinstance(compress, str):
         # "zstd" / "zstd:N": the registered Zstandard filter (id 32015,
@@ -603,6 +892,17 @@ def write_netcdf4(
                 head.append(_layout_chunked4(
                     a.get(f"btree_{v}", UNDEF), cdims, esize, 3,
                     info=bytes([fa_page_bits])))
+            elif index == "extensible":
+                mb, ie, me, mp, pb = ea_params or (32, 4, 16, 4, 10)
+                # layout-message param order: min POINTERS before min
+                # ELEMENTS (H5O__layout_decode) — EAHD stores the reverse
+                head.append(_layout_chunked4(
+                    a.get(f"btree_{v}", UNDEF), cdims, esize, 4,
+                    info=bytes([mb, ie, mp, me, pb])))
+            elif index == "btree2":
+                head.append(_layout_chunked4(
+                    a.get(f"btree_{v}", UNDEF), cdims, esize, 5,
+                    info=struct.pack("<IBB", b2_node_size, 100, 40)))
             else:
                 head.append(_layout_chunked(
                     a.get(f"btree_{v}", UNDEF), cdims, esize))
@@ -713,15 +1013,29 @@ def write_netcdf4(
             if not entries[v]:
                 addrs[f"btree_{v}"] = UNDEF
                 continue
-            if index == "fixed_array":
+            if index in ("fixed_array", "extensible"):
                 slots = {}
                 for offs, at, nb in entries[v]:
                     t0, r0, c0 = (offs[:3] if three_d
                                   else (0,) + tuple(offs[:2]))
                     slots[(t0 * ny + r0 // ch) * nx + c0 // cw] = (at, nb, 0)
-                root, blob = _fixed_array_blob(
-                    slots, nt * ny * nx, csize, filtered, pos,
-                    page_bits=fa_page_bits)
+                if index == "fixed_array":
+                    root, blob = _fixed_array_blob(
+                        slots, nt * ny * nx, csize, filtered, pos,
+                        page_bits=fa_page_bits)
+                else:
+                    mb, ie, me, mp, pb = ea_params or (32, 4, 16, 4, 10)
+                    root, blob = _extensible_array_blob(
+                        slots, nt * ny * nx, csize, filtered, pos,
+                        max_bits=mb, idx_elmts=ie, min_elmts=me,
+                        min_ptrs=mp, page_bits=pb)
+            elif index == "btree2":
+                recs = sorted(
+                    (((offs[0], offs[1] // ch, offs[2] // cw) if three_d
+                      else (offs[0] // ch, offs[1] // cw)), at, nb, 0)
+                    for offs, at, nb in entries[v])
+                root, blob = _btree2_blob(recs, csize, filtered, pos,
+                                          node_size=b2_node_size)
             else:
                 root, blob = _chunk_btree(entries[v], max_offs, pos,
                                           cap=btree_cap)
@@ -842,10 +1156,13 @@ def _parse_layout(body: bytes):
         info = {"page_bits": body[p]}
         p += 1
     elif itype == 4:  # extensible array
+        # five single-byte creation params, in H5O__layout_decode order
+        # (note: min POINTERS precedes min ELEMENTS here — the EAHD
+        # header stores the same two fields in the OPPOSITE order)
         info = {"max_bits": body[p], "index_elems": body[p + 1],
                 "min_ptrs": body[p + 2], "min_elems": body[p + 3],
-                "page_bits": struct.unpack_from("<H", body, p + 4)[0]}
-        p += 6
+                "page_bits": body[p + 4]}
+        p += 5
     elif itype == 5:  # version 2 B-tree
         info = {"node_size": struct.unpack_from("<I", body, p)[0],
                 "split": body[p + 4], "merge": body[p + 5]}
@@ -1246,14 +1563,18 @@ class _H5Meta:
                             for k in range(ndims_p1)]
                     yield tuple(offs[:-1]), child, nbytes, mask
 
-    def iter_chunks_v4(self, lay, shape: "tuple[int, ...]", filtered: bool):
+    def iter_chunks_v4(self, lay, shape: "tuple[int, ...]", filtered: bool,
+                       maxshape: "list[int] | None" = None):
         """Walk a v4 chunk index → (element offsets, data address, stored
         nbytes, filter mask) per allocated chunk — the same contract as
         :meth:`iter_chunks`. Covered index types: 1 single chunk,
         2 implicit (contiguous unfiltered chunks in row-major slot
         order), 3 fixed array (FAHD/FADB [+ paged data block]),
-        5 version-2 B-tree (BTHD/BTIN/BTLF, record types 10/11).
-        Extensible arrays (one unlimited dim) stay a loud reject."""
+        4 extensible array (EAHD/EAIB/EASB/EADB [+ paged data blocks];
+        element index = row-major slot over the chunk grid with the one
+        unlimited dimension swizzled to the front, per
+        ``H5VM_swizzle_coords``), 5 version-2 B-tree (BTHD/BTIN/BTLF,
+        record types 10/11, any depth)."""
         _, itype, flags, cdims, esz, addr, info = lay
         if addr == UNDEF:
             return
@@ -1268,6 +1589,15 @@ class _H5Meta:
                 idx //= g
             return tuple(reversed(offs))
 
+        unlim = 0
+        if maxshape is not None:
+            free = [i for i, m in enumerate(maxshape) if int(m) == UNDEF]
+            if len(free) == 1:
+                unlim = free[0]
+
+        def ea_offs_of(idx: int) -> "tuple[int, ...]":
+            return _ea_slot_offs(idx, grid, cdims, unlim)
+
         def inner():
             if itype == 1:  # single chunk covering the whole dataspace
                 nb = info.get("fsize", csize)
@@ -1281,16 +1611,14 @@ class _H5Meta:
             elif itype == 3:
                 yield from self._fixed_array_chunks(
                     addr, filtered, csize, int(np.prod(grid)), offs_of)
+            elif itype == 4:
+                yield from self._extensible_array_chunks(
+                    addr, filtered, csize, int(np.prod(grid)), ea_offs_of)
             elif itype == 5:
                 yield from self._v2btree_chunks(addr, filtered, rank, csize,
                                                 cdims, grid)
             else:
-                raise NotImplementedError(
-                    f"v4 chunk index type {itype} (single chunk, implicit, "
-                    "fixed array and v2 B-tree are supported; extensible "
-                    "arrays — one unlimited dimension under the 'latest' "
-                    "flag — are not)"
-                )
+                raise NotImplementedError(f"v4 chunk index type {itype}")
 
         # layout flag bit 0 = H5D_CHUNK_DONT_FILTER_PARTIAL_CHUNKS: edge
         # chunks are stored RAW; an all-ones mask makes _defilter skip
@@ -1349,8 +1677,118 @@ class _H5Meta:
             cnt = min(per_page, int(maxn) - p * per_page)
             buf = fh.read(cnt * entry)
             fh.read(4)  # page checksum
-            if bitmap[p // 8] & (1 << (p % 8)):
+            if bitmap[p // 8] & (0x80 >> (p % 8)):  # H5VM_bit_get: MSB-first
                 yield from parse(buf, p * per_page)
+
+    def _extensible_array_chunks(self, addr, filtered, csize, nslots,
+                                 offs_of):
+        """Extensible Array chunk index (the 1.10 'latest' layout for one
+        unlimited dimension — the default netCDF-4/xarray time-series
+        shape): EAHD header → EAIB index block → EADB data blocks, with
+        EASB super blocks and paged data blocks past the direct range.
+        Geometry is recomputed from the stored creation params exactly as
+        ``H5EA__hdr_init`` does; page-init bitmaps are MSB-first
+        (``H5VM_bit_get``). Reference behavior:
+        /root/reference/src/pyramids/netcdf/netcdf.py:849-982 (via
+        netcdf-c/libhdf5)."""
+        fh = self.fh
+        fh.seek(addr)
+        hdr = fh.read(72)
+        if hdr[:4] != b"EAHD":
+            raise ValueError("bad extensible-array header signature")
+        client, esz, max_bits, idx_elmts, min_elmts, min_ptrs, pbits = \
+            hdr[5], hdr[6], hdr[7], hdr[8], hdr[9], hdr[10], hdr[11]
+        if client != (1 if filtered else 0):
+            raise ValueError(
+                f"extensible-array client {client} disagrees with the "
+                "filter pipeline")
+        ib_addr = struct.unpack_from("<Q", hdr, 60)[0]
+        if ib_addr == UNDEF:
+            return
+        sl = esz - 12 if filtered else 0
+        arr_off = (max_bits + 7) // 8
+        page_n = 1 << pbits
+        info = _ea_sblk_info(max_bits, min_elmts)
+        nsblks = len(info)
+        nsd = 2 * (min_ptrs.bit_length() - 1)
+        ndirect = info[nsd][3] if nsd < nsblks else sum(
+            nd for nd, _, _, _ in info)
+
+        def elems(buf: bytes, p: int, cnt: int, base_idx: int):
+            for j in range(cnt):
+                (a,) = struct.unpack_from("<Q", buf, p)
+                if filtered:
+                    nb = int.from_bytes(buf[p + 8:p + 8 + sl], "little")
+                    (mask,) = struct.unpack_from("<I", buf, p + 8 + sl)
+                else:
+                    nb, mask = csize, 0
+                p += esz
+                i = base_idx + j
+                if a != UNDEF and i < nslots:
+                    yield offs_of(i), a, int(nb), int(mask)
+
+        def dblock(a: int, ne: int, base_idx: int, bitmap, bm_off: int):
+            pre = 14 + arr_off
+            npages = ne // page_n if ne > page_n else 0
+            fh.seek(a)
+            if npages == 0:
+                buf = fh.read(pre + ne * esz + 4)
+                if buf[:4] != b"EADB":
+                    raise ValueError("bad EA data block signature")
+                yield from elems(buf, pre, ne, base_idx)
+                return
+            if fh.read(4) != b"EADB":
+                raise ValueError("bad EA data block signature")
+            psize = page_n * esz + 4
+            for p in range(npages):
+                # direct data blocks are never paged with real (or our)
+                # params, so a bitmap is always present here
+                if bitmap is None or not (
+                        bitmap[bm_off + p // 8] & (0x80 >> (p % 8))):
+                    continue
+                fh.seek(a + pre + 4 + p * psize)
+                yield from elems(fh.read(psize - 4), 0, page_n,
+                                 base_idx + p * page_n)
+
+        fh.seek(ib_addr)
+        nsb_ptrs = nsblks - nsd
+        buf = fh.read(14 + idx_elmts * esz + (ndirect + nsb_ptrs) * 8 + 4)
+        if buf[:4] != b"EAIB":
+            raise ValueError("bad extensible-array index block signature")
+        yield from elems(buf, 14, idx_elmts, 0)
+        p = 14 + idx_elmts * esz
+        dblk_addrs = list(struct.unpack_from(f"<{ndirect}Q", buf, p))
+        p += ndirect * 8
+        sblk_addrs = list(struct.unpack_from(f"<{nsb_ptrs}Q", buf, p))
+
+        for d, a in enumerate(dblk_addrs):
+            if a == UNDEF:
+                continue
+            u = next(i for i, (nd, _, _, sd) in enumerate(info)
+                     if sd <= d < sd + nd)
+            nd_u, ne_u, si_u, sd_u = info[u]
+            base_idx = idx_elmts + si_u + (d - sd_u) * ne_u
+            yield from dblock(a, ne_u, base_idx, None, 0)
+
+        for j, sa in enumerate(sblk_addrs):
+            if sa == UNDEF:
+                continue
+            nd_u, ne_u, si_u, _ = info[nsd + j]
+            npages = ne_u // page_n if ne_u > page_n else 0
+            pis = (npages + 7) // 8 if npages else 0
+            fh.seek(sa)
+            sb = fh.read(14 + arr_off + nd_u * pis + nd_u * 8 + 4)
+            if sb[:4] != b"EASB":
+                raise ValueError("bad EA super block signature")
+            q = 14 + arr_off
+            bitmap = sb[q:q + nd_u * pis]
+            q += nd_u * pis
+            sub = struct.unpack_from(f"<{nd_u}Q", sb, q)
+            for k, a in enumerate(sub):
+                if a == UNDEF:
+                    continue
+                yield from dblock(a, ne_u, idx_elmts + si_u + k * ne_u,
+                                  bitmap if pis else None, k * pis)
 
     def _v2btree_chunks(self, addr, filtered, rank, csize, cdims, grid):
         """Version-2 B-tree chunk index (> 1 unlimited dim under the
@@ -1385,23 +1823,39 @@ class _H5Meta:
             offs = tuple(int(s) * int(c) for s, c in zip(scaled, cdims))
             return offs, a, nb, mask
 
-        if depth != 0:
-            # internal-node child-pointer widths depend on recursive node
-            # capacities; without a validating reference a misparse would
-            # be silent corruption — reject loudly instead
-            raise NotImplementedError(
-                f"v2 B-tree chunk index of depth {depth} (leaf-root trees "
-                "are supported; multi-level trees only appear past ~1500 "
-                "chunks with > 1 unlimited dimension)"
-            )
-        fh.seek(root)
-        buf = fh.read(node_size)
-        if buf[:4] != b"BTLF":
-            raise ValueError("bad v2 B-tree leaf signature")
-        p = 6
-        for _ in range(nrec_root):
-            yield parse_rec(buf, p)
-            p += rec_size
+        # node-capacity cascade (H5B2__hdr_init) fixes the internal-node
+        # child-pointer field widths at every depth
+        _, _, _, cum_size, max_nrec_size = _b2_sizes(
+            node_size, rec_size, depth=depth)
+
+        def walk(a: int, d: int, nrec: int):
+            fh.seek(a)
+            buf = fh.read(node_size)
+            if d == 0:
+                if buf[:4] != b"BTLF":
+                    raise ValueError("bad v2 B-tree leaf signature")
+                p = 6
+                for _ in range(nrec):
+                    yield parse_rec(buf, p)
+                    p += rec_size
+                return
+            if buf[:4] != b"BTIN":
+                raise ValueError("bad v2 B-tree internal-node signature")
+            p = 6 + nrec * rec_size
+            for i in range(nrec + 1):
+                (ca,) = struct.unpack_from("<Q", buf, p)
+                p += 8
+                cn = int.from_bytes(buf[p:p + max_nrec_size], "little")
+                p += max_nrec_size
+                if d > 1:  # total-record count, width of the CHILD level
+                    p += cum_size[d - 1]
+                yield from walk(ca, d - 1, cn)
+            p = 6
+            for _ in range(nrec):
+                yield parse_rec(buf, p)
+                p += rec_size
+
+        yield from walk(root, depth, nrec_root)
 
     def read_array(self, meta: dict) -> "np.ndarray | None":
         """Driver-side full read of a SMALL dataset (coordinate vars)."""
@@ -1430,7 +1884,8 @@ class _H5Meta:
             return np.frombuffer(fh.read(n * dt.itemsize), dt).reshape(shape)
         if lay[0] == "chunked4":
             cdims = lay[3]
-            it = self.iter_chunks_v4(lay, shape, bool(meta["filters"]))
+            it = self.iter_chunks_v4(lay, shape, bool(meta["filters"]),
+                                     meta["maxshape"])
         else:
             _, bt, cdims, _esz = lay
             it = self.iter_chunks(bt, len(cdims) + 1)
@@ -1548,7 +2003,8 @@ def read_netcdf4(
             if lay[0] == "chunked4":
                 cdims = lay[3]
                 chunk_iter = h5.iter_chunks_v4(
-                    lay, tuple(int(s) for s in m["shape"]), bool(ids))
+                    lay, tuple(int(s) for s in m["shape"]), bool(ids),
+                    m["maxshape"])
             else:
                 _, bt, cdims, _esz = lay
                 chunk_iter = h5.iter_chunks(bt, len(cdims) + 1)

@@ -387,8 +387,8 @@ def test_v4_single_chunk_and_implicit_indexes(tmp_path):
 
 def test_v2_btree_leaf_root_chunk_index(tmp_path):
     """Hand-built BTHD + BTLF (record type 10: address + SCALED offsets)
-    — the leaf-root v2 B-tree 1.10 writes for > 1 unlimited dims; deeper
-    trees reject loudly."""
+    — the leaf-root v2 B-tree 1.10 writes for > 1 unlimited dims; a
+    depth-1 header whose root lacks the BTIN signature is corrupt."""
     rank, cdims = 2, [4, 4]
     rec_size = 8 + 8 * rank
     recs = [(2000, (0, 0)), (2128, (1, 2))]  # (addr, scaled offsets)
@@ -412,7 +412,8 @@ def test_v2_btree_leaf_root_chunk_index(tmp_path):
                {"node_size": 512, "split": 100, "merge": 40})
         got = list(h5.iter_chunks_v4(lay, (8, 12), False))
         assert got == [((0, 0), 2000, 128, 0), ((4, 8), 2128, 128, 0)]
-        # depth > 0 rejects
+        # depth 1 now walks internals — a root that is really a leaf
+        # fails the BTIN signature check instead of misparsing
         hdr2 = (b"BTHD" + bytes([0, 10])
                 + struct.pack("<IHH", 512, rec_size, 1) + bytes([100, 40])
                 + struct.pack("<QHQ", root_addr, 2, 2))
@@ -421,7 +422,7 @@ def test_v2_btree_leaf_root_chunk_index(tmp_path):
         p.write_bytes(bytes(blob))
         h5.fh.close()
         h5.fh = open(p, "rb")
-        with pytest.raises(NotImplementedError, match="depth"):
+        with pytest.raises(ValueError, match="internal-node signature"):
             list(h5.iter_chunks_v4(lay, (8, 12), False))
     finally:
         h5.fh.close()
@@ -509,3 +510,152 @@ def test_netcdf4_zstd_guards():
         hdf5.write_netcdf4(None, None, "", [0.0], compress="zstd9")
     with _pytest.raises(ValueError, match="zstd"):
         hdf5.write_netcdf4(None, None, "", [0.0], compress="zstd:x")
+
+
+def test_netcdf4_extensible_array_roundtrip(spark, tmp_path):
+    """index="extensible" writes the 1.10 'latest' layout libhdf5 picks
+    for exactly one unlimited dim (the netCDF time-series default): v4
+    layout message (index type 4, the five H5Dearray creation params) +
+    EAHD/EAIB/EADB; time keeps its UNLIMITED maxdim. With the real-file
+    params (32,4,16,4,10) a 24-slot variable exercises the index-block
+    elements AND two direct data blocks."""
+    from dataclasses import replace
+
+    g = replace(G, nodata=-9999.0)
+    df, exp = _cells(spark)
+    p = str(tmp_path / "ea.nc")
+    SparkNetCDF(df).to_netcdf4(
+        g, p, times=[10.0, 20.0, 30.0], dtype="int16", chunk=(4, 4),
+        index="extensible",
+    )
+    blob = open(p, "rb").read()
+    assert b"EAHD" in blob and b"EAIB" in blob and b"EADB" in blob
+    h5 = hdf5._H5Meta(p)
+    try:
+        links = h5.group_links(h5.messages(h5.root))
+        m = h5.dataset(links["precip"])
+        assert m["layout"][0] == "chunked4" and m["layout"][1] == 4
+        assert m["layout"][6] == {"max_bits": 32, "index_elems": 4,
+                                  "min_ptrs": 4, "min_elems": 16,
+                                  "page_bits": 10}
+        assert m["maxshape"][0] == hdf5.UNDEF  # time stays unlimited
+        assert m["maxshape"][1:] == m["shape"][1:]
+        # EAHD checksum is the real lookup3 of the preceding bytes
+        a = m["layout"][5]
+        hdr = blob[a:a + 72]
+        assert hdr[:4] == b"EAHD"
+        (stored,) = struct.unpack_from("<I", hdr, 68)
+        assert stored == hdf5._lookup3(hdr[:68])
+        # header param order: min_ELMTS (16) precedes min_PTRS (4)
+        assert hdr[9] == 16 and hdr[10] == 4
+    finally:
+        h5.close()
+    back, g2, meta = SparkNetCDF.read_file(spark, p)
+    got = {(r.variable, r.t, r.row, r.col): r.value
+           for r in back.df.collect()}
+    assert got == exp and meta["times"] == [10.0, 20.0, 30.0]
+
+
+def test_netcdf4_extensible_superblocks_and_paged(spark, tmp_path):
+    """Shrunken ea_params force the full extensible-array geometry at
+    60 chunks: index-block elements, direct data blocks, EASB super
+    blocks, and PAGED data blocks (page-init bitmaps, per-page
+    checksums). Also exercises the unfiltered client-0 elements."""
+    nt = 60
+    rows = [("z", t, r, c, float(t * 1000 + r * G.cols + c))
+            for t in range(nt) for r in range(G.rows)
+            for c in range(G.cols) if (r + c + t) % 3]
+    df = spark.createDataFrame(
+        rows, "variable string, t long, row long, col long, value double")
+    exp = {(v, t, r, c): val for v, t, r, c, val in rows}
+    p = str(tmp_path / "eap.nc")
+    hdf5.write_netcdf4(
+        df, G, p, times=[float(t) for t in range(nt)], compress=None,
+        shuffle=False, chunk=(16, 16), index="extensible",
+        ea_params=(10, 2, 2, 2, 2),
+    )
+    blob = open(p, "rb").read()
+    assert b"EASB" in blob  # super blocks engaged
+    back, _, _ = SparkNetCDF.read_file(spark, p)
+    got = {(r.variable, r.t, r.row, r.col): r.value
+           for r in back.df.collect()}
+    assert got == exp
+
+
+def test_netcdf4_extensible_guards(spark, tmp_path):
+    """2-D writes (no unlimited dim) reject index="extensible" — libhdf5
+    never pairs this index with fixed dims."""
+    df, _ = _cells(spark, variables=("z",), nt=1)
+    with pytest.raises(ValueError, match="unlimited time"):
+        hdf5.write_netcdf4(df, G, str(tmp_path / "x.nc"), times=None,
+                           index="extensible")
+
+
+def test_ea_slot_offs_swizzle():
+    """Element index → chunk offsets with the unlimited dim swizzled to
+    the front (H5VM_swizzle_coords): dims before it shift right, dims
+    after stay. unlim=0 is plain row-major."""
+    grid, cdims = [3, 4, 2], [1, 8, 16]
+    # unlim = 0: row-major (t, y, x)
+    assert hdf5._ea_slot_offs(0, grid, cdims, 0) == (0, 0, 0)
+    assert hdf5._ea_slot_offs(1, grid, cdims, 0) == (0, 0, 16)
+    assert hdf5._ea_slot_offs(2, grid, cdims, 0) == (0, 8, 0)
+    assert hdf5._ea_slot_offs(9, grid, cdims, 0) == (1, 0, 16)
+    # unlim = 1: swizzled order (y, t, x) — decompose over [4, 3, 2],
+    # so consecutive indices advance x, then t, then y
+    assert hdf5._ea_slot_offs(0, grid, cdims, 1) == (0, 0, 0)
+    assert hdf5._ea_slot_offs(1, grid, cdims, 1) == (0, 0, 16)
+    assert hdf5._ea_slot_offs(2, grid, cdims, 1) == (1, 0, 0)
+    assert hdf5._ea_slot_offs(6, grid, cdims, 1) == (0, 8, 0)
+    # unlim = 2: swizzled order (x, t, y) over [2, 3, 4]
+    assert hdf5._ea_slot_offs(1, grid, cdims, 2) == (0, 8, 0)
+    assert hdf5._ea_slot_offs(4, grid, cdims, 2) == (1, 0, 0)
+    assert hdf5._ea_slot_offs(12, grid, cdims, 2) == (0, 0, 16)
+
+
+def test_netcdf4_btree2_multilevel_roundtrip(spark, tmp_path):
+    """index="btree2" with a small node size forces a MULTI-LEVEL v2
+    B-tree (BTIN internal nodes with variable-width child-pointer
+    fields); every cell survives the round trip and the header records
+    depth >= 2."""
+    from dataclasses import replace
+
+    g = replace(G, nodata=-9999.0)
+    df, exp = _cells(spark)
+    p = str(tmp_path / "b2.nc")
+    SparkNetCDF(df).to_netcdf4(
+        g, p, times=[10.0, 20.0, 30.0], dtype="int16", chunk=(4, 4),
+        index="btree2", b2_node_size=128,
+    )
+    blob = open(p, "rb").read()
+    assert b"BTHD" in blob and b"BTIN" in blob and b"BTLF" in blob
+    h5 = hdf5._H5Meta(p)
+    try:
+        m = h5.dataset(h5.group_links(h5.messages(h5.root))["precip"])
+        assert m["layout"][0] == "chunked4" and m["layout"][1] == 5
+        a = m["layout"][5]
+        depth = struct.unpack_from("<H", blob, a + 12)[0]
+        assert depth >= 2  # 24 records / 3-per-leaf forces internals
+    finally:
+        h5.close()
+    back, _, _ = SparkNetCDF.read_file(spark, p)
+    got = {(r.variable, r.t, r.row, r.col): r.value
+           for r in back.df.collect()}
+    assert got == exp
+
+
+def test_netcdf4_btree2_depth1_and_unfiltered(spark, tmp_path):
+    """Depth-1 trees (leaf children of the root) and the unfiltered
+    type-10 records both round-trip."""
+    df, exp = _cells(spark, variables=("z",), nt=2)
+    p = str(tmp_path / "b1.nc")
+    hdf5.write_netcdf4(
+        df, G, p, times=[1.0, 2.0], compress=None, shuffle=False,
+        chunk=(4, 4), index="btree2", b2_node_size=256,
+    )
+    blob = open(p, "rb").read()
+    assert b"BTIN" in blob
+    back, _, _ = SparkNetCDF.read_file(spark, p)
+    got = {(r.variable, r.t, r.row, r.col): r.value
+           for r in back.df.collect()}
+    assert got == exp
