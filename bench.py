@@ -276,6 +276,27 @@ def main():
     bench("netcdf4_sink_4m", run_nc4)
     extra["netcdf4_bytes"] = os.path.getsize("/tmp/pyramids_bench_nc4.nc")
 
+    # the PARALLEL netCDF-4 sink: compress=None makes every chunk's
+    # stored size plan-time-known, so the front matter + dense
+    # fixed-array index are written up front and executors pwrite chunks
+    # at computed addresses — the classic-NetCDF pwrite pattern scaled
+    # out, vs the ordered driver stream above
+    def run_nc4_par():
+        _h5.write_netcdf4(
+            gdf.select(
+                F.lit("v").alias("variable"),
+                F.lit(0).cast("long").alias("t"), "row", "col", "value",
+            ),
+            g, "/tmp/pyramids_bench_nc4p.nc", times=None,
+            compress=None, shuffle=True, chunk=(256, 256),
+            index="fixed_array", parallel=True,
+        )
+
+    run_nc4_par()  # untimed warmup
+    bench("netcdf4_parallel_sink_4m", run_nc4_par)
+    extra["netcdf4_parallel_bytes"] = os.path.getsize(
+        "/tmp/pyramids_bench_nc4p.nc")
+
     # the zarr v3 SHARDED sink at the same 4M cells: 16 shard files
     # (512x512, blosc-zstd inner 256x256 chunks + crc32c'd uint64 index)
     # written FULLY parallel, one task per shard — the object-store path

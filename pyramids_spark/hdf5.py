@@ -55,6 +55,7 @@ sink; the parquet/zarr cell tables remain the 100-TB storage paths.
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
@@ -735,7 +736,7 @@ def write_netcdf4(
     chunk: "tuple[int, int]" = (64, 64), georef: str = "attrs",
     btree_cap: int = 64, index: str = "btree1", fa_page_bits: int = 10,
     ea_params: "tuple[int, int, int, int, int] | None" = None,
-    b2_node_size: int = 2048,
+    b2_node_size: int = 2048, parallel: bool = False,
 ) -> pd.DataFrame:
     """Write the long cell table ``(variable, t, row, col, value)`` as one
     netCDF-4 (HDF5) file: dimension-scale datasets ``time``/``y``/``x``
@@ -766,6 +767,10 @@ def write_netcdf4(
         raise ValueError(
             "index='extensible' needs the unlimited time dimension — "
             "libhdf5 only picks this index for exactly one unlimited dim")
+    if parallel and index != "fixed_array":
+        raise ValueError(
+            "parallel=True writes the dense fixed-array layout — pass "
+            f"index='fixed_array' (got {index!r})")
     zstd_level = None
     if isinstance(compress, str):
         # "zstd" / "zstd:N": the registered Zstandard filter (id 32015,
@@ -779,6 +784,11 @@ def write_netcdf4(
             raise ValueError(f"compress must be an int, None, 'zstd' or "
                              f"'zstd:<level>' (got {compress!r})")
         compress = None
+    if parallel and (compress is not None or zstd_level is not None):
+        raise ValueError(
+            "parallel=True needs compress=None — compressed chunk sizes "
+            "are not plan-time-known; the ordered driver-stream sink "
+            "(parallel=False) handles compression")
     dt_name = _dt.resolve(dtype)
     np_dt = _dt.np_dtype(dt_name)
     esize = np_dt.itemsize
@@ -945,24 +955,29 @@ def write_netcdf4(
 
     var_set = frozenset(variables)
 
-    def build_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def encode_chunk(key, pdf: pd.DataFrame) -> bytes:
         v, t, ci, cj = str(key[0]), int(key[1]), key[2], key[3]
-        rr_abs = pdf["row"].to_numpy(np.int64)
-        cc_abs = pdf["col"].to_numpy(np.int64)
         # loud extent guard, like the TIFF / classic-NetCDF sinks: an
         # out-of-extent cell would otherwise become a B-tree key outside
         # the dataspace; t >= nt (e.g. a 3-D table written times=None)
         # would collapse distinct records onto duplicate chunk keys.
-        if (v not in var_set or not 0 <= t < nt
-                or rr_abs.min() < 0 or rr_abs.max() >= rows
-                or cc_abs.min() < 0 or cc_abs.max() >= cols):
+        if v not in var_set or not 0 <= t < nt:
             raise ValueError(
                 f"cell outside file dimensions in {v!r}: t={t} "
                 f"(nt={nt}), grid {rows}x{cols}"
             )
+        if len(pdf):
+            rr_abs = pdf["row"].to_numpy(np.int64)
+            cc_abs = pdf["col"].to_numpy(np.int64)
+            if (rr_abs.min() < 0 or rr_abs.max() >= rows
+                    or cc_abs.min() < 0 or cc_abs.max() >= cols):
+                raise ValueError(
+                    f"cell outside file dimensions in {v!r}: t={t} "
+                    f"(nt={nt}), grid {rows}x{cols}"
+                )
         block = np.full((ch, cw), fill, "<f8")
-        rr = pdf["row"].to_numpy(np.int64) - ci * ch
-        cc = pdf["col"].to_numpy(np.int64) - cj * cw
+        rr = pdf["row"].to_numpy(np.int64) - int(ci) * ch
+        cc = pdf["col"].to_numpy(np.int64) - int(cj) * cw
         block[rr, cc] = pdf["value"].to_numpy(np.float64)
         raw = _dt.cast_block(block, dt_name).tobytes()
         if shuffle:
@@ -976,10 +991,20 @@ def write_netcdf4(
                 raw, asbytes=True)
         if fletcher32:
             raw += struct.pack("<I", _fletcher32(raw))
+        return raw
+
+    def build_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "variable": [key[0]], "t": [int(key[1])],
-            "ci": [int(ci)], "cj": [int(cj)], "data": [raw],
+            "variable": [str(key[0])], "t": [int(key[1])],
+            "ci": [int(key[2])], "cj": [int(key[3])],
+            "data": [encode_chunk(key, pdf)],
         })
+
+    if parallel:
+        return _write_netcdf4_parallel_tail(
+            keyed, variables, path, addrs, order, build, nt, rows, cols,
+            ch, cw, esize, fletcher32, bool(shuffle or fletcher32),
+            fa_page_bits, data_start, encode_chunk)
 
     chunks = keyed.groupBy("variable", "t", "ci", "cj").applyInPandas(
         build_chunk,
@@ -1058,6 +1083,88 @@ def write_netcdf4(
     return pd.DataFrame(
         manifest, columns=["variable", "t", "ci", "cj", "addr", "nbytes"]
     )
+
+
+def _write_netcdf4_parallel_tail(
+    keyed: DataFrame, variables, path: str, addrs: dict, order, build,
+    nt: int, rows: int, cols: int, ch: int, cw: int, esize: int,
+    fletcher32: bool, filtered: bool, fa_page_bits: int, data_start: int,
+    encode_chunk,
+) -> pd.DataFrame:
+    """Executor-parallel pwrite tail for ``write_netcdf4(parallel=True)``:
+    with no compression every chunk's stored size is ``ch*cw*esize`` (+4
+    for the fletcher32 suffix) — plan-time-known, so every chunk slot has
+    a computed address and the fixed-array index a computed position
+    (its dense blob size is slot-occupancy-invariant). The front matter
+    is written up front, one Spark job ``os.pwrite``\\ s each existing
+    chunk at its slot address — the classic-NetCDF sink pattern
+    (``write_netcdf``), scaled out instead of streamed through the
+    driver — and the index is patched in afterwards from the collected
+    manifest (chunk KEYS only; the data bytes never visit the driver).
+    Absent slots stay UNDEF in the index → readers see fill, and their
+    file ranges are holes (sparse on any modern fs). Reference
+    single-file sink: netcdf-c via
+    /root/reference/src/pyramids/netcdf/netcdf.py:849-982."""
+    ny, nx = -(-rows // ch), -(-cols // cw)
+    csize = ch * cw * esize
+    stored = csize + (4 if fletcher32 else 0)
+    nslots = nt * ny * nx
+    base = {v: data_start + vi * nslots * stored
+            for vi, v in enumerate(variables)}
+    # the dense FAHD+FADB blob always carries all nslots entries (absent
+    # → UNDEF), so its size — and every index root — is known NOW
+    blob_size = len(_fixed_array_blob({}, nslots, csize, filtered, 0,
+                                      page_bits=fa_page_bits)[1])
+    pos = _align8(data_start + len(variables) * nslots * stored)
+    blob_at = {}
+    for v in variables:
+        addrs[f"btree_{v}"] = pos  # FAHD root = blob start
+        blob_at[v] = pos
+        pos += blob_size
+    eof = pos
+    comp = build(addrs)
+    with open(path, "wb") as fh:
+        fh.write(_superblock(eof, addrs["ohdr_/"], addrs["gbtree"],
+                             addrs["heap_hdr"]))
+        for k in order:
+            fh.seek(addrs["heap_hdr"] if k == "heap_hdr" else addrs[k])
+            fh.write(comp[k])
+        fh.truncate(eof)
+
+    def pwrite_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        raw = encode_chunk(key, pdf)  # loud var/t/extent guards inside
+        v, t, ci, cj = str(key[0]), int(key[1]), int(key[2]), int(key[3])
+        at = base[v] + ((t * ny + ci) * nx + cj) * stored
+        fd = os.open(path, os.O_WRONLY)
+        try:
+            os.pwrite(fd, raw, at)
+        finally:
+            os.close(fd)
+        return pd.DataFrame({
+            "variable": [v], "t": [t], "ci": [ci], "cj": [cj],
+            "addr": [at], "nbytes": [len(raw)],
+        })
+
+    man = keyed.groupBy("variable", "t", "ci", "cj").applyInPandas(
+        pwrite_chunk,
+        "variable string, t long, ci long, cj long, addr long, nbytes long",
+    ).orderBy("variable", "t", "ci", "cj").toPandas()
+
+    with open(path, "r+b") as fh:
+        for v in variables:
+            mv = man[man["variable"] == v]
+            slots = {
+                (int(t) * ny + int(ci)) * nx + int(cj): (int(at), stored, 0)
+                for t, ci, cj, at in zip(mv["t"], mv["ci"], mv["cj"],
+                                         mv["addr"])
+            }
+            root, blob = _fixed_array_blob(
+                slots, nslots, csize, filtered, blob_at[v],
+                page_bits=fa_page_bits)
+            assert root == blob_at[v] and len(blob) == blob_size
+            fh.seek(blob_at[v])
+            fh.write(blob)
+    return man
 
 
 # ---------------------------------------------------------------------------

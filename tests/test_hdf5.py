@@ -659,3 +659,70 @@ def test_netcdf4_btree2_depth1_and_unfiltered(spark, tmp_path):
     got = {(r.variable, r.t, r.row, r.col): r.value
            for r in back.df.collect()}
     assert got == exp
+
+
+def test_netcdf4_parallel_pwrite_roundtrip(spark, tmp_path):
+    """parallel=True: uncompressed chunk sizes are plan-time-known, so
+    the front matter is written up front and executors pwrite chunks
+    directly at computed slot addresses (no driver byte stream); the
+    fixed-array index is patched in afterwards from the key-only
+    manifest. Shuffle + fletcher32 both keep sizes known."""
+    from dataclasses import replace
+
+    g = replace(G, nodata=-9999.0)
+    df, exp = _cells(spark)
+    p = str(tmp_path / "par.nc")
+    man = SparkNetCDF(df).to_netcdf4(
+        g, p, times=[10.0, 20.0, 30.0], dtype="int16", compress=None,
+        shuffle=True, fletcher32=True, chunk=(4, 4), index="fixed_array",
+        parallel=True,
+    )
+    assert len(man) == 2 * 3 * 4 * 2  # vars × t × ceil(13/4) × ceil(7/4)
+    stored = 4 * 4 * 2 + 4  # csize + fletcher suffix
+    assert set(man["nbytes"]) == {stored}
+    # addresses are the plan-time dense layout: contiguous per variable
+    m0 = man[man["variable"] == "precip"].sort_values(["t", "ci", "cj"])
+    a = m0["addr"].to_numpy()
+    assert np.array_equal(np.diff(a), np.full(len(a) - 1, stored))
+    back, g2, meta = SparkNetCDF.read_file(spark, p)
+    got = {(r.variable, r.t, r.row, r.col): r.value
+           for r in back.df.collect()}
+    assert got == exp and meta["times"] == [10.0, 20.0, 30.0]
+
+
+def test_netcdf4_parallel_empty_slots_and_2d(spark, tmp_path):
+    """A variable with data in two corner chunks leaves the other slots
+    UNDEF in the index (readers see fill; file ranges stay holes), and
+    the 2-D (times=None) shape works unfiltered."""
+    rows = [("z", 0, 0, 0, 7.0), ("z", 0, 12, 6, 9.0)]
+    df = spark.createDataFrame(
+        rows, "variable string, t long, row long, col long, value double")
+    p = str(tmp_path / "p2.nc")
+    man = hdf5.write_netcdf4(
+        df, G, p, times=None, compress=None, shuffle=False,
+        chunk=(4, 4), index="fixed_array", parallel=True,
+    )
+    assert len(man) == 2  # only the two occupied slots ever write
+    back, _, _ = SparkNetCDF.read_file(spark, p)
+    got = {(r.variable, r.t, r.row, r.col): r.value
+           for r in back.df.collect()}
+    assert got == {("z", 0, 0, 0): 7.0, ("z", 0, 12, 6): 9.0}
+
+
+def test_netcdf4_parallel_guards(spark, tmp_path):
+    """parallel=True rejects compression (sizes not plan-time-known) and
+    non-fixed-array indexes; out-of-range t fails loudly in the job."""
+    df, _ = _cells(spark, variables=("z",), nt=1)
+    with pytest.raises(ValueError, match="compress=None"):
+        hdf5.write_netcdf4(df, G, str(tmp_path / "x.nc"), times=[0.0],
+                           compress=4, index="fixed_array", parallel=True)
+    with pytest.raises(ValueError, match="fixed_array"):
+        hdf5.write_netcdf4(df, G, str(tmp_path / "x.nc"), times=[0.0],
+                           compress=None, parallel=True)
+    from pyspark.sql import functions as F
+
+    bad = df.withColumn("t", F.lit(5).cast("long"))
+    with pytest.raises(Exception, match="outside file dimensions"):
+        hdf5.write_netcdf4(bad, G, str(tmp_path / "x.nc"), times=[0.0],
+                           compress=None, index="fixed_array",
+                           parallel=True)
