@@ -1270,17 +1270,18 @@ def sql_shapefile_roundtrip():
 
 
 def q_zarr_roundtrip_u8(spark, sf_dir):
-    """Container dtype gate: uint8 zarr v2 store (``|u1`` dtype string,
-    integer JSON fill_value, BLOSC chunks — the numcodecs default
-    container: byte-shuffled zstd streams) round-trips the generator."""
+    """Container dtype gate (rotated r6): uint8 zarr v2 store (``|u1``
+    dtype string, integer JSON fill_value, BLOSC chunks in the VANILLA
+    numcodecs int-data default — blosclz streams under BIT-shuffle)
+    round-trips the generator."""
     from dataclasses import replace
 
     from pyramids_spark.api import SparkDataset
 
     g = replace(COELLO, nodata=255.0)
     ds = SparkDataset(grid_df(spark, g), g)
-    ds.to_zarr("/tmp/pyramids_q_zarr_u8", chunks=(7, 9), codec="blosc:zstd",
-               compress=3, dtype="uint8")
+    ds.to_zarr("/tmp/pyramids_q_zarr_u8", chunks=(7, 9),
+               codec="blosc:blosclz:bitshuffle", compress=5, dtype="uint8")
     back = SparkDataset.from_zarr(spark, "/tmp/pyramids_q_zarr_u8")
     return back.df.select("band", "row", "col", "value")
 

@@ -25,8 +25,9 @@ chunk layout is a PUBLIC documented format (c-blosc
 Inner codecs: zlib via the stdlib; lz4 (block format), zstd and snappy
 via ``pyarrow.Codec`` (Arrow is already the engine's UDF transport, and
 its C++ codecs run at native speed — no pure-Python decode loops in the
-chunk path). blosclz and bit-shuffle have no public in-container
-implementation here and reject loudly.
+chunk path); blosclz (the c-blosc DEFAULT cname — a FastLZ-derived
+token stream) in-module. Bit-shuffle (the numcodecs int-data default)
+is the numpy bit transpose in ``_bit_shuffle``/``_bit_unshuffle``.
 
 Decoding runs inside the distributed chunk scan (``mapInPandas`` over
 ``binaryFile`` rows), one chunk per call — no driver loops, no state.
@@ -62,6 +63,8 @@ def raw_decompress(name: str, buf: bytes, nout: int) -> bytes:
         import gzip
 
         out = gzip.decompress(buf)
+    elif name == "blosclz":
+        out = blosclz_decompress(buf, nout)
     else:
         import pyarrow as pa
 
@@ -88,6 +91,8 @@ def raw_compress(name: str, buf: bytes, level: "int | None" = None) -> bytes:
         return gzip.compress(
             buf, compresslevel=6 if level is None else int(level)
         )
+    if name == "blosclz":
+        return blosclz_compress(buf)
     import pyarrow as pa
 
     arrow = {"lz4": "lz4_raw", "zstd": "zstd", "snappy": "snappy"}
@@ -100,6 +105,163 @@ def raw_compress(name: str, buf: bytes, level: "int | None" = None) -> bytes:
     return pa.Codec(arrow[name], compression_level=lvl).compress(
         buf, asbytes=True
     )
+
+
+def blosclz_decompress(buf: bytes, nout: int) -> bytes:
+    """One blosclz stream → ``nout`` bytes. BloscLZ is c-blosc's default
+    cname — a FastLZ-derived LZ77 with the level-2 extras (255-chained
+    length extensions, 16-bit far distances past 8191): literal tokens
+    ``ctrl < 32`` copy ``ctrl+1`` input bytes; match tokens carry a
+    3-bit biased length (7 → chained extension bytes), a 13-bit biased
+    distance (``(ctrl & 31) << 8 | code``), and the ``code == 255,
+    ofs == 31 << 8`` escape for two-byte far distances. Distance 0 is a
+    run of the previous output byte."""
+    n = len(buf)
+    if n == 0 or nout == 0:
+        if nout:
+            raise ValueError("empty blosclz stream with nonzero output")
+        return b""
+    out = bytearray()
+    try:
+        ip = 1
+        ctrl = buf[0] & 31
+        while True:
+            if ctrl >= 32:
+                ln = (ctrl >> 5) - 1
+                ofs = (ctrl & 31) << 8
+                if ln == 6:  # length field 7: chained extensions
+                    while True:
+                        code = buf[ip]
+                        ip += 1
+                        ln += code
+                        if code != 255:
+                            break
+                code = buf[ip]
+                ip += 1
+                dist = ofs + code  # effective source = out[-dist-1]
+                if code == 255 and ofs == (31 << 8):
+                    dist = ((buf[ip] << 8) | buf[ip + 1]) + 8191
+                    ip += 2
+                total = ln + 3
+                if dist == 0:  # run of the previous byte
+                    out += out[-1:] * total
+                else:
+                    start = len(out) - dist - 1
+                    if start < 0:
+                        raise ValueError(
+                            "blosclz match reaches before the output start")
+                    pattern = out[start:start + total]
+                    if len(pattern) < total:  # overlap: repeat forward
+                        reps = -(-total // len(pattern))
+                        pattern = bytes(pattern) * reps
+                    out += pattern[:total]
+            else:
+                cnt = ctrl + 1
+                if ip + cnt > n:
+                    raise ValueError("blosclz literal run overruns input")
+                out += buf[ip:ip + cnt]
+                ip += cnt
+            if ip >= n:
+                break
+            ctrl = buf[ip]
+            ip += 1
+    except IndexError:
+        raise ValueError("blosclz stream truncated") from None
+    if len(out) != nout:
+        raise ValueError(
+            f"blosclz decoded to {len(out)} bytes, expected {nout}")
+    return bytes(out)
+
+
+def blosclz_compress(data: bytes) -> bytes:
+    """Greedy blosclz encoder (write-side twin of
+    :func:`blosclz_decompress`; same token stream FastLZ level 2 emits).
+    Matches ≥ 3 bytes against a rolling 3-gram table; distances beyond
+    the two-byte far escape (8191 + 65535) stay literals."""
+    n = len(data)
+    out = bytearray()
+    table: "dict[bytes, int]" = {}
+    lit = 0  # start of the pending literal run
+
+    def flush(upto: int) -> None:
+        j = lit
+        while j < upto:
+            cnt = min(32, upto - j)
+            out.append(cnt - 1)
+            out.extend(data[j:j + cnt])
+            j += cnt
+
+    i = 0
+    while i + 3 <= n:
+        key = data[i:i + 3]
+        cand = table.get(key)
+        table[key] = i
+        if cand is None or data[cand:cand + 3] != key \
+                or i - cand - 1 > 8191 + 65535:
+            i += 1
+            continue
+        ln = 3
+        while i + ln < n and data[cand + ln] == data[i + ln]:
+            ln += 1
+        flush(i)
+        d = i - cand - 1  # biased distance
+        lb = ln - 3       # biased length
+        if d < 8191:
+            if ln <= 8:
+                out.append(((lb + 1) << 5) | (d >> 8))
+            else:
+                out.append((7 << 5) | (d >> 8))
+                e = ln - 9
+                while e >= 255:
+                    out.append(255)
+                    e -= 255
+                out.append(e)
+            out.append(d & 255)
+        else:
+            e_d = d - 8191
+            if ln <= 8:
+                out.append(((lb + 1) << 5) | 31)
+            else:
+                out.append((7 << 5) | 31)
+                e = ln - 9
+                while e >= 255:
+                    out.append(255)
+                    e -= 255
+                out.append(e)
+            out.append(255)
+            out.append(e_d >> 8)
+            out.append(e_d & 255)
+        i += ln
+        lit = i
+    flush(n)
+    return bytes(out)
+
+
+def _bit_shuffle(block: bytes, typesize: int) -> bytes:
+    """bitshuffle transform, c-blosc semantics: the first
+    ``8 * (nel // 8)`` elements bit-transpose (bit ``b`` of every element
+    groups together, MSB-first within bytes — the bitshuffle library's
+    numpy reference ``unpackbits → (n, ts*8).T → packbits``); leftover
+    elements AND the ``block % typesize`` tail ride raw at the end."""
+    nel = len(block) // typesize
+    m = nel - nel % 8
+    if m == 0:
+        return block
+    head = np.frombuffer(block, np.uint8, count=m * typesize)
+    bits = np.unpackbits(head.reshape(m, typesize))
+    shuf = np.packbits(bits.reshape(m, typesize * 8).T)
+    return shuf.tobytes() + block[m * typesize:]
+
+
+def _bit_unshuffle(block: bytes, typesize: int) -> bytes:
+    nel = len(block) // typesize
+    m = nel - nel % 8
+    if m == 0:
+        return block
+    head = np.frombuffer(block, np.uint8, count=m * typesize)
+    bits = np.unpackbits(head)
+    orig = np.packbits(bits.reshape(typesize * 8, m).T)
+    return orig.tobytes() + block[m * typesize:]
 
 
 def _unshuffle(block: bytes, typesize: int) -> bytes:
@@ -140,16 +302,13 @@ def decode_blosc(buf: bytes) -> bytes:
         # whole chunk stored raw (incompressible fallback) — shuffle bits
         # are ignored in this mode, matching c-blosc's decompressor
         return bytes(buf[16:16 + nbytes])
-    if flags & _BITSHUFFLE:
-        raise NotImplementedError(
-            "blosc bit-shuffle filter is out of scope (byte-shuffle and "
-            "no-shuffle chunks are supported)"
-        )
+    if (flags & _BITSHUFFLE) and (flags & _SHUFFLE):
+        raise ValueError("blosc chunk with both shuffle bits set")
     fmt = flags >> 5
-    if fmt not in _FMT_NAMES or fmt == _FMT_BLOSCLZ:
+    if fmt not in _FMT_NAMES:
         raise NotImplementedError(
-            f"blosc inner codec {_FMT_NAMES.get(fmt, fmt)!r} is out of "
-            "scope (lz4/zlib/zstd/snappy chunks are supported)"
+            f"blosc inner codec format {fmt} is out of scope "
+            "(blosclz/lz4/zlib/zstd/snappy chunks are supported)"
         )
     codec = _FMT_NAMES[fmt]
     if blocksize <= 0:
@@ -181,6 +340,8 @@ def decode_blosc(buf: bytes) -> bytes:
             block = streams[0] if nstreams == 1 else b"".join(streams)
             if flags & _SHUFFLE:
                 block = _unshuffle(block, typesize)
+            elif flags & _BITSHUFFLE:
+                block = _bit_unshuffle(block, typesize)
             parts.append(block)
         out = b"".join(parts)
         if len(out) != nbytes:
@@ -221,15 +382,16 @@ def encode_blosc(
     shuffle: int = 1, blocksize: int = 0, split: bool = False,
 ) -> bytes:
     """Raw payload bytes → one blosc-1 chunk. ``shuffle``: 0 none /
-    1 byte-shuffle (bit-shuffle not written). ``split=True`` writes the
-    c-blosc split-stream block layout (typesize streams per full block —
-    what wild lz4 chunks from c-blosc's FORWARD_COMPAT mode look like);
+    1 byte-shuffle / 2 bit-shuffle (the numcodecs ``Blosc.BITSHUFFLE``
+    int-data default). ``split=True`` writes the c-blosc split-stream
+    block layout (typesize streams per full block — what wild
+    blosclz/lz4 chunks from c-blosc's FORWARD_COMPAT mode look like);
     the default writes one stream per block with the dont-split flag,
     which every c-blosc ≥ 1.14 reads."""
-    if cname not in _FMT_CODES or cname == "blosclz":
+    if cname not in _FMT_CODES:
         raise NotImplementedError(
             f"blosc write codec {cname!r} unsupported "
-            "(lz4/lz4hc/zlib/zstd/snappy)"
+            "(blosclz/lz4/lz4hc/zlib/zstd/snappy)"
         )
     typesize = max(1, int(typesize))
     if typesize > 255:
@@ -242,18 +404,20 @@ def encode_blosc(
     flags = fmt << 5
     if shuffle == 1 and typesize > 1:
         flags |= _SHUFFLE
+    elif shuffle == 2:
+        flags |= _BITSHUFFLE
     elif shuffle not in (0, 1):
-        raise NotImplementedError("blosc write shuffle: 0 or 1 only")
+        raise NotImplementedError("blosc write shuffle: 0, 1 or 2 only")
     # the flag-clear split layout must match decode's split_block()
     # policy exactly, or a symmetric reader would misparse our chunks
     do_split = (
         bool(split) and typesize > 1 and blocksize % typesize == 0
-        and fmt == _FMT_LZ4
+        and fmt in (_FMT_BLOSCLZ, _FMT_LZ4)
         and typesize <= 16 and blocksize // typesize >= 128
     )
     if split and not do_split:
         raise ValueError(
-            "split=True needs lz4/lz4hc, 1 < typesize <= 16 and "
+            "split=True needs blosclz/lz4/lz4hc, 1 < typesize <= 16 and "
             "blocksize/typesize >= 128 (the c-blosc split_block policy)"
         )
     if not do_split:
@@ -268,6 +432,8 @@ def encode_blosc(
         neblock = len(block)
         if flags & _SHUFFLE:
             block = _shuffle_bytes(block, typesize)
+        elif flags & _BITSHUFFLE:
+            block = _bit_shuffle(block, typesize)
         nstreams = typesize if (do_split and neblock == blocksize) else 1
         per = neblock // nstreams
         chunk_parts = []
@@ -284,7 +450,7 @@ def encode_blosc(
     body = struct.pack(f"<{nblocks}I", *bstarts) + b"".join(blobs)
     if 16 + len(body) >= 16 + nbytes:
         # incompressible: raw memcpy chunk (smaller AND trivially decoded)
-        flags = (flags & ~_SHUFFLE & ~_DONT_SPLIT) | _MEMCPY
+        flags = (flags & ~_SHUFFLE & ~_BITSHUFFLE & ~_DONT_SPLIT) | _MEMCPY
         return struct.pack(
             "<4B3I", 2, 1, flags, typesize, nbytes, blocksize, 16 + nbytes
         ) + data

@@ -127,16 +127,25 @@ def _make_encoder(
     if codec is None:
         codec = "zlib" if zarr_format == 2 else "gzip"
     if codec.startswith("blosc:"):
-        cn = codec.split(":", 1)[1]
-        if cn not in ("lz4", "lz4hc", "zlib", "zstd", "snappy"):
+        parts = codec.split(":")
+        cn, shuf = parts[1], 1
+        if len(parts) == 3:
+            if parts[2] != "bitshuffle":
+                raise NotImplementedError(
+                    f"blosc codec suffix {parts[2]!r} (only 'bitshuffle')")
+            shuf = 2
+        elif len(parts) > 3:
+            raise NotImplementedError(f"blosc codec spec {codec!r}")
+        if cn not in ("blosclz", "lz4", "lz4hc", "zlib", "zstd", "snappy"):
             raise NotImplementedError(f"blosc cname {cn!r} unsupported")
-        enc = lambda b: _bl.encode_blosc(b, itemsize, cn, lvl, shuffle=1)  # noqa: E731
+        enc = lambda b: _bl.encode_blosc(b, itemsize, cn, lvl, shuffle=shuf)  # noqa: E731
         if zarr_format == 2:
             meta = {"id": "blosc", "cname": cn, "clevel": lvl,
-                    "shuffle": 1, "blocksize": 0}
+                    "shuffle": shuf, "blocksize": 0}
         else:
             meta = {"name": "blosc", "configuration": {
-                "cname": cn, "clevel": lvl, "shuffle": "shuffle",
+                "cname": cn, "clevel": lvl,
+                "shuffle": "bitshuffle" if shuf == 2 else "shuffle",
                 "typesize": itemsize, "blocksize": 0}}
         return meta, enc
     if zarr_format == 2:

@@ -85,16 +85,14 @@ def test_blosc_handcrafted_chunk_decodes():
 
 def test_blosc_rejects_are_loud():
     data, ts = _payload(64)
-    with pytest.raises(NotImplementedError, match="bit-shuffle"):
+    with pytest.raises(ValueError, match="both shuffle bits"):
         chunk = bytearray(B.encode_blosc(data, ts, "lz4"))
-        chunk[2] = (chunk[2] & ~0x2) | 0x4  # force bitshuffle, clear memcpy
+        chunk[2] = (chunk[2] & ~0x2) | 0x4 | 0x1  # byte+bit shuffle
         B.decode_blosc(bytes(chunk))
-    with pytest.raises(NotImplementedError, match="blosclz"):
+    with pytest.raises(NotImplementedError, match="codec format"):
         chunk = bytearray(B.encode_blosc(data, ts, "zstd"))
-        chunk[2] = chunk[2] & 0x1F  # fmt -> 0 = blosclz
+        chunk[2] = (chunk[2] & 0x1F) | (6 << 5)  # fmt 6: unassigned
         B.decode_blosc(bytes(chunk))
-    with pytest.raises(NotImplementedError):
-        B.encode_blosc(data, ts, "blosclz")
     with pytest.raises(ValueError, match="too short"):
         B.decode_blosc(b"\x02\x01")
     # truncated stream overruns loudly
@@ -464,3 +462,98 @@ def test_zarr_dataset_mode_w_replaces_orphans_and_array_roots(spark,
     back2 = SparkDataset.from_zarr(spark, store3)
     got = {(r.row, r.col): r.value for r in back2.df.collect()}
     assert got == {(r, c): float(c) for r in range(4) for c in range(4)}
+
+
+def test_blosclz_handcrafted_tokens_decode():
+    """Hand-built blosclz token streams pin the DECODER to the FastLZ-
+    derived format: literal runs, near matches, distance-0 runs, and
+    7-length extension chains."""
+    # literal "abc" + match (d=2 -> distance 3, L=3): "abcabc"
+    assert B.blosclz_decompress(
+        bytes([0x02]) + b"abc" + bytes([0x20, 0x02]), 6) == b"abcabc"
+    # literal "x" + run token (dist field 0, L=5): "x" * 6
+    assert B.blosclz_decompress(
+        bytes([0x00]) + b"x" + bytes([0x60, 0x00]), 6) == b"x" * 6
+    # literal "ab" + long match L=12 via extension (ctrl 7<<5, ext 3,
+    # code d=1): overlapping forward copy repeats the pattern
+    assert B.blosclz_decompress(
+        bytes([0x01]) + b"ab" + bytes([0xE0, 0x03, 0x01]), 14) \
+        == b"ab" + b"ab" * 6
+    # declared-size mismatch is loud
+    with pytest.raises(ValueError, match="expected"):
+        B.blosclz_decompress(bytes([0x02]) + b"abc", 99)
+    with pytest.raises(ValueError, match="truncated|overruns"):
+        B.blosclz_decompress(bytes([0x05]) + b"ab", 6)
+
+
+def test_blosclz_roundtrip_shapes():
+    """Encoder→decoder over the shapes that exercise every token: runs,
+    short/long matches, far (> 8191) distances, incompressible noise."""
+    rng = np.random.default_rng(11)
+    cases = [
+        b"",
+        b"A",
+        b"A" * 500,                                   # long run
+        bytes(range(256)) * 8,                        # periodic, d=255
+        (b"0123456789" * 40)[:333],                   # period 10
+        rng.integers(0, 256, 700, dtype=np.uint8).tobytes(),  # noise
+        rng.integers(0, 4, 12000, dtype=np.uint8).tobytes(),  # matchy
+        b"Z" * 9000 + b"needle" + b"Z" * 100 + b"needle",     # far match
+    ]
+    for data in cases:
+        enc = B.blosclz_compress(data)
+        assert B.blosclz_decompress(enc, len(data)) == data
+    # far-distance copies really engage the two-byte escape
+    far = b"\x00" * 1 + bytes(rng.integers(0, 256, 8500, dtype=np.uint8)) \
+        + b"MARKER64" + bytes(rng.integers(0, 256, 200, dtype=np.uint8)) \
+        + b"MARKER64"
+    enc = B.blosclz_compress(far)
+    assert B.blosclz_decompress(enc, len(far)) == far
+
+
+def test_bitshuffle_pinned_vectors_and_roundtrip():
+    """_bit_shuffle is the bitshuffle library's numpy reference
+    (unpackbits -> (n, ts*8) transpose -> packbits, MSB-first); pinned
+    single-byte vectors are hand-derivable."""
+    # 8 u8 elements [255,0,...,0]: every out byte has only the MSB (the
+    # e0 lane) set
+    assert B._bit_shuffle(bytes([255] + [0] * 7), 1) == bytes([0x80] * 8)
+    # [1]*8: only bit 7 (LSB) of every element -> out byte 7 = 0xFF
+    assert B._bit_shuffle(bytes([1] * 8), 1) == bytes([0] * 7 + [0xFF])
+    rng = np.random.default_rng(5)
+    for ts in (1, 2, 4, 8):
+        for n in (8 * ts, 64 * ts, 64 * ts + 5):  # incl. ragged tail
+            data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            shuf = B._bit_shuffle(data, ts)
+            assert len(shuf) == len(data)
+            assert B._bit_unshuffle(shuf, ts) == data
+    # leftover elements (nel % 8) ride raw at the end
+    data = bytes(range(100))  # ts=4 -> 25 elements, 24 shuffled + 1 raw
+    shuf = B._bit_shuffle(data, 4)
+    assert shuf[-4:] == data[-4:]
+    assert B._bit_unshuffle(shuf, 4) == data
+
+
+@pytest.mark.parametrize("cname", ["blosclz", "lz4", "zstd"])
+@pytest.mark.parametrize("shuffle", [0, 1, 2])
+def test_blosc_chunk_blosclz_and_bitshuffle(cname, shuffle):
+    """Whole-chunk roundtrips across the new codec × shuffle matrix,
+    including the numcodecs int-data default (blosclz + bitshuffle)."""
+    data, ts = _payload(3000, "<i4")
+    chunk = B.encode_blosc(data, ts, cname, 5, shuffle=shuffle)
+    flags = chunk[2]
+    if not flags & 0x2:  # unless the memcpy fallback engaged
+        assert bool(flags & 0x4) == (shuffle == 2)
+        assert (flags >> 5) == {"blosclz": 0, "lz4": 1, "zstd": 4}[cname]
+    assert B.decode_blosc(chunk) == data
+
+
+def test_blosc_blosclz_split_stream_roundtrip():
+    """blosclz is in c-blosc's split_block() policy: flag-clear split
+    chunks (typesize streams per block) decode — the vanilla-numcodecs
+    default layout for pre-1.14 writers."""
+    data, ts = _payload(6000)
+    chunk = B.encode_blosc(data, ts, "blosclz", 5, shuffle=1,
+                           blocksize=16384, split=True)
+    assert not (chunk[2] & 0x10)  # dont-split bit clear
+    assert B.decode_blosc(chunk) == data

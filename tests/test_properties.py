@@ -162,9 +162,9 @@ def test_conic_inverse_of_forward_is_identity(lon, lat):
 @settings(**_S)
 @given(
     st.integers(min_value=0, max_value=4000),
-    st.sampled_from(["lz4", "zlib", "zstd", "snappy"]),
+    st.sampled_from(["blosclz", "lz4", "zlib", "zstd", "snappy"]),
     st.sampled_from([1, 2, 4, 8, 3, 16]),
-    st.booleans(),
+    st.sampled_from([0, 1, 2]),
     st.integers(min_value=0, max_value=2**31 - 1),
 )
 def test_blosc_roundtrip_property(n, cname, typesize, shuffle, seed):
@@ -174,9 +174,25 @@ def test_blosc_roundtrip_property(n, cname, typesize, shuffle, seed):
     # mixed compressibility: runs + noise
     data = np.where(rng.random(n) < 0.7, 7, rng.integers(0, 256, n)) \
         .astype(np.uint8).tobytes()
-    chunk = B.encode_blosc(data, typesize, cname, 3,
-                           shuffle=1 if shuffle else 0)
+    chunk = B.encode_blosc(data, typesize, cname, 3, shuffle=shuffle)
     assert B.decode_blosc(chunk) == data
+
+
+@settings(**_S)
+@given(
+    st.integers(min_value=0, max_value=3000),
+    st.floats(min_value=0.0, max_value=1.0),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_blosclz_raw_roundtrip_property(n, density, seed):
+    from pyramids_spark import blosc as B
+
+    rng = np.random.default_rng(seed)
+    # density sweeps run-heavy -> noisy payloads (match/literal mixes)
+    data = np.where(rng.random(n) < density, rng.integers(0, 256, n),
+                    rng.integers(0, 3, n)).astype(np.uint8).tobytes()
+    enc = B.blosclz_compress(data)
+    assert B.blosclz_decompress(enc, n) == data
 
 
 @settings(**_S)
