@@ -177,7 +177,8 @@ def _decompress(raw: bytes, comp: int, jpeg_tables: "bytes | None" = None) -> by
         from . import lzw
 
         return lzw.decode(raw)
-    if comp == 7:  # new-style JPEG: each tile/strip is a JFIF stream
+    if comp in (6, 7):  # JPEG: a full JFIF stream per tile/strip (7), or
+        # the old-style interchange stream rewritten to one strip (6)
         from . import jpeg as _jp
 
         if jpeg_tables and len(jpeg_tables) > 4:
@@ -192,6 +193,40 @@ def _decompress(raw: bytes, comp: int, jpeg_tables: "bytes | None" = None) -> by
     import zlib
 
     return zlib.decompress(raw)
+
+
+def _jpeg6_stream(entropy: bytes, j6: dict, w: int, h: int,
+                  spp: int) -> bytes:
+    """Old-style JPEG (TIFF 6.0 Compression 6, the per-strip form):
+    strips hold bare entropy-coded data while the tables live behind the
+    JPEGQTables/JPEGDCTables/JPEGACTables tag offsets — synthesize the
+    SOI/DQT/DHT/[DRI]/SOF0/SOS prelude so the in-repo T.81 decoder reads
+    it like any baseline stream. Reference: GDAL's libtiff
+    OJPEG codec path behind ``/root/reference/src/pyramids/dataset.py``
+    ``read_file``."""
+    out = bytearray(b"\xff\xd8")
+    for i in range(spp):
+        q = j6["q"][min(i, len(j6["q"]) - 1)]
+        out += b"\xff\xdb" + struct.pack(">H", 3 + 64) + bytes([i]) + q
+        for cls, key in ((0, "dc"), (1, "ac")):
+            t = j6[key][min(i, len(j6[key]) - 1)]
+            out += b"\xff\xc4" + struct.pack(">H", 3 + len(t)) \
+                + bytes([(cls << 4) | i]) + t
+    if j6.get("ri"):
+        out += b"\xff\xdd" + struct.pack(">HH", 4, int(j6["ri"]))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([spp])
+    for i in range(spp):
+        sof += bytes([i, 0x11, i])  # 1x1 sampling; Tq = component index
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    sos = bytes([spp])
+    for i in range(spp):
+        sos += bytes([i, (i << 4) | i])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += entropy
+    if not entropy.endswith(b"\xff\xd9"):
+        out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _comp_tag(compress) -> int:
@@ -892,6 +927,10 @@ def _read_ifds(path: str) -> list[dict]:
                 d["tw"] = tags[_W][2]
                 d["th"] = tags[_RPS][2] if _RPS in tags else tags[_H][2]
                 d["offsets"], d["counts"] = arr(_SOFF, "Q", 8), arr(_SCNT, "Q", 8)
+            elif 513 in tags:  # old-style JPEG interchange only: the
+                # layout is rewritten to one full-image strip below
+                d["tw"], d["th"] = tags[_W][2], tags[_H][2]
+                d["offsets"], d["counts"] = [], []
             else:
                 raise NotImplementedError("IFD has neither tile nor strip layout")
             d["comp"] = tags[_COMP][2] if _COMP in tags else 1
@@ -906,6 +945,57 @@ def _read_ifds(path: str) -> list[dict]:
                     fh.seek(val)
                     d["jpeg_tables"] = fh.read(cnt)
                     fh.seek(cur)
+            d["jpeg6"] = None
+            if d["comp"] == 6:  # old-style JPEG (TIFF 6.0 original scheme)
+                if 513 in tags:
+                    # JPEGInterchangeFormat: ONE full stream covers the
+                    # whole image — rewrite the layout to a single strip
+                    # so the tile machinery decodes it like a comp-7 file
+                    if 514 not in tags:
+                        raise NotImplementedError(
+                            "old-style JPEG with JPEGInterchangeFormat "
+                            "but no ...FormatLength (tag 514)")
+                    d["offsets"] = [tags[513][2]]
+                    d["counts"] = [tags[514][2]]
+                    d["th"], d["tw"] = d["rows"], d["cols"]
+                else:
+                    # per-strip entropy data + table tags: synthesize the
+                    # marker prelude per strip (_jpeg6_stream)
+                    if tags.get(512, (0, 0, 1))[2] != 1:
+                        raise NotImplementedError(
+                            "old-style JPEG with JPEGProc != 1 (baseline)"
+                        )
+                    if tags.get(262, (0, 0, 1))[2] == 6:
+                        raise NotImplementedError(
+                            "old-style per-strip JPEG with YCbCr "
+                            "photometric (subsampled scans) — only the "
+                            "interchange-format (tag 513) shape decodes "
+                            "for color"
+                        )
+                    if not (519 in tags and 520 in tags and 521 in tags):
+                        raise NotImplementedError(
+                            "old-style per-strip JPEG without "
+                            "JPEGQTables/DCTables/ACTables (519-521)")
+
+                    def _jtbl(tid: int, kind: str) -> "list[bytes]":
+                        offs = arr(tid, "I", 4)
+                        cur = fh.tell()
+                        out2 = []
+                        for o in offs:
+                            fh.seek(int(o))
+                            if kind == "q":  # 64 zigzag quant bytes
+                                out2.append(fh.read(64))
+                            else:  # DHT payload: 16 counts + values
+                                bits16 = fh.read(16)
+                                out2.append(bits16 + fh.read(sum(bits16)))
+                        fh.seek(cur)
+                        return out2
+
+                    d["jpeg6"] = {
+                        "q": _jtbl(519, "q"), "dc": _jtbl(520, "h"),
+                        "ac": _jtbl(521, "h"),
+                        "ri": tags.get(515, (0, 0, 0))[2],
+                    }
             spp = tags.get(_SPP, (0, 0, 1))[2]
             if tags.get(_BITS, (0, 1, 0))[1] > 1:
                 # spp > 1: BitsPerSample is an array of spp SHORTs —
@@ -926,7 +1016,7 @@ def _read_ifds(path: str) -> list[dict]:
                 # into uint16 words, which is also how they reshape
                 d["dtype"] = "uint16"
             d["spp"] = spp
-            if d["comp"] not in (1, 5, 7, 8, 32773) or d["dtype"] is None \
+            if d["comp"] not in (1, 5, 6, 7, 8, 32773) or d["dtype"] is None \
                     or spp < 1:
                 raise NotImplementedError(
                     "only raw/LZW/JPEG/DEFLATE/PackBits rasters over the "
@@ -940,6 +1030,13 @@ def _read_ifds(path: str) -> list[dict]:
                     "JPEG-compressed TIFF must be 8- or 12-bit UNSIGNED "
                     f"samples without a predictor (got bits={bits} "
                     f"sfmt={sfmt} pred={d['pred']})"
+                )
+            if d["comp"] == 6 and (bits != 8 or sfmt != 1
+                                   or d["pred"] != 1):
+                raise NotImplementedError(
+                    "old-style JPEG TIFF must be 8-bit unsigned samples "
+                    f"without a predictor (got bits={bits} sfmt={sfmt} "
+                    f"pred={d['pred']})"
                 )
             if spp > 1 and planar != 1:
                 raise NotImplementedError(
@@ -1017,7 +1114,7 @@ def read_geotiff(
     th, tw, rows, cols = d0["th"], d0["tw"], d0["rows"], d0["cols"]
     fill = d0["nodata"]
     comp, pred, spp = d0["comp"], d0["pred"], d0["spp"]
-    jtables = d0["jpeg_tables"]
+    jtables, j6 = d0["jpeg_tables"], d0["jpeg6"]
     np_dt_str = str(_dt.np_dtype(d0["dtype"]).str)
 
     def decode(batches):
@@ -1028,7 +1125,17 @@ def read_geotiff(
                     pdf["band"], pdf["ti"], pdf["tj"], pdf["off"], pdf["cnt"]
                 ):
                     fh.seek(o)
-                    raw = _decompress(fh.read(c), comp, jtables)
+                    if comp == 6 and j6 is not None:
+                        # per-strip entropy data: synthesize the marker
+                        # prelude with THIS strip's exact height
+                        from . import jpeg as _jp
+
+                        raw = _jp.decode_jpeg(_jpeg6_stream(
+                            fh.read(c), j6, tw,
+                            min(th, rows - int(ti) * th), spp,
+                        )).tobytes()
+                    else:
+                        raw = _decompress(fh.read(c), comp, jtables)
                     # reshape by actual length: tiles are full (th, tw);
                     # a foreign file's LAST STRIP may be short. Decode in
                     # the STORED dtype, widen to the engine's float64

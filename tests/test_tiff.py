@@ -986,3 +986,154 @@ def test_geotiff_reads_12bit_jpeg_compressed(spark, tmp_path):
     assert got == {(r, c): float(exp[r, c])
                    for r in range(rows) for c in range(cols)}
     assert max(got.values()) > 255.0  # genuinely 12-bit range
+
+
+def _jfif_pieces(stream):
+    """Parse a baseline JFIF stream into (q tables, dc tables, ac tables,
+    (h, w, ncomp), entropy bytes) — the raw pieces the OLD-STYLE JPEG
+    TIFF tags (519-521) store without any markers."""
+    qs, dcs, acs, dims = {}, {}, {}, None
+    i = 2
+    while i < len(stream):
+        assert stream[i] == 0xFF
+        marker = stream[i + 1]
+        (ln,) = struct.unpack_from(">H", stream, i + 2)
+        seg = stream[i + 4:i + 2 + ln]
+        if marker == 0xDB:
+            j = 0
+            while j < len(seg):
+                assert seg[j] >> 4 == 0  # 8-bit tables
+                qs[seg[j] & 15] = seg[j + 1:j + 65]
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(seg):
+                cls, th = seg[j] >> 4, seg[j] & 15
+                n = sum(seg[j + 1:j + 17])
+                (dcs if cls == 0 else acs)[th] = seg[j + 1:j + 17 + n]
+                j += 17 + n
+        elif marker == 0xC0:
+            dims = (struct.unpack_from(">H", seg, 1)[0],
+                    struct.unpack_from(">H", seg, 3)[0], seg[5])
+        elif marker == 0xDA:
+            return qs, dcs, acs, dims, stream[i + 2 + ln:-2]
+        i += 2 + ln
+    raise AssertionError("no SOS")
+
+
+def test_geotiff_reads_oldstyle_jpeg_interchange(spark, tmp_path):
+    """Compression=6 shape A: JPEGInterchangeFormat/Length (513/514)
+    point at ONE full JFIF stream for the whole image — the common wild
+    old-scanner layout. Strip tags may be absent entirely."""
+    from pyramids_spark import jpeg as J
+
+    rng = np.random.default_rng(17)
+    rows, cols = 16, 24
+    img = rng.integers(0, 256, (rows, cols), dtype=np.uint8)
+    stream = J.encode_jpeg(img, quality=95)
+    exp = J.decode_jpeg(stream)
+
+    n_tags, ifd_at = 8, 8
+    data_at = ifd_at + 2 + n_tags * 12 + 4
+    tags = sorted([
+        (256, 4, 1, cols), (257, 4, 1, rows), (258, 3, 1, 8),
+        (259, 3, 1, 6), (262, 3, 1, 1), (339, 3, 1, 1),
+        (513, 4, 1, data_at), (514, 4, 1, len(stream)),
+    ])
+    buf = bytearray(struct.pack("<2sHI", b"II", 42, ifd_at))
+    buf += struct.pack("<H", n_tags)
+    for t in tags:
+        buf += struct.pack("<HHII", *t)
+    buf += struct.pack("<I", 0)
+    buf += stream
+    p = tmp_path / "oj.tif"
+    p.write_bytes(bytes(buf))
+    back = SparkDataset.from_geotiff(spark, str(p))
+    got = {(r.row, r.col): r.value for r in back.df.collect()}
+    assert got == {(r, c): float(exp[r, c])
+                   for r in range(rows) for c in range(cols)}
+
+
+def test_geotiff_reads_oldstyle_jpeg_per_strip_tables(spark, tmp_path):
+    """Compression=6 shape B: strips hold BARE entropy data; the quant
+    and huffman tables live behind JPEGQTables/DCTables/ACTables
+    offsets. The reader synthesizes the marker prelude per strip (with
+    the SHORT last strip's exact height)."""
+    from pyramids_spark import jpeg as J
+
+    rng = np.random.default_rng(23)
+    rows, cols, rps = 14, 16, 8  # short last strip: 6 rows
+    img = rng.integers(0, 256, (rows, cols), dtype=np.uint8)
+    strips, exp_parts, tables = [], [], None
+    for s in range(0, rows, rps):
+        stream = J.encode_jpeg(img[s:s + rps], quality=90)
+        qs, dcs, acs, dims, entropy = _jfif_pieces(stream)
+        assert dims[2] == 1
+        tables = (qs[0], dcs[0], acs[0])  # identical across strips
+        strips.append(entropy)
+        exp_parts.append(J.decode_jpeg(stream))
+    exp = np.vstack(exp_parts)
+
+    n_tags, ifd_at = 13, 8
+    p_off = ifd_at + 2 + n_tags * 12 + 4
+    p_cnt = p_off + 4 * len(strips)
+    p_q = p_cnt + 4 * len(strips)
+    p_dc = p_q + 64
+    p_ac = p_dc + len(tables[1])
+    data_at = p_ac + len(tables[2])
+    offs, cur = [], data_at
+    for s in strips:
+        offs.append(cur)
+        cur += len(s)
+    tags = sorted([
+        (256, 4, 1, cols), (257, 4, 1, rows), (258, 3, 1, 8),
+        (259, 3, 1, 6), (262, 3, 1, 1),
+        (273, 4, len(strips), p_off), (278, 4, 1, rps),
+        (279, 4, len(strips), p_cnt), (339, 3, 1, 1),
+        (512, 3, 1, 1), (519, 4, 1, p_q), (520, 4, 1, p_dc),
+        (521, 4, 1, p_ac),
+    ])
+    buf = bytearray(struct.pack("<2sHI", b"II", 42, ifd_at))
+    buf += struct.pack("<H", n_tags)
+    for t in tags:
+        buf += struct.pack("<HHII", *t)
+    buf += struct.pack("<I", 0)
+    buf += struct.pack(f"<{len(strips)}I", *offs)
+    buf += struct.pack(f"<{len(strips)}I", *[len(s) for s in strips])
+    buf += tables[0] + tables[1] + tables[2]
+    for s in strips:
+        buf += s
+    p = tmp_path / "ojs.tif"
+    p.write_bytes(bytes(buf))
+    back = SparkDataset.from_geotiff(spark, str(p))
+    got = {(r.row, r.col): r.value for r in back.df.collect()}
+    assert got == {(r, c): float(exp[r, c])
+                   for r in range(rows) for c in range(cols)}
+
+
+def test_geotiff_oldstyle_jpeg_rejects(spark, tmp_path):
+    """Shape-B guards: missing table tags, non-baseline JPEGProc and
+    YCbCr photometric reject loudly at IFD-parse time."""
+    from pyramids_spark import tiff as T
+
+    def build(extra_tags):
+        base = [(256, 4, 1, 8), (257, 4, 1, 8), (258, 3, 1, 8),
+                (259, 3, 1, 6), (273, 4, 1, 300), (278, 4, 1, 8),
+                (279, 4, 1, 10), (339, 3, 1, 1)]
+        tags = sorted(base + extra_tags)
+        buf = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+        buf += struct.pack("<H", len(tags))
+        for t in tags:
+            buf += struct.pack("<HHII", *t)
+        buf += struct.pack("<I", 0)
+        buf += b"\x00" * 400
+        p = tmp_path / "g.tif"
+        p.write_bytes(bytes(buf))
+        return str(p)
+
+    with pytest.raises(NotImplementedError, match="JPEGQTables"):
+        T._read_ifds(build([(262, 3, 1, 1)]))
+    with pytest.raises(NotImplementedError, match="JPEGProc"):
+        T._read_ifds(build([(262, 3, 1, 1), (512, 3, 1, 14)]))
+    with pytest.raises(NotImplementedError, match="YCbCr"):
+        T._read_ifds(build([(262, 3, 1, 6)]))
