@@ -533,19 +533,37 @@ def _super_merge(frags: DataFrame, grid: Grid, tile: int, super_factor: int) -> 
             out["vxs"].append(vxs)
             out["vys"].append(vys)
 
-        gkey = [pdf["label"], pdf["tile_y"] // super_factor, pdf["tile_x"] // super_factor]
-        for (lab, sty, stx), g in pdf.groupby(gkey):
-            lab, sty, stx = int(lab), int(sty), int(stx)
-            counts = g[g["kind"] == 0]
-            if len(counts):
-                emit(sty, stx, lab, 0, float(counts["value"].iloc[0]),
-                     int(counts["n_own"].sum()), None, None)
-            for vx, vy in zip(g.loc[g["kind"] == 2, "vxs"], g.loc[g["kind"] == 2, "vys"]):
+        # argsort + slices, not a pandas groupby: ~1 group per component
+        # made the per-group frame machinery the dominant cost (measured
+        # ~2× the real merge work at bench scale — r6 profiling pass)
+        lab_a = pdf["label"].to_numpy(np.int64)
+        sty_a = pdf["tile_y"].to_numpy(np.int64) // super_factor
+        stx_a = pdf["tile_x"].to_numpy(np.int64) // super_factor
+        kind_a = pdf["kind"].to_numpy(np.int64)
+        val_a = pdf["value"].to_numpy(np.float64)
+        own_a = pdf["n_own"].to_numpy(np.float64)
+        vxs_a = pdf["vxs"].to_numpy()
+        vys_a = pdf["vys"].to_numpy()
+        order = np.lexsort((stx_a, sty_a, lab_a))
+        ks = np.stack([lab_a[order], sty_a[order], stx_a[order]])
+        change = np.any(ks[:, 1:] != ks[:, :-1], axis=0)
+        bounds = np.flatnonzero(change) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(order)]])
+        for s0, e0 in zip(starts, ends):
+            idx = order[s0:e0]
+            lab, sty, stx = int(lab_a[idx[0]]), int(sty_a[idx[0]]), \
+                int(stx_a[idx[0]])
+            kinds = kind_a[idx]
+            csel = idx[kinds == 0]
+            if len(csel):
+                emit(sty, stx, lab, 0, float(val_a[csel[0]]),
+                     int(own_a[csel].sum()), None, None)
+            for i in idx[kinds == 2]:
                 emit(sty, stx, lab, 2, None, None,
-                     [int(v) for v in vx], [int(v) for v in vy])
+                     [int(v) for v in vxs_a[i]], [int(v) for v in vys_a[i]])
             chains = sorted(
-                list(zip(vx, vy))
-                for vx, vy in zip(g.loc[g["kind"] == 1, "vxs"], g.loc[g["kind"] == 1, "vys"])
+                list(zip(vxs_a[i], vys_a[i])) for i in idx[kinds == 1]
             )
             if chains:
                 open_paths, rings = _merge_chains(chains, scut)
@@ -645,14 +663,19 @@ def _ring_fragments(comp: DataFrame, grid: Grid, tile: int) -> DataFrame:
                 {"tile_y": np.int64, "tile_x": np.int64, "vxs": object, "vys": object}
             )
         # per-(tile,label) cell counts — summed at the stitch so the whole
-        # pipeline is one scan of the labeled table
-        for lab_v, grp in own.groupby("label"):
-            out["label"].append(int(lab_v))
-            out["kind"].append(0)
-            out["value"].append(float(grp["value"].iloc[0]))
-            out["n_own"].append(len(grp))
-            out["vxs"].append(None)
-            out["vys"].append(None)
+        # pipeline is one scan of the labeled table. np.unique, not a
+        # pandas groupby: dense tiles carry ~1k labels and the per-group
+        # frame setup dominated this loop (r6 profiling pass)
+        lab_own = own["label"].to_numpy(np.int64)
+        val_own = own["value"].to_numpy(np.float64)
+        ulab, ufirst, ucnt = np.unique(lab_own, return_index=True,
+                                       return_counts=True)
+        out["label"].extend(int(v) for v in ulab)
+        out["kind"].extend([0] * len(ulab))
+        out["value"].extend(float(v) for v in val_own[ufirst])
+        out["n_own"].extend(int(v) for v in ucnt)
+        out["vxs"].extend([None] * len(ulab))
+        out["vys"].extend([None] * len(ulab))
         # label lookup over owner + halo cells (sorted-encode + searchsorted)
         enc_all = pdf["row"].to_numpy(np.int64) * big + pdf["col"].to_numpy(np.int64)
         order = np.argsort(enc_all)
@@ -715,63 +738,84 @@ def _final_stitch(frags: DataFrame, x0: float, y0: float, cs: float) -> DataFram
     """Global per-component stitch (stage 3): close every component's rings
     from its (already super-merged) chain fragments and emit WKT."""
 
-    def stitch_one(label, pdf: pd.DataFrame) -> dict:
-        counts = pdf[pdf["kind"] == 0]
-        n_cells = int(counts["n_own"].sum())
-        value = float(counts["value"].iloc[0])
+    def stitch_one(label, kinds, vals, owns, vxs, vys) -> dict:
+        # rings live as (n, 2) int64 arrays here: the per-vertex python
+        # loops (and especially f-strings over NUMPY scalars — ~30× the
+        # cost of formatting python floats) dominated this stage in the
+        # r6 profiling pass
+        csel = kinds == 0
+        n_cells = int(owns[csel].sum())
+        value = float(vals[csel][0])
         rings = [
-            list(zip(vx, vy))
-            for vx, vy in zip(pdf.loc[pdf["kind"] == 2, "vxs"], pdf.loc[pdf["kind"] == 2, "vys"])
+            np.stack([np.asarray(vx, np.int64), np.asarray(vy, np.int64)],
+                     axis=1)
+            for vx, vy in zip(vxs[kinds == 2], vys[kinds == 2])
         ]
         chains = sorted(
-            (
-                list(zip(vx, vy))
-                for vx, vy in zip(
-                    pdf.loc[pdf["kind"] == 1, "vxs"], pdf.loc[pdf["kind"] == 1, "vys"]
-                )
-            ),
+            list(zip(vx, vy))
+            for vx, vy in zip(vxs[kinds == 1], vys[kinds == 1])
         )
         # chain-graph walk (shared _merge_chains, scut=never → every merged
         # path is a closed ring)
-        rings.extend(_merge_chains(chains, lambda v: False)[1])
+        rings.extend(np.asarray(rg, np.int64)
+                     for rg in _merge_chains(chains, lambda v: False)[1])
 
         def canon(rg):
-            # rotate the closed ring to start at its smallest vertex: the
-            # emitted WKT is then independent of the stitch level and of
-            # which fragment a walk happened to start from (determinism
-            # across partitionings/cluster sizes)
-            core = rg[:-1] if tuple(rg[0]) == tuple(rg[-1]) else rg
-            i = min(range(len(core)), key=lambda j: tuple(core[j]))
-            return core[i:] + core[:i] + [core[i]]
+            # rotate the closed ring to start at its smallest (x, y)
+            # vertex: the emitted WKT is then independent of the stitch
+            # level and of which fragment a walk happened to start from
+            # (determinism across partitionings/cluster sizes)
+            core = rg[:-1] if (rg[0] == rg[-1]).all() else rg
+            i = int(np.lexsort((core[:, 1], core[:, 0]))[0])
+            return np.concatenate([core[i:], core[:i], core[i:i + 1]])
 
         rings = [canon(rg) for rg in rings]
 
         def shoelace_int(rg):
             # translation-invariant: |map area| = cs² · |integer shoelace|
-            return sum(
-                rg[i][0] * rg[i + 1][1] - rg[i + 1][0] * rg[i][1]
-                for i in range(len(rg) - 1)
-            )
+            x, y = rg[:, 0], rg[:, 1]
+            return int(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
 
         rings.sort(key=lambda rg: -abs(shoelace_int(rg)))  # exterior first
-        body = ", ".join(
-            "(" + ", ".join(f"{x0 + vc * cs} {y0 - vr * cs}" for vc, vr in rg) + ")"
-            for rg in rings
-        )
+        parts = []
+        for rg in rings:
+            xs = (x0 + rg[:, 0] * cs).tolist()
+            ys = (y0 - rg[:, 1] * cs).tolist()
+            parts.append(
+                "(" + ", ".join(f"{x} {y}" for x, y in zip(xs, ys)) + ")")
         return {"label": int(label), "value": value, "n_cells": n_cells,
-                "wkt": f"POLYGON ({body})"}
+                "wkt": f"POLYGON ({', '.join(parts)})"}
 
     def stitch_partition(batches):
         # MANY components per task: repartition("label") co-locates each
-        # component's fragments, then one pandas groupby stitches them all
-        # — applyInPandas with one 3-row group per component paid ~47k
-        # per-group Arrow/pandas setups at bench scale (measured ~10 s of
-        # pure overhead for 47k polygons); this is one setup per PARTITION.
+        # component's fragments, one Arrow setup per PARTITION, then
+        # argsort + slices over raw numpy columns — the pandas groupby
+        # this replaces paid per-group frame setup on ~47k 2-row groups
+        # (measured ~2.5× the real stitch work at bench scale; r6
+        # profiling pass, like the per-tile edge grouping before it)
         pdfs = list(batches)
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True)
-        rows = [stitch_one(label, g) for label, g in pdf.groupby("label")]
+        if not len(pdf):
+            return
+        lab_a = pdf["label"].to_numpy(np.int64)
+        kind_a = pdf["kind"].to_numpy(np.int64)
+        val_a = pdf["value"].to_numpy(np.float64)
+        own_a = pdf["n_own"].to_numpy(np.float64)
+        vxs_a = pdf["vxs"].to_numpy()
+        vys_a = pdf["vys"].to_numpy()
+        order = np.argsort(lab_a, kind="stable")
+        lab_s = lab_a[order]
+        bounds = np.flatnonzero(np.diff(lab_s)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(order)]])
+        rows = [
+            stitch_one(int(lab_s[s0]), kind_a[idx], val_a[idx], own_a[idx],
+                       vxs_a[idx], vys_a[idx])
+            for s0, e0 in zip(starts, ends)
+            for idx in (order[s0:e0],)
+        ]
         if rows:
             yield pd.DataFrame(rows)
 
