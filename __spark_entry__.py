@@ -3762,11 +3762,34 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Driver-window rotation (r6): the driver validates only the FIRST 50
+# registered queries, so the window leads with the queries whose code
+# changed this round (rotated container gates + the optimized polygonize
+# stitch), then the STALEST validations — all 25 r3-validated queries and
+# the 20 stalest r4 ones (90% of the window is pre-r5). Everything
+# r5-validated moves behind the window.
+_R6_WINDOW = [
+    # changed this round — must re-validate first
+    "netcdf4_roundtrip", "zarr_roundtrip_u8", "polygonize_stats",
+    "polygonize_rings", "footprint",
+    # last validated r3 (the whole set)
+    "focal_std", "concat_fc", "time_slice", "mesh_subset", "mesh_clip",
+    "color_table", "cf_roles", "cf_decode", "reproject_lcc",
+    "reproject_albers", "ann_lsh", "dedup_clusters", "stratified_sample",
+    "pack_sequences", "rat_join", "focal_mean", "focal_minmax",
+    "histogram", "mosaic", "stats", "normalize", "overlay",
+    "temporal_reduce", "temporal_groupby", "sel_slice",
+    # last validated r4 (stalest 20)
+    "pip_faces", "zonal_faces", "knn_df", "wkt_geometrycollection",
+    "geojson_roundtrip", "sel_labels", "sel_coords2d", "sel_bounds",
+    "weighted_repeat", "decontaminate", "netcdf_variables", "token_count",
+    "quality", "lang_id", "exact_dedup", "fingerprint", "minhash",
+    "lsh_pairs", "ngram_jaccard", "ngram_jaccard_capped",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # -- driver-window rotation (r5): the 8 never-driver-validated
-        # -- queries first, then stalest (r1/r2), then round-5 additions;
-        # -- r3-validated fill the window, r4-validated (freshest) last
+    q = {
         "zonal_raster": q_zonal_raster,
         "salted_agg": q_salted_agg,
         "mesh_centroids": q_mesh_centroids,
@@ -3896,6 +3919,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_summary": q_cluster_summary,
         "histogram_approx": q_histogram_approx,
     }
+    assert all(k in q for k in _R6_WINDOW)
+    return {**{k: q[k] for k in _R6_WINDOW},
+            **{k: v for k, v in q.items() if k not in _R6_WINDOW}}
 
 
 def oracle_sql() -> dict[str, str]:
