@@ -778,6 +778,11 @@ def _decode_ifd_tiles(fh, d: dict) -> "list[tuple[int, np.ndarray]]":
     """Decode every tile of one parsed IFD dict → [(tile index, float64
     block)] — the local (non-Spark) twin of the read_geotiff decode."""
     np_dt = str(_dt.np_dtype(d["dtype"]).str)
+    if d.get("jpeg6"):
+        # COG parts are always written by this module (never comp 6);
+        # a per-strip old-style JPEG here would decode garbage silently
+        raise NotImplementedError(
+            "old-style per-strip JPEG in a parts mosaic")
     out = []
     for t, (o, c) in enumerate(zip(d["offsets"], d["counts"])):
         fh.seek(o)
