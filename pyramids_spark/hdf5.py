@@ -22,12 +22,16 @@ Supported subset (what netcdf-c's DEFAULT settings actually write):
   strings, object references, and VLEN-of-reference (the
   ``DIMENSION_LIST`` type, resolved through the global heap);
 - data layouts: contiguous and chunked — the v1 B-tree chunk index (any
-  depth) netcdf-c defaults to, AND the 1.10 'latest'-format v4 layout
-  message's single-chunk / implicit / Fixed Array (``FAHD``/``FADB``,
-  paged or not) / leaf-root v2 B-tree (``BTHD``/``BTLF``) indexes;
-  extensible arrays (one unlimited dim under the 'latest' flag) and
-  multi-level v2 B-trees reject loudly — with the shuffle and deflate
-  filters honoring per-chunk filter masks;
+  depth) netcdf-c defaults to, AND every 1.10 'latest'-format v4 chunk
+  index: single-chunk / implicit / Fixed Array (``FAHD``/``FADB``,
+  paged or not) / Extensible Array (``EAHD``/``EAIB``/``EASB``/``EADB``,
+  the one-unlimited-dim layout, paged data blocks and the unlimited-dim
+  swizzle included) / v2 B-tree (``BTHD``/``BTIN``/``BTLF``, any
+  depth) — with the shuffle and deflate filters honoring per-chunk
+  filter masks;
+- dense (fractal-heap) attribute AND link storage — the 'latest'-format
+  layout objects get past 8 attributes/links: ``FRHP`` root-direct-block
+  heaps resolved through the type-8/type-5 name-index v2 B-trees;
 - the netCDF-4 dimension-scale convention: dimensions are datasets
   tagged ``CLASS="DIMENSION_SCALE"``; each data variable carries a
   ``DIMENSION_LIST`` attribute of object references, which is how the
@@ -1472,13 +1476,18 @@ class _H5Meta:
                 bt, hp = struct.unpack_from("<QQ", body)
                 links.update(self._symtab_links(bt, hp))
             elif t == 0x0002:
+                # Link Info: dense (fractal-heap) link storage appears
+                # when a 'latest'-format group passes 8 links — walk the
+                # name-index v2 B-tree (type 5: 7-byte heap ID + hash)
+                # and parse each heap object as a Link message
                 p = 2 + (8 if body[1] & 1 else 0)
-                if struct.unpack_from("<Q", body, p)[0] != UNDEF:
-                    raise NotImplementedError(
-                        "dense (fractal-heap) group link storage — past "
-                        "netcdf-c defaults; re-export without the 'latest' "
-                        "libhdf5 format flag"
-                    )
+                fheap, name_bt2 = struct.unpack_from("<QQ", body, p)
+                if fheap != UNDEF:
+                    heap = self._fractal_heap(fheap)
+                    for _rt, rec in self._v2btree_records(name_bt2, (5,)):
+                        name, a = self._parse_link(heap(rec[:7]))
+                        if a is not None:
+                            links[name] = a
             elif t == 0x0006:
                 name, a = self._parse_link(body)
                 if a is not None:
@@ -1639,9 +1648,19 @@ class _H5Meta:
                 nm, val = self.parse_attr(body)
                 d["attrs"][nm] = val
             elif t == 0x0015:
+                # Attribute Info: dense (fractal-heap) attribute storage
+                # appears when a 'latest'-format object passes 8 attrs —
+                # the shape CF variables (units/long_name/valid_range/…)
+                # hit routinely. Walk the name-index v2 B-tree (type 8:
+                # 8-byte heap ID + flags + corder + hash) and parse each
+                # heap object as an Attribute message.
                 p = 2 + (2 if body[1] & 1 else 0)
-                if struct.unpack_from("<Q", body, p)[0] != UNDEF:
-                    raise NotImplementedError("dense attribute storage")
+                fheap, name_bt2 = struct.unpack_from("<QQ", body, p)
+                if fheap != UNDEF:
+                    heap = self._fractal_heap(fheap)
+                    for _rt, rec in self._v2btree_records(name_bt2, (8,)):
+                        nm, val = self.parse_attr(heap(rec[:8]))
+                        d["attrs"][nm] = val
         return d
 
     def iter_chunks(self, btree_addr: int, ndims_p1: int):
@@ -1897,11 +1916,11 @@ class _H5Meta:
                 yield from dblock(a, ne_u, idx_elmts + si_u + k * ne_u,
                                   bitmap if pis else None, k * pis)
 
-    def _v2btree_chunks(self, addr, filtered, rank, csize, cdims, grid):
-        """Version-2 B-tree chunk index (> 1 unlimited dim under the
-        'latest' flag): BTHD header → BTIN internals / BTLF leaf records,
-        type 10 (unfiltered: addr + scaled offsets) or 11 (filtered:
-        addr, var-width size, 4-byte mask, scaled offsets)."""
+    def _v2btree_records(self, addr: int, want_rtypes: "tuple[int, ...]"):
+        """Walk ANY v2 B-tree (BTHD header → BTIN internals / BTLF leaf
+        nodes, any depth) → (record type, raw record bytes) per record.
+        The H5B2 node-capacity cascade fixes the internal-node
+        child-pointer field widths at every depth."""
         fh = self.fh
         fh.seek(addr)
         hdr = fh.read(4 + 1 + 1 + 4 + 2 + 2 + 1 + 1 + 8 + 2 + 8 + 4)
@@ -1911,27 +1930,11 @@ class _H5Meta:
         node_size, rec_size, depth = struct.unpack_from("<IHH", hdr, 6)
         nrec_root = struct.unpack_from("<H", hdr, 24)[0]
         root = struct.unpack_from("<Q", hdr, 16)[0]
-        if rtype not in (10, 11) or rtype != (11 if filtered else 10):
-            raise ValueError(f"v2 B-tree record type {rtype} for chunks")
+        if rtype not in want_rtypes:
+            raise ValueError(
+                f"v2 B-tree record type {rtype} (expected {want_rtypes})")
         if root == UNDEF or nrec_root == 0:
             return
-        sl = rec_size - 8 - 4 - 8 * rank if filtered else 0
-
-        def parse_rec(buf, p):
-            (a,) = struct.unpack_from("<Q", buf, p)
-            q = p + 8
-            if filtered:
-                nb = int.from_bytes(buf[q:q + sl], "little")
-                (mask,) = struct.unpack_from("<I", buf, q + sl)
-                q += sl + 4
-            else:
-                nb, mask = csize, 0
-            scaled = struct.unpack_from(f"<{rank}Q", buf, q)
-            offs = tuple(int(s) * int(c) for s, c in zip(scaled, cdims))
-            return offs, a, nb, mask
-
-        # node-capacity cascade (H5B2__hdr_init) fixes the internal-node
-        # child-pointer field widths at every depth
         _, _, _, cum_size, max_nrec_size = _b2_sizes(
             node_size, rec_size, depth=depth)
 
@@ -1943,7 +1946,7 @@ class _H5Meta:
                     raise ValueError("bad v2 B-tree leaf signature")
                 p = 6
                 for _ in range(nrec):
-                    yield parse_rec(buf, p)
+                    yield rtype, buf[p:p + rec_size]
                     p += rec_size
                 return
             if buf[:4] != b"BTIN":
@@ -1959,10 +1962,88 @@ class _H5Meta:
                 yield from walk(ca, d - 1, cn)
             p = 6
             for _ in range(nrec):
-                yield parse_rec(buf, p)
+                yield rtype, buf[p:p + rec_size]
                 p += rec_size
 
         yield from walk(root, depth, nrec_root)
+
+    def _v2btree_chunks(self, addr, filtered, rank, csize, cdims, grid):
+        """Version-2 B-tree chunk index (> 1 unlimited dim under the
+        'latest' flag): record type 10 (unfiltered: addr + scaled
+        offsets) or 11 (filtered: addr, var-width size, 4-byte mask,
+        scaled offsets)."""
+        want = (11,) if filtered else (10,)
+        for _rt, rec in self._v2btree_records(addr, want):
+            (a,) = struct.unpack_from("<Q", rec, 0)
+            q = 8
+            if filtered:
+                sl = len(rec) - 8 - 4 - 8 * rank
+                nb = int.from_bytes(rec[q:q + sl], "little")
+                (mask,) = struct.unpack_from("<I", rec, q + sl)
+                q += sl + 4
+            else:
+                nb, mask = csize, 0
+            scaled = struct.unpack_from(f"<{rank}Q", rec, q)
+            offs = tuple(int(s) * int(c) for s, c in zip(scaled, cdims))
+            yield offs, a, nb, mask
+
+    def _fractal_heap(self, addr: int):
+        """Fractal heap (FRHP) reader for dense attribute/link storage →
+        resolver ``get(heap_id) -> object bytes``. Covers the shape small
+        metadata heaps take: a root DIRECT block (FHDB) holding every
+        object, MANAGED heap IDs (version 0, type 0: var-width heap
+        offset + length per the header's doubling-table params). Indirect
+        roots and huge/tiny IDs reject loudly — attribute/link heaps only
+        grow past one direct block at thousands of entries."""
+        fh = self.fh
+        fh.seek(addr)
+        hdr = fh.read(146)
+        if hdr[:4] != b"FRHP":
+            raise ValueError("bad fractal heap header signature")
+        heap_id_len, io_filter_len = struct.unpack_from("<HH", hdr, 5)
+        flags = hdr[9]
+        (max_man_size,) = struct.unpack_from("<I", hdr, 10)
+        man_size = struct.unpack_from("<Q", hdr, 46)[0]
+        huge_n = struct.unpack_from("<Q", hdr, 86)[0]
+        tiny_n = struct.unpack_from("<Q", hdr, 102)[0]
+        max_direct, = struct.unpack_from("<Q", hdr, 120)
+        max_heap_bits, = struct.unpack_from("<H", hdr, 128)
+        table_addr, = struct.unpack_from("<Q", hdr, 132)
+        curr_rows, = struct.unpack_from("<H", hdr, 140)
+        if io_filter_len:
+            raise NotImplementedError("filtered fractal heap")
+        if curr_rows != 0:
+            raise NotImplementedError(
+                "fractal heap with an INDIRECT root block — metadata "
+                "heaps this large (thousands of attributes/links) are "
+                "out of scope")
+        off_size = (max_heap_bits + 7) // 8
+        len_size = min(((max_direct.bit_length() - 1) + 7) // 8,
+                       ((max(max_man_size, 1).bit_length() - 1) // 8) + 1)
+        fh.seek(table_addr)
+        pre = 4 + 1 + 8 + off_size + (4 if flags & 0x02 else 0)
+        block = fh.read(pre + int(man_size))
+        if block[:4] != b"FHDB":
+            raise ValueError("bad fractal heap direct block signature")
+
+        def get(heap_id: bytes) -> bytes:
+            b0 = heap_id[0]
+            if (b0 >> 6) & 3 != 0:
+                raise NotImplementedError(f"fractal heap ID version {b0 >> 6}")
+            typ = (b0 >> 4) & 3
+            if typ != 0:
+                raise NotImplementedError(
+                    f"fractal heap {'huge' if typ == 1 else 'tiny'} object "
+                    "(managed IDs only)")
+            off = int.from_bytes(heap_id[1:1 + off_size], "little")
+            ln = int.from_bytes(
+                heap_id[1 + off_size:1 + off_size + len_size], "little")
+            if off + ln > len(block):
+                raise ValueError("fractal heap object overruns direct block")
+            # heap offsets address the block INCLUDING its header bytes
+            return block[off:off + ln]
+
+        return get
 
     def read_array(self, meta: dict) -> "np.ndarray | None":
         """Driver-side full read of a SMALL dataset (coordinate vars)."""

@@ -171,17 +171,14 @@ def test_hdf5_v2_superblock_and_object_headers(tmp_path):
 
 
 def test_hdf5_guards():
-    """Loud rejects: layout v5, foreign v4 index, dense group links."""
+    """Loud rejects: layout v5 and a foreign v4 chunk-index type. (Dense
+    group links used to reject here — they PARSE now, via the fractal
+    heap; see test_hdf5_dense_attributes_and_links.)"""
     with pytest.raises(NotImplementedError, match="layout message v5"):
         hdf5._parse_layout(bytes([5, 2, 1]) + b"\x00" * 20)
     # v4 chunked with an unknown chunk-index type
     with pytest.raises(NotImplementedError, match="chunk index type 9"):
         hdf5._parse_layout(bytes([4, 2, 0, 3, 1, 4, 4, 8, 9]) + b"\x00" * 8)
-    # dense group links (fractal heap present) reject
-    h5 = hdf5._H5Meta.__new__(hdf5._H5Meta)
-    body = struct.pack("<BB", 0, 0) + struct.pack("<QQ", 12345, hdf5.UNDEF)
-    with pytest.raises(NotImplementedError, match="fractal-heap"):
-        h5.group_links([(0x0002, body, 0)])
 
 
 def test_netcdf4_sel_and_decode_compose(spark, tmp_path):
@@ -726,3 +723,158 @@ def test_netcdf4_parallel_guards(spark, tmp_path):
         hdf5.write_netcdf4(bad, G, str(tmp_path / "x.nc"), times=[0.0],
                            compress=None, index="fixed_array",
                            parallel=True)
+
+
+def test_hdf5_dense_attributes_and_links(tmp_path):
+    """Hand-built 'latest'-format fixture for DENSE metadata storage —
+    what libhdf5 1.8+ switches to past 8 attributes/links: an Attribute
+    Info message (0x0015) / Link Info message (0x0002) pointing at a
+    FRHP fractal heap (root DIRECT block, managed IDs) indexed by a
+    type-8 / type-5 name v2 B-tree. The reader resolves every heap ID
+    and parses the stored Attribute/Link messages."""
+    def frhp(heap_id_len, dblock_addr, man_size):
+        h = b"FRHP" + bytes([0])
+        h += struct.pack("<HHB", heap_id_len, 0, 0)  # id len, filters, flags
+        h += struct.pack("<I", 4096)                 # max managed obj size
+        h += struct.pack("<QQ", 0, hdf5.UNDEF)       # huge next id / bt2
+        h += struct.pack("<QQ", 0, hdf5.UNDEF)       # free space / fs mgr
+        h += struct.pack("<QQQQ", man_size, man_size, man_size, 0)
+        h += struct.pack("<QQQQ", 0, 0, 0, 0)        # huge/tiny sizes+counts
+        h += struct.pack("<HQQ", 4, 512, 65536)      # width, start, max dir
+        h += struct.pack("<HHQH", 32, 1, dblock_addr, 0)  # bits, srows,
+        return hdf5._sum32(h)                        # root addr, CURR=0
+
+    def heap_id(off, ln, idlen):
+        hid = bytes([0]) + struct.pack("<I", off) + struct.pack("<H", ln)
+        return hid + b"\x00" * (idlen - len(hid))
+
+    def dblock(hdr_addr, objs):
+        pre = b"FHDB" + bytes([0]) + struct.pack("<Q", hdr_addr)
+        pre += struct.pack("<I", 0)  # block offset (4 bytes for 32 bits)
+        ids = []
+        buf = bytearray(pre)
+        for o in objs:
+            ids.append((len(buf), len(o)))
+            buf += o
+        return bytes(buf), ids
+
+    def bt2_leaf_root(rtype, recs, addr):
+        rec_size = len(recs[0])
+        leaf = hdf5._sum32(b"BTLF" + bytes([0, rtype]) + b"".join(recs))
+        hdr = b"BTHD" + bytes([0, rtype])
+        hdr += struct.pack("<IHH", 512, rec_size, 0) + bytes([100, 40])
+        hdr += struct.pack("<QHQ", addr + 38, len(recs), len(recs))
+        return hdf5._sum32(hdr) + leaf
+
+    def attr3(name, dtb, dsb, val):
+        nb = name.encode() + b"\x00"
+        return (struct.pack("<BBHHHB", 3, 0, len(nb), len(dtb), len(dsb), 0)
+                + nb + dtb + dsb + val)
+
+    # ---- dataset with 3 DENSE attributes --------------------------------
+    vals = np.arange(6, dtype="<f8").reshape(2, 3)
+    data_at = 2048
+    attrs = [
+        attr3("alpha", hdf5._dt_float(8), hdf5._ds_msg(()),
+              struct.pack("<d", 2.5)),
+        attr3("beta", hdf5._dt_fixed(np.dtype("<i4")), hdf5._ds_msg(()),
+              struct.pack("<i", -7)),
+        attr3("gamma", hdf5._dt_float(8), hdf5._ds_msg((2,)),
+              struct.pack("<2d", 1.0, 4.0)),
+    ]
+    a_dblock_at = data_at + vals.nbytes
+    a_db, a_ids = dblock(0, attrs)  # hdr addr unchecked by the reader
+    a_frhp_at = a_dblock_at + len(a_db)
+    a_frhp = frhp(8, a_dblock_at, len(a_db))
+    a_bt2_at = a_frhp_at + len(a_frhp)
+    a_recs = [heap_id(o, ln, 8) + bytes([0]) + struct.pack("<II", i, 0)
+              for i, (o, ln) in enumerate(a_ids)]
+    a_bt2 = bt2_leaf_root(8, a_recs, a_bt2_at)
+
+    dset_at = a_bt2_at + len(a_bt2)
+    attr_info = hdf5._msg(0x0015, struct.pack(
+        "<BBQQ", 0, 0, a_frhp_at, a_bt2_at))
+    dset = hdf5._ohdr_v1([
+        hdf5._msg(0x0001, hdf5._ds_msg((2, 3))),
+        hdf5._msg(0x0003, hdf5._dt_float(8)),
+        hdf5._layout_contig(data_at, vals.nbytes),
+        attr_info,
+    ])
+
+    # ---- root group with DENSE links ------------------------------------
+    link = struct.pack("<BBB", 1, 0, 1) + b"d" + struct.pack("<Q", dset_at)
+    l_dblock_at = dset_at + len(dset)
+    l_db, l_ids = dblock(0, [link])
+    l_frhp_at = l_dblock_at + len(l_db)
+    l_frhp = frhp(7, l_dblock_at, len(l_db))
+    l_bt2_at = l_frhp_at + len(l_frhp)
+    l_recs = [heap_id(o, ln, 7) + struct.pack("<I", 0) for o, ln in l_ids]
+    l_bt2 = bt2_leaf_root(5, l_recs, l_bt2_at)
+    root_at = l_bt2_at + len(l_bt2)
+    link_info = hdf5._msg(0x0002, struct.pack(
+        "<BBQQ", 0, 0, l_frhp_at, l_bt2_at))
+    root = hdf5._ohdr_v1([link_info])
+    eof = root_at + len(root)
+
+    blob = bytearray(eof)
+    blob[:96] = hdf5._superblock(eof, root_at, hdf5.UNDEF, hdf5.UNDEF)
+    blob[data_at:data_at + vals.nbytes] = vals.tobytes()
+    for at, b in ((a_dblock_at, a_db), (a_frhp_at, a_frhp),
+                  (a_bt2_at, a_bt2), (dset_at, dset), (l_dblock_at, l_db),
+                  (l_frhp_at, l_frhp), (l_bt2_at, l_bt2), (root_at, root)):
+        blob[at:at + len(b)] = b
+    p = tmp_path / "dense.h5"
+    p.write_bytes(bytes(blob))
+
+    h5 = hdf5._H5Meta(str(p))
+    try:
+        links = h5.group_links(h5.messages(h5.root))
+        assert links == {"d": dset_at}
+        meta = h5.dataset(dset_at)
+        assert meta["attrs"]["alpha"] == 2.5
+        assert meta["attrs"]["beta"] == -7
+        assert list(np.asarray(meta["attrs"]["gamma"]).ravel()) == [1.0, 4.0]
+        got = h5.read_array(meta)
+        assert np.array_equal(got, vals)
+    finally:
+        h5.close()
+
+
+def test_hdf5_fractal_heap_guards(tmp_path):
+    """Indirect-root heaps and huge/tiny heap IDs reject loudly."""
+    p = tmp_path / "fh.bin"
+
+    def write_frhp(curr_rows):
+        h = b"FRHP" + bytes([0])
+        h += struct.pack("<HHB", 8, 0, 0) + struct.pack("<I", 4096)
+        h += struct.pack("<QQ", 0, hdf5.UNDEF) + struct.pack("<QQ", 0, hdf5.UNDEF)
+        h += struct.pack("<QQQQ", 64, 64, 64, 0)
+        h += struct.pack("<QQQQ", 0, 0, 0, 0)
+        h += struct.pack("<HQQ", 4, 512, 65536)
+        h += struct.pack("<HHQH", 32, 1, 200, curr_rows)
+        blob = bytearray(400)
+        blob[0:len(h) + 4] = hdf5._sum32(h)
+        blob[200:204] = b"FHDB"
+        blob[204] = 0
+        p.write_bytes(bytes(blob))
+
+    h5 = object.__new__(hdf5._H5Meta)
+    write_frhp(2)
+    h5.fh = open(p, "rb")
+    try:
+        with pytest.raises(NotImplementedError, match="INDIRECT root"):
+            h5._fractal_heap(0)
+    finally:
+        h5.fh.close()
+    write_frhp(0)
+    h5.fh = open(p, "rb")
+    try:
+        get = h5._fractal_heap(0)
+        with pytest.raises(NotImplementedError, match="huge"):
+            get(bytes([0x10]) + b"\x00" * 7)
+        with pytest.raises(NotImplementedError, match="tiny"):
+            get(bytes([0x20]) + b"\x00" * 7)
+        with pytest.raises(ValueError, match="overruns"):
+            get(bytes([0x00]) + struct.pack("<IH", 500, 40) + b"\x00")
+    finally:
+        h5.fh.close()
