@@ -57,6 +57,53 @@ from .grid import Grid
 _UNDEF64 = (1 << 64) - 1  # sharding index sentinel: inner chunk missing
 
 
+def _undo_v2_filters(raw: bytes, filters, np_dt: str) -> bytes:
+    """Invert a numcodecs v2 ``filters`` chain AFTER decompression
+    (encode runs array → filters in order → compressor, so decode runs
+    the inverses in REVERSE). Covered: ``delta`` (cumsum back in the
+    array dtype), ``fixedscaleoffset`` (enc/scale + offset), ``quantize``
+    (decode is the identity — rounding happened at encode), ``shuffle``
+    (the byte transpose, shared with blosc), ``astype``. Anything else
+    rejects loudly — guessing would decode wrong silently."""
+    for f in reversed(filters or []):
+        fid = (f or {}).get("id")
+        if fid == "delta":
+            dtype = np.dtype(f.get("dtype", np_dt))
+            astype = np.dtype(f.get("astype") or f.get("dtype", np_dt))
+            enc = np.frombuffer(raw, astype)
+            raw = np.cumsum(enc, dtype=dtype).tobytes()
+        elif fid == "fixedscaleoffset":
+            dtype = np.dtype(f["dtype"])
+            astype = np.dtype(f.get("astype") or f["dtype"])
+            enc = np.frombuffer(raw, astype)
+            raw = ((enc / f["scale"]) + f["offset"]).astype(dtype).tobytes()
+        elif fid == "quantize":
+            pass
+        elif fid == "shuffle":
+            raw = _bl._unshuffle(raw, int(f.get("elementsize", 4)))
+        elif fid == "astype":
+            enc = np.frombuffer(raw, np.dtype(f["encode_dtype"]))
+            raw = enc.astype(np.dtype(f["decode_dtype"])).tobytes()
+        else:
+            raise NotImplementedError(
+                f"numcodecs filter {fid!r} (delta, fixedscaleoffset, "
+                "quantize, shuffle and astype decode)")
+    return raw
+
+
+def _v2_stored_itemsize(filters, itemsize: int) -> int:
+    """Per-element byte width AFTER the filter chain ran forward — the
+    width the compressed stream decodes to (``astype`` filters change
+    it)."""
+    for f in filters or []:
+        fid = (f or {}).get("id")
+        if fid in ("delta", "fixedscaleoffset") and f.get("astype"):
+            itemsize = np.dtype(f["astype"]).itemsize
+        elif fid == "astype":
+            itemsize = np.dtype(f["encode_dtype"]).itemsize
+    return itemsize
+
+
 def _v2_decoder(comp: "dict | None"):
     """zarr v2 ``compressor`` metadata → ``callable(bytes, nout) ->
     bytes`` (None for raw chunks). Supported ids: numcodecs ``zlib`` /
@@ -594,16 +641,16 @@ def read_zarr(
         or dt_name is None
         or meta.get("order") != "C"
         or meta.get("chunks", [0])[0] < 1
-        or meta.get("filters")  # delta/fixedscaleoffset would decode wrong
     ):
         raise NotImplementedError(
             "supported zarr stores: v2, little-endian "
-            f"{sorted(_dt.TABLE)} dtypes, C-order, band-chunk 1, no "
-            f"numcodecs filters (got {meta})"
+            f"{sorted(_dt.TABLE)} dtypes, C-order, band-chunk 1 "
+            f"(got {meta})"
         )
     dec = _v2_decoder(comp)  # raw/zlib/gzip/zstd/lz4/blosc chunk streams
+    filts = meta.get("filters") or []
     np_dt_str = str(_dt.np_dtype(dt_name).str)
-    itemsize = _dt.np_dtype(dt_name).itemsize
+    itemsize = _v2_stored_itemsize(filts, _dt.np_dtype(dt_name).itemsize)
     n_bands, rows, cols = meta["shape"]
     cb, ch, cw = meta["chunks"]
     fv = meta.get("fill_value")
@@ -628,6 +675,8 @@ def read_zarr(
                 b, ci, cj = toks if len(toks) == 3 else [0] + toks
                 if dec is not None:
                     content = dec(content, cb * ch * cw * itemsize)
+                if filts:
+                    content = _undo_v2_filters(content, filts, np_dt_str)
                 cube = (
                     np.frombuffer(content, dtype=np_dt_str)
                     .reshape(cb, ch, cw)
@@ -833,16 +882,12 @@ def _v3_meta_dict(m: dict) -> dict:
 
 
 def _v2_meta_dict(m: dict, a: dict) -> dict:
-    if m.get("filters"):
-        raise NotImplementedError(
-            f"zarr v2 numcodecs filters are out of scope "
-            f"(got {m['filters']!r}) — they would decode wrong silently"
-        )
     return {
         "v3": False, "shape": m["shape"],
         "dims": a.get("_ARRAY_DIMENSIONS"),
         "dtype": _dt.FROM_ZARR.get(str(m.get("dtype"))),
         "compressor": m.get("compressor"),
+        "filters": m.get("filters") or [],
         "chunks": m.get("chunks", []), "attrs": a,
     }
 
@@ -861,7 +906,8 @@ def _read_coord(sub: str) -> np.ndarray:
         else str(_dt.np_dtype(m["dtype"]).str)
     dec = (_v3_decoder((m["codecs"] or [{}])[1:]) if m["v3"]
            else _v2_decoder(m["compressor"]))
-    itemsize = np.dtype(np_dt).itemsize
+    filts = [] if m["v3"] else m.get("filters") or []
+    itemsize = _v2_stored_itemsize(filts, np.dtype(np_dt).itemsize)
     parts = []
     for k in range(-(-n // c)):
         name = os.path.join(sub, f"c/{k}" if m["v3"] else str(k))
@@ -869,6 +915,8 @@ def _read_coord(sub: str) -> np.ndarray:
             raw = fh.read()
         if dec is not None:
             raw = dec(raw, c * itemsize)
+        if filts:
+            raw = _undo_v2_filters(raw, filts, np_dt)
         parts.append(np.frombuffer(raw, np_dt))
     return np.concatenate(parts)[:n].astype("<f8")
 

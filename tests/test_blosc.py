@@ -244,18 +244,95 @@ def test_blosc_legacy_split_policy_flag_clear():
         B.encode_blosc(data[:256], ts, "lz4", 3, split=True)
 
 
-def test_zarr_v2_filters_reject_loudly(spark, tmp_path):
-    """numcodecs filters (delta etc.) would decode to garbage silently —
-    both the array reader and the dataset metadata path reject them."""
+def test_zarr_v2_numcodecs_filters_decode(spark, tmp_path):
+    """Wild v2 stores carry numcodecs FILTER chains (delta for int
+    coordinates, fixedscaleoffset quantization, astype) under the
+    compressor: the reader inverts them in reverse order; unknown ids
+    still reject loudly."""
+    import zlib as _zl
+    from pyramids_spark import zarr as Z
+
+    # delta<i8 under zlib over a 4x4 int64 ramp, one 4x4 chunk
     store = tmp_path / "zfil"
     store.mkdir()
+    arr = np.arange(16, dtype="<i8").reshape(4, 4)
+    enc = np.empty_like(arr.ravel())
+    enc[0] = arr.ravel()[0]
+    np.subtract(arr.ravel()[1:], arr.ravel()[:-1], out=enc[1:])
+    (store / "0.0.0").write_bytes(_zl.compress(enc.tobytes(), 6))
     (store / ".zarray").write_text(json.dumps({
-        "zarr_format": 2, "shape": [4, 4], "chunks": [2, 2], "dtype": "<f8",
-        "compressor": None, "fill_value": 0, "order": "C",
-        "filters": [{"id": "delta", "dtype": "<f8"}],
+        "zarr_format": 2, "shape": [4, 4], "chunks": [4, 4], "dtype": "<i8",
+        "compressor": {"id": "zlib", "level": 6}, "fill_value": 0,
+        "order": "C", "filters": [{"id": "delta", "dtype": "<i8"}],
     }))
-    with pytest.raises(NotImplementedError, match="filters"):
-        SparkDataset.from_zarr(spark, str(store))
+    back = SparkDataset.from_zarr(spark, str(store))
+    got = {(r.row, r.col): r.value for r in back.df.collect()
+           if r.value is not None}
+    exp = {(r, c): float(arr[r, c]) for r in range(4) for c in range(4)
+           if arr[r, c] != 0}  # fill_value 0 drops the (0,0) zero cell
+    assert got == exp
+
+    # unit-level: fixedscaleoffset + astype + shuffle inverses, and the
+    # stored-itemsize tracker astype filters change
+    f = [{"id": "fixedscaleoffset", "offset": 100.0, "scale": 10,
+          "dtype": "<f8", "astype": "|u1"}]
+    raw = np.array([0, 5, 25], dtype="|u1").tobytes()
+    dec = np.frombuffer(Z._undo_v2_filters(raw, f, "<f8"), "<f8")
+    assert dec.tolist() == [100.0, 100.5, 102.5]
+    assert Z._v2_stored_itemsize(f, 8) == 1
+    f = [{"id": "astype", "encode_dtype": "<i2", "decode_dtype": "<i8"}]
+    raw = np.array([7, -9], dtype="<i2").tobytes()
+    assert np.frombuffer(Z._undo_v2_filters(raw, f, "<i8"),
+                         "<i8").tolist() == [7, -9]
+    assert Z._v2_stored_itemsize(f, 8) == 2
+    f = [{"id": "shuffle", "elementsize": 4}]
+    orig = np.arange(8, dtype="<i4").tobytes()
+    shuf = np.frombuffer(orig, "u1").reshape(-1, 4).T.tobytes()
+    assert Z._undo_v2_filters(shuf, f, "<i4") == orig
+    assert Z._undo_v2_filters(b"abc", [{"id": "quantize", "digits": 2,
+                                        "dtype": "<f8"}], "<f8") == b"abc"
+    with pytest.raises(NotImplementedError, match="numcodecs filter"):
+        Z._undo_v2_filters(b"", [{"id": "bz2thing"}], "<f8")
+
+
+def test_zarr_dataset_coord_with_delta_filter(spark, tmp_path):
+    """A CF dataset whose 1-D coordinate array is delta-filtered (the
+    common numcodecs shape for monotone coordinates) reads driver-side
+    through the same inverse chain."""
+    from pyramids_spark import zarr as Z
+
+    store = tmp_path / "zds"
+    (store / "v").mkdir(parents=True)
+    (store / "y").mkdir()
+    (store / "x").mkdir()
+    vals = np.arange(6, dtype="<f8").reshape(2, 3) + 1.0
+    (store / "v" / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": [2, 3], "chunks": [2, 3],
+        "dtype": "<f8", "compressor": None, "fill_value": "NaN",
+        "order": "C", "filters": None}))
+    (store / "v" / ".zattrs").write_text(json.dumps(
+        {"_ARRAY_DIMENSIONS": ["y", "x"]}))
+    (store / "v" / "0.0").write_bytes(vals.tobytes())
+    ys = np.array([9.0, 7.0])          # descending y, cell 2
+    xs = np.array([1.0, 3.0, 5.0])     # ascending x
+    for nm, coord in (("y", ys), ("x", xs)):
+        d = np.empty_like(coord)
+        d[0] = coord[0]
+        d[1:] = coord[1:] - coord[:-1]
+        (store / nm / ".zarray").write_text(json.dumps({
+            "zarr_format": 2, "shape": [len(coord)],
+            "chunks": [len(coord)], "dtype": "<f8", "compressor": None,
+            "fill_value": 0, "order": "C",
+            "filters": [{"id": "delta", "dtype": "<f8"}]}))
+        (store / nm / ".zattrs").write_text(json.dumps(
+            {"_ARRAY_DIMENSIONS": [nm]}))
+        (store / nm / "0").write_bytes(d.tobytes())
+    cells, grid, meta = Z.read_zarr_dataset(spark, str(store))
+    assert (grid.rows, grid.cols, grid.cell) == (2, 3, 2.0)
+    assert (grid.x0, grid.y0) == (0.0, 10.0)
+    got = {(r.variable, r.row, r.col): r.value for r in cells.collect()}
+    assert got == {("v", r, c): float(vals[r, c])
+                   for r in range(2) for c in range(3)}
 
 
 def test_zarr_dataset_v3_rewrite_clears_stale_zmetadata(spark, tmp_path):
