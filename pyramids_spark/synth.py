@@ -186,12 +186,13 @@ def documents_full(
     hot_frac: float = 0.2,
     hot_box: tuple[float, float, float, float] = (-0.5, -0.5, 0.5, 0.5),
     partitions: int | None = None,
+    start: int = 0,
 ) -> DataFrame:
     """documents + geometry in ONE generated pass: (doc_id, key, spans,
     span_hash, x, y). Both derive from the same sequence id, so fusing them
     avoids a full-table shuffle join — at 10^12 rows the fused scan is the
     only sane plan (and mirrors reading one wide Iceberg table)."""
-    docs = documents_spans(spark, n, partitions)
+    docs = documents_spans(spark, n, partitions, start=start)
     key = doc_key_col()
     from . import cells as _c
 
