@@ -970,9 +970,9 @@ def write_netcdf4(
                 f"cell outside file dimensions in {v!r}: t={t} "
                 f"(nt={nt}), grid {rows}x{cols}"
             )
+        rr_abs = pdf["row"].to_numpy(np.int64)
+        cc_abs = pdf["col"].to_numpy(np.int64)
         if len(pdf):
-            rr_abs = pdf["row"].to_numpy(np.int64)
-            cc_abs = pdf["col"].to_numpy(np.int64)
             if (rr_abs.min() < 0 or rr_abs.max() >= rows
                     or cc_abs.min() < 0 or cc_abs.max() >= cols):
                 raise ValueError(
@@ -980,9 +980,8 @@ def write_netcdf4(
                     f"(nt={nt}), grid {rows}x{cols}"
                 )
         block = np.full((ch, cw), fill, "<f8")
-        rr = pdf["row"].to_numpy(np.int64) - int(ci) * ch
-        cc = pdf["col"].to_numpy(np.int64) - int(cj) * cw
-        block[rr, cc] = pdf["value"].to_numpy(np.float64)
+        block[rr_abs - int(ci) * ch, cc_abs - int(cj) * cw] = \
+            pdf["value"].to_numpy(np.float64)
         raw = _dt.cast_block(block, dt_name).tobytes()
         if shuffle:
             raw = np.frombuffer(raw, "u1").reshape(-1, esize).T.tobytes()
@@ -1478,14 +1477,16 @@ class _H5Meta:
             elif t == 0x0002:
                 # Link Info: dense (fractal-heap) link storage appears
                 # when a 'latest'-format group passes 8 links — walk the
-                # name-index v2 B-tree (type 5: 7-byte heap ID + hash)
-                # and parse each heap object as a Link message
+                # name-index v2 B-tree (type 5: 4-byte name hash FIRST,
+                # then the 7-byte heap ID — the hash/ID order is the
+                # OPPOSITE of the type-8 attribute record) and parse each
+                # heap object as a Link message
                 p = 2 + (8 if body[1] & 1 else 0)
                 fheap, name_bt2 = struct.unpack_from("<QQ", body, p)
                 if fheap != UNDEF:
                     heap = self._fractal_heap(fheap)
                     for _rt, rec in self._v2btree_records(name_bt2, (5,)):
-                        name, a = self._parse_link(heap(rec[:7]))
+                        name, a = self._parse_link(heap(rec[4:11]))
                         if a is not None:
                             links[name] = a
             elif t == 0x0006:
@@ -1877,7 +1878,10 @@ class _H5Meta:
                                  base_idx + p * page_n)
 
         fh.seek(ib_addr)
-        nsb_ptrs = nsblks - nsd
+        # geometries where nsd >= nsblks keep every block direct (the
+        # ndirect fallback above already summed them all): no super-block
+        # pointers exist, and a negative count would corrupt the struct fmt
+        nsb_ptrs = max(0, nsblks - nsd)
         buf = fh.read(14 + idx_elmts * esz + (ndirect + nsb_ptrs) * 8 + 4)
         if buf[:4] != b"EAIB":
             raise ValueError("bad extensible-array index block signature")
@@ -2012,6 +2016,12 @@ class _H5Meta:
         curr_rows, = struct.unpack_from("<H", hdr, 140)
         if io_filter_len:
             raise NotImplementedError("filtered fractal heap")
+        if huge_n or tiny_n:
+            # reject at parse time from the header counts — clearer than
+            # waiting for get() to dereference a huge/tiny heap ID
+            raise NotImplementedError(
+                "fractal heap containing huge/tiny objects "
+                "(managed IDs only)")
         if curr_rows != 0:
             raise NotImplementedError(
                 "fractal heap with an INDIRECT root block — metadata "

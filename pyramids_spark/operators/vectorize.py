@@ -520,6 +520,8 @@ def _super_merge(frags: DataFrame, grid: Grid, tile: int, super_factor: int) -> 
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True)
+        if not len(pdf):  # all-empty Arrow frames: starts/ends would
+            return        # still yield one (0, 0) slice below
         out = {k: [] for k in ("tile_y", "tile_x", "label", "kind", "value",
                                "n_own", "vxs", "vys")}
 

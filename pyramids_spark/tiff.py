@@ -933,7 +933,14 @@ def _read_ifds(path: str) -> list[dict]:
                 d["th"] = tags[_RPS][2] if _RPS in tags else tags[_H][2]
                 d["offsets"], d["counts"] = arr(_SOFF, "Q", 8), arr(_SCNT, "Q", 8)
             elif 513 in tags:  # old-style JPEG interchange only: the
-                # layout is rewritten to one full-image strip below
+                # layout is rewritten to one full-image strip below —
+                # valid solely under Compression 6, else the comp==6
+                # block never fills offsets and the IFD would silently
+                # decode as an empty raster
+                if (tags[_COMP][2] if _COMP in tags else 1) != 6:
+                    raise NotImplementedError(
+                        "IFD has JPEGInterchangeFormat (tag 513) but no "
+                        "strip/tile layout and Compression != 6")
                 d["tw"], d["th"] = tags[_W][2], tags[_H][2]
                 d["offsets"], d["counts"] = [], []
             else:

@@ -808,7 +808,9 @@ def test_hdf5_dense_attributes_and_links(tmp_path):
     l_frhp_at = l_dblock_at + len(l_db)
     l_frhp = frhp(7, l_dblock_at, len(l_db))
     l_bt2_at = l_frhp_at + len(l_frhp)
-    l_recs = [heap_id(o, ln, 7) + struct.pack("<I", 0) for o, ln in l_ids]
+    # type-5 record: name hash (4) FIRST, then the 7-byte heap ID —
+    # opposite field order to the type-8 attribute record below
+    l_recs = [struct.pack("<I", 0) + heap_id(o, ln, 7) for o, ln in l_ids]
     l_bt2 = bt2_leaf_root(5, l_recs, l_bt2_at)
     root_at = l_bt2_at + len(l_bt2)
     link_info = hdf5._msg(0x0002, struct.pack(

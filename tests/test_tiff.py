@@ -1137,3 +1137,22 @@ def test_geotiff_oldstyle_jpeg_rejects(spark, tmp_path):
         T._read_ifds(build([(262, 3, 1, 1), (512, 3, 1, 14)]))
     with pytest.raises(NotImplementedError, match="YCbCr"):
         T._read_ifds(build([(262, 3, 1, 6)]))
+
+    # a 513-only IFD (no strip/tile tags) under Compression != 6 must
+    # reject at parse time, not decode as an empty raster
+    def build_513only(comp):
+        tags = sorted([(256, 4, 1, 8), (257, 4, 1, 8), (258, 3, 1, 8),
+                       (259, 3, 1, comp), (262, 3, 1, 1), (339, 3, 1, 1),
+                       (513, 4, 1, 300), (514, 4, 1, 10)])
+        buf = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+        buf += struct.pack("<H", len(tags))
+        for t in tags:
+            buf += struct.pack("<HHII", *t)
+        buf += struct.pack("<I", 0)
+        buf += b"\x00" * 400
+        p = tmp_path / "g513.tif"
+        p.write_bytes(bytes(buf))
+        return str(p)
+
+    with pytest.raises(NotImplementedError, match="Compression != 6"):
+        T._read_ifds(build_513only(1))
