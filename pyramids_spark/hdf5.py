@@ -301,9 +301,13 @@ def _sum32(blob: bytes) -> bytes:
 
 
 def _size_len(csize: int) -> int:
-    """Width of the fixed-array filtered-element chunk-size field —
-    libhdf5's ``(H5VM_log2_gen(chunk_size) + 8) / 8``, capped at 8."""
-    return min(8, (max(csize, 1).bit_length() - 1 + 8) // 8)
+    """Width of the filtered-element stored-size field — libhdf5's
+    ``1 + (H5VM_log2_gen(chunk_size) + 8) / 8`` (identical in
+    H5Dfarray/H5Dearray/H5Dbtree2; the leading extra byte is headroom
+    for filters that EXPAND a chunk), capped at 8. The ``1 +`` must
+    match libhdf5 exactly: foreign readers recompute this width from
+    the chunk size rather than trusting the stored element size."""
+    return min(8, 1 + (max(csize, 1).bit_length() - 1 + 8) // 8)
 
 
 def _layout_chunked4(
@@ -1866,12 +1870,17 @@ class _H5Meta:
                 return
             if fh.read(4) != b"EADB":
                 raise ValueError("bad EA data block signature")
+            if bitmap is None:
+                # a paged data block reached through a DIRECT index-block
+                # pointer: real libhdf5 params never produce this shape
+                # (and our writer rejects it) — reject loudly rather than
+                # silently skipping every page as missing
+                raise NotImplementedError(
+                    "extensible-array direct data block with paging "
+                    f"({npages} pages) — unsupported EA geometry")
             psize = page_n * esz + 4
             for p in range(npages):
-                # direct data blocks are never paged with real (or our)
-                # params, so a bitmap is always present here
-                if bitmap is None or not (
-                        bitmap[bm_off + p // 8] & (0x80 >> (p % 8))):
+                if not (bitmap[bm_off + p // 8] & (0x80 >> (p % 8))):
                     continue
                 fh.seek(a + pre + 4 + p * psize)
                 yield from elems(fh.read(psize - 4), 0, page_n,

@@ -1101,10 +1101,16 @@ def read_geotiff(
     d0 = picked[0]
     if any(
         d["comp"] != d0["comp"] or d["dtype"] != d0["dtype"]
-        or d["pred"] != d0["pred"] or d["spp"] != d0["spp"] for d in picked
+        or d["pred"] != d0["pred"] or d["spp"] != d0["spp"]
+        # JPEG table sets are hoisted from the FIRST IFD into the
+        # decoder closure — a page carrying its own quant/Huffman
+        # tables would silently dequantize with page 0's
+        or d["jpeg_tables"] != d0["jpeg_tables"] or d["jpeg6"] != d0["jpeg6"]
+        for d in picked
     ):
         raise NotImplementedError(
-            "mixed per-band compression/dtype/predictor/spp unsupported"
+            "mixed per-band compression/dtype/predictor/spp/JPEG-tables "
+            "unsupported"
         )
     gk = d0["geokeys"]
     epsg = 4326
