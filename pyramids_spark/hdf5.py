@@ -47,19 +47,30 @@ so they cost nothing.
 
 The WRITER exists for the same reason ``tiff.py`` writes GeoTIFFs: the
 engine's own export path plus the fixture generator for the reader
-(this container has no other in-sandbox producer). Compressed chunk
-sizes are unknowable at plan time, so — unlike the classic-NetCDF
-parallel ``pwrite`` sink — chunks build and deflate DISTRIBUTED, then
-stream ordered through the driver at O(chunk) memory while metadata
-(whose size is computed up front) is patched in afterwards; the chunk
-B-trees land after the data so nothing in the front region depends on
-compressed sizes. Scale story and caveat match the single-file GeoTIFF
-sink; the parquet/zarr cell tables remain the 100-TB storage paths.
+(this container has no other in-sandbox producer). Three tails share
+the front-matter builder:
+
+- serial driver stream (default): chunks build and deflate DISTRIBUTED,
+  then stream ordered through the driver at O(chunk) memory;
+- ``parallel=True`` + uncompressed + fixed-array: every chunk address
+  is plan-time-known — executors ``pwrite`` directly (single pass);
+- ``parallel=True`` + compression (or a sparse index): compressed sizes
+  are unknowable at plan time, so a TWO-PHASE staged tail compresses
+  and stages chunks distributed, lays out addresses on the driver from
+  the key+size manifest (metadata scale), and ``pwrite``\\ s the staged
+  bytes distributed — byte-identical output to the serial stream, with
+  no driver byte bottleneck at any cluster size.
+
+The chunk B-trees land after the data so nothing in the front region
+depends on compressed sizes. The ``pwrite`` tails assume the target is
+reachable from every executor (local fs here; NFS/Lustre on a real
+cluster); the parquet/zarr cell tables remain the 100-TB storage paths.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import struct
 import zlib
 
@@ -764,8 +775,12 @@ def write_netcdf4(
     ``ea_params`` = (max_bits, idx_blk_elmts, data_blk_min_elmts,
     sup_blk_min_data_ptrs, page_bits), default the hardcoded H5Dearray
     values (32, 4, 16, 4, 10) every real file uses), or ``"btree2"``
-    (v4 + version-2 B-tree; ``b2_node_size`` forces its depth). Returns
-    the chunk
+    (v4 + version-2 B-tree; ``b2_node_size`` forces its depth).
+    ``parallel=True`` removes the driver byte stream entirely: direct
+    executor ``pwrite`` when uncompressed with the dense fixed-array
+    index, else the two-phase staged tail (distributed compress+stage →
+    driver metadata layout → distributed ``pwrite``); output is
+    byte-identical to the serial stream. Returns the chunk
     manifest (lineage). See the module docstring for the distributed
     write shape."""
     if index not in ("btree1", "fixed_array", "extensible", "btree2"):
@@ -775,10 +790,6 @@ def write_netcdf4(
         raise ValueError(
             "index='extensible' needs the unlimited time dimension — "
             "libhdf5 only picks this index for exactly one unlimited dim")
-    if parallel and index != "fixed_array":
-        raise ValueError(
-            "parallel=True writes the dense fixed-array layout — pass "
-            f"index='fixed_array' (got {index!r})")
     zstd_level = None
     if isinstance(compress, str):
         # "zstd" / "zstd:N": the registered Zstandard filter (id 32015,
@@ -792,11 +803,6 @@ def write_netcdf4(
             raise ValueError(f"compress must be an int, None, 'zstd' or "
                              f"'zstd:<level>' (got {compress!r})")
         compress = None
-    if parallel and (compress is not None or zstd_level is not None):
-        raise ValueError(
-            "parallel=True needs compress=None — compressed chunk sizes "
-            "are not plan-time-known; the ordered driver-stream sink "
-            "(parallel=False) handles compression")
     dt_name = _dt.resolve(dtype)
     np_dt = _dt.np_dtype(dt_name)
     esize = np_dt.itemsize
@@ -1008,10 +1014,25 @@ def write_netcdf4(
         })
 
     if parallel:
-        return _write_netcdf4_parallel_tail(
+        if compress is None and zstd_level is None \
+                and index == "fixed_array":
+            # uncompressed + dense index: every chunk address and the
+            # index position are plan-time-known — single-pass pwrite
+            return _write_netcdf4_parallel_tail(
+                keyed, variables, path, addrs, order, build, nt, rows,
+                cols, ch, cw, esize, fletcher32,
+                bool(shuffle or fletcher32), fa_page_bits, data_start,
+                encode_chunk)
+        # compressed (sizes unknown at plan time) or a sparse index:
+        # two-phase staged tail — distributed compress+stage, driver
+        # metadata layout, distributed pwrite
+        return _write_netcdf4_staged_tail(
             keyed, variables, path, addrs, order, build, nt, rows, cols,
-            ch, cw, esize, fletcher32, bool(shuffle or fletcher32),
-            fa_page_bits, data_start, encode_chunk)
+            ch, cw, esize, three_d, index, ea_params, b2_node_size,
+            btree_cap, fa_page_bits,
+            bool(shuffle or compress is not None or fletcher32
+                 or zstd_level is not None),
+            data_start, encode_chunk)
 
     chunks = keyed.groupBy("variable", "t", "ci", "cj").applyInPandas(
         build_chunk,
@@ -1031,50 +1052,12 @@ def write_netcdf4(
             manifest.append((r.variable, r.t, r.ci, r.cj, cur, len(r.data)))
             cur += len(r.data)
         # ---- chunk B-trees after the data ---------------------------------
-        btree_base = _align8(cur)
-        max_offs = ((nt, -(-rows // ch) * ch, -(-cols // cw) * cw, 0)
-                    if three_d else (-(-rows // ch) * ch, -(-cols // cw) * cw,
-                                     0))
-        bblobs = []
-        pos = btree_base
-        ny, nx = -(-rows // ch), -(-cols // cw)
-        csize = ch * cw * esize
-        filtered = (shuffle or compress is not None or fletcher32
-                    or zstd_level is not None)
-        for v in variables:
-            if not entries[v]:
-                addrs[f"btree_{v}"] = UNDEF
-                continue
-            if index in ("fixed_array", "extensible"):
-                slots = {}
-                for offs, at, nb in entries[v]:
-                    t0, r0, c0 = (offs[:3] if three_d
-                                  else (0,) + tuple(offs[:2]))
-                    slots[(t0 * ny + r0 // ch) * nx + c0 // cw] = (at, nb, 0)
-                if index == "fixed_array":
-                    root, blob = _fixed_array_blob(
-                        slots, nt * ny * nx, csize, filtered, pos,
-                        page_bits=fa_page_bits)
-                else:
-                    mb, ie, me, mp, pb = ea_params or (32, 4, 16, 4, 10)
-                    root, blob = _extensible_array_blob(
-                        slots, nt * ny * nx, csize, filtered, pos,
-                        max_bits=mb, idx_elmts=ie, min_elmts=me,
-                        min_ptrs=mp, page_bits=pb)
-            elif index == "btree2":
-                recs = sorted(
-                    (((offs[0], offs[1] // ch, offs[2] // cw) if three_d
-                      else (offs[0] // ch, offs[1] // cw)), at, nb, 0)
-                    for offs, at, nb in entries[v])
-                root, blob = _btree2_blob(recs, csize, filtered, pos,
-                                          node_size=b2_node_size)
-            else:
-                root, blob = _chunk_btree(entries[v], max_offs, pos,
-                                          cap=btree_cap)
-            addrs[f"btree_{v}"] = root
-            bblobs.append((pos, blob))
-            pos += len(blob)
-        eof = pos
+        bblobs, eof = _index_blobs(
+            entries, variables, addrs, index, three_d, nt, rows, cols,
+            ch, cw, esize,
+            shuffle or compress is not None or fletcher32
+            or zstd_level is not None,
+            _align8(cur), ea_params, b2_node_size, btree_cap, fa_page_bits)
         # ---- now every address is known: render + write front & B-trees ---
         comp = build(addrs)
         fh.seek(0)
@@ -1090,6 +1073,179 @@ def write_netcdf4(
     return pd.DataFrame(
         manifest, columns=["variable", "t", "ci", "cj", "addr", "nbytes"]
     )
+
+
+def _index_blobs(
+    entries: "dict[str, list]", variables, addrs: dict, index: str,
+    three_d: bool, nt: int, rows: int, cols: int, ch: int, cw: int,
+    esize: int, filtered: bool, btree_base: int, ea_params,
+    b2_node_size: int, btree_cap: int, fa_page_bits: int,
+) -> "tuple[list[tuple[int, bytes]], int]":
+    """Render every variable's chunk index (any of the four index types)
+    at ``btree_base``, setting ``addrs['btree_<v>']`` per variable →
+    ([(position, blob)], eof). ``entries[v]`` = [(element offsets, data
+    address, stored nbytes)] — shared by the serial driver-stream tail
+    and the staged two-phase parallel tail."""
+    max_offs = ((nt, -(-rows // ch) * ch, -(-cols // cw) * cw, 0)
+                if three_d else (-(-rows // ch) * ch, -(-cols // cw) * cw,
+                                 0))
+    bblobs = []
+    pos = btree_base
+    ny, nx = -(-rows // ch), -(-cols // cw)
+    csize = ch * cw * esize
+    for v in variables:
+        if not entries[v]:
+            addrs[f"btree_{v}"] = UNDEF
+            continue
+        if index in ("fixed_array", "extensible"):
+            slots = {}
+            for offs, at, nb in entries[v]:
+                t0, r0, c0 = (offs[:3] if three_d
+                              else (0,) + tuple(offs[:2]))
+                slots[(t0 * ny + r0 // ch) * nx + c0 // cw] = (at, nb, 0)
+            if index == "fixed_array":
+                root, blob = _fixed_array_blob(
+                    slots, nt * ny * nx, csize, filtered, pos,
+                    page_bits=fa_page_bits)
+            else:
+                mb, ie, me, mp, pb = ea_params or (32, 4, 16, 4, 10)
+                root, blob = _extensible_array_blob(
+                    slots, nt * ny * nx, csize, filtered, pos,
+                    max_bits=mb, idx_elmts=ie, min_elmts=me,
+                    min_ptrs=mp, page_bits=pb)
+        elif index == "btree2":
+            recs = sorted(
+                (((offs[0], offs[1] // ch, offs[2] // cw) if three_d
+                  else (offs[0] // ch, offs[1] // cw)), at, nb, 0)
+                for offs, at, nb in entries[v])
+            root, blob = _btree2_blob(recs, csize, filtered, pos,
+                                      node_size=b2_node_size)
+        else:
+            root, blob = _chunk_btree(entries[v], max_offs, pos,
+                                      cap=btree_cap)
+        addrs[f"btree_{v}"] = root
+        bblobs.append((pos, blob))
+        pos += len(blob)
+    return bblobs, pos
+
+
+def _write_netcdf4_staged_tail(
+    keyed: DataFrame, variables, path: str, addrs: dict, order, build,
+    nt: int, rows: int, cols: int, ch: int, cw: int, esize: int,
+    three_d: bool, index: str, ea_params, b2_node_size: int,
+    btree_cap: int, fa_page_bits: int, filtered: bool, data_start: int,
+    encode_chunk,
+) -> pd.DataFrame:
+    """Two-phase executor-parallel tail for COMPRESSED (or non-dense-
+    index) ``write_netcdf4(parallel=True)``: compressed chunk sizes are
+    unknown at plan time, so (1) a distributed job encodes+compresses
+    every chunk and STAGES it as one file under ``<path>._chunks/``,
+    returning only (chunk key, nbytes) — metadata scale; (2) the driver
+    assigns cumulative addresses in (variable, t, ci, cj) order, renders
+    the front matter + chunk indexes, and leaves the data region as
+    holes; (3) a second distributed job ``os.pwrite``\\ s each staged
+    chunk at its assigned address. The bytes never visit the driver, and
+    the result is byte-identical to the serial driver-stream sink. Same
+    filesystem model as the uncompressed pwrite tail: the target (and
+    scratch dir) must be reachable from every executor — local fs here,
+    NFS/Lustre on a real cluster. Reference single-file sink: netcdf-c
+    via /root/reference/src/pyramids/netcdf/netcdf.py:849-982."""
+    scratch = path + "._chunks"
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch)
+
+    def _chunk_file(v: str, t: int, ci: int, cj: int) -> str:
+        # variable names may hold path-hostile chars — hex-encode them
+        return os.path.join(scratch,
+                            f"{t}_{ci}_{cj}_{v.encode().hex()}")
+
+    def stage_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        raw = encode_chunk(key, pdf)  # loud var/t/extent guards inside
+        v, t, ci, cj = str(key[0]), int(key[1]), int(key[2]), int(key[3])
+        fn = _chunk_file(v, t, ci, cj)
+        with open(fn + ".tmp", "wb") as f:  # atomic vs task retries
+            f.write(raw)
+        os.replace(fn + ".tmp", fn)
+        return pd.DataFrame({
+            "variable": [v], "t": [t], "ci": [ci], "cj": [cj],
+            "nbytes": [len(raw)],
+        })
+
+    try:
+        man = keyed.groupBy("variable", "t", "ci", "cj").applyInPandas(
+            stage_chunk,
+            "variable string, t long, ci long, cj long, nbytes long",
+        ).orderBy("variable", "t", "ci", "cj").toPandas()
+
+        # ---- driver: metadata-only layout ---------------------------------
+        entries: "dict[str, list]" = {v: [] for v in variables}
+        cur = data_start
+        addr_col = []
+        for v, t, ci, cj, nb in zip(man["variable"], man["t"], man["ci"],
+                                    man["cj"], man["nbytes"]):
+            offs = ((int(t), int(ci) * ch, int(cj) * cw, 0) if three_d
+                    else (int(ci) * ch, int(cj) * cw, 0))
+            entries[str(v)].append((offs, cur, int(nb)))
+            addr_col.append(cur)
+            cur += int(nb)
+        man["addr"] = addr_col
+        bblobs, eof = _index_blobs(
+            entries, variables, addrs, index, three_d, nt, rows, cols,
+            ch, cw, esize, filtered, _align8(cur), ea_params,
+            b2_node_size, btree_cap, fa_page_bits)
+        comp = build(addrs)
+        with open(path, "wb") as fh:
+            fh.write(_superblock(eof, addrs["ohdr_/"], addrs["gbtree"],
+                                 addrs["heap_hdr"]))
+            for k in order:
+                fh.seek(addrs["heap_hdr"] if k == "heap_hdr"
+                        else addrs[k])
+                fh.write(comp[k])
+            for at, blob in bblobs:
+                fh.seek(at)
+                fh.write(blob)
+            fh.truncate(eof)
+
+        # ---- distributed pwrite of the staged chunks ----------------------
+        spark = keyed.sparkSession
+        if len(man):
+            pairs = spark.createDataFrame(
+                man[["variable", "t", "ci", "cj", "addr", "nbytes"]])
+
+            def copy_parts(pdfs):
+                fd = os.open(path, os.O_WRONLY)
+                n = 0
+                try:
+                    for pdf in pdfs:
+                        for v, t, ci, cj, at, nb in zip(
+                            pdf["variable"], pdf["t"], pdf["ci"],
+                            pdf["cj"], pdf["addr"], pdf["nbytes"],
+                        ):
+                            fn = _chunk_file(str(v), int(t), int(ci),
+                                             int(cj))
+                            with open(fn, "rb") as f:
+                                raw = f.read()
+                            if len(raw) != int(nb):
+                                raise ValueError(
+                                    f"staged chunk {fn} is {len(raw)} "
+                                    f"bytes, manifest says {int(nb)}")
+                            os.pwrite(fd, raw, int(at))
+                            n += 1
+                finally:
+                    os.close(fd)
+                yield pd.DataFrame({"n": [n]})
+
+            par = spark.sparkContext.defaultParallelism
+            wrote = (pairs.repartition(min(par, len(man)))
+                     .mapInPandas(copy_parts, "n long")
+                     .agg(F.sum("n").alias("n")).collect()[0]["n"])
+            if wrote != len(man):
+                raise ValueError(
+                    f"staged copy wrote {wrote} chunks, expected "
+                    f"{len(man)}")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return man[["variable", "t", "ci", "cj", "addr", "nbytes"]]
 
 
 def _write_netcdf4_parallel_tail(

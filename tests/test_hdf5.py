@@ -7,6 +7,7 @@ in-repo writer (there is no other HDF5 producer in the sandbox), plus
 hand-built fixtures for the wild-format layouts the writer never emits
 (version-2 object headers, compact Link messages, foreign filters)."""
 
+import os
 import struct
 
 import numpy as np
@@ -707,15 +708,9 @@ def test_netcdf4_parallel_empty_slots_and_2d(spark, tmp_path):
 
 
 def test_netcdf4_parallel_guards(spark, tmp_path):
-    """parallel=True rejects compression (sizes not plan-time-known) and
-    non-fixed-array indexes; out-of-range t fails loudly in the job."""
+    """Out-of-range t fails loudly inside the distributed job on both
+    parallel tails (direct pwrite and staged)."""
     df, _ = _cells(spark, variables=("z",), nt=1)
-    with pytest.raises(ValueError, match="compress=None"):
-        hdf5.write_netcdf4(df, G, str(tmp_path / "x.nc"), times=[0.0],
-                           compress=4, index="fixed_array", parallel=True)
-    with pytest.raises(ValueError, match="fixed_array"):
-        hdf5.write_netcdf4(df, G, str(tmp_path / "x.nc"), times=[0.0],
-                           compress=None, parallel=True)
     from pyspark.sql import functions as F
 
     bad = df.withColumn("t", F.lit(5).cast("long"))
@@ -723,6 +718,42 @@ def test_netcdf4_parallel_guards(spark, tmp_path):
         hdf5.write_netcdf4(bad, G, str(tmp_path / "x.nc"), times=[0.0],
                            compress=None, index="fixed_array",
                            parallel=True)
+    with pytest.raises(Exception, match="outside file dimensions"):
+        hdf5.write_netcdf4(bad, G, str(tmp_path / "y.nc"), times=[0.0],
+                           compress=4, parallel=True)
+    assert not os.path.exists(str(tmp_path / "y.nc") + "._chunks")
+
+
+def test_netcdf4_parallel_staged_byte_identical(spark, tmp_path):
+    """parallel=True with compression (or a sparse chunk index) takes
+    the two-phase staged tail — distributed compress+stage, driver
+    metadata-only layout, distributed pwrite — and produces a file
+    BYTE-IDENTICAL to the serial driver-stream sink, across deflate /
+    zstd+fletcher32 / uncompressed-btree2 and all four index types."""
+    df, exp = _cells(spark)
+    last = None
+    for i, kw in enumerate([
+        dict(compress=4, shuffle=True, index="btree1"),
+        dict(compress="zstd:5", shuffle=False, fletcher32=True,
+             index="extensible"),
+        dict(compress=None, shuffle=True, index="btree2"),
+    ]):
+        ps = str(tmp_path / f"s{i}.nc")
+        pp = str(tmp_path / f"p{i}.nc")
+        hdf5.write_netcdf4(df, G, ps, times=[10.0, 20.0, 30.0],
+                           chunk=(4, 4), **kw)
+        man = hdf5.write_netcdf4(df, G, pp, times=[10.0, 20.0, 30.0],
+                                 chunk=(4, 4), parallel=True, **kw)
+        with open(ps, "rb") as a, open(pp, "rb") as b:
+            assert a.read() == b.read(), f"config {i} diverged"
+        assert list(man.columns) == ["variable", "t", "ci", "cj",
+                                     "addr", "nbytes"]
+        assert not os.path.exists(pp + "._chunks")  # scratch cleaned
+        last = pp
+    back, _, meta = SparkNetCDF.read_file(spark, last)
+    got = {(r.variable, r.t, r.row, r.col): r.value
+           for r in back.df.collect()}
+    assert got == exp and meta["times"] == [10.0, 20.0, 30.0]
 
 
 def test_hdf5_dense_attributes_and_links(tmp_path):
