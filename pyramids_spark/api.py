@@ -133,7 +133,7 @@ class SparkDataset:
         self, path: str, levels: tuple[int, ...] = (2, 4),
         tile: tuple[int, int] = (256, 256), compress: "int | None" = None,
         dtype: str = "float64", bigtiff: "bool | None" = None,
-        predictor: int = 1,
+        predictor: int = 1, parallel: bool = False,
     ) -> int:
         """Export a REAL tiled GeoTIFF with an embedded averaged overview
         pyramid (COG-shaped; ``pyramids_spark.tiff`` — pure struct/numpy,
@@ -167,7 +167,8 @@ class SparkDataset:
             )
             per.append((ov, g))
         return _tiff.write_geotiff(
-            per, n_bands, path, tile, compress, dtype, bigtiff, predictor
+            per, n_bands, path, tile, compress, dtype, bigtiff, predictor,
+            parallel=parallel,
         )
 
     def to_cog_parts(

@@ -437,6 +437,7 @@ def write_geotiff(
     dtype: str = "float64",
     bigtiff: "bool | None" = None,
     predictor: int = 1,
+    parallel: bool = False,
 ) -> int:
     """Write bands × pyramid levels as one tiled GeoTIFF. ``per_level`` is
     [(cells_df, grid)] — full resolution first, then each overview (all
@@ -450,7 +451,15 @@ def write_geotiff(
     BIGTIFF=IF_NEEDED). Raw tiles have a constant size so every offset is
     precomputable; deflated tiles stream sequentially and the offset/count
     arrays (whose POSITIONS are fixed either way) are patched at the end.
-    Returns total bytes written."""
+    ``parallel=True`` takes the two-phase staged tail instead (the same
+    shape as the staged netCDF-4 sink): tiles encode and stage
+    distributed, the driver lays out offsets from the key+size manifest
+    (metadata scale) and writes header/IFDs/offset arrays, and a second
+    distributed job ``pwrite``\\ s the staged bytes — no driver byte
+    stream, and every ABSENT tile's offset points at ONE shared fill
+    tile instead of the serial stream's per-slot fill copy (legal TIFF;
+    sparse rasters get smaller, not just faster). Returns total bytes
+    written."""
     th, tw = int(tile[0]), int(tile[1])
     base_grid = per_level[0][1]
     nodata = base_grid.nodata
@@ -490,6 +499,11 @@ def write_geotiff(
 
     nod_ascii = _nodata_ascii(nodata, v.inline)
     ifd_pos, data_start = _layout(ifds, len(nod_ascii), v, predictor)
+
+    if parallel:
+        return _write_geotiff_staged(
+            per_level, n_bands, path, th, tw, compress, dt_name, predictor,
+            fill, v, bits, sfmt, nod_ascii, ifds, ifd_pos, data_start)
 
     with open(path, "wb") as fh:
         fh.write(v.header(ifd_pos[0]))
@@ -571,6 +585,179 @@ def write_geotiff(
                 )
         _patch_arrays(fh, ifds, v)
         fh.truncate(cur)
+    return cur
+
+
+def _write_geotiff_staged(
+    per_level, n_bands: int, path: str, th: int, tw: int, compress,
+    dt_name: str, predictor: int, fill, v: _Variant, bits: int, sfmt: int,
+    nod_ascii: bytes, ifds: "list[_Ifd]", ifd_pos, data_start: int,
+) -> int:
+    """Two-phase staged tail for ``write_geotiff(parallel=True)`` —
+    identical shape to the staged netCDF-4 sink (``hdf5.py``): (1) a
+    distributed job per pyramid level encodes every occupied tile and
+    stages it as one file under ``<path>._tiles/``, returning only
+    (band, ti, tj, nbytes); (2) the driver assigns cumulative offsets in
+    the serial stream's (level, band, ti, tj) order, pointing every
+    ABSENT slot at one shared fill tile, and writes header + IFDs +
+    offset/count arrays; (3) a second distributed job ``pwrite``\\ s the
+    staged bytes. Same filesystem model as every pwrite sink: the target
+    must be reachable from all executors."""
+    import shutil
+
+    scratch = path + "._tiles"
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch)
+    n_levels = len(per_level)
+
+    def _tile_file(li: int, b: int, ti: int, tj: int) -> str:
+        return os.path.join(scratch, f"{li}_{b}_{ti}_{tj}")
+
+    try:
+        manifests = []
+        for li, (cdf, g) in enumerate(per_level):
+            nty, ntx = _ntiles(g.rows, g.cols, th, tw)
+
+            def make_stage(_li: int, _g: Grid):
+                # applyInPandas requires exactly (key, pdf) — bind the
+                # level loop variables through a factory, not defaults
+                def stage(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                    bb, ti, tj = int(key[0]), int(key[1]), int(key[2])
+                    rr, cc = pdf["row"].to_numpy(), pdf["col"].to_numpy()
+                    if (rr.min() < 0 or rr.max() >= _g.rows
+                            or cc.min() < 0 or cc.max() >= _g.cols):
+                        raise ValueError(
+                            f"cell outside grid extent "
+                            f"({_g.rows}x{_g.cols}): "
+                            f"rows [{rr.min()},{rr.max()}] "
+                            f"cols [{cc.min()},{cc.max()}]"
+                        )
+                    block = _blocks.dense_block(pdf, th, tw, ti * th,
+                                                tj * tw, fill)
+                    data = _encode_tile(
+                        _dt.cast_block(block, dt_name), compress, predictor
+                    )
+                    fn = _tile_file(_li, bb, ti, tj)
+                    with open(fn + ".tmp", "wb") as f:  # atomic vs retries
+                        f.write(data)
+                    os.replace(fn + ".tmp", fn)
+                    return pd.DataFrame(
+                        {"band": [bb], "ti": [ti], "tj": [tj],
+                         "nbytes": [len(data)]}
+                    )
+
+                return stage
+
+            stage = make_stage(li, g)
+
+            keyed = cdf.where(F.col("value").isNotNull()).select(
+                "band", "row", "col", "value",
+                (F.col("row") / th).cast("long").alias("_ti"),
+                (F.col("col") / tw).cast("long").alias("_tj"),
+            )
+            man = (
+                keyed.groupBy("band", "_ti", "_tj")
+                .applyInPandas(
+                    stage, "band long, ti long, tj long, nbytes long")
+                .orderBy("band", "ti", "tj")
+                .toPandas()
+            )
+            bad = man[(man["band"] < 0) | (man["band"] >= n_bands)
+                      | (man["ti"] >= nty) | (man["tj"] >= ntx)]
+            if len(bad):
+                r = bad.iloc[0]
+                raise ValueError(
+                    "tile block outside the declared layout at level "
+                    f"{li}: band={int(r['band'])} ti={int(r['ti'])} "
+                    f"tj={int(r['tj'])} (outside {n_bands}x{nty}x{ntx})"
+                )
+            manifests.append((li, nty, ntx, man))
+
+        # ---- driver: metadata-only layout; empties share ONE fill tile ----
+        fill_tile = _encode_tile(
+            _dt.cast_block(np.full((th, tw), fill, dtype="<f8"), dt_name),
+            compress, predictor,
+        )
+        fill_at = data_start
+        cur = data_start + len(fill_tile)
+        copy_rows = []
+        for f_ in ifds:
+            f_.offs, f_.cnts = [], []
+        for li, nty, ntx, man in manifests:
+            sizes = {
+                (int(b), int(ti), int(tj)): int(nb)
+                for b, ti, tj, nb in zip(man["band"], man["ti"],
+                                         man["tj"], man["nbytes"])
+            }
+            for b in range(n_bands):
+                f_ = ifds[b * n_levels + li]
+                for t in range(nty * ntx):
+                    ti, tj = t // ntx, t % ntx
+                    nb = sizes.get((b, ti, tj))
+                    if nb is None:
+                        f_.offs.append(fill_at)
+                        f_.cnts.append(len(fill_tile))
+                    else:
+                        f_.offs.append(cur)
+                        f_.cnts.append(nb)
+                        copy_rows.append((li, b, ti, tj, cur, nb))
+                        cur += nb
+        with open(path, "wb") as fh:
+            fh.write(v.header(ifd_pos[0]))
+            offs_snap = [(f_.offs, f_.cnts) for f_ in ifds]
+            _write_ifd_headers(  # resets f_.offs/f_.cnts — restore after
+                fh, ifds, ifd_pos, [g for _, g in per_level], n_levels, v,
+                bits, sfmt, compress, nod_ascii, predictor,
+            )
+            for f_, (o, c) in zip(ifds, offs_snap):
+                f_.offs, f_.cnts = o, c
+            fh.seek(fill_at)
+            fh.write(fill_tile)
+            _patch_arrays(fh, ifds, v)
+            fh.truncate(cur)
+
+        # ---- distributed pwrite of the staged tiles ------------------------
+        if copy_rows:
+            spark = per_level[0][0].sparkSession
+
+            def copy_parts(pdfs):
+                fd = os.open(path, os.O_WRONLY)
+                n = 0
+                try:
+                    for pdf in pdfs:
+                        for li, b, ti, tj, at, nb in zip(
+                            pdf["li"], pdf["band"], pdf["ti"], pdf["tj"],
+                            pdf["addr"], pdf["nbytes"],
+                        ):
+                            fn = _tile_file(int(li), int(b), int(ti),
+                                            int(tj))
+                            with open(fn, "rb") as f:
+                                raw = f.read()
+                            if len(raw) != int(nb):
+                                raise ValueError(
+                                    f"staged tile {fn} is {len(raw)} "
+                                    f"bytes, manifest says {int(nb)}")
+                            os.pwrite(fd, raw, int(at))
+                            n += 1
+                finally:
+                    os.close(fd)
+                yield pd.DataFrame({"n": [n]})
+
+            pairs = spark.createDataFrame(
+                copy_rows,
+                "li long, band long, ti long, tj long, addr long, "
+                "nbytes long",
+            )
+            par = spark.sparkContext.defaultParallelism
+            wrote = (pairs.repartition(min(par, len(copy_rows)))
+                     .mapInPandas(copy_parts, "n long")
+                     .agg(F.sum("n").alias("n")).collect()[0]["n"])
+            if wrote != len(copy_rows):
+                raise ValueError(
+                    f"staged copy wrote {wrote} tiles, expected "
+                    f"{len(copy_rows)}")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
     return cur
 
 

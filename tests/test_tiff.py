@@ -1156,3 +1156,66 @@ def test_geotiff_oldstyle_jpeg_rejects(spark, tmp_path):
 
     with pytest.raises(NotImplementedError, match="Compression != 6"):
         T._read_ifds(build_513only(1))
+
+
+def test_geotiff_parallel_staged_roundtrip(spark, tmp_path):
+    """write_geotiff(parallel=True): the two-phase staged tail (encode+
+    stage distributed -> driver metadata layout -> distributed pwrite)
+    round-trips identically to the serial stream, across deflate +
+    predictor and int16, with overviews. Absent tiles all point at ONE
+    shared fill tile, so sparse rasters come out SMALLER than the serial
+    per-slot fill copies."""
+    import os
+
+    g = COELLO
+    src = grid_df(spark, g)
+    ds = SparkDataset(src.where((F.col("row") < 5) | (F.col("col") > 10)), g)
+    for i, kw in enumerate([
+        dict(compress=6, predictor=2, dtype="int16"),
+        dict(compress=None),
+    ]):
+        ps = str(tmp_path / f"s{i}.tif")
+        pp = str(tmp_path / f"p{i}.tif")
+        ds.to_cog(ps, levels=(2,), tile=(4, 4), **kw)
+        ds.to_cog(pp, levels=(2,), tile=(4, 4), parallel=True, **kw)
+        assert not os.path.exists(pp + "._tiles")  # scratch cleaned
+        a = {(r.band, r.row, r.col): r.value
+             for r in SparkDataset.from_geotiff(spark, ps).df.collect()}
+        b = {(r.band, r.row, r.col): r.value
+             for r in SparkDataset.from_geotiff(spark, pp).df.collect()}
+        assert a == b and len(b) > 0
+        ov_a = {(r.band, r.row, r.col): r.value
+                for r in SparkDataset.from_geotiff(spark, ps,
+                                                   overview=1).df.collect()}
+        ov_b = {(r.band, r.row, r.col): r.value
+                for r in SparkDataset.from_geotiff(spark, pp,
+                                                   overview=1).df.collect()}
+        assert ov_a == ov_b and len(ov_b) > 0
+        assert os.path.getsize(pp) < os.path.getsize(ps)  # shared fill tile
+
+    # every empty slot's offset is the SAME shared fill tile
+    from pyramids_spark import tiff as T
+
+    ifds = T._read_ifds(str(tmp_path / "p1.tif"))
+    offs = ifds[0]["offsets"]
+    counts: dict = {}
+    for o in offs:
+        counts[o] = counts.get(o, 0) + 1
+    shared = [o for o, n in counts.items() if n > 1]
+    assert len(shared) == 1  # one fill tile, many pointers
+
+
+def test_geotiff_parallel_staged_guards(spark, tmp_path):
+    """Out-of-extent cells fail loudly inside the staged job and leave
+    no scratch directory behind."""
+    import os
+
+    g = Grid(x0=0.0, y0=8.0, cell=1.0, rows=8, cols=8, epsg=3857,
+             nodata=-1.0)
+    bad = spark.createDataFrame(
+        [(0, 0, 99, 1.0)], "band long, row long, col long, value double")
+    p = str(tmp_path / "bad.tif")
+    with pytest.raises(Exception, match="outside grid extent"):
+        SparkDataset(bad, g).to_cog(p, levels=(), tile=(4, 4),
+                                    parallel=True)
+    assert not os.path.exists(p + "._tiles")
