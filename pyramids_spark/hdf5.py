@@ -79,7 +79,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import _blocks, dtypes as _dt
+from . import _blocks, _staged, dtypes as _dt
 from .grid import Grid
 from .netcdf import derive_grid
 
@@ -1064,7 +1064,7 @@ def write_netcdf4(
         fh.write(_superblock(eof, addrs["ohdr_/"], addrs["gbtree"],
                              addrs["heap_hdr"]))
         for k in order:
-            fh.seek(addrs["heap_hdr"] if k == "heap_hdr" else addrs[k])
+            fh.seek(addrs[k])
             fh.write(comp[k])
         for at, blob in bblobs:
             fh.seek(at)
@@ -1162,10 +1162,7 @@ def _write_netcdf4_staged_tail(
     def stage_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
         raw = encode_chunk(key, pdf)  # loud var/t/extent guards inside
         v, t, ci, cj = str(key[0]), int(key[1]), int(key[2]), int(key[3])
-        fn = _chunk_file(v, t, ci, cj)
-        with open(fn + ".tmp", "wb") as f:  # atomic vs task retries
-            f.write(raw)
-        os.replace(fn + ".tmp", fn)
+        _staged.write_staged(_chunk_file(v, t, ci, cj), raw)
         return pd.DataFrame({
             "variable": [v], "t": [t], "ci": [ci], "cj": [cj],
             "nbytes": [len(raw)],
@@ -1198,8 +1195,7 @@ def _write_netcdf4_staged_tail(
             fh.write(_superblock(eof, addrs["ohdr_/"], addrs["gbtree"],
                                  addrs["heap_hdr"]))
             for k in order:
-                fh.seek(addrs["heap_hdr"] if k == "heap_hdr"
-                        else addrs[k])
+                fh.seek(addrs[k])
                 fh.write(comp[k])
             for at, blob in bblobs:
                 fh.seek(at)
@@ -1207,42 +1203,14 @@ def _write_netcdf4_staged_tail(
             fh.truncate(eof)
 
         # ---- distributed pwrite of the staged chunks ----------------------
-        spark = keyed.sparkSession
-        if len(man):
-            pairs = spark.createDataFrame(
-                man[["variable", "t", "ci", "cj", "addr", "nbytes"]])
-
-            def copy_parts(pdfs):
-                fd = os.open(path, os.O_WRONLY)
-                n = 0
-                try:
-                    for pdf in pdfs:
-                        for v, t, ci, cj, at, nb in zip(
-                            pdf["variable"], pdf["t"], pdf["ci"],
-                            pdf["cj"], pdf["addr"], pdf["nbytes"],
-                        ):
-                            fn = _chunk_file(str(v), int(t), int(ci),
-                                             int(cj))
-                            with open(fn, "rb") as f:
-                                raw = f.read()
-                            if len(raw) != int(nb):
-                                raise ValueError(
-                                    f"staged chunk {fn} is {len(raw)} "
-                                    f"bytes, manifest says {int(nb)}")
-                            os.pwrite(fd, raw, int(at))
-                            n += 1
-                finally:
-                    os.close(fd)
-                yield pd.DataFrame({"n": [n]})
-
-            par = spark.sparkContext.defaultParallelism
-            wrote = (pairs.repartition(min(par, len(man)))
-                     .mapInPandas(copy_parts, "n long")
-                     .agg(F.sum("n").alias("n")).collect()[0]["n"])
-            if wrote != len(man):
-                raise ValueError(
-                    f"staged copy wrote {wrote} chunks, expected "
-                    f"{len(man)}")
+        _staged.copy_staged(
+            keyed.sparkSession, path,
+            [(_chunk_file(str(v), int(t), int(ci), int(cj)), int(at),
+              int(nb))
+             for v, t, ci, cj, at, nb in zip(
+                 man["variable"], man["t"], man["ci"], man["cj"],
+                 man["addr"], man["nbytes"])],
+            "chunks")
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return man[["variable", "t", "ci", "cj", "addr", "nbytes"]]
@@ -1290,7 +1258,7 @@ def _write_netcdf4_parallel_tail(
         fh.write(_superblock(eof, addrs["ohdr_/"], addrs["gbtree"],
                              addrs["heap_hdr"]))
         for k in order:
-            fh.seek(addrs["heap_hdr"] if k == "heap_hdr" else addrs[k])
+            fh.seek(addrs[k])
             fh.write(comp[k])
         fh.truncate(eof)
 

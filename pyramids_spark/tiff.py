@@ -56,7 +56,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import _blocks, dtypes as _dt
+from . import _blocks, _staged, dtypes as _dt
 from .grid import Grid
 
 # TIFF tag ids
@@ -637,10 +637,7 @@ def _write_geotiff_staged(
                     data = _encode_tile(
                         _dt.cast_block(block, dt_name), compress, predictor
                     )
-                    fn = _tile_file(_li, bb, ti, tj)
-                    with open(fn + ".tmp", "wb") as f:  # atomic vs retries
-                        f.write(data)
-                    os.replace(fn + ".tmp", fn)
+                    _staged.write_staged(_tile_file(_li, bb, ti, tj), data)
                     return pd.DataFrame(
                         {"band": [bb], "ti": [ti], "tj": [tj],
                          "nbytes": [len(data)]}
@@ -674,88 +671,53 @@ def _write_geotiff_staged(
             manifests.append((li, nty, ntx, man))
 
         # ---- driver: metadata-only layout; empties share ONE fill tile ----
-        fill_tile = _encode_tile(
+        # (encoded and written ONLY if some slot is actually absent)
+        n_absent = sum(n_bands * nty * ntx - len(man)
+                       for _, nty, ntx, man in manifests)
+        fill_tile = b"" if not n_absent else _encode_tile(
             _dt.cast_block(np.full((th, tw), fill, dtype="<f8"), dt_name),
             compress, predictor,
         )
         fill_at = data_start
-        cur = data_start + len(fill_tile)
-        copy_rows = []
-        for f_ in ifds:
-            f_.offs, f_.cnts = [], []
-        for li, nty, ntx, man in manifests:
-            sizes = {
-                (int(b), int(ti), int(tj)): int(nb)
-                for b, ti, tj, nb in zip(man["band"], man["ti"],
-                                         man["tj"], man["nbytes"])
-            }
-            for b in range(n_bands):
-                f_ = ifds[b * n_levels + li]
-                for t in range(nty * ntx):
-                    ti, tj = t // ntx, t % ntx
-                    nb = sizes.get((b, ti, tj))
-                    if nb is None:
-                        f_.offs.append(fill_at)
-                        f_.cnts.append(len(fill_tile))
-                    else:
-                        f_.offs.append(cur)
-                        f_.cnts.append(nb)
-                        copy_rows.append((li, b, ti, tj, cur, nb))
-                        cur += nb
         with open(path, "wb") as fh:
             fh.write(v.header(ifd_pos[0]))
-            offs_snap = [(f_.offs, f_.cnts) for f_ in ifds]
-            _write_ifd_headers(  # resets f_.offs/f_.cnts — restore after
+            # header write comes FIRST (it resets f_.offs/f_.cnts); the
+            # layout loop below then populates them, like the serial path
+            _write_ifd_headers(
                 fh, ifds, ifd_pos, [g for _, g in per_level], n_levels, v,
                 bits, sfmt, compress, nod_ascii, predictor,
             )
-            for f_, (o, c) in zip(ifds, offs_snap):
-                f_.offs, f_.cnts = o, c
-            fh.seek(fill_at)
-            fh.write(fill_tile)
+            cur = data_start + len(fill_tile)
+            triples = []  # (staged file, target offset, nbytes)
+            for li, nty, ntx, man in manifests:
+                sizes = {
+                    (int(b), int(ti), int(tj)): int(nb)
+                    for b, ti, tj, nb in zip(man["band"], man["ti"],
+                                             man["tj"], man["nbytes"])
+                }
+                for b in range(n_bands):
+                    f_ = ifds[b * n_levels + li]
+                    for t in range(nty * ntx):
+                        ti, tj = t // ntx, t % ntx
+                        nb = sizes.get((b, ti, tj))
+                        if nb is None:
+                            f_.offs.append(fill_at)
+                            f_.cnts.append(len(fill_tile))
+                        else:
+                            f_.offs.append(cur)
+                            f_.cnts.append(nb)
+                            triples.append(
+                                (_tile_file(li, b, ti, tj), cur, nb))
+                            cur += nb
+            if fill_tile:
+                fh.seek(fill_at)
+                fh.write(fill_tile)
             _patch_arrays(fh, ifds, v)
             fh.truncate(cur)
 
         # ---- distributed pwrite of the staged tiles ------------------------
-        if copy_rows:
-            spark = per_level[0][0].sparkSession
-
-            def copy_parts(pdfs):
-                fd = os.open(path, os.O_WRONLY)
-                n = 0
-                try:
-                    for pdf in pdfs:
-                        for li, b, ti, tj, at, nb in zip(
-                            pdf["li"], pdf["band"], pdf["ti"], pdf["tj"],
-                            pdf["addr"], pdf["nbytes"],
-                        ):
-                            fn = _tile_file(int(li), int(b), int(ti),
-                                            int(tj))
-                            with open(fn, "rb") as f:
-                                raw = f.read()
-                            if len(raw) != int(nb):
-                                raise ValueError(
-                                    f"staged tile {fn} is {len(raw)} "
-                                    f"bytes, manifest says {int(nb)}")
-                            os.pwrite(fd, raw, int(at))
-                            n += 1
-                finally:
-                    os.close(fd)
-                yield pd.DataFrame({"n": [n]})
-
-            pairs = spark.createDataFrame(
-                copy_rows,
-                "li long, band long, ti long, tj long, addr long, "
-                "nbytes long",
-            )
-            par = spark.sparkContext.defaultParallelism
-            wrote = (pairs.repartition(min(par, len(copy_rows)))
-                     .mapInPandas(copy_parts, "n long")
-                     .agg(F.sum("n").alias("n")).collect()[0]["n"])
-            if wrote != len(copy_rows):
-                raise ValueError(
-                    f"staged copy wrote {wrote} tiles, expected "
-                    f"{len(copy_rows)}")
+        _staged.copy_staged(per_level[0][0].sparkSession, path, triples,
+                            "tiles")
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return cur

@@ -737,6 +737,9 @@ def test_netcdf4_parallel_staged_byte_identical(spark, tmp_path):
         dict(compress="zstd:5", shuffle=False, fletcher32=True,
              index="extensible"),
         dict(compress=None, shuffle=True, index="btree2"),
+        # compressed fixed_array routes through the STAGED tail (the
+        # direct pwrite tail takes fixed_array only when uncompressed)
+        dict(compress=4, shuffle=True, index="fixed_array"),
     ]):
         ps = str(tmp_path / f"s{i}.nc")
         pp = str(tmp_path / f"p{i}.nc")
