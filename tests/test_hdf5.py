@@ -753,6 +753,16 @@ def test_netcdf4_parallel_staged_byte_identical(spark, tmp_path):
                                      "addr", "nbytes"]
         assert not os.path.exists(pp + "._chunks")  # scratch cleaned
         last = pp
+    # the 2-D (times=None) staged layout branch
+    d2 = df.where("t = 0")
+    ps2, pp2 = str(tmp_path / "s2d.nc"), str(tmp_path / "p2d.nc")
+    hdf5.write_netcdf4(d2, G, ps2, times=None, chunk=(4, 4),
+                       compress=4, shuffle=True, index="btree1")
+    hdf5.write_netcdf4(d2, G, pp2, times=None, chunk=(4, 4),
+                       compress=4, shuffle=True, index="btree1",
+                       parallel=True)
+    with open(ps2, "rb") as a, open(pp2, "rb") as b:
+        assert a.read() == b.read(), "2-D config diverged"
     back, _, meta = SparkNetCDF.read_file(spark, last)
     got = {(r.variable, r.t, r.row, r.col): r.value
            for r in back.df.collect()}
