@@ -43,3 +43,26 @@ def sparse_cells(
             "value": block[rr, cc].astype(np.float64),
         }
     )
+
+
+def bounded_concat(frames, max_cells: int = 2_000_000):
+    """Yield ``pd.concat`` over accumulated cell frames, flushing
+    whenever the buffered row count passes ``max_cells``. Every
+    container reader's ``mapInPandas`` decode explodes each META row
+    (tile/chunk/part descriptor) into tile-sized cell frames — a
+    per-input-batch concat is therefore UNBOUNDED in the raster size
+    (one Arrow batch of rows*cols cells at a 6 GB BigTIFF blew netty's
+    direct-memory pool), while per-tile yields fragment small reads.
+    2M cells ≈ 56 MB per Arrow batch keeps 32 concurrent tasks well
+    inside the JVM's direct-memory budget."""
+    buf, n = [], 0
+    for f in frames:
+        if not len(f):
+            continue
+        buf.append(f)
+        n += len(f)
+        if n >= max_cells:
+            yield pd.concat(buf, ignore_index=True)
+            buf, n = [], 0
+    if buf:
+        yield pd.concat(buf, ignore_index=True)

@@ -2375,40 +2375,44 @@ def read_netcdf4(
 
     def decode(batches):
         with open(path, "rb") as fh:
-            for pdf in batches:
-                frames = []
-                for row in pdf.itertuples(index=False):
-                    fh.seek(int(row.addr))
-                    raw = fh.read(int(row.nbytes))
-                    ids = [int(x) for x in row.fids.split(",") if x]
-                    dt = np.dtype(row.np_dt)
-                    ct, chh, cww = int(row.ct), int(row.ch), int(row.cw)
-                    raw = _defilter(raw, ids, int(row.mask), dt.itemsize,
-                                    out_size=ct * chh * cww * dt.itemsize)
-                    arr = (np.frombuffer(raw, dt)
-                           .reshape(ct, chh, cww).astype("<f8"))
-                    fillv = None if pd.isna(row.fill) else float(row.fill)
-                    for dtk in range(ct):
-                        t = int(row.t0) + dtk
-                        if t >= int(row.nt):
-                            break  # chunk padding past the time extent
-                        r0 = int(row.r0)
-                        h = min(chh, rows - r0)
-                        if h <= 0:
-                            continue
-                        block = arr[dtk][:h]
-                        if flip:
-                            block = block[::-1]
-                            r0 = rows - r0 - h
-                        drop = fillv if fillv is not None else float("nan")
-                        f = _blocks.sparse_cells(
-                            block, 0, r0, int(row.c0), rows, cols, drop
-                        )
-                        f.insert(0, "variable", row.variable)
-                        f.insert(1, "t", t)
-                        frames.append(f)
-                if frames:
-                    yield pd.concat(frames, ignore_index=True)
+
+            def chunks():
+                for pdf in batches:
+                    for row in pdf.itertuples(index=False):
+                        fh.seek(int(row.addr))
+                        raw = fh.read(int(row.nbytes))
+                        ids = [int(x) for x in row.fids.split(",") if x]
+                        dt = np.dtype(row.np_dt)
+                        ct, chh, cww = int(row.ct), int(row.ch), int(row.cw)
+                        raw = _defilter(
+                            raw, ids, int(row.mask), dt.itemsize,
+                            out_size=ct * chh * cww * dt.itemsize)
+                        arr = (np.frombuffer(raw, dt)
+                               .reshape(ct, chh, cww).astype("<f8"))
+                        fillv = (None if pd.isna(row.fill)
+                                 else float(row.fill))
+                        for dtk in range(ct):
+                            t = int(row.t0) + dtk
+                            if t >= int(row.nt):
+                                break  # chunk padding past the time extent
+                            r0 = int(row.r0)
+                            h = min(chh, rows - r0)
+                            if h <= 0:
+                                continue
+                            block = arr[dtk][:h]
+                            if flip:
+                                block = block[::-1]
+                                r0 = rows - r0 - h
+                            drop = (fillv if fillv is not None
+                                    else float("nan"))
+                            f = _blocks.sparse_cells(
+                                block, 0, r0, int(row.c0), rows, cols, drop
+                            )
+                            f.insert(0, "variable", row.variable)
+                            f.insert(1, "t", t)
+                            yield f
+
+            yield from _blocks.bounded_concat(chunks())
 
     cells = meta_df.mapInPandas(
         decode,

@@ -544,32 +544,34 @@ def read_netcdf(
 
     def decode(batches):
         with open(path, "rb") as fh:
-            for pdf in batches:
-                frames = []
-                for v, t, r0, bh, off, nb, np_dt, fillv in zip(
-                    pdf["variable"], pdf["t"], pdf["row0"], pdf["bh"],
-                    pdf["off"], pdf["nbytes"], pdf["np_dt"], pdf["fill"],
-                ):
-                    fh.seek(int(off))
-                    block = (
-                        np.frombuffer(fh.read(int(nb)), dtype=np_dt)
-                        .reshape(int(bh), cols)
-                        .astype("<f8")
-                    )
-                    if flip:
-                        block = block[::-1]
-                        r0 = rows - int(r0) - int(bh)
-                    drop = fillv if fillv is not None else (
-                        nodata if nodata is not None else float("nan")
-                    )
-                    f = _blocks.sparse_cells(
-                        block, 0, int(r0), 0, rows, cols, drop
-                    )
-                    f.insert(0, "variable", v)
-                    f.insert(1, "t", int(t))
-                    frames.append(f)
-                if frames:
-                    yield pd.concat(frames, ignore_index=True)
+
+            def blocks():
+                for pdf in batches:
+                    for v, t, r0, bh, off, nb, np_dt, fillv in zip(
+                        pdf["variable"], pdf["t"], pdf["row0"], pdf["bh"],
+                        pdf["off"], pdf["nbytes"], pdf["np_dt"],
+                        pdf["fill"],
+                    ):
+                        fh.seek(int(off))
+                        block = (
+                            np.frombuffer(fh.read(int(nb)), dtype=np_dt)
+                            .reshape(int(bh), cols)
+                            .astype("<f8")
+                        )
+                        if flip:
+                            block = block[::-1]
+                            r0 = rows - int(r0) - int(bh)
+                        drop = fillv if fillv is not None else (
+                            nodata if nodata is not None else float("nan")
+                        )
+                        f = _blocks.sparse_cells(
+                            block, 0, int(r0), 0, rows, cols, drop
+                        )
+                        f.insert(0, "variable", v)
+                        f.insert(1, "t", int(t))
+                        yield f
+
+            yield from _blocks.bounded_concat(blocks())
 
     cells = meta_df.mapInPandas(
         decode,

@@ -982,30 +982,30 @@ def read_geotiff_parts(
     )
 
     def decode(batches):
-        for pdf in batches:
-            frames = []
-            for pi, pj in zip(pdf["pi"], pdf["pj"]):
-                p = os.path.join(path, f"part-r{int(pi)}-c{int(pj)}.tif")
-                ifds = _read_ifds(p)
-                n_bands = len(ifds) // n_levels
-                # part row/col origin at this overview level (shard dims
-                # divide every level, so the division is exact)
-                r_org, c_org = int(pi) * sh // lv, int(pj) * sw // lv
-                with open(p, "rb") as fh:
-                    for b in range(n_bands):
-                        d = ifds[b * n_levels + overview]
-                        ntx = (d["cols"] + d["tw"] - 1) // d["tw"]
-                        for t, block in _decode_ifd_tiles(fh, d):
-                            ti, tj = t // ntx, t % ntx
-                            frames.append(
-                                _blocks.sparse_cells(
+        def tiles():
+            for pdf in batches:
+                for pi, pj in zip(pdf["pi"], pdf["pj"]):
+                    p = os.path.join(path,
+                                     f"part-r{int(pi)}-c{int(pj)}.tif")
+                    ifds = _read_ifds(p)
+                    n_bands = len(ifds) // n_levels
+                    # part row/col origin at this overview level (shard
+                    # dims divide every level, so the division is exact)
+                    r_org, c_org = int(pi) * sh // lv, int(pj) * sw // lv
+                    with open(p, "rb") as fh:
+                        for b in range(n_bands):
+                            d = ifds[b * n_levels + overview]
+                            ntx = (d["cols"] + d["tw"] - 1) // d["tw"]
+                            for t, block in _decode_ifd_tiles(fh, d):
+                                ti, tj = t // ntx, t % ntx
+                                yield _blocks.sparse_cells(
                                     block, b,
-                                    r_org + ti * d["th"], c_org + tj * d["tw"],
+                                    r_org + ti * d["th"],
+                                    c_org + tj * d["tw"],
                                     grid.rows, grid.cols, nodata,
                                 )
-                            )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+
+        yield from _blocks.bounded_concat(tiles())
 
     cells = parts.mapInPandas(
         decode, "band long, row long, col long, value double"
@@ -1286,62 +1286,63 @@ def read_geotiff(
 
     def decode(batches):
         with open(path, "rb") as fh:
-            for pdf in batches:
-                frames = []
-                for b, ti, tj, o, c in zip(
-                    pdf["band"], pdf["ti"], pdf["tj"], pdf["off"], pdf["cnt"]
-                ):
-                    fh.seek(o)
-                    if comp == 6 and j6 is not None:
-                        # per-strip entropy data: synthesize the marker
-                        # prelude with THIS strip's exact height
-                        from . import jpeg as _jp
 
-                        raw = _jp.decode_jpeg(_jpeg6_stream(
-                            fh.read(c), j6, tw,
-                            min(th, rows - int(ti) * th), spp,
-                        )).tobytes()
-                    else:
-                        raw = _decompress(fh.read(c), comp, jtables)
-                    # reshape by actual length: tiles are full (th, tw);
-                    # a foreign file's LAST STRIP may be short. Decode in
-                    # the STORED dtype, widen to the engine's float64
-                    if pred == 3:
-                        esize = np.dtype(np_dt_str).itemsize
-                        be = _unpredict3(
-                            np.frombuffer(raw, np.uint8).reshape(
-                                -1, tw * spp * esize), esize, spp)
-                        block = np.frombuffer(
-                            be.tobytes(), ">" + np_dt_str.lstrip("<>|")
-                        ).reshape(-1, tw * spp)
-                    else:
-                        block = np.frombuffer(raw, dtype=np_dt_str).reshape(
-                            -1, tw * spp
-                        )
-                    if pred == 2:
-                        block = _unpredict2(block, spp)
-                    if spp == 1:
-                        frames.append(
-                            _blocks.sparse_cells(
-                                block.astype("<f8"), int(b), int(ti) * th,
-                                int(tj) * tw, rows, cols, fill
-                            )
-                        )
-                        continue
-                    # chunky interleaved: one IFD carries spp samples —
-                    # sample s becomes engine band ifd*spp + s
-                    cube = block.reshape(block.shape[0], tw, spp)
-                    for s in range(spp):
-                        frames.append(
-                            _blocks.sparse_cells(
-                                np.ascontiguousarray(cube[:, :, s])
-                                .astype("<f8"),
-                                int(b) * spp + s, int(ti) * th,
-                                int(tj) * tw, rows, cols, fill
-                            )
-                        )
-                if frames:
-                    yield pd.concat(frames, ignore_index=True)
+            def tiles():
+                for pdf in batches:
+                    for b, ti, tj, o, c in zip(
+                        pdf["band"], pdf["ti"], pdf["tj"], pdf["off"],
+                        pdf["cnt"],
+                    ):
+                        yield from _decode_one(b, ti, tj, o, c)
+
+            def _decode_one(b, ti, tj, o, c):
+                fh.seek(o)
+                if comp == 6 and j6 is not None:
+                    # per-strip entropy data: synthesize the marker
+                    # prelude with THIS strip's exact height
+                    from . import jpeg as _jp
+
+                    raw = _jp.decode_jpeg(_jpeg6_stream(
+                        fh.read(c), j6, tw,
+                        min(th, rows - int(ti) * th), spp,
+                    )).tobytes()
+                else:
+                    raw = _decompress(fh.read(c), comp, jtables)
+                # reshape by actual length: tiles are full (th, tw);
+                # a foreign file's LAST STRIP may be short. Decode in
+                # the STORED dtype, widen to the engine's float64
+                if pred == 3:
+                    esize = np.dtype(np_dt_str).itemsize
+                    be = _unpredict3(
+                        np.frombuffer(raw, np.uint8).reshape(
+                            -1, tw * spp * esize), esize, spp)
+                    block = np.frombuffer(
+                        be.tobytes(), ">" + np_dt_str.lstrip("<>|")
+                    ).reshape(-1, tw * spp)
+                else:
+                    block = np.frombuffer(raw, dtype=np_dt_str).reshape(
+                        -1, tw * spp
+                    )
+                if pred == 2:
+                    block = _unpredict2(block, spp)
+                if spp == 1:
+                    yield _blocks.sparse_cells(
+                        block.astype("<f8"), int(b), int(ti) * th,
+                        int(tj) * tw, rows, cols, fill
+                    )
+                    return
+                # chunky interleaved: one IFD carries spp samples —
+                # sample s becomes engine band ifd*spp + s
+                cube = block.reshape(block.shape[0], tw, spp)
+                for s in range(spp):
+                    yield _blocks.sparse_cells(
+                        np.ascontiguousarray(cube[:, :, s])
+                        .astype("<f8"),
+                        int(b) * spp + s, int(ti) * th,
+                        int(tj) * tw, rows, cols, fill
+                    )
+
+            yield from _blocks.bounded_concat(tiles())
 
     cells = meta_df.mapInPandas(decode, "band long, row long, col long, value double")
     return cells, grid, n_bands * spp

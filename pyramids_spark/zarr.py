@@ -667,30 +667,30 @@ def read_zarr(
     )
 
     def decode(batches):
-        for pdf in batches:
-            frames = []
-            for p, content in zip(pdf["path"], pdf["content"]):
-                name = os.path.basename(p)
-                toks = [int(t) for t in name.split(".")]
-                b, ci, cj = toks if len(toks) == 3 else [0] + toks
-                if dec is not None:
-                    content = dec(content, cb * ch * cw * itemsize)
-                if filts:
-                    content = _undo_v2_filters(content, filts, np_dt_str)
-                cube = (
-                    np.frombuffer(content, dtype=np_dt_str)
-                    .reshape(cb, ch, cw)
-                    .astype("<f8")  # widen stored dtype → engine float64
-                )
-                for j in range(cb):  # leading dim may be chunked > 1
-                    if b * cb + j >= n_bands:
-                        break  # edge chunk padding past the array extent
-                    frames.append(
-                        _blocks.sparse_cells(cube[j], b * cb + j, ci * ch,
-                                             cj * cw, rows, cols, fill)
+        def chunks():
+            for pdf in batches:
+                for p, content in zip(pdf["path"], pdf["content"]):
+                    name = os.path.basename(p)
+                    toks = [int(t) for t in name.split(".")]
+                    b, ci, cj = toks if len(toks) == 3 else [0] + toks
+                    if dec is not None:
+                        content = dec(content, cb * ch * cw * itemsize)
+                    if filts:
+                        content = _undo_v2_filters(content, filts,
+                                                   np_dt_str)
+                    cube = (
+                        np.frombuffer(content, dtype=np_dt_str)
+                        .reshape(cb, ch, cw)
+                        .astype("<f8")  # widen stored dtype → float64
                     )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+                    for j in range(cb):  # leading dim may be chunked > 1
+                        if b * cb + j >= n_bands:
+                            break  # edge chunk padding past the extent
+                        yield _blocks.sparse_cells(
+                            cube[j], b * cb + j, ci * ch,
+                            cj * cw, rows, cols, fill)
+
+        yield from _blocks.bounded_concat(chunks())
 
     files = (
         spark.read.format("binaryFile")
@@ -785,51 +785,48 @@ def _read_zarr_v3(spark: SparkSession, path: str) -> tuple[DataFrame, Grid]:
     def decode(batches):
         import struct
 
-        for pdf in batches:
-            frames = []
-            for p, content in zip(pdf["path"], pdf["content"]):
-                raw_toks = re.split(r"[/.]", p)
-                toks = []
-                while raw_toks and raw_toks[-1].isdigit() and len(toks) < 3:
-                    toks.insert(0, int(raw_toks.pop()))
-                b, ci, cj = toks if len(toks) == 3 else [0] + toks
-                if shard is None:
-                    cube = unchunk(content, (cb, ch, cw))
-                    for j in range(cb):  # leading dim may be chunked > 1
-                        if b * cb + j >= n_bands:
-                            break
-                        frames.append(
-                            _blocks.sparse_cells(
+        def chunks():
+            for pdf in batches:
+                for p, content in zip(pdf["path"], pdf["content"]):
+                    raw_toks = re.split(r"[/.]", p)
+                    toks = []
+                    while (raw_toks and raw_toks[-1].isdigit()
+                           and len(toks) < 3):
+                        toks.insert(0, int(raw_toks.pop()))
+                    b, ci, cj = toks if len(toks) == 3 else [0] + toks
+                    if shard is None:
+                        cube = unchunk(content, (cb, ch, cw))
+                        for j in range(cb):  # leading dim chunked > 1
+                            if b * cb + j >= n_bands:
+                                break
+                            yield _blocks.sparse_cells(
                                 cube[j], b * cb + j, ci * ch,
                                 cj * cw, rows, cols, fill
                             )
-                        )
-                    continue
-                ich, icw, crc, at_end = shard
-                niy, nix = ch // ich, cw // icw
-                ilen = 16 * niy * nix + (4 if crc else 0)
-                ib = content[-ilen:] if at_end else content[:ilen]
-                if crc:
-                    (stored,) = struct.unpack("<I", ib[-4:])
-                    ib = ib[:-4]
-                    if _crc32c(ib) != stored:
-                        raise ValueError(
-                            "crc32c mismatch in zarr shard index"
-                        )
-                index = np.frombuffer(ib, "<u8").reshape(-1, 2)
-                for k in range(niy * nix):
-                    off, nb = int(index[k, 0]), int(index[k, 1])
-                    if off == _UNDEF64:  # missing inner chunk = all fill
                         continue
-                    frames.append(
-                        _blocks.sparse_cells(
+                    ich, icw, crc, at_end = shard
+                    niy, nix = ch // ich, cw // icw
+                    ilen = 16 * niy * nix + (4 if crc else 0)
+                    ib = content[-ilen:] if at_end else content[:ilen]
+                    if crc:
+                        (stored,) = struct.unpack("<I", ib[-4:])
+                        ib = ib[:-4]
+                        if _crc32c(ib) != stored:
+                            raise ValueError(
+                                "crc32c mismatch in zarr shard index"
+                            )
+                    index = np.frombuffer(ib, "<u8").reshape(-1, 2)
+                    for k in range(niy * nix):
+                        off, nb = int(index[k, 0]), int(index[k, 1])
+                        if off == _UNDEF64:  # missing inner = all fill
+                            continue
+                        yield _blocks.sparse_cells(
                             unchunk(content[off:off + nb], (ich, icw)), b,
                             ci * ch + (k // nix) * ich,
                             cj * cw + (k % nix) * icw, rows, cols, fill
                         )
-                    )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+
+        yield from _blocks.bounded_concat(chunks())
 
     files = (
         spark.read.format("binaryFile")
