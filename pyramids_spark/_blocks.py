@@ -1,7 +1,9 @@
 """Shared dense-block ↔ sparse-cell kernels for the container writers
-(zarr chunks, GeoTIFF tiles): ONE implementation of fill-padding, edge
-trimming and NaN-vs-sentinel masking so the two formats stay
-byte-consistent by construction."""
+AND readers (zarr chunks, GeoTIFF tiles, NetCDF blocks): ONE
+implementation of fill-padding, edge trimming and NaN-vs-sentinel
+masking so the formats stay byte-consistent by construction, plus
+``bounded_concat`` — the reader-side Arrow-batch size bound every
+container decode yields through."""
 
 from __future__ import annotations
 
@@ -47,22 +49,35 @@ def sparse_cells(
 
 def bounded_concat(frames, max_cells: int = 2_000_000):
     """Yield ``pd.concat`` over accumulated cell frames, flushing
-    whenever the buffered row count passes ``max_cells``. Every
-    container reader's ``mapInPandas`` decode explodes each META row
-    (tile/chunk/part descriptor) into tile-sized cell frames — a
-    per-input-batch concat is therefore UNBOUNDED in the raster size
-    (one Arrow batch of rows*cols cells at a 6 GB BigTIFF blew netty's
-    direct-memory pool), while per-tile yields fragment small reads.
-    2M cells ≈ 56 MB per Arrow batch keeps 32 concurrent tasks well
-    inside the JVM's direct-memory budget."""
+    whenever the buffered row count passes ``max_cells``; frames LARGER
+    than ``max_cells`` (a single-strip foreign TIFF where RowsPerStrip
+    = image height, a whale-sized chunk) are sliced first, so no
+    yielded batch exceeds ``2 * max_cells`` rows regardless of tile
+    geometry. Every container reader's ``mapInPandas`` decode explodes
+    each META row (tile/chunk/part descriptor) into tile-sized cell
+    frames — a per-input-batch concat is therefore UNBOUNDED in the
+    raster size (one Arrow batch of rows*cols cells at a 6 GB BigTIFF
+    blew netty's direct-memory pool), while per-tile yields fragment
+    small reads. 2M cells ≈ 56-112 MB per Arrow batch keeps 32
+    concurrent tasks well inside the JVM's direct-memory budget."""
     buf, n = [], 0
+
+    def drain():
+        # a lone frame passes through without the pd.concat copy
+        return buf[0] if len(buf) == 1 else pd.concat(
+            buf, ignore_index=True)
+
     for f in frames:
         if not len(f):
             continue
-        buf.append(f)
-        n += len(f)
-        if n >= max_cells:
-            yield pd.concat(buf, ignore_index=True)
-            buf, n = [], 0
+        pieces = ([f] if len(f) <= max_cells else
+                  [f.iloc[i:i + max_cells]
+                   for i in range(0, len(f), max_cells)])
+        for p in pieces:
+            buf.append(p)
+            n += len(p)
+            if n >= max_cells:
+                yield drain()
+                buf, n = [], 0
     if buf:
-        yield pd.concat(buf, ignore_index=True)
+        yield drain()

@@ -561,7 +561,10 @@ def read_netcdf(
                         if flip:
                             block = block[::-1]
                             r0 = rows - int(r0) - int(bh)
-                        drop = fillv if fillv is not None else (
+                        # a driver-side None fill arrives through the
+                        # Arrow 'fill double' column as NaN, never None
+                        # — pd.isna is the real "no _FillValue" test
+                        drop = fillv if not pd.isna(fillv) else (
                             nodata if nodata is not None else float("nan")
                         )
                         f = _blocks.sparse_cells(

@@ -286,3 +286,59 @@ def test_netcdf_cdf5_roundtrip_uint16_and_streaming(spark, tmp_path):
         SparkNetCDF(cells).to_netcdf(g, str(tmp_path / "bad.nc"),
                                      times=[1.0, 2.0], dtype="uint16",
                                      version=2)
+
+
+def test_bounded_concat_unit():
+    """Direct boundary tests of the shared reader batch bound: flush at
+    the threshold, remainder flush, whale-frame slicing, empty frames
+    skipped, order preserved, single-frame passthrough."""
+    import pandas as pd
+
+    from pyramids_spark import _blocks
+
+    def f(a, b):
+        return pd.DataFrame({"v": range(a, b)})
+
+    # order + flush-at-threshold + remainder
+    out = list(_blocks.bounded_concat([f(0, 3), f(3, 5), f(5, 6)],
+                                      max_cells=4))
+    assert [len(o) for o in out] == [5, 1]
+    assert pd.concat(out)["v"].tolist() == list(range(6))
+    # whale frame slices to <= max_cells pieces, nothing lost
+    out = list(_blocks.bounded_concat([f(0, 10)], max_cells=3))
+    assert all(len(o) <= 3 for o in out)
+    assert pd.concat(out)["v"].tolist() == list(range(10))
+    # empties skipped entirely
+    assert list(_blocks.bounded_concat([f(0, 0), f(0, 0)])) == []
+    # single small frame passes through without a copy
+    one = f(0, 2)
+    out = list(_blocks.bounded_concat([one], max_cells=10))
+    assert len(out) == 1 and out[0] is one
+
+
+def test_netcdf_missing_fillvalue_falls_back_to_grid_nodata(spark, tmp_path):
+    """A classic-NetCDF variable WITHOUT _FillValue read into a grid
+    whose nodata is set must still drop nodata-valued cells (the
+    absent-row contract). Regression: the Arrow 'fill double' column
+    turns a driver-side None into NaN, so an `is not None` test kept
+    sentinel cells as real data."""
+    from pyramids_spark import netcdf as nc
+    from pyramids_spark.grid import Grid
+
+    g = Grid(x0=0.0, y0=4.0, cell=1.0, rows=4, cols=4, epsg=4326,
+             nodata=-9.0)
+    rows = [("z", 0, r, c, -9.0 if (r, c) == (1, 1) else float(r * 4 + c))
+            for r in range(4) for c in range(4)]
+    df = spark.createDataFrame(
+        rows, "variable string, t long, row long, col long, value double")
+    p = str(tmp_path / "nofill.nc")
+    nc.write_netcdf(df, g, p, times=[0.0])
+    raw = (tmp_path / "nofill.nc").read_bytes()
+    assert raw.count(b"_FillValue") >= 1
+    # same-length rename makes the variable carry NO _FillValue attr
+    (tmp_path / "nofill.nc").write_bytes(
+        raw.replace(b"_FillValue", b"_NotAFillV"))
+    cells, g2, _ = nc.read_netcdf(spark, p)
+    got = {(r.row, r.col): r.value for r in cells.collect()}
+    assert (1, 1) not in got  # sentinel dropped via grid nodata
+    assert got[(0, 1)] == 1.0 and len(got) == 15
