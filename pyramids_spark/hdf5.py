@@ -1268,7 +1268,7 @@ def _write_netcdf4_parallel_tail(
         at = base[v] + ((t * ny + ci) * nx + cj) * stored
         fd = os.open(path, os.O_WRONLY)
         try:
-            os.pwrite(fd, raw, at)
+            _staged._pwrite_all(fd, raw, at)  # pwrite may write short on NFS
         finally:
             os.close(fd)
         return pd.DataFrame({

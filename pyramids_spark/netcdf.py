@@ -48,7 +48,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import _blocks, dtypes as _dt
+from . import _blocks, _staged, dtypes as _dt
 from .grid import Grid
 
 _NC_DIMENSION, _NC_VARIABLE, _NC_ATTRIBUTE = 10, 11, 12
@@ -297,7 +297,7 @@ def write_netcdf(
         off = begins[v] + t * recsize + r0 * cols * esize
         fd = os.open(path, os.O_WRONLY)
         try:
-            os.pwrite(fd, data, off)
+            _staged._pwrite_all(fd, data, off)  # pwrite may write short on NFS
         finally:
             os.close(fd)
         return pd.DataFrame(

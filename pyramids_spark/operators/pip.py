@@ -576,14 +576,17 @@ def pip_join_df(
     rings = zones_df.withColumn(
         "part_key", F.xxhash64(F.col("zone_id"), F.col("xs"), F.col("ys"))
     )
-    cover = zone_cover_df(rings, zoom, "intersects")
+    # materialize the cover ONCE: every union branch below references it, and
+    # without truncation each branch re-runs the whole cover mapInPandas (the
+    # r6 plan showed 3 MapInPandas + 3 point scans for one query — guide §2.4:
+    # one Exchange-side subtree per distinct consumer is honest, three copies
+    # of the same one is not). localCheckpoint spills to disk past memory, and
+    # the cover is O(zones × cells) ≪ points by construction.
+    cover = zone_cover_df(rings, zoom, "intersects").localCheckpoint()
     pts = with_cell_id(points, zoom, x, y)
     pt_cols = points.columns
+    ringsxy = rings.select("zone_id", "part_key", "xs", "ys")
     cand = pts.join(cover, "cell_id")
-    interior = cand.where(~F.col("boundary")).select(*pt_cols, "zone_id")
-    bnd = cand.where(F.col("boundary")).join(
-        rings.select("zone_id", "part_key", "xs", "ys"), ["zone_id", "part_key"]
-    )
 
     def raycast(df):
         return (
@@ -598,13 +601,31 @@ def pip_join_df(
         )
 
     if refine == "udf":
+        interior = cand.where(~F.col("boundary")).select(*pt_cols, "zone_id")
+        bnd = cand.where(F.col("boundary")).join(ringsxy, ["zone_id", "part_key"])
         return interior.unionByName(raycast(bnd))
-    conv = (
-        bnd.where(F.col("convex"))
-        .where(_convex_refine_cond(F.col(x), F.col(y), F.col("xs"), F.col("ys")))
+    # ONE scan of the point side covers interior AND convex-boundary rows:
+    # every cover row has its ring (cover derives from rings; (zone_id,
+    # part_key) is unique per part), so the inner ring join is multiplicity-
+    # preserving and the half-plane test only gates rows where boundary holds.
+    # The concave-boundary branch keeps its own subtree because its pandas
+    # UDF must not run on convex rows (Spark evaluates extracted Python UDFs
+    # unconditionally); its cover-side filter (boundary & !convex) sits below
+    # the join, so AQE collapses the whole branch to empty when every part is
+    # convex — the common mesh case pays ONE point scan instead of r6's three.
+    easy = (
+        cand.where(~F.col("boundary") | F.col("convex"))
+        .join(ringsxy, ["zone_id", "part_key"])
+        .where(
+            ~F.col("boundary")
+            | _convex_refine_cond(F.col(x), F.col(y), F.col("xs"), F.col("ys"))
+        )
         .select(*pt_cols, "zone_id")
     )
-    return interior.unionByName(conv).unionByName(raycast(bnd.where(~F.col("convex"))))
+    hard = cand.where(F.col("boundary") & ~F.col("convex")).join(
+        ringsxy, ["zone_id", "part_key"]
+    )
+    return easy.unionByName(raycast(hard))
 
 
 def salt_col(n_salt: int = 16, row_source: F.Column | None = None) -> F.Column:

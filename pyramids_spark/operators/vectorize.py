@@ -335,9 +335,17 @@ def _apply_mapping(labeled: DataFrame, mapping: DataFrame) -> DataFrame:
     )
 
 
-def polygonize(cells_df: DataFrame, grid: Grid, tile: int = 256) -> DataFrame:
+def polygonize(
+    cells_df: DataFrame, grid: Grid, tile: int = 256, single_pass: bool = False
+) -> DataFrame:
     """gdal.Polygonize region step: 4-connected equal-value components.
-    → (row, col, value, label)."""
+    → (row, col, value, label).
+
+    ``single_pass`` has :func:`cluster`'s semantics: persist the per-tile
+    labeling for the border/mapping pass and eagerly materialize the
+    relabeled table, so downstream consumers (the ring pipeline) scan it
+    without re-running the tile CC — one scan, O(cells) block-manager
+    storage; default False stays the two-scan O(1)-storage mode."""
     rows, cols = grid.rows, grid.cols
     d = cells_df.where(F.col("value").isNotNull()).select(
         "row", "col", "value",
@@ -369,12 +377,20 @@ def polygonize(cells_df: DataFrame, grid: Grid, tile: int = 256) -> DataFrame:
     labeled = d.groupBy("tile_y", "tile_x").applyInPandas(
         per_tile, schema="row long, col long, value double, label long, border boolean"
     )
+    if single_pass:
+        from pyspark import StorageLevel
+
+        labeled = labeled.persist(StorageLevel.MEMORY_AND_DISK)
     border = labeled.where("border").select("row", "col", "value", "label").persist()
     try:
         mapping = _merge_labels_df(border, conn8=False, by_value=True)
     finally:
         border.unpersist()
-    return _apply_mapping(labeled, mapping)
+    out = _apply_mapping(labeled, mapping)
+    if single_pass:
+        out = out.localCheckpoint(eager=True)
+        labeled.unpersist()
+    return out
 
 
 # The four cell sides as (neighbor offset, directed ccw edge in integer
@@ -449,48 +465,225 @@ def _walk_edges(ea: np.ndarray, eb: np.ndarray, is_cut) -> tuple[list, list]:
     return chains, rings
 
 
+def _walk_edges_batch(ea: np.ndarray, eb: np.ndarray, el: np.ndarray, is_cut_v):
+    """Vectorized :func:`_walk_edges` over ALL labels of a tile at once.
+
+    ``ea``/``eb``: (E, 2) int64 directed-edge endpoints in (vc, vr) vertex
+    coords; ``el``: (E,) labels; ``is_cut_v(xs, ys) -> bool array`` marks
+    cut (tile-border) vertices. Returns ``(labels, kinds, paths)`` parallel
+    lists — ``paths[i]`` an (n, 2) int64 vertex array, kind 1 = open chain
+    (cut vertex → cut vertex), 2 = closed ring (never touches a cut vertex).
+
+    Why a successor ARRAY is exact: every edge is a unit axis step, a grid
+    vertex has at most 2 out-edges of one label (only the diagonal-pinch
+    cell pattern yields 2), and there the two in-directions are opposite,
+    so the leftmost-turn rule pairs each in-edge with a DISTINCT out-edge —
+    a proper matching, making the walk order-independent. That property is
+    asserted (successor injectivity); any violation falls back to the
+    per-label python walk rather than guessing. [r7: the per-label
+    _walk_edges calls — ~740 per 256² tile on the bench raster — spent the
+    fragment stage in python dict/set churn; this replaces them with a few
+    argsorts + batched pointer chasing.]"""
+    E = len(el)
+    _, lab_idx = np.unique(el, return_inverse=True)
+    vx0 = min(int(ea[:, 0].min()), int(eb[:, 0].min()))
+    vy0 = min(int(ea[:, 1].min()), int(eb[:, 1].min()))
+    sx = max(int(ea[:, 0].max()), int(eb[:, 0].max())) - vx0 + 1
+    sy = max(int(ea[:, 1].max()), int(eb[:, 1].max())) - vy0 + 1
+
+    def key(v):
+        return (lab_idx * sx + (v[:, 0] - vx0)) * sy + (v[:, 1] - vy0)
+
+    ka, kb = key(ea), key(eb)
+    # sort by (start key, end key): candidate order at a 2-out vertex then
+    # matches the per-label walk's sorted-edge insertion order
+    order = np.lexsort((kb, ka))
+    ka_s = ka[order]
+    lo = np.searchsorted(ka_s, kb, side="left")
+    hi = np.searchsorted(ka_s, kb, side="right")
+    deg = hi - lo
+    end_cut = np.asarray(is_cut_v(eb[:, 0], eb[:, 1]), dtype=bool)
+    suc = np.full(E, -1, dtype=np.int64)
+    m1 = (~end_cut) & (deg == 1)
+    suc[m1] = order[lo[m1]]
+    m2 = (~end_cut) & (deg == 2)
+    if m2.any():
+        din = eb[m2] - ea[m2]
+        j1 = order[lo[m2]]
+        j2 = order[lo[m2] + 1]
+        t1 = din[:, 0] * (eb[j1, 1] - ea[j1, 1]) - din[:, 1] * (eb[j1, 0] - ea[j1, 0])
+        t2 = din[:, 0] * (eb[j2, 1] - ea[j2, 1]) - din[:, 1] * (eb[j2, 0] - ea[j2, 0])
+        suc[m2] = np.where(t1 <= t2, j1, j2)  # leftmost turn; first wins ties
+    ok = True
+    if ((~end_cut) & ((deg == 0) | (deg > 2))).any():
+        ok = False  # missing/overfull successor: not a well-formed boundary
+    if ok:
+        tgt = suc[suc >= 0]
+        cnt = np.bincount(tgt, minlength=E)
+        if (cnt > 1).any():
+            ok = False  # matching conflict: two in-edges chose one out-edge
+    if not ok:  # exact fallback, label by label (never observed; kept loud-safe)
+        labels, kinds, paths = [], [], []
+        lorder = np.argsort(el, kind="stable")
+        el_s, ea_s, eb_s = el[lorder], ea[lorder], eb[lorder]
+        bnds = np.flatnonzero(np.diff(el_s)) + 1
+        for s0, e0 in zip(np.r_[0, bnds], np.r_[bnds, E]):
+            chains, rings = _walk_edges(
+                ea_s[s0:e0], eb_s[s0:e0],
+                lambda v: bool(is_cut_v(np.array([v[0]]), np.array([v[1]]))[0]),
+            )
+            for kind, ps in ((1, chains), (2, rings)):
+                for p in ps:
+                    labels.append(int(el_s[s0]))
+                    kinds.append(kind)
+                    paths.append(np.asarray(p, dtype=np.int64))
+        return labels, kinds, paths
+
+    def follow(starts: np.ndarray, stop_start: np.ndarray | None):
+        """Batched pointer chase: step every active path at once. Records
+        are step-major; a stable argsort by path id restores per-path edge
+        order. ``stop_start`` (rings): stop when the next edge would be the
+        path's own start; None (chains): stop at suc == -1."""
+        pids = np.arange(len(starts), dtype=np.int64)
+        cur = starts.copy()
+        rec_p, rec_e = [pids], [cur]
+        s0 = stop_start
+        while True:
+            nxt = suc[cur]
+            act = (nxt != s0) if s0 is not None else (nxt >= 0)
+            if not act.any():
+                break
+            pids, cur = pids[act], nxt[act]
+            if s0 is not None:
+                s0 = s0[act]
+            rec_p.append(pids)
+            rec_e.append(cur)
+        allp = np.concatenate(rec_p)
+        alle = np.concatenate(rec_e)
+        o = np.argsort(allp, kind="stable")
+        return allp[o], alle[o]
+
+    def assemble(allp, alle):
+        bnds = np.flatnonzero(np.diff(allp)) + 1
+        out = []
+        for s0, e0 in zip(np.r_[0, bnds], np.r_[bnds, len(allp)]):
+            es = alle[s0:e0]
+            verts = np.empty((e0 - s0 + 1, 2), dtype=np.int64)
+            verts[0] = ea[es[0]]
+            verts[1:] = eb[es]
+            out.append(verts)
+        return out
+
+    labels, kinds, paths = [], [], []
+    consumed = np.zeros(E, dtype=bool)
+    start_cut = np.asarray(is_cut_v(ea[:, 0], ea[:, 1]), dtype=bool)
+    cstarts = np.flatnonzero(start_cut)
+    if cstarts.size:
+        allp, alle = follow(cstarts, None)
+        consumed[alle] = True
+        for p in assemble(allp, alle):
+            paths.append(p)
+            kinds.append(1)
+        labels.extend(int(v) for v in el[cstarts])
+    rem = np.flatnonzero(~consumed)
+    if rem.size:
+        # cycle representatives (min edge index per cycle) by pointer doubling
+        pos = np.full(E, -1, dtype=np.int64)
+        pos[rem] = np.arange(rem.size)
+        s = pos[suc[rem]]
+        if (s < 0).any():
+            raise AssertionError("ring edge escapes the remaining set")
+        m = rem.copy()
+        while True:
+            m2 = np.minimum(m, m[s])
+            if (m2 == m).all():
+                break
+            m, s = m2, s[s]
+        rstarts = rem[m[pos[rem]] == rem]
+        allp, alle = follow(rstarts, rstarts.copy())
+        for p in assemble(allp, alle):
+            paths.append(p)
+            kinds.append(2)
+        labels.extend(int(v) for v in el[rstarts])
+    return labels, kinds, paths
+
+
 def _merge_chains(chains: list, scut) -> tuple[list, list]:
     """Walk the chain graph: merge chain fragments end-to-start, cutting
     merged paths at ``scut`` vertices. Returns (open_paths, rings): paths
     start and end at scut vertices; rings are cycles that never touch one.
     Pinch vertices resolve with the SAME leftmost-turn rule the per-tile
     walk applies at interior vertices, so the pairing is identical no
-    matter at which level (tile, super-tile, global) a junction resolves."""
-    by_start: dict[tuple, list] = {}
-    for i, ch in enumerate(chains):
-        by_start.setdefault(tuple(ch[0]), []).append(i)
-    used = [False] * len(chains)
+    matter at which level (tile, super-tile, global) a junction resolves.
 
-    def pick(cur: tuple, prev: tuple) -> int:
-        cand = [j for j in by_start.get(cur, ()) if not used[j]]
+    Chains are (n, 2) int64 vertex arrays (r7: tuple-list chains cost a
+    per-vertex python loop at every level; arrays make each merge step an
+    O(1) index append + one final concatenate). Input order does not
+    matter — chains are processed in (first, second) vertex order, which
+    equals the full lexicographic sequence sort the callers used to apply
+    (the first edge of a fragment is a directed unit edge, unique per
+    fragment, so the first two vertices already total-order the set)."""
+    n = len(chains)
+    if n == 0:
+        return [], []
+    chains = [np.asarray(c, dtype=np.int64) for c in chains]
+    firsts = np.stack([c[0] for c in chains])
+    seconds = np.stack([c[1] for c in chains])
+    lasts = np.stack([c[-1] for c in chains])
+    pens = np.stack([c[-2] for c in chains])
+    order = np.lexsort((seconds[:, 1], seconds[:, 0], firsts[:, 1], firsts[:, 0]))
+    _BIG = np.int64(1) << 32
+    skey = firsts[:, 0] * _BIG + firsts[:, 1]
+    ekey = lasts[:, 0] * _BIG + lasts[:, 1]
+    by_start: dict[int, list] = {}
+    for i in order:
+        by_start.setdefault(int(skey[i]), []).append(int(i))
+    start_cut = np.asarray(scut(firsts[:, 0], firsts[:, 1]), dtype=bool)
+    end_cut = np.asarray(scut(lasts[:, 0], lasts[:, 1]), dtype=bool)
+    used = np.zeros(n, dtype=bool)
+
+    def pick(cur_key: int, din) -> int:
+        cand = [j for j in by_start.get(cur_key, ()) if not used[j]]
         if len(cand) == 1:
             return cand[0]
-        din = (cur[0] - prev[0], cur[1] - prev[1])
-        turn = _turn_key(din, cur)
-        return min(cand, key=lambda k: turn(chains[k][1]))
+        best, bestt = cand[0], None
+        for j in cand:
+            t = din[0] * (seconds[j, 1] - firsts[j, 1]) - din[1] * (
+                seconds[j, 0] - firsts[j, 0]
+            )
+            if bestt is None or t < bestt:
+                best, bestt = j, t
+        return best
+
+    def cat(idxs: list) -> np.ndarray:
+        if len(idxs) == 1:
+            return chains[idxs[0]]
+        return np.concatenate([chains[idxs[0]]] + [chains[j][1:] for j in idxs[1:]])
 
     open_paths, rings = [], []
-    for i in range(len(chains)):
-        if used[i] or not scut(tuple(chains[i][0])):
+    for i in order:
+        if used[i] or not start_cut[i]:
             continue
         used[i] = True
-        path = list(chains[i])
-        while not scut(tuple(path[-1])):
-            j = pick(tuple(path[-1]), tuple(path[-2]))
+        idxs = [int(i)]
+        while not end_cut[idxs[-1]]:
+            k = idxs[-1]
+            j = pick(int(ekey[k]), (lasts[k, 0] - pens[k, 0], lasts[k, 1] - pens[k, 1]))
             used[j] = True
-            path.extend(chains[j][1:])
-        open_paths.append(path)
-    for i in range(len(chains)):
+            idxs.append(j)
+        open_paths.append(cat(idxs))
+    for i in order:
         if used[i]:
             continue
         used[i] = True
-        ring = list(chains[i])
-        start = tuple(ring[0])
-        while tuple(ring[-1]) != start:
-            j = pick(tuple(ring[-1]), tuple(ring[-2]))
+        idxs = [int(i)]
+        start_key = int(skey[i])
+        while int(ekey[idxs[-1]]) != start_key:
+            k = idxs[-1]
+            j = pick(int(ekey[k]), (lasts[k, 0] - pens[k, 0], lasts[k, 1] - pens[k, 1]))
             used[j] = True
-            ring.extend(chains[j][1:])
-        rings.append(ring)
+            idxs.append(j)
+        rings.append(cat(idxs))
     return open_paths, rings
 
 
@@ -510,9 +703,9 @@ def _super_merge(frags: DataFrame, grid: Grid, tile: int, super_factor: int) -> 
     M = tile * super_factor
     grows, gcols = grid.rows, grid.cols
 
-    def scut(v) -> bool:
-        return (v[0] % M == 0 and 0 < v[0] < gcols) or (
-            v[1] % M == 0 and 0 < v[1] < grows
+    def scut(xs, ys):  # vectorized over vertex arrays (r7)
+        return ((xs % M == 0) & (xs > 0) & (xs < gcols)) | (
+            (ys % M == 0) & (ys > 0) & (ys < grows)
         )
 
     def merge_partition(batches):
@@ -562,17 +755,23 @@ def _super_merge(frags: DataFrame, grid: Grid, tile: int, super_factor: int) -> 
                 emit(sty, stx, lab, 0, float(val_a[csel[0]]),
                      int(own_a[csel].sum()), None, None)
             for i in idx[kinds == 2]:
+                # pass the Arrow-decoded int64 arrays straight through —
+                # the per-vertex int() loop here re-materialized EVERY
+                # untouched ring (r7: the bulk of this stage's python time)
                 emit(sty, stx, lab, 2, None, None,
-                     [int(v) for v in vxs_a[i]], [int(v) for v in vys_a[i]])
-            chains = sorted(
-                list(zip(vxs_a[i], vys_a[i])) for i in idx[kinds == 1]
-            )
+                     np.asarray(vxs_a[i], np.int64), np.asarray(vys_a[i], np.int64))
+            chains = [
+                np.stack([np.asarray(vxs_a[i], np.int64),
+                          np.asarray(vys_a[i], np.int64)], axis=1)
+                for i in idx[kinds == 1]
+            ]
             if chains:
                 open_paths, rings = _merge_chains(chains, scut)
                 for kind, paths in ((1, open_paths), (2, rings)):
                     for p in paths:
                         emit(sty, stx, lab, kind, None, None,
-                             [int(v[0]) for v in p], [int(v[1]) for v in p])
+                             np.ascontiguousarray(p[:, 0]),
+                             np.ascontiguousarray(p[:, 1]))
         if out["label"]:
             yield pd.DataFrame(out)
 
@@ -614,7 +813,11 @@ def polygonize_rings(
     complete, and the leftmost-turn pairing makes the output rings
     identical to the single-level stitch (asserted by the equivalence
     test)."""
-    comp = polygonize(cells_df, grid, tile)
+    # single_pass: the labeled table is consumed TWICE downstream (border
+    # merge inside polygonize + the fragment scan here) — materializing it
+    # runs the 4M-cell tile CC once instead of twice (measured ~1 s of the
+    # bench query; guide §5 cache-when-reused rule)
+    comp = polygonize(cells_df, grid, tile, single_pass=True)
     rows, cols = grid.rows, grid.cols
     x0, y0, cs = grid.x0, grid.y0, grid.cell
     frags = _ring_fragments(comp, grid, tile)
@@ -699,31 +902,20 @@ def _ring_fragments(comp: DataFrame, grid: Grid, tile: int) -> DataFrame:
         eb = np.concatenate(ebs)
         el = np.concatenate(elab)
 
-        def is_cut(v):
-            return v[0] == c0 or v[0] == c0 + w or v[1] == r0 or v[1] == r0 + h
+        def is_cut_v(xs, ys):
+            return (xs == c0) | (xs == c0 + w) | (ys == r0) | (ys == r0 + h)
 
-        # group edges by label with ONE argsort + split — a per-label
-        # boolean scan is O(labels · edges) and dominated dense-region
-        # tiles (measured: 1k regions/tile made the ring stage ~10× the
-        # polygonize cost)
-        order = np.argsort(el, kind="stable")
-        el_s, ea_s, eb_s = el[order], ea[order], eb[order]
-        bounds = np.flatnonzero(np.diff(el_s)) + 1
-        starts = np.concatenate([[0], bounds])
-        ends = np.concatenate([bounds, [len(el_s)]])
-        for s0, e0 in zip(starts, ends):
-            if s0 == e0:
-                continue
-            lab_v = el_s[s0]
-            chains, rings = _walk_edges(ea_s[s0:e0], eb_s[s0:e0], is_cut)
-            for kind, paths in ((1, chains), (2, rings)):
-                for p in paths:
-                    out["label"].append(int(lab_v))
-                    out["kind"].append(kind)
-                    out["value"].append(None)
-                    out["n_own"].append(None)
-                    out["vxs"].append([int(v[0]) for v in p])
-                    out["vys"].append([int(v[1]) for v in p])
+        # one batched walk over every label's edges at once (r7: the
+        # per-label _walk_edges loop — ~740 tiny python walks per dense
+        # 256² tile — dominated this stage; see _walk_edges_batch)
+        if len(el):
+            wl, wk, wp = _walk_edges_batch(ea, eb, el, is_cut_v)
+            out["label"].extend(wl)
+            out["kind"].extend(wk)
+            out["value"].extend([None] * len(wl))
+            out["n_own"].extend([None] * len(wl))
+            out["vxs"].extend(np.ascontiguousarray(p[:, 0]) for p in wp)
+            out["vys"].extend(np.ascontiguousarray(p[:, 1]) for p in wp)
         res = pd.DataFrame(out)
         res.insert(0, "tile_y", np.int64(t_y))
         res.insert(1, "tile_x", np.int64(t_x))
@@ -753,14 +945,16 @@ def _final_stitch(frags: DataFrame, x0: float, y0: float, cs: float) -> DataFram
                      axis=1)
             for vx, vy in zip(vxs[kinds == 2], vys[kinds == 2])
         ]
-        chains = sorted(
-            list(zip(vx, vy))
+        chains = [
+            np.stack([np.asarray(vx, np.int64), np.asarray(vy, np.int64)],
+                     axis=1)
             for vx, vy in zip(vxs[kinds == 1], vys[kinds == 1])
-        )
+        ]
         # chain-graph walk (shared _merge_chains, scut=never → every merged
         # path is a closed ring)
-        rings.extend(np.asarray(rg, np.int64)
-                     for rg in _merge_chains(chains, lambda v: False)[1])
+        rings.extend(
+            _merge_chains(chains, lambda xs, ys: np.zeros(len(xs), bool))[1]
+        )
 
         def canon(rg):
             # rotate the closed ring to start at its smallest (x, y)

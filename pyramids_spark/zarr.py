@@ -62,7 +62,7 @@ def _undo_v2_filters(raw: bytes, filters, np_dt: str) -> bytes:
     (encode runs array → filters in order → compressor, so decode runs
     the inverses in REVERSE). Covered: ``delta`` (cumsum back in the
     array dtype), ``fixedscaleoffset`` (enc/scale + offset), ``quantize``
-    (decode is the identity — rounding happened at encode), ``shuffle``
+    (rounding happened at encode; decode casts astype → dtype), ``shuffle``
     (the byte transpose, shared with blosc), ``astype``. Anything else
     rejects loudly — guessing would decode wrong silently."""
     for f in reversed(filters or []):
@@ -78,7 +78,13 @@ def _undo_v2_filters(raw: bytes, filters, np_dt: str) -> bytes:
             enc = np.frombuffer(raw, astype)
             raw = ((enc / f["scale"]) + f["offset"]).astype(dtype).tobytes()
         elif fid == "quantize":
-            pass
+            # rounding happened at encode; but numcodecs Quantize stores
+            # as ``astype`` — when that differs from dtype the decode is
+            # view-as-astype → cast back (identity only when equal)
+            dtype = np.dtype(f["dtype"])
+            astype = np.dtype(f.get("astype") or f["dtype"])
+            if astype != dtype:
+                raw = np.frombuffer(raw, astype).astype(dtype).tobytes()
         elif fid == "shuffle":
             raw = _bl._unshuffle(raw, int(f.get("elementsize", 4)))
         elif fid == "astype":
@@ -97,7 +103,7 @@ def _v2_stored_itemsize(filters, itemsize: int) -> int:
     it)."""
     for f in filters or []:
         fid = (f or {}).get("id")
-        if fid in ("delta", "fixedscaleoffset") and f.get("astype"):
+        if fid in ("delta", "fixedscaleoffset", "quantize") and f.get("astype"):
             itemsize = np.dtype(f["astype"]).itemsize
         elif fid == "astype":
             itemsize = np.dtype(f["encode_dtype"]).itemsize

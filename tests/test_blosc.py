@@ -291,6 +291,12 @@ def test_zarr_v2_numcodecs_filters_decode(spark, tmp_path):
     assert Z._undo_v2_filters(shuf, f, "<i4") == orig
     assert Z._undo_v2_filters(b"abc", [{"id": "quantize", "digits": 2,
                                         "dtype": "<f8"}], "<f8") == b"abc"
+    # quantize with astype != dtype stores astype: decode must cast back
+    f = [{"id": "quantize", "digits": 2, "dtype": "<f8", "astype": "<f4"}]
+    enc = np.array([1.25, -3.5], dtype="<f4").tobytes()
+    assert np.frombuffer(Z._undo_v2_filters(enc, f, "<f8"),
+                         "<f8").tolist() == [1.25, -3.5]
+    assert Z._v2_stored_itemsize(f, 8) == 4
     with pytest.raises(NotImplementedError, match="numcodecs filter"):
         Z._undo_v2_filters(b"", [{"id": "bz2thing"}], "<f8")
 

@@ -218,10 +218,11 @@ def test_pip_join_df_batch_cover_matches_per_part(spark):
 
 
 def test_pip_join_df_plan_no_driver_cover(spark):
-    """The polygon side must stay distributed end-to-end: zones built from
-    spark.range column math → the plan's leaves are Range scans + the
-    MapInPandas cover, with NO LocalTableScan (a driver-materialized cover
-    would show up as one) and no broadcast of the exploded cover."""
+    """The polygon side must stay distributed end-to-end: the cover runs as
+    a MapInPandas over the ring table (its OWN plan — since r7 the join
+    consumes the cover through one executor-side localCheckpoint instead of
+    re-running the cover per union branch), and the joined plan holds no
+    LocalTableScan (a driver-materialized cover would show up as one)."""
     from pyspark.sql import functions as SF
 
     pts = synth.doc_points(spark, 1000)
@@ -233,9 +234,17 @@ def test_pip_join_df_plan_no_driver_cover(spark):
         SF.array(cx - 2.0, cx + 2.0, cx + 2.0, cx - 2.0).alias("xs"),
         SF.array(cy - 1.5, cy - 1.5, cy + 1.5, cy + 1.5).alias("ys"),
     )
+    rings = zdf.withColumn(
+        "part_key", SF.xxhash64(SF.col("zone_id"), SF.col("xs"), SF.col("ys"))
+    )
+    cover_plan = (
+        pip.zone_cover_df(rings, 7, "intersects")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in cover_plan
+    assert "LocalTableScan" not in cover_plan
     df = pip.pip_join_df(pts, zdf, zoom=7)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan
     assert "LocalTableScan" not in plan
     assert df.count() > 0
 
