@@ -3766,29 +3766,33 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Driver-window rotation (r6): the driver validates only the FIRST 50
-# registered queries, so the window leads with the queries whose code
-# changed this round (rotated container gates + the optimized polygonize
-# stitch), then the STALEST validations — all 25 r3-validated queries and
-# the 20 stalest r4 ones (90% of the window is pre-r5). Everything
-# r5-validated moves behind the window.
+# Driver-window rotation (r7): the driver validates only the FIRST 50
+# registered queries, so the window leads with the queries whose CODE
+# changed in this optimization round (the ring pipeline, pip_join_df,
+# focal_tiles, tile-CC packing, minhash projection, the nc4/zarr sink
+# shuffles, and the staged-tail geotiff_roundtrip_i16 that r6 missed —
+# ADVICE r6 #3), then the STALEST validations: the r4-validated
+# cell_encode…wkt_polygon_roundtrip block the r6 window skipped, then the
+# r5-validated container gates. Everything r6-validated moves behind.
 _R6_WINDOW = [
-    # changed this round — must re-validate first
-    "netcdf4_roundtrip", "zarr_roundtrip_u8", "polygonize_stats",
-    "polygonize_rings", "footprint",
-    # last validated r3 (the whole set)
-    "focal_std", "concat_fc", "time_slice", "mesh_subset", "mesh_clip",
-    "color_table", "cf_roles", "cf_decode", "reproject_lcc",
-    "reproject_albers", "ann_lsh", "dedup_clusters", "stratified_sample",
-    "pack_sequences", "rat_join", "focal_mean", "focal_minmax",
-    "histogram", "mosaic", "stats", "normalize", "overlay",
-    "temporal_reduce", "temporal_groupby", "sel_slice",
-    # last validated r4 (stalest 20)
-    "pip_faces", "zonal_faces", "knn_df", "wkt_geometrycollection",
-    "geojson_roundtrip", "sel_labels", "sel_coords2d", "sel_bounds",
-    "weighted_repeat", "decontaminate", "netcdf_variables", "token_count",
-    "quality", "lang_id", "exact_dedup", "fingerprint", "minhash",
-    "lsh_pairs", "ngram_jaccard", "ngram_jaccard_capped",
+    # changed this optimization round — must re-validate first
+    "polygonize_rings", "polygonize_stats", "footprint", "cluster_cc",
+    "pip_faces", "zonal_faces", "focal_minmax", "minhash",
+    "netcdf4_roundtrip", "zarr_roundtrip", "zarr_roundtrip_u8",
+    "zarr_v3_roundtrip", "zarr_cf_roundtrip", "geotiff_roundtrip_i16",
+    # last validated r4 or earlier (the stalest block)
+    "cell_encode", "pip_boxes", "pip_hexagons", "knn", "knn_cellpruned",
+    "extract_at_points", "rasterize", "zonal_stats", "crop_window",
+    "crop_aligned", "crop_polygon", "crop_polygon_clip", "align_nearest",
+    "overview_rollup", "overview_mode", "overview_nearest", "overview_rms",
+    "overview_gauss", "raster_algebra", "overview_cubicspline",
+    "overview_lanczos", "change_nodata", "list_layers", "wkt_roundtrip",
+    "wkt_polygon_roundtrip", "simhash",
+    # last validated r5 (container gates)
+    "netcdf_roundtrip", "cog_mosaic_roundtrip", "geotiff_bigtiff_roundtrip",
+    "geotiff_lzw_roundtrip", "geojson_file_roundtrip",
+    "ascii_grid_roundtrip", "wkb_roundtrip", "gpkg_roundtrip", "gpkg_bbox",
+    "shapefile_roundtrip",
 ]
 
 

@@ -964,13 +964,27 @@ def write_netcdf4(
         "variable", "t", "row", "col", "value")
     if flip_write:
         src = src.withColumn("row", F.lit(rows - 1) - F.col("row"))
-    keyed = src.withColumn("ci", F.floor(F.col("row") / ch)) \
-               .withColumn("cj", F.floor(F.col("col") / cw))
+    # packed shuffle keys (guide §2.3 — shuffle fewer bytes): the chunk key
+    # tk = (t·ny + ci)·nx + cj (also the dense slot index) and the cell key
+    # rc = row·2³² + col replace five longs; 2³² (not cols) as the row
+    # multiplier so out-of-extent cols never alias into a neighbouring
+    # valid row — the loud extent guard decodes exactly what was encoded
+    ny_k, nx_k = -(-rows // ch), -(-cols // cw)
+    _RC = 1 << 32
+    keyed = src.select(
+        "variable",
+        ((F.col("t") * ny_k + F.floor(F.col("row") / ch)) * nx_k
+         + F.floor(F.col("col") / cw)).alias("tk"),
+        (F.col("row") * F.lit(_RC) + F.col("col")).alias("rc"),
+        "value",
+    )
 
     var_set = frozenset(variables)
 
     def encode_chunk(key, pdf: pd.DataFrame) -> bytes:
-        v, t, ci, cj = str(key[0]), int(key[1]), key[2], key[3]
+        v, tk = str(key[0]), int(key[1])
+        t, rem = divmod(tk, ny_k * nx_k)
+        ci, cj = divmod(rem, nx_k)
         # loud extent guard, like the TIFF / classic-NetCDF sinks: an
         # out-of-extent cell would otherwise become a B-tree key outside
         # the dataspace; t >= nt (e.g. a 3-D table written times=None)
@@ -980,8 +994,9 @@ def write_netcdf4(
                 f"cell outside file dimensions in {v!r}: t={t} "
                 f"(nt={nt}), grid {rows}x{cols}"
             )
-        rr_abs = pdf["row"].to_numpy(np.int64)
-        cc_abs = pdf["col"].to_numpy(np.int64)
+        rc = pdf["rc"].to_numpy(np.int64)
+        rr_abs = rc // _RC
+        cc_abs = rc - rr_abs * _RC
         if len(pdf):
             if (rr_abs.min() < 0 or rr_abs.max() >= rows
                     or cc_abs.min() < 0 or cc_abs.max() >= cols):
@@ -1007,10 +1022,12 @@ def write_netcdf4(
         return raw
 
     def build_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        data = encode_chunk(key, pdf)  # loud guards fire before decode use
+        t, rem = divmod(int(key[1]), ny_k * nx_k)
+        ci, cj = divmod(rem, nx_k)
         return pd.DataFrame({
-            "variable": [str(key[0])], "t": [int(key[1])],
-            "ci": [int(key[2])], "cj": [int(key[3])],
-            "data": [encode_chunk(key, pdf)],
+            "variable": [str(key[0])], "t": [t], "ci": [ci], "cj": [cj],
+            "data": [data],
         })
 
     if parallel:
@@ -1034,7 +1051,7 @@ def write_netcdf4(
                  or zstd_level is not None),
             data_start, encode_chunk)
 
-    chunks = keyed.groupBy("variable", "t", "ci", "cj").applyInPandas(
+    chunks = keyed.groupBy("variable", "tk").applyInPandas(
         build_chunk,
         "variable string, t long, ci long, cj long, data binary",
     ).orderBy("variable", "t", "ci", "cj")
@@ -1159,9 +1176,13 @@ def _write_netcdf4_staged_tail(
         return os.path.join(scratch,
                             f"{t}_{ci}_{cj}_{v.encode().hex()}")
 
+    ny_s, nx_s = -(-rows // ch), -(-cols // cw)
+
     def stage_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
         raw = encode_chunk(key, pdf)  # loud var/t/extent guards inside
-        v, t, ci, cj = str(key[0]), int(key[1]), int(key[2]), int(key[3])
+        v = str(key[0])
+        t, rem = divmod(int(key[1]), ny_s * nx_s)
+        ci, cj = divmod(rem, nx_s)
         _staged.write_staged(_chunk_file(v, t, ci, cj), raw)
         return pd.DataFrame({
             "variable": [v], "t": [t], "ci": [ci], "cj": [cj],
@@ -1169,7 +1190,7 @@ def _write_netcdf4_staged_tail(
         })
 
     try:
-        man = keyed.groupBy("variable", "t", "ci", "cj").applyInPandas(
+        man = keyed.groupBy("variable", "tk").applyInPandas(
             stage_chunk,
             "variable string, t long, ci long, cj long, nbytes long",
         ).orderBy("variable", "t", "ci", "cj").toPandas()
@@ -1264,8 +1285,10 @@ def _write_netcdf4_parallel_tail(
 
     def pwrite_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
         raw = encode_chunk(key, pdf)  # loud var/t/extent guards inside
-        v, t, ci, cj = str(key[0]), int(key[1]), int(key[2]), int(key[3])
-        at = base[v] + ((t * ny + ci) * nx + cj) * stored
+        v, tk = str(key[0]), int(key[1])
+        t, rem = divmod(tk, ny * nx)
+        ci, cj = divmod(rem, nx)
+        at = base[v] + tk * stored  # tk IS the dense slot index
         fd = os.open(path, os.O_WRONLY)
         try:
             _staged._pwrite_all(fd, raw, at)  # pwrite may write short on NFS
@@ -1276,7 +1299,7 @@ def _write_netcdf4_parallel_tail(
             "addr": [at], "nbytes": [len(raw)],
         })
 
-    man = keyed.groupBy("variable", "t", "ci", "cj").applyInPandas(
+    man = keyed.groupBy("variable", "tk").applyInPandas(
         pwrite_chunk,
         "variable string, t long, ci long, cj long, addr long, nbytes long",
     ).orderBy("variable", "t", "ci", "cj").toPandas()

@@ -68,31 +68,41 @@ def _local_cc(mask: np.ndarray, base_ids: np.ndarray, conn8: bool) -> np.ndarray
 
 
 def _per_tile_cc(cells_df: DataFrame, grid: Grid, predicate, tile: int, conn8: bool):
-    """→ (labeled cell df, border pandas df). predicate: Column -> Column."""
+    """→ (labeled cell df, border pandas df). predicate: Column -> Column.
+
+    The exchange carries packed keys (``rc = row·cols + col``, ``tid =
+    tile_y·ntx + tile_x``) instead of four longs — guide §2.3, shuffle
+    fewer bytes; the tile task unpacks in numpy."""
     rows, cols = grid.rows, grid.cols
+    ntx = (cols - 1) // tile + 1
     d = cells_df.where(predicate(F.col("value"))).select(
-        "row", "col", "value",
-        (F.col("row") / tile).cast("long").alias("tile_y"),
-        (F.col("col") / tile).cast("long").alias("tile_x"),
+        (F.col("row") * cols + F.col("col")).alias("rc"),
+        "value",
+        ((F.col("row") / tile).cast("long") * ntx
+         + (F.col("col") / tile).cast("long")).alias("tid"),
     )
 
     def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ty, tx = key
+        ty, tx = divmod(int(key[0]), ntx)
         r0, c0 = ty * tile, tx * tile
         h = min(tile, rows - r0)
         w = min(tile, cols - c0)
+        rc = pdf["rc"].to_numpy()
+        rr = rc // cols
+        cc = rc % cols
+        lr = rr - r0
+        lc = cc - c0
         mask = np.zeros((h, w), dtype=bool)
-        lr = pdf["row"].to_numpy() - r0
-        lc = pdf["col"].to_numpy() - c0
         mask[lr, lc] = True
         base = (np.arange(h)[:, None] + r0) * cols + (np.arange(w)[None, :] + c0)
         lab = _local_cc(mask, base, conn8)
-        out = pdf.copy()
-        out["label"] = lab[lr, lc]
-        out["border"] = (lr == 0) | (lr == h - 1) | (lc == 0) | (lc == w - 1)
-        return out[["row", "col", "value", "label", "border"]]
+        return pd.DataFrame(
+            {"row": rr, "col": cc, "value": pdf["value"].to_numpy(),
+             "label": lab[lr, lc],
+             "border": (lr == 0) | (lr == h - 1) | (lc == 0) | (lc == w - 1)}
+        )
 
-    labeled = d.groupBy("tile_y", "tile_x").applyInPandas(
+    labeled = d.groupBy("tid").applyInPandas(
         per_tile, schema="row long, col long, value double, label long, border boolean"
     )
     return labeled
@@ -347,19 +357,24 @@ def polygonize(
     without re-running the tile CC — one scan, O(cells) block-manager
     storage; default False stays the two-scan O(1)-storage mode."""
     rows, cols = grid.rows, grid.cols
+    ntx = (cols - 1) // tile + 1
     d = cells_df.where(F.col("value").isNotNull()).select(
-        "row", "col", "value",
-        (F.col("row") / tile).cast("long").alias("tile_y"),
-        (F.col("col") / tile).cast("long").alias("tile_x"),
+        (F.col("row") * cols + F.col("col")).alias("rc"),
+        "value",
+        ((F.col("row") / tile).cast("long") * ntx
+         + (F.col("col") / tile).cast("long")).alias("tid"),
     )
 
     def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ty, tx = key
+        ty, tx = divmod(int(key[0]), ntx)
         r0, c0 = ty * tile, tx * tile
         h = min(tile, rows - r0)
         w = min(tile, cols - c0)
-        lr = pdf["row"].to_numpy() - r0
-        lc = pdf["col"].to_numpy() - c0
+        rc = pdf["rc"].to_numpy()
+        rr = rc // cols
+        cc = rc % cols
+        lr = rr - r0
+        lc = cc - c0
         vals = pdf["value"].to_numpy()
         base = (np.arange(h)[:, None] + r0) * cols + (np.arange(w)[None, :] + c0)
         label = np.empty(len(pdf), dtype=np.int64)
@@ -369,12 +384,12 @@ def polygonize(
             mask[lr[m], lc[m]] = True
             lab = _local_cc(mask, base, conn8=False)
             label[m] = lab[lr[m], lc[m]]
-        out = pdf.copy()
-        out["label"] = label
-        out["border"] = (lr == 0) | (lr == h - 1) | (lc == 0) | (lc == w - 1)
-        return out[["row", "col", "value", "label", "border"]]
+        return pd.DataFrame(
+            {"row": rr, "col": cc, "value": vals, "label": label,
+             "border": (lr == 0) | (lr == h - 1) | (lc == 0) | (lc == w - 1)}
+        )
 
-    labeled = d.groupBy("tile_y", "tile_x").applyInPandas(
+    labeled = d.groupBy("tid").applyInPandas(
         per_tile, schema="row long, col long, value double, label long, border boolean"
     )
     if single_pass:
@@ -716,17 +731,16 @@ def _super_merge(frags: DataFrame, grid: Grid, tile: int, super_factor: int) -> 
         if not len(pdf):  # all-empty Arrow frames: starts/ends would
             return        # still yield one (0, 0) slice below
         out = {k: [] for k in ("tile_y", "tile_x", "label", "kind", "value",
-                               "n_own", "vxs", "vys")}
+                               "n_own", "verts")}
 
-        def emit(sty, stx, lab, kind, value, n_own, vxs, vys):
+        def emit(sty, stx, lab, kind, value, n_own, verts):
             out["tile_y"].append(sty)
             out["tile_x"].append(stx)
             out["label"].append(lab)
             out["kind"].append(kind)
             out["value"].append(value)
             out["n_own"].append(n_own)
-            out["vxs"].append(vxs)
-            out["vys"].append(vys)
+            out["verts"].append(verts)
 
         # argsort + slices, not a pandas groupby: ~1 group per component
         # made the per-group frame machinery the dominant cost (measured
@@ -737,8 +751,7 @@ def _super_merge(frags: DataFrame, grid: Grid, tile: int, super_factor: int) -> 
         kind_a = pdf["kind"].to_numpy(np.int64)
         val_a = pdf["value"].to_numpy(np.float64)
         own_a = pdf["n_own"].to_numpy(np.float64)
-        vxs_a = pdf["vxs"].to_numpy()
-        vys_a = pdf["vys"].to_numpy()
+        verts_a = pdf["verts"].to_numpy()
         order = np.lexsort((stx_a, sty_a, lab_a))
         ks = np.stack([lab_a[order], sty_a[order], stx_a[order]])
         change = np.any(ks[:, 1:] != ks[:, :-1], axis=0)
@@ -753,16 +766,13 @@ def _super_merge(frags: DataFrame, grid: Grid, tile: int, super_factor: int) -> 
             csel = idx[kinds == 0]
             if len(csel):
                 emit(sty, stx, lab, 0, float(val_a[csel[0]]),
-                     int(own_a[csel].sum()), None, None)
+                     int(own_a[csel].sum()), None)
             for i in idx[kinds == 2]:
-                # pass the Arrow-decoded int64 arrays straight through —
-                # the per-vertex int() loop here re-materialized EVERY
-                # untouched ring (r7: the bulk of this stage's python time)
-                emit(sty, stx, lab, 2, None, None,
-                     np.asarray(vxs_a[i], np.int64), np.asarray(vys_a[i], np.int64))
+                # untouched rings pass their packed bytes straight through
+                # (r7: no decode, no per-vertex loop)
+                emit(sty, stx, lab, 2, None, None, verts_a[i])
             chains = [
-                np.stack([np.asarray(vxs_a[i], np.int64),
-                          np.asarray(vys_a[i], np.int64)], axis=1)
+                np.frombuffer(verts_a[i], np.int32).reshape(-1, 2)
                 for i in idx[kinds == 1]
             ]
             if chains:
@@ -770,8 +780,7 @@ def _super_merge(frags: DataFrame, grid: Grid, tile: int, super_factor: int) -> 
                 for kind, paths in ((1, open_paths), (2, rings)):
                     for p in paths:
                         emit(sty, stx, lab, kind, None, None,
-                             np.ascontiguousarray(p[:, 0]),
-                             np.ascontiguousarray(p[:, 1]))
+                             p.astype(np.int32).tobytes())
         if out["label"]:
             yield pd.DataFrame(out)
 
@@ -781,7 +790,7 @@ def _super_merge(frags: DataFrame, grid: Grid, tile: int, super_factor: int) -> 
     return sf.repartition(n_parts, "label", "_sty", "_stx").drop("_sty", "_stx").mapInPandas(
         merge_partition,
         schema="tile_y long, tile_x long, label long, kind int, value double, "
-               "n_own long, vxs array<long>, vys array<long>",
+               "n_own long, verts binary",
     )
 
 
@@ -796,7 +805,9 @@ def polygonize_rings(
     the 4-neighbor across them has a different label, a test that only
     needs a 1-cell HALO of labels, so edge extraction + chaining run per
     TILE (parallel, each O(tile perimeter)).  Chains are cut at
-    tile-boundary vertices and shipped as compressed vertex arrays; the
+    tile-boundary vertices and shipped as packed int32 (vc, vr) byte
+    blobs (one binary cell per path — list<long> columns cost ~9 µs/row
+    through the stitch exchanges, r7 measurement); the
     per-component stitch then walks the CHAIN graph — O(#tile crossings)
     steps + numpy concatenation — so a continent-sized region costs one
     task O(perimeter), never O(area).
@@ -831,64 +842,67 @@ def _ring_fragments(comp: DataFrame, grid: Grid, tile: int) -> DataFrame:
     """Per-tile boundary-edge extraction + chaining (stage 1 of
     polygonize_rings): chains cut at tile-border vertices, plus per-
     (tile, label) cell counts riding along so the labeled table is
-    scanned once."""
+    scanned once. Paths travel as packed int32 vertex-pair blobs."""
     rows, cols = grid.rows, grid.cols
+    assert max(rows, cols) < (1 << 31) - 1, "vertex coords exceed int32 packing"
     big = np.int64(1) << 32
+    nty, ntx = (rows - 1) // tile + 1, (cols - 1) // tile + 1
 
     ty = (F.col("row") / tile).cast("long")
     tx = (F.col("col") / tile).cast("long")
-    ent = lambda t_y, t_x, halo: F.struct(  # noqa: E731
-        t_y.cast("long").alias("ty"), t_x.cast("long").alias("tx"),
-        F.lit(halo).alias("halo"),
-    )
+    # packed (tile, halo) key: tk = (ty·ntx + tx)·2 + halo — one long
+    # through the exchange instead of a 3-field struct (guide §2.3; the
+    # bounds filter folds into the whens, so no post-explode where)
     entries = F.array_compact(F.array(
-        ent(ty, tx, False),
-        F.when(F.col("row") % tile == 0, ent(ty - 1, tx, True)),
-        F.when(F.col("row") % tile == tile - 1, ent(ty + 1, tx, True)),
-        F.when(F.col("col") % tile == 0, ent(ty, tx - 1, True)),
-        F.when(F.col("col") % tile == tile - 1, ent(ty, tx + 1, True)),
+        (ty * ntx + tx) * 2,
+        F.when((F.col("row") % tile == 0) & (ty > 0), ((ty - 1) * ntx + tx) * 2 + 1),
+        F.when((F.col("row") % tile == tile - 1) & (ty < nty - 1),
+               ((ty + 1) * ntx + tx) * 2 + 1),
+        F.when((F.col("col") % tile == 0) & (tx > 0), (ty * ntx + tx - 1) * 2 + 1),
+        F.when((F.col("col") % tile == tile - 1) & (tx < ntx - 1),
+               (ty * ntx + tx + 1) * 2 + 1),
     ))
-    spread = comp.withColumn("_e", F.explode(entries)).select(
-        "row", "col", "value", "label",
-        F.col("_e.ty").alias("tile_y"), F.col("_e.tx").alias("tile_x"),
-        F.col("_e.halo").alias("halo"),
-    ).where(
-        (F.col("tile_y") >= 0) & (F.col("tile_x") >= 0)
-        & (F.col("tile_y") <= (rows - 1) // tile) & (F.col("tile_x") <= (cols - 1) // tile)
+    spread = comp.select(
+        (F.col("row") * cols + F.col("col")).alias("rc"),
+        "value", "label", F.explode(entries).alias("tk"),
     )
 
     def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        t_y, t_x = int(key[0]), int(key[1])
+        t_y, t_x = divmod(int(key[0]), ntx)
         r0, c0 = t_y * tile, t_x * tile
         h, w = min(tile, rows - r0), min(tile, cols - c0)
-        own = pdf[~pdf["halo"]]
-        out = {"label": [], "kind": [], "value": [], "n_own": [], "vxs": [], "vys": []}
-        if own.empty:  # empty float64 columns break Arrow's list<long> cast
+        halo = (pdf["tk"].to_numpy() & 1) == 1
+        rc_all = pdf["rc"].to_numpy()
+        r_all = rc_all // cols
+        c_all = rc_all % cols
+        lab_all = pdf["label"].to_numpy(np.int64)
+        own = ~halo
+        out = {"label": [], "kind": [], "value": [], "n_own": [], "verts": []}
+        if not own.any():  # empty float64 columns break Arrow's binary cast
             return pd.DataFrame({"tile_y": [], "tile_x": [], **out}).astype(
-                {"tile_y": np.int64, "tile_x": np.int64, "vxs": object, "vys": object}
+                {"tile_y": np.int64, "tile_x": np.int64, "verts": object}
             )
         # per-(tile,label) cell counts — summed at the stitch so the whole
         # pipeline is one scan of the labeled table. np.unique, not a
         # pandas groupby: dense tiles carry ~1k labels and the per-group
         # frame setup dominated this loop (r6 profiling pass)
-        lab_own = own["label"].to_numpy(np.int64)
-        val_own = own["value"].to_numpy(np.float64)
+        lab_own = lab_all[own]
+        val_own = pdf["value"].to_numpy(np.float64)[own]
         ulab, ufirst, ucnt = np.unique(lab_own, return_index=True,
                                        return_counts=True)
         out["label"].extend(int(v) for v in ulab)
         out["kind"].extend([0] * len(ulab))
         out["value"].extend(float(v) for v in val_own[ufirst])
         out["n_own"].extend(int(v) for v in ucnt)
-        out["vxs"].extend([None] * len(ulab))
-        out["vys"].extend([None] * len(ulab))
+        out["verts"].extend([None] * len(ulab))
         # label lookup over owner + halo cells (sorted-encode + searchsorted)
-        enc_all = pdf["row"].to_numpy(np.int64) * big + pdf["col"].to_numpy(np.int64)
+        enc_all = r_all * big + c_all
         order = np.argsort(enc_all)
         enc_s = enc_all[order]
-        lab_s = pdf["label"].to_numpy(np.int64)[order]
-        r = own["row"].to_numpy(np.int64)
-        c = own["col"].to_numpy(np.int64)
-        lab = own["label"].to_numpy(np.int64)
+        lab_s = lab_all[order]
+        r = r_all[own]
+        c = c_all[own]
+        lab = lab_own
         eas, ebs, elab = [], [], []
         for (dr, dc), (a_off, b_off) in _SIDE_EDGES:
             nenc = (r + dr) * big + (c + dc)
@@ -914,17 +928,16 @@ def _ring_fragments(comp: DataFrame, grid: Grid, tile: int) -> DataFrame:
             out["kind"].extend(wk)
             out["value"].extend([None] * len(wl))
             out["n_own"].extend([None] * len(wl))
-            out["vxs"].extend(np.ascontiguousarray(p[:, 0]) for p in wp)
-            out["vys"].extend(np.ascontiguousarray(p[:, 1]) for p in wp)
+            out["verts"].extend(p.astype(np.int32).tobytes() for p in wp)
         res = pd.DataFrame(out)
         res.insert(0, "tile_y", np.int64(t_y))
         res.insert(1, "tile_x", np.int64(t_x))
         return res
 
-    return spread.groupBy("tile_y", "tile_x").applyInPandas(
+    return spread.groupBy(F.shiftright(F.col("tk"), 1).alias("tid")).applyInPandas(
         per_tile,
         schema="tile_y long, tile_x long, label long, kind int, value double, "
-               "n_own long, vxs array<long>, vys array<long>",
+               "n_own long, verts binary",
     )
 
 
@@ -932,7 +945,7 @@ def _final_stitch(frags: DataFrame, x0: float, y0: float, cs: float) -> DataFram
     """Global per-component stitch (stage 3): close every component's rings
     from its (already super-merged) chain fragments and emit WKT."""
 
-    def stitch_one(label, kinds, vals, owns, vxs, vys) -> dict:
+    def stitch_one(label, kinds, vals, owns, verts) -> dict:
         # rings live as (n, 2) int64 arrays here: the per-vertex python
         # loops (and especially f-strings over NUMPY scalars — ~30× the
         # cost of formatting python floats) dominated this stage in the
@@ -940,15 +953,15 @@ def _final_stitch(frags: DataFrame, x0: float, y0: float, cs: float) -> DataFram
         csel = kinds == 0
         n_cells = int(owns[csel].sum())
         value = float(vals[csel][0])
+        # int64 from the packed int32 pairs: the shoelace products below
+        # reach coord² and must not wrap in 32 bits
         rings = [
-            np.stack([np.asarray(vx, np.int64), np.asarray(vy, np.int64)],
-                     axis=1)
-            for vx, vy in zip(vxs[kinds == 2], vys[kinds == 2])
+            np.frombuffer(b, np.int32).reshape(-1, 2).astype(np.int64)
+            for b in verts[kinds == 2]
         ]
         chains = [
-            np.stack([np.asarray(vx, np.int64), np.asarray(vy, np.int64)],
-                     axis=1)
-            for vx, vy in zip(vxs[kinds == 1], vys[kinds == 1])
+            np.frombuffer(b, np.int32).reshape(-1, 2).astype(np.int64)
+            for b in verts[kinds == 1]
         ]
         # chain-graph walk (shared _merge_chains, scut=never → every merged
         # path is a closed ring)
@@ -999,8 +1012,7 @@ def _final_stitch(frags: DataFrame, x0: float, y0: float, cs: float) -> DataFram
         kind_a = pdf["kind"].to_numpy(np.int64)
         val_a = pdf["value"].to_numpy(np.float64)
         own_a = pdf["n_own"].to_numpy(np.float64)
-        vxs_a = pdf["vxs"].to_numpy()
-        vys_a = pdf["vys"].to_numpy()
+        verts_a = pdf["verts"].to_numpy()
         order = np.argsort(lab_a, kind="stable")
         lab_s = lab_a[order]
         bounds = np.flatnonzero(np.diff(lab_s)) + 1
@@ -1008,7 +1020,7 @@ def _final_stitch(frags: DataFrame, x0: float, y0: float, cs: float) -> DataFram
         ends = np.concatenate([bounds, [len(order)]])
         rows = [
             stitch_one(int(lab_s[s0]), kind_a[idx], val_a[idx], own_a[idx],
-                       vxs_a[idx], vys_a[idx])
+                       verts_a[idx])
             for s0, e0 in zip(starts, ends)
             for idx in (order[s0:e0],)
         ]

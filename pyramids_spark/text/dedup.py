@@ -99,13 +99,16 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = 8) -> DataFrame:
     """(id, sig array<long>) — min over the universal-hash family per doc.
 
     Decomposable min-agg → map-side combine collapses the shingle explosion
-    before shuffle."""
-    h = str_hash64(F.col("shingle"))
+    before shuffle. The md5 base hash is PROJECTED once below the
+    aggregate: inlining it into each min() made the partial aggregate
+    carry n_hashes copies of the md5→conv chain per row (r7 plan audit —
+    one md5 per shingle, not eight)."""
+    hashed = sh.select("id", str_hash64(F.col("shingle")).alias("_h"))
     mins = [
-        F.min((F.lit(_A[i]) * h + F.lit(_B[i])) % F.lit(_P)).alias(f"h{i}")
+        F.min((F.lit(_A[i]) * F.col("_h") + F.lit(_B[i])) % F.lit(_P)).alias(f"h{i}")
         for i in range(n_hashes)
     ]
-    g = sh.groupBy("id").agg(*mins)
+    g = hashed.groupBy("id").agg(*mins)
     return g.select("id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
 
 
