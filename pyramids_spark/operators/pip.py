@@ -613,15 +613,63 @@ def pip_join_df(
     # unconditionally); its cover-side filter (boundary & !convex) sits below
     # the join, so AQE collapses the whole branch to empty when every part is
     # convex — the common mesh case pays ONE point scan instead of r6's three.
-    easy = (
-        cand.where(~F.col("boundary") | F.col("convex"))
-        .join(ringsxy, ["zone_id", "part_key"])
-        .where(
-            ~F.col("boundary")
-            | _convex_refine_cond(F.col(x), F.col(y), F.col("xs"), F.col("ys"))
-        )
-        .select(*pt_cols, "zone_id")
+    #
+    # The half-plane test itself runs as FLAT edge-coefficient columns
+    # (pip_join's broadcast-DATA trick, r7): per-part (xa, ya, xb, yb)
+    # doubles padded cyclically to the ring table's max edge count — the
+    # per-row filter is then K fused multiply-compares in whole-stage
+    # codegen instead of a HOF fold over array columns (measured 1.2 s of
+    # HOF time on 4.4M boundary candidates at bench scale). Cyclic padding
+    # repeats real edges, so the AND is unchanged, and each term is the
+    # SAME arithmetic shape as _convex_refine_cond — kept rows are
+    # bit-identical. Rings with more than _REFINE_MAX_EDGES edges keep the
+    # HOF array path (one extra O(parts) aggregate decides, ≪ the cover).
+    kmax_row = rings.select(F.max(F.size("xs")).alias("k")).first()
+    kmax = int(kmax_row["k"] or 0)
+    closed = (F.element_at("xs", 1) == F.element_at("xs", -1)) & (
+        F.element_at("ys", 1) == F.element_at("ys", -1)
     )
+    m = F.when(closed, F.size("xs") - 1).otherwise(F.size("xs"))
+    if 0 < kmax - 1 <= _MAX_EDGE_COLS:
+        coefs = []
+        for k in range(kmax):
+            j = F.pmod(F.lit(k), m) + 1
+            jn = F.pmod(F.pmod(F.lit(k), m) + 1, m) + 1
+            coefs += [
+                F.element_at("xs", j).alias(f"e{k}_xa"),
+                F.element_at("ys", j).alias(f"e{k}_ya"),
+                F.element_at("xs", jn).alias(f"e{k}_xb"),
+                F.element_at("ys", jn).alias(f"e{k}_yb"),
+            ]
+        # degenerate (empty/point) rings emit no cover rows, so dropping
+        # them here changes nothing — and keeps ANSI element_at/pmod from
+        # erroring on size-0 arrays
+        ecoef = rings.where(F.size("xs") >= 2).select("zone_id", "part_key", *coefs)
+        halfplane = None
+        for k in range(kmax):
+            c = (
+                (F.col(f"e{k}_xb") - F.col(f"e{k}_xa"))
+                * (F.col(y) - F.col(f"e{k}_ya"))
+                - (F.col(f"e{k}_yb") - F.col(f"e{k}_ya"))
+                * (F.col(x) - F.col(f"e{k}_xa"))
+            ) > 0
+            halfplane = c if halfplane is None else (halfplane & c)
+        easy = (
+            cand.where(~F.col("boundary") | F.col("convex"))
+            .join(ecoef, ["zone_id", "part_key"])
+            .where(~F.col("boundary") | halfplane)
+            .select(*pt_cols, "zone_id")
+        )
+    else:
+        easy = (
+            cand.where(~F.col("boundary") | F.col("convex"))
+            .join(ringsxy, ["zone_id", "part_key"])
+            .where(
+                ~F.col("boundary")
+                | _convex_refine_cond(F.col(x), F.col(y), F.col("xs"), F.col("ys"))
+            )
+            .select(*pt_cols, "zone_id")
+        )
     hard = cand.where(F.col("boundary") & ~F.col("convex")).join(
         ringsxy, ["zone_id", "part_key"]
     )

@@ -311,28 +311,29 @@ def cluster(
 
     ``single_pass=False`` (default): the per-tile labeling is recomputed
     for the final relabel join — two scans, O(1) storage, the only sane
-    mode at 100 TB. ``single_pass=True``: the labeled table is persisted
-    (MEMORY_AND_DISK) for the mapping pass, the result is eagerly
-    materialized, and the cache is released before returning — one scan,
-    O(cells) block-manager storage, the right mode when the grid fits the
-    cluster's storage tier (it halves the wall time at bench scale)."""
+    mode at 100 TB. ``single_pass=True``: the labeled table is eagerly
+    localCheckpointed (memory+disk, lineage cut) and the border pass, the
+    relabel join and every downstream scan read that one materialization
+    — one tile-CC execution, O(cells) block-manager storage (released
+    when the result is garbage-collected), the right mode when the grid
+    fits the cluster's storage tier (it halves the wall time at bench
+    scale)."""
     labeled = _per_tile_cc(
         cells_df, grid, lambda v: v.isNotNull() & (v >= lo) & (v <= hi), tile, conn8=True
     )
     if single_pass:
-        from pyspark import StorageLevel
-
-        labeled = labeled.persist(StorageLevel.MEMORY_AND_DISK)
+        # checkpoint the LABELED table (not the relabeled output): the
+        # border pass, the relabel join and any downstream scan all read
+        # the one materialization, where the r6 shape (persist labeled +
+        # eagerly checkpoint out + unpersist) wrote the 4M-cell table
+        # twice (r7, guide §5 cache-when-reused)
+        labeled = labeled.localCheckpoint(eager=True)
     border = labeled.where("border").select("row", "col", "value", "label").persist()
     try:
         mapping = _merge_labels_df(border, conn8=True, by_value=False)
     finally:
         border.unpersist()
-    out = _apply_mapping(labeled, mapping)
-    if single_pass:
-        out = out.localCheckpoint(eager=True)
-        labeled.unpersist()
-    return out
+    return _apply_mapping(labeled, mapping)
 
 
 def _apply_mapping(labeled: DataFrame, mapping: DataFrame) -> DataFrame:
@@ -351,11 +352,11 @@ def polygonize(
     """gdal.Polygonize region step: 4-connected equal-value components.
     → (row, col, value, label).
 
-    ``single_pass`` has :func:`cluster`'s semantics: persist the per-tile
-    labeling for the border/mapping pass and eagerly materialize the
-    relabeled table, so downstream consumers (the ring pipeline) scan it
-    without re-running the tile CC — one scan, O(cells) block-manager
-    storage; default False stays the two-scan O(1)-storage mode."""
+    ``single_pass`` has :func:`cluster`'s semantics: eagerly checkpoint
+    the per-tile labeling so the border/mapping pass and downstream
+    consumers (the ring pipeline) scan it without re-running the tile CC
+    — one execution, O(cells) block-manager storage; default False stays
+    the two-scan O(1)-storage mode."""
     rows, cols = grid.rows, grid.cols
     ntx = (cols - 1) // tile + 1
     d = cells_df.where(F.col("value").isNotNull()).select(
@@ -393,19 +394,15 @@ def polygonize(
         per_tile, schema="row long, col long, value double, label long, border boolean"
     )
     if single_pass:
-        from pyspark import StorageLevel
-
-        labeled = labeled.persist(StorageLevel.MEMORY_AND_DISK)
+        # one materialization serves border pass + relabel join + any
+        # downstream scan (see cluster(); r7)
+        labeled = labeled.localCheckpoint(eager=True)
     border = labeled.where("border").select("row", "col", "value", "label").persist()
     try:
         mapping = _merge_labels_df(border, conn8=False, by_value=True)
     finally:
         border.unpersist()
-    out = _apply_mapping(labeled, mapping)
-    if single_pass:
-        out = out.localCheckpoint(eager=True)
-        labeled.unpersist()
-    return out
+    return _apply_mapping(labeled, mapping)
 
 
 # The four cell sides as (neighbor offset, directed ccw edge in integer

@@ -832,12 +832,15 @@ def write_cog_parts(
     lvls = list(levels)
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pi, pj = int(key[0]), int(key[1])
+        pi, pj = divmod(int(key[0]), 1 << 32)
         r0, c0 = pi * sh, pj * sw
         prows, pcols = min(sh, rows - r0), min(sw, cols - c0)
         pdf = pdf[pdf["value"].notna()]
-        if len(pdf):
-            rr, cc = pdf["row"].to_numpy(), pdf["col"].to_numpy()
+        n_cells = len(pdf)
+        if n_cells:
+            rc = pdf["rc"].to_numpy(np.int64)
+            rr = rc >> 32
+            cc = rc - (rr << 32)
             bb = pdf["band"].to_numpy(np.int64)
             if (rr.min() < 0 or rr.max() >= rows
                     or cc.min() < 0 or cc.max() >= cols
@@ -847,12 +850,8 @@ def write_cog_parts(
                     f"{rows}x{cols})"
                 )
         dense = np.full((n_bands, prows, pcols), np.nan, dtype="<f8")
-        if len(pdf):
-            dense[
-                pdf["band"].to_numpy(np.int64),
-                pdf["row"].to_numpy(np.int64) - r0,
-                pdf["col"].to_numpy(np.int64) - c0,
-            ] = pdf["value"].to_numpy(np.float64)
+        if n_cells:
+            dense[bb, rr - r0, cc - c0] = pdf["value"].to_numpy(np.float64)
         pgrid = Grid(
             x0=grid.x0 + c0 * grid.cell, y0=grid.y0 - r0 * grid.cell,
             cell=grid.cell, rows=prows, cols=pcols, epsg=grid.epsg,
@@ -898,17 +897,23 @@ def write_cog_parts(
         )
 
     spark = cells_df.sparkSession
+    # packed shuffle keys (guide §2.3): rc = row·2³² + col and pid =
+    # pi·2³² + pj replace four longs; 2³² multipliers decode exactly for
+    # any |coord| < 2³¹ so the extent guard sees the original cells
     keys = spark.createDataFrame(
-        [(i, j) for i in range(npi) for j in range(npj)], "_pi long, _pj long"
+        [((i << 32) + j,) for i in range(npi) for j in range(npj)],
+        "_pid long",
     )
     keyed = cells_df.where(F.col("value").isNotNull()).select(
-        "band", "row", "col", "value",
-        (F.col("row") / sh).cast("long").alias("_pi"),
-        (F.col("col") / sw).cast("long").alias("_pj"),
+        "band",
+        (F.shiftleft(F.col("row"), 32) + F.col("col")).alias("rc"),
+        "value",
+        (F.shiftleft((F.col("row") / sh).cast("long"), 32)
+         + (F.col("col") / sw).cast("long")).alias("_pid"),
     )
-    covered = keys.join(keyed, ["_pi", "_pj"], "left")
+    covered = keys.join(keyed, ["_pid"], "left")
     manifest = (
-        covered.groupBy("_pi", "_pj")
+        covered.groupBy("_pid")
         .applyInPandas(
             build,
             schema="pi long, pj long, rows long, cols long, n_cells long, "

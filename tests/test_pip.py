@@ -176,11 +176,12 @@ def test_pip_join_df_convex_refine_is_jvm_and_concave_falls_back(spark):
     kb = {(r["doc_id"], r["zone_id"]) for r in udf.collect()}
     assert ka == kb
     assert any(z == 50 for _, z in ka)  # the concave zone has hits
-    # the convex branch's keep-condition is a JVM higher-order forall —
-    # visible in the executed plan text (the concave ray-cast branch still
-    # appears statically in the union but scans only concave parts)
+    # the convex branch's keep-condition is JVM whole-stage arithmetic over
+    # flat edge-coefficient columns (r7: replaced the higher-order forall)
+    # — visible in the executed plan text (the concave ray-cast branch
+    # still appears statically in the union but scans only concave parts)
     plan = auto._jdf.queryExecution().executedPlan().toString()
-    assert "forall" in plan
+    assert "e0_xa" in plan and "forall" not in plan
 
 
 def test_pip_join_df_batch_cover_matches_per_part(spark):
