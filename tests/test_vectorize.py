@@ -289,3 +289,75 @@ def test_cluster_single_component_spanning_many_tiles(spark):
     got = vectorize.cluster(df, g, 0.0, 9.0, tile=3).toPandas()
     assert got.label.nunique() == 1
     assert got.label.min() == 0  # canonical min cell index
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 7])
+def test_walk_edges_batch_matches_per_label_walk(seed):
+    """r7: the vectorized successor-array walk must reproduce the per-label
+    python walk exactly — open chains as identical sequences, rings as
+    identical cycles up to rotation — on random multi-label grids dense
+    with diagonal pinch vertices (the 2-out case the turn rule resolves)."""
+    rng = np.random.default_rng(seed)
+    H = W = 12
+    vals = rng.integers(0, 3, size=(H, W))
+    if seed == 7:  # checkerboard: every interior vertex is a pinch
+        vals = (np.add.outer(np.arange(H), np.arange(W)) % 2).astype(int)
+    base = np.arange(H * W, dtype=np.int64).reshape(H, W)
+    label = np.empty((H, W), np.int64)
+    for v in np.unique(vals):
+        m = vals == v
+        lab = vectorize._local_cc(m, base, conn8=False)
+        label[m] = lab[m]
+    # boundary-edge extraction, the per-tile convention (_SIDE_EDGES):
+    # a cell side survives iff the 4-neighbor across it has another label
+    # (out-of-grid counts as another label)
+    eas, ebs, els = [], [], []
+    rr, cc = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    rr, cc = rr.ravel(), cc.ravel()
+    for (dr, dc), (a_off, b_off) in vectorize._SIDE_EDGES:
+        nr, nc = rr + dr, cc + dc
+        inside = (nr >= 0) & (nr < H) & (nc >= 0) & (nc < W)
+        same = np.zeros(len(rr), dtype=bool)
+        same[inside] = label[nr[inside], nc[inside]] == label[rr[inside], cc[inside]]
+        keep = ~same
+        eas.append(np.stack([cc[keep] + a_off[0], rr[keep] + a_off[1]], axis=1))
+        ebs.append(np.stack([cc[keep] + b_off[0], rr[keep] + b_off[1]], axis=1))
+        els.append(label[rr[keep], cc[keep]])
+    ea, eb, el = np.concatenate(eas), np.concatenate(ebs), np.concatenate(els)
+
+    def is_cut_v(xs, ys):
+        return (xs == 0) | (xs == W) | (ys == 0) | (ys == H)
+
+    wl, wk, wp = vectorize._walk_edges_batch(ea, eb, el, is_cut_v)
+
+    def canon_ring(p):
+        core = [tuple(v) for v in p[:-1]]
+        i = min(range(len(core)), key=lambda k: core[k])
+        return tuple(core[i:] + core[:i])
+
+    got_chains, got_rings = {}, {}
+    for lab, kind, p in zip(wl, wk, wp):
+        if kind == 1:
+            got_chains.setdefault(lab, set()).add(tuple(map(tuple, p)))
+        else:
+            got_rings.setdefault(lab, set()).add(canon_ring(p))
+
+    exp_chains, exp_rings = {}, {}
+    order = np.argsort(el, kind="stable")
+    el_s, ea_s, eb_s = el[order], ea[order], eb[order]
+    bnds = np.flatnonzero(np.diff(el_s)) + 1
+    n_edges = 0
+    for s0, e0 in zip(np.r_[0, bnds], np.r_[bnds, len(el_s)]):
+        chains, rings = vectorize._walk_edges(
+            ea_s[s0:e0], eb_s[s0:e0],
+            lambda v: v[0] == 0 or v[0] == W or v[1] == 0 or v[1] == H,
+        )
+        lab = int(el_s[s0])
+        for p in chains:
+            exp_chains.setdefault(lab, set()).add(tuple(map(tuple, p)))
+        for p in rings:
+            exp_rings.setdefault(lab, set()).add(canon_ring(np.asarray(p)))
+        n_edges += e0 - s0
+    assert n_edges > 100  # the grid actually produced boundary work
+    assert got_chains == exp_chains
+    assert got_rings == exp_rings
