@@ -142,7 +142,10 @@ def _edge_cc_np(ea: np.ndarray, eb: np.ndarray) -> pd.DataFrame:
     return pd.DataFrame({"label": uniq[ch], "root": out[ch]})
 
 
-def _merge_labels_df(border: DataFrame, conn8: bool, by_value: bool) -> DataFrame:
+def _merge_labels_df(
+    border: DataFrame, conn8: bool, by_value: bool,
+    max_border: "int | None" = None,
+) -> DataFrame:
     """Distributed cross-tile merge: CC over the border-label graph.
 
     Builds the adjacency edge list with an equi-join of shifted border cells
@@ -166,7 +169,15 @@ def _merge_labels_df(border: DataFrame, conn8: bool, by_value: bool) -> DataFram
     driver union-find (oracles pin exact label partitions).
     """
     shifts = [(0, 1), (1, 0)] + ([(1, 1), (1, -1)] if conn8 else [])
-    if border.count() <= BORDER_LOCAL_MAX:
+    # ``max_border``: a caller-provided UPPER BOUND on the border-cell
+    # count (grid geometry: ≤ 4·tile per tile). When the bound already
+    # fits the local path, the exact count() — a full pass over the
+    # labeled table just to pick a branch — is skipped (r7: one fewer
+    # job barrier per cluster/polygonize call).
+    if (max_border is not None and max_border <= BORDER_LOCAL_MAX) or (
+        (max_border is None or max_border > BORDER_LOCAL_MAX)
+        and border.count() <= BORDER_LOCAL_MAX
+    ):
         # the border is O(perimeter) ≪ cells: one executor task builds the
         # cross-tile edge list (sorted-encode + searchsorted — the same
         # kernel as the halo edge extraction) and solves it, replacing the
@@ -330,7 +341,10 @@ def cluster(
         labeled = labeled.localCheckpoint(eager=True)
     border = labeled.where("border").select("row", "col", "value", "label").persist()
     try:
-        mapping = _merge_labels_df(border, conn8=True, by_value=False)
+        ntiles = ((grid.rows - 1) // tile + 1) * ((grid.cols - 1) // tile + 1)
+        mapping = _merge_labels_df(
+            border, conn8=True, by_value=False, max_border=4 * tile * ntiles
+        )
     finally:
         border.unpersist()
     return _apply_mapping(labeled, mapping)
@@ -399,7 +413,10 @@ def polygonize(
         labeled = labeled.localCheckpoint(eager=True)
     border = labeled.where("border").select("row", "col", "value", "label").persist()
     try:
-        mapping = _merge_labels_df(border, conn8=False, by_value=True)
+        ntiles = ((rows - 1) // tile + 1) * ((cols - 1) // tile + 1)
+        mapping = _merge_labels_df(
+            border, conn8=False, by_value=True, max_border=4 * tile * ntiles
+        )
     finally:
         border.unpersist()
     return _apply_mapping(labeled, mapping)
